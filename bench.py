@@ -1,0 +1,75 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced with the `noop` sink — full distributed execution,
+zero driver-side collect — so timings measure the plan, not the
+driver's deserialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from distributedqueryengine_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "leaf_scan_filter",
+    "select_project_join",
+    "agg_pricing_summary",
+    "agg_top_nation_revenue",
+    "join_theta",
+    "topk_orders_per_customer",
+    "window_running_sum",
+    "fragment_horizontal_union",
+    "agg_cube",
+    "agg_distinct",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    # JVM/codegen warm-up on the smallest fixture so per-query numbers
+    # measure steady-state execution, not first-call JIT.
+    force(qs["agg_pricing_summary"](spark, "/root/testdata/sf0.001"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        t0 = time.monotonic()
+        force(df)
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

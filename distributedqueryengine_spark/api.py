@@ -1,0 +1,43 @@
+"""Query API: sql → {rows, original_plan, optimized_plan, statistics}.
+
+Restores the reference's web-service contract (Sql2AlgTree,
+QueryService.asmx.cs:51-89) — which returned the two plan JSONs plus a
+placeholder statistics string and DISCARDED the query result
+(:85-88) — and fixes it: the result rows come back too, and
+statistics are real (row count + wall time) instead of "Ha Ha Ha"
+(:88).
+
+`collect_limit` guards the driver: an API layer must never pull an
+unbounded 100 TB result to one process (the reference materialized
+everything on the coordinator, RPC.cs:225-246 — the anti-pattern).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from distributedqueryengine_spark.plans import plan_report
+
+
+def query(spark: SparkSession, sql: str, collect_limit: int = 10_000) -> dict[str, Any]:
+    """Run SQL against the registered catalog; return rows + plans + stats."""
+    df = spark.sql(sql)
+    plans = plan_report(df)
+    start = time.monotonic()
+    rows = df.limit(collect_limit).collect()
+    elapsed = time.monotonic() - start
+    return {
+        "rows": [r.asDict() for r in rows],
+        "columns": df.columns,
+        "original_plan": plans["original"],
+        "optimized_plan": plans["optimized"],
+        "physical_plan": plans["physical"],
+        "statistics": {
+            "row_count": len(rows),
+            "truncated": len(rows) == collect_limit,
+            "wall_seconds": round(elapsed, 4),
+        },
+    }

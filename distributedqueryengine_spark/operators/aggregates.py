@@ -1,0 +1,62 @@
+"""Aggregation operators: hash aggregate, distinct, rollup/cube/grouping sets.
+
+Absent from the reference entirely (its operator enum stops at
+JOIN/SEL/PROJ/UNION/LEAF — reference RPC.cs:20-28); table stakes for an
+OLAP engine. All of these compile to Spark's partial+final hash
+aggregate: the map side pre-combines inside each input partition, so
+the shuffle carries one row per (partition, group), not per input row —
+the property that keeps a 100 TB groupBy tractable.
+
+Numeric policy: double-typed aggregates are rounded via `round_cols`
+before comparison against the DuckDB oracle, because floating-point
+summation order differs between engines (both are correct; bitwise
+equality is not a meaningful target).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def round_cols(df: DataFrame, decimals: int = 4, cols: Sequence[str] | None = None) -> DataFrame:
+    """Round double columns for engine-portable comparison."""
+    target = set(cols) if cols else {f.name for f in df.schema.fields if f.dataType.typeName() == "double"}
+    return df.select(
+        *[F.round(F.col(c), decimals).alias(c) if c in target else F.col(c) for c in df.columns]
+    )
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """Plain hash aggregate. Empty `keys` → global aggregate (single group)."""
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def grouped(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column], mode: str = "groupby") -> DataFrame:
+    """groupBy / rollup / cube with the same agg list.
+
+    rollup(a, b) = grouping sets {(a,b), (a), ()}; cube adds (b). Spark
+    expands these into a single Expand + hash aggregate — one pass over
+    the data regardless of how many grouping sets, which matters when
+    the input is 100 TB and a naive per-set re-scan would be N passes.
+    """
+    modes = {"groupby": df.groupBy, "rollup": df.rollup, "cube": df.cube}
+    if mode not in modes:
+        raise ValueError(f"mode {mode!r} not in {sorted(modes)}")
+    return modes[mode](*keys).agg(*aggs)
+
+
+def distinct_counts(df: DataFrame, keys: Sequence[str], col: str, approx: bool = False, rsd: float = 0.02) -> DataFrame:
+    """Exact or HyperLogLog distinct counts per group.
+
+    Exact COUNT(DISTINCT) forces a two-phase expand/aggregate;
+    `approx=True` uses approx_count_distinct (HLL++), a single-pass
+    mergeable sketch — the only option that scales to billions of
+    distinct keys without a giant shuffle.
+    """
+    agg = (
+        F.approx_count_distinct(col, rsd) if approx else F.countDistinct(col)
+    ).alias(("approx_" if approx else "") + f"distinct_{col}")
+    return df.groupBy(*keys).agg(agg)

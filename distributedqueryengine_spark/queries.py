@@ -1,0 +1,326 @@
+"""Driver-facing query inventory: Spark implementations.
+
+Each public `q_*` function takes (spark, sf_dir) and returns a
+DataFrame; `ORACLES` in `oracles.py` holds the matching DuckDB SQL.
+Every computed column is aliased identically on both sides (the
+driver's comparator sorts columns by name before hashing).
+
+These queries exercise the operator library
+(`distributedqueryengine_spark.operators` / `functions` /
+`streaming`) end-to-end on the fixture tables; they are the rebuild's
+executable statement of SURVEY §2 coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark import fragments
+from distributedqueryengine_spark.operators import aggregates, relational, windows
+from distributedqueryengine_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Reference algebra: LEAF / SEL / PROJ / JOIN / UNION  (SURVEY §2.1 rows 1-7)
+# --------------------------------------------------------------------------
+
+def q_leaf_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAF+SEL+PROJ: filter+projection pushed into the parquet scan
+    (reference doQuery, RPC.cs:311-329)."""
+    return relational.select_where(
+        _t(spark, sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+        predicate=(F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"),
+    )
+
+
+def q_select_project_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical query shape (customer ⋈ orders with a
+    pushed predicate — QueryService.asmx.cs:161-304). Dimension side
+    broadcast: no shuffle of the fact table."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = relational.join_tables(
+        orders.filter(F.col("o_totalprice") > 200000),
+        customer,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+        broadcast_right=True,
+    )
+    return joined.select("c_name", "o_orderkey", "o_totalprice")
+
+
+def q_fragment_vertical_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical fragmentation transparency: the site1/site2 column-split
+    view must answer like the base table (QueryService.asmx.cs:320-337)."""
+    s1, s2 = fragments.vertical_fragments(_t(spark, sf_dir, "customer"))
+    v = fragments.reconstruct_vertical(s1, s2)
+    return v.filter(F.col("c_acctbal") > 1000).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+def q_fragment_horizontal_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal fragmentation transparency: UNION ALL of 4 hash slices
+    aggregates like the base table (QueryService.asmx.cs:338-396)."""
+    frags = fragments.horizontal_fragments(_t(spark, sf_dir, "orders"), "o_orderkey")
+    v = fragments.reconstruct_horizontal(frags)
+    out = aggregates.group_agg(
+        v,
+        ["o_orderstatus"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_price"),
+        ],
+    )
+    return aggregates.round_cols(out, 2, ["sum_price"])
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics) — beyond the reference's UNION ALL
+    (RPC.cs:330-342): nations of customers ∪ nations of suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return relational.set_op(c, s, "union")
+
+
+# --------------------------------------------------------------------------
+# Join-type lattice (SURVEY §2.2 "Joins")
+# --------------------------------------------------------------------------
+
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + aggregate: order count per customer including
+    order-less customers (impossible in the reference: inner only)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = relational.join_tables(
+        customer, orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left"
+    )
+    return aggregates.group_agg(
+        joined,
+        ["c_custkey", "c_name"],
+        [F.count("o_orderkey").alias("n_orders")],
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers having at least one high-value order."""
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return relational.join_tables(
+        customer, big, on=F.col("c_custkey") == F.col("o_custkey"), how="left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no 'F'-status order."""
+    customer = _t(spark, sf_dir, "customer")
+    f_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return relational.join_tables(
+        customer, f_orders, on=F.col("c_custkey") == F.col("o_custkey"), how="left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two aggregated sides: per-nation customer
+    and supplier counts, nations present on either side."""
+    c = aggregates.group_agg(
+        _t(spark, sf_dir, "customer"), ["c_nationkey"], [F.count(F.lit(1)).alias("n_cust")]
+    ).withColumnRenamed("c_nationkey", "nationkey_c")
+    s = aggregates.group_agg(
+        _t(spark, sf_dir, "supplier"), ["s_nationkey"], [F.count(F.lit(1)).alias("n_supp")]
+    ).withColumnRenamed("s_nationkey", "nationkey_s")
+    j = relational.join_tables(
+        c, s, on=F.col("nationkey_c") == F.col("nationkey_s"), how="full"
+    )
+    return j.select(
+        F.coalesce("nationkey_c", "nationkey_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: line items shipped within 90 days after
+    their order date — equi component on the key keeps it hash-joinable,
+    theta part is a residual filter (no nested-loop cliff at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    j = lineitem.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "inner",
+    )
+    return aggregates.group_agg(
+        j, ["o_orderpriority"], [F.count(F.lit(1)).alias("n_fast_lines")]
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation (SURVEY §2.2 "Aggregation")
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    out = aggregates.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+    return aggregates.round_cols(out, 2)
+
+
+def q_agg_top_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join (two broadcast dims) + revenue agg.
+    region/nation broadcast; customer/orders/lineitem co-shuffle on keys."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    dims = relational.join_tables(
+        nation, region, on=F.col("n_regionkey") == F.col("r_regionkey"), broadcast_right=True
+    )
+    cust = relational.join_tables(
+        customer, dims, on=F.col("c_nationkey") == F.col("n_nationkey"), broadcast_right=True
+    )
+    co = relational.join_tables(orders, cust, on=F.col("o_custkey") == F.col("c_custkey"))
+    col = relational.join_tables(lineitem, co, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    out = aggregates.group_agg(
+        col,
+        ["n_name"],
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    )
+    return aggregates.round_cols(out, 2)
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand + two-phase aggregate)."""
+    return aggregates.distinct_counts(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+    ).withColumnRenamed("distinct_o_custkey", "n_customers")
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(returnflag, linestatus): single-pass Expand + hash agg."""
+    out = aggregates.grouped(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows")],
+        mode="rollup",
+    )
+    return aggregates.round_cols(out, 2, ["sum_qty"])
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(orderstatus, orderpriority) over orders."""
+    out = aggregates.grouped(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("sum_price")],
+        mode="cube",
+    )
+    return aggregates.round_cols(out, 2, ["sum_price"])
+
+
+# --------------------------------------------------------------------------
+# Windows / top-k (SURVEY §2.2 "Window functions", "Sort / limit / top-k")
+# --------------------------------------------------------------------------
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number window + filter —
+    the scale-safe top-k; tie-broken on the unique order key)."""
+    return windows.top_k_per_group(
+        _t(spark, sf_dir, "orders"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer in order-date order."""
+    out = windows.running_agg(
+        _t(spark, sf_dir, "orders"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        agg_col="o_totalprice",
+        fn="sum",
+        out="running_spend",
+    ).select("o_custkey", "o_orderkey", "running_spend")
+    return aggregates.round_cols(out, 2, ["running_spend"])
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: gap in days between a customer's consecutive orders."""
+    o = _t(spark, sf_dir, "orders")
+    lagged = windows.with_offset(
+        o,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        col="o_orderdate",
+        offset=-1,
+    )
+    return lagged.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.col("lag_o_orderdate")).alias("days_since_prev"),
+    )
+
+
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank of part sizes within brand (ties matter)."""
+    return windows.with_rank(
+        _t(spark, sf_dir, "part"),
+        partition_by=["p_brand"],
+        order_by=[F.col("p_size").desc()],
+        kind="dense_rank",
+        out="size_rank",
+    ).select("p_partkey", "p_brand", "p_size", "size_rank")
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT → TakeOrderedAndProject (top-k without a
+    full sort of 100 TB; per-partition heaps then a driver merge of k)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops (SURVEY §2.2 "Set ops")
+# --------------------------------------------------------------------------
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nation keys that have both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return relational.set_op(c, s, "intersect")
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nation keys with customers but no suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return relational.set_op(c, s, "except")

@@ -1,0 +1,98 @@
+"""SparkSession bootstrap and catalog registration.
+
+Replaces the reference's hand-rolled site bring-up
+(SiteRpcServer/Program.cs:17-52) and its implicit "catalog" — the
+hardcoded fragmentation map in QueryService.asmx.cs:310-427 — with a
+SparkSession plus temp views over parquet. Placement, exchange, and
+parallelism are owned by Spark's scheduler instead of per-node Site
+tags (reference RPC.cs:102).
+
+Scale notes (100 TB design intent):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace any static plan choice.
+- shuffle.partitions is a local-mode default only; on a real cluster
+  AQE's coalescing makes the initial number far less sensitive.
+- Timezone pinned UTC so timestamp semantics are portable (and match
+  the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(app_name: str = "distributedqueryengine-spark") -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for local correctness runs.
+
+    Every config here is also the right default at cluster scale except
+    `master` and `shuffle.partitions`, which a deployment overrides via
+    spark-submit; nothing in the engine assumes local mode.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type, so read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projections into it.
+
+    `events.ts` is parquet TIMESTAMP(NANOS) — read as long nanos
+    (nanosAsLong) and converted to a microsecond timestamp with exact
+    integer arithmetic (DIV, not double math: nanos-epoch exceeds 2^53),
+    matching DuckDB's nanos→micros truncation so oracles agree.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register the fixture tables as temp views (the engine's catalog).
+
+    The reference resolved table names against per-site MySQL databases
+    at scan time (RPC.cs:311-329); here the catalog is explicit and the
+    scan is a parquet columnar read with pushdown.
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
