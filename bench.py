@@ -32,6 +32,14 @@ HEADLINE = [
     "fragment_horizontal_union",
     "agg_cube",
     "agg_distinct",
+    "asof_join",
+    "stream_session",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "multimodal_features",
 ]
 
 

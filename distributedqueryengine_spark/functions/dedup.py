@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Core training-data-pipeline capability (north star, BASELINE.json).
+Scale design — every algorithm is expressed as shuffle-based DataFrame
+transformations with NO pairwise O(n²) stage over the full corpus:
+
+- exact: hash-groupBy on a content fingerprint (one shuffle).
+- MinHash LSH: shingle-explode → per-permutation min-hash (partial
+  aggregation) → band signatures → candidate pairs only *within* a
+  band bucket. Work is O(n·shingles + candidates), the standard
+  near-dup pipeline shape (as used by large web-corpus dedup runs).
+- SimHash: 64-bit fingerprint via per-bit weighted sums (one groupBy),
+  near-dup candidates via band-equality buckets (pigeonhole: hamming
+  distance ≤ 3 ⇒ at least one of 4 16-bit bands equal).
+- n-gram Jaccard: exact verification on candidate pairs only.
+
+All hashing uses Spark's built-in xxhash64 (JVM, codegen) — no Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.text import fingerprint, normalize_text
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by content fingerprint: (fp, canonical_id, n_copies).
+
+    The survivor is min(id) — deterministic. One hash shuffle on the
+    16-byte fingerprint, never on the document text itself (at 100 TB
+    you shuffle 16-byte keys, not documents).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct content (the min-id survivor)."""
+    survivors = exact_duplicates(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Explode each document into its distinct word n-gram shingles,
+    pre-hashed to 64 bits: (id, shingle_hash). Downstream stages touch
+    only the 8-byte hash, not the text."""
+    toks = F.split(normalize_text(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
+    )
+
+
+# ---------------------------------------------------------- MinHash LSH
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 32
+) -> DataFrame:
+    """MinHash signature per document from its shingle hashes.
+
+    Permutation i is simulated by re-hashing: xxhash64(sh, i). The min
+    over each permutation is a partial-aggregatable agg — map-side
+    combine keeps the shuffle at one row per document.
+    Output: (id, sig array<long>[num_perm]).
+    """
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy("id").agg(*mins)
+    return sigs.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banding: equal band-signature ⇒ candidate pair.
+
+    bands=8 over 32 perms → r=4 rows/band; the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.59 Jaccard. Pairs are produced by a self-equi-join
+    on (band, band_hash) — hash-partitionable, never O(n²); dedup'd
+    with id_a < id_b.
+    """
+    r = num_perm // bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via shingle co-occurrence.
+
+    |A∩B| = count of shared shingle hashes (join through the exploded
+    shingle table — proportional to candidate overlap, not corpus²);
+    |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.alias("p")
+        .join(sh.alias("x"), F.col("p.id_a") == F.col("x.id"))
+        .join(
+            sh.alias("y"),
+            (F.col("p.id_b") == F.col("y.id")) & (F.col("x.sh") == F.col("y.sh")),
+        )
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidates → exact-Jaccard filter. Returns (id_a, id_b, jaccard)."""
+    sh = shingles(df, id_col, text_col, ngram)
+    sigs = minhash_signatures(sh, num_perm)
+    pairs = lsh_candidate_pairs(sigs, num_perm, bands)
+    scored = jaccard_on_pairs(pairs, sh)
+    return scored.filter(F.col("jaccard") >= min_jaccard)
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: bit i is the sign of the sum over
+    tokens of ±1 depending on bit i of the token hash.
+
+    Expressed as one explode + one groupBy with 64 conditional-sum
+    aggregates — all JVM-side, map-side-combinable. Output:
+    (id, simhash long)."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into 4 16-bit bands; distance ≤ 3
+    implies ≥ 1 band matches exactly, so candidates come from an
+    equi-join on (band_idx, band_value) — shuffle-partitionable —
+    then the exact hamming filter (bit_count, JVM) keeps true pairs."""
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

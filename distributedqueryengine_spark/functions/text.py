@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines: stats, quality, lang-ID,
+token counts, fingerprints.
+
+No analogue exists in the reference (scalar-only relational engine,
+RPC.cs:20-28); these are the north-star extensions (BASELINE.json)
+that make the engine useful for LLM-data curation at 100 TB.
+
+Everything here is built from JVM-side `pyspark.sql.functions`
+(regexp / split / higher-order array functions) — no Python UDFs, so
+the hot path stays inside whole-stage codegen and scales linearly with
+partitions. Each helper returns Column expressions usable in any
+select/filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small closed English stopword list — shared with the DuckDB oracle
+# (oracles.py) so both engines classify identically.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "on", "for", "with", "as", "at", "by", "from", "it", "this",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are English stopwords (0.0 if no tokens)."""
+    toks = tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*EN_STOPWORDS))
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.!?,;:'\"()-]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c).cast("double")
+    )
+
+
+def mean_word_len(col: Column | str) -> Column:
+    """Average token length in chars (0.0 if no tokens)."""
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards moderate length,
+    some stopwords (real prose), plausible word lengths.
+
+    The formula is intentionally simple and SQL-portable — the point is
+    the distributed evaluation pattern, not linguistic sophistication.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    wl = mean_word_len(c)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round((len_score + stop_score + wl_score) / F.lit(3.0), 4)
+
+
+def lang_id(col: Column | str, threshold: float = 0.08) -> Column:
+    """N-gram-free heuristic language ID: English iff the stopword ratio
+    clears `threshold`, else 'other'. Deterministic + SQL-portable;
+    a production pipeline would swap in fastText via mapInPandas
+    (see multimodal.py for the stub pattern)."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized text).
+
+    md5 is engine-portable (identical in DuckDB), making exact-dup
+    detection oracle-checkable; rolling/simhash variants live in
+    dedup.py.
+    """
+    return F.md5(normalize_text(col))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats column set — one JVM-side projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        F.length(F.col(text_col)).cast("int").alias("n_chars_actual"),
+        F.round(stopword_ratio(text_col), 4).alias("stop_ratio"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(mean_word_len(text_col), 4).alias("mean_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

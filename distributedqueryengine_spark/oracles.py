@@ -157,3 +157,156 @@ ORACLES: dict[str, str] = {
         SELECT s_nationkey AS nationkey FROM supplier
     """,
 }
+
+# ---- extension operators / functions / streaming ----
+ORACLES["fn_string"] = """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               lower(p_type) AS type_lower,
+               substr(p_name, 1, 8) AS name_prefix,
+               p_brand || '#' || p_type AS brand_type,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               replace(p_name, 'a', '@') AS name_subst
+        FROM part
+    """
+ORACLES["fn_date"] = """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002
+        FROM orders
+    """
+ORACLES["fn_math"] = """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS abs_disc_delta,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               round(sqrt(l_quantity), 4) AS qty_sqrt,
+               round(ln(l_extendedprice + 1.0), 4) AS price_ln,
+               round(pow(l_tax + 1.0, 2), 6) AS tax_sq,
+               CAST(l_partkey % 7 AS BIGINT) AS part_mod
+        FROM lineitem
+    """
+ORACLES["fn_json"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        FROM events GROUP BY event_type
+    """
+ORACLES["fn_case_when"] = """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 200000 THEN 'mid'
+                    ELSE 'high' END AS price_band,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY 1
+    """
+ORACLES["text_stats"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_actual,
+               round(CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE)
+                     / len(toks), 4) AS stop_ratio,
+               round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks), 4) AS mean_wlen
+        FROM t
+    """
+ORACLES["text_langid"] = """
+        WITH t AS (
+            SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        r AS (
+            SELECT CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE)
+                   / len(toks) AS ratio
+            FROM t)
+        SELECT CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred,
+               count(*) AS n_docs
+        FROM r GROUP BY 1
+    """
+ORACLES["text_fingerprint"] = """
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    """
+ORACLES["dedup_exact"] = """
+        SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """
+ORACLES["sim_bruteforce_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+             s AS (SELECT query_id, neighbor_id,
+                          round(list_dot_product(qv, cv)
+                                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                                6) AS cos
+                   FROM q JOIN c ON query_id <> neighbor_id),
+             r AS (SELECT query_id, neighbor_id, cos,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk
+                   FROM s)
+        SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+    """
+ORACLES["multimodal_features"] = """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               sha256(text) AS digest
+        FROM documents
+    """
+ORACLES["stream_tumbling"] = """
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+ORACLES["stream_sliding"] = """
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+             x AS (SELECT unnest([(es // 3600) * 3600, (es // 3600) * 3600 - 3600]) AS window_start,
+                          value
+                   FROM e)
+        SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM x GROUP BY 1
+    """
+ORACLES["stream_session"] = """
+        WITH e AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM e)
+        SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+               user_id,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """
+ORACLES["asof_join"] = """
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch,
+               round(r.value, 4) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+ORACLES["range_join"] = """
+        SELECT s_suppkey, count(*) AS n_matches
+        FROM supplier JOIN customer
+          ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
+        GROUP BY s_suppkey
+    """

@@ -324,3 +324,285 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return relational.set_op(c, s, "except")
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.2 "Scalar functions") — all JVM built-ins
+# --------------------------------------------------------------------------
+
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, substring, concat, replace, length."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).cast("int").alias("name_len"),
+        F.regexp_replace(F.col("p_name"), "a", "@").alias("name_subst"),
+    )
+
+
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: extract, trunc, diff, add."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_2002"),
+    )
+
+
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface: abs/floor/sqrt/ln/pow, rounded for portability."""
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("price_floor"),
+        F.round(F.sqrt(F.col("l_quantity")), 4).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("tax_sq"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("part_mod"),
+    )
+
+
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (get_json_object) + agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    return aggregates.group_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("int").alias("max_k"),
+        ],
+    )
+
+
+def q_fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bucketing (CASE WHEN) + aggregation."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_band",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high"),
+    )
+    out = aggregates.group_agg(
+        o,
+        ["price_band"],
+        [F.count(F.lit(1)).alias("n_orders"), F.avg("o_totalprice").alias("avg_price")],
+    )
+    return aggregates.round_cols(out, 2, ["avg_price"])
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star; functions/text.py)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punct/stopword statistics, all JVM-side."""
+    from distributedqueryengine_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        F.round(X.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(X.mean_word_len("text"), 4).alias("mean_wlen"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID counts (stopword-ratio threshold)."""
+    from distributedqueryengine_spark.functions import text as X
+
+    d = _t(spark, sf_dir, "documents").select(X.lang_id("text").alias("lang_pred"))
+    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprints (engine-portable exact-dup key)."""
+    from distributedqueryengine_spark.functions import text as X
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", X.fingerprint("text").alias("fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication (north-star; functions/dedup.py)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: fingerprint → (canonical_id, n_copies)."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (jaccard >= 0.5). Non-SQL (xxhash64
+    banding) → rows-only driver check; recall vs exact Jaccard is
+    asserted in tests/test_dedup.py."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    return D.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (hamming <= 3). Rows-only."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    return D.simhash_near_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.3 over LSH candidates. Rows-only."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    sh = D.shingles(d, "doc_id", "text", 3)
+    sigs = D.minhash_signatures(sh)
+    pairs = D.lsh_candidate_pairs(sigs)
+    return D.jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.3)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (north-star; functions/similarity.py)
+# --------------------------------------------------------------------------
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for every 10th vector (broadcast queries,
+    JVM dot products, per-query window top-k)."""
+    from distributedqueryengine_spark.functions import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.brute_force_topk(queries_df, emb, k=5)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (scale path). Rows-only; recall
+    vs brute force asserted in tests/test_similarity.py."""
+    from distributedqueryengine_spark.functions import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.lsh_topk(queries_df, emb, k=5, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (north-star; functions/multimodal.py)
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → mapInPandas feature extraction (fake decode;
+    real codec slot is a marked stub). Digest/size are oracle-checkable."""
+    from distributedqueryengine_spark.functions import multimodal as M
+
+    media = M.attach_payload(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    feats = M.decode_batch(media, fake=True)
+    return feats.select("media_id", "n_bytes", "digest")
+
+
+# --------------------------------------------------------------------------
+# Streaming semantics, batch-checkable form (streaming/windows.py)
+# --------------------------------------------------------------------------
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows over events: count + sum(value) per type."""
+    from distributedqueryengine_spark.streaming import windows as W
+
+    out = W.tumbling_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    return out
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows: each row lands in two windows."""
+    from distributedqueryengine_spark.streaming import windows as W
+
+    return W.sliding_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "2 hours",
+        "1 hour",
+        [],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30 min gap): native session_window."""
+    from distributedqueryengine_spark.streaming import windows as W
+
+    return W.session_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of / range joins (operators/asof.py — Spark-lacking operators)
+# --------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: for each click, the user's latest purchase at or
+    before it (union-sort-window implementation, one shuffle)."""
+    from distributedqueryengine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], right_cols=["ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.unix_timestamp("ts_r").alias("purchase_epoch"),
+        F.round(F.col("value_r"), 4).alias("purchase_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via bucketed equi-join: customers whose
+    acctbal falls in [s_acctbal, s_acctbal+500)."""
+    from distributedqueryengine_spark.operators.asof import range_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", F.col("s_acctbal").alias("lo"))
+        .withColumn("hi", F.col("lo") + 500.0)
+    )
+    out = range_join(cust, supp, "c_acctbal", "lo", "hi", bucket_width=500.0)
+    return aggregates.group_agg(
+        out.select("s_suppkey", "c_custkey"),
+        ["s_suppkey"],
+        [F.count(F.lit(1)).alias("n_matches")],
+    )

@@ -1,0 +1,87 @@
+"""Dedup pipeline tests: exact semantics + LSH recall vs exact Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact dup of 0
+        Row(doc_id=2, text=base.replace("lazy", "sleepy")),  # near dup of 0
+        Row(doc_id=3, text="completely different content about query engines and spark"),
+        Row(doc_id=4, text="  The   quick brown fox jumps over the lazy dog again and again today "),  # normalized dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_duplicates_groups(docs):
+    groups = D.exact_duplicates(docs, "doc_id", "text").collect()
+    by_canonical = {r.canonical_id: r.n_copies for r in groups}
+    # 0,1,4 share a normalized fingerprint; 2 and 3 are singletons.
+    assert by_canonical[0] == 3
+    assert by_canonical[2] == 1 and by_canonical[3] == 1
+
+
+def test_dedup_exact_survivors(docs):
+    kept = sorted(r.doc_id for r in D.dedup_exact(docs, "doc_id", "text").collect())
+    assert kept == [0, 2, 3]
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = D.minhash_near_duplicates(
+        docs, "doc_id", "text", ngram=3, num_perm=32, bands=8, min_jaccard=0.3
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # The exact/normalized dups (jaccard 1.0) must be found; the
+    # one-word-substitution near-dup should be too.
+    assert (0, 1) in found and (0, 4) in found and (1, 4) in found
+    assert (0, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, tables):
+    """On the real documents fixture: every pair with true Jaccard >=
+    0.7 must be produced by the banded LSH (b=8, r=4 → ~0.59 S-curve
+    threshold; >=0.7 pairs have capture prob > 99%)."""
+    d = tables["documents"]
+    sh = D.shingles(d, "doc_id", "text", 3)
+    # exact all-pairs Jaccard via shingle co-occurrence (fixture-sized)
+    co = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    truth = (
+        co.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("j", F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+        .filter(F.col("j") >= 0.7)
+    )
+    true_pairs = {(r.id_a, r.id_b) for r in truth.collect()}
+    lsh_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_duplicates(d, "doc_id", "text", min_jaccard=0.0).collect()
+    }
+    missed = true_pairs - lsh_pairs
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_deterministic_and_symmetric(docs):
+    fp1 = {r.id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    fp2 = {r.id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert fp1 == fp2
+    # identical content → identical fingerprint
+    assert fp1[0] == fp1[1] == fp1[4]
+    pairs = D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).collect()
+    found = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert found[(0, 1)] == 0 and found[(0, 4)] == 0

@@ -1,0 +1,68 @@
+"""Similarity search: brute-force correctness + LSH recall (SURVEY §7.5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions import similarity as S
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]), Row(a=[1.0, 2.0], b=[2.0, 4.0])]
+    )
+    out = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert abs(out[0].c - 1.0) < 1e-12
+    assert abs(out[1].c - 0.0) < 1e-12
+    assert abs(out[2].c - 1.0) < 1e-12
+
+
+def test_brute_force_topk_matches_numpy(spark, tables):
+    import numpy as np
+
+    emb = tables["embeddings"]
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    out = S.brute_force_topk(emb.filter(F.col("vec_id") == 7), emb, k=5).collect()
+    got = [(r.neighbor_id, r.cos) for r in sorted(out, key=lambda r: r.rnk)]
+    qi = int(np.where(ids == 7)[0][0])
+    order = np.argsort(-sims[qi])
+    expect = [(int(ids[j]), sims[qi][j]) for j in order if ids[j] != 7][:5]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert math.isclose(g[1], e[1], abs_tol=1e-5)
+
+
+def test_lsh_topk_recall(spark, tables):
+    """Recall@5 of LSH vs brute force over the fixture queries must
+    clear 0.5 — random 64-dim vectors are a worst case for LSH, so the
+    bar is deliberately moderate; the contract is 'good candidates
+    without the cross product', not exactness."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    bf = S.brute_force_topk(queries, emb, k=5).collect()
+    ap = S.lsh_topk(queries, emb, k=5, dim=64, n_planes=4, n_tables=16).collect()
+    truth: dict[int, set[int]] = {}
+    for r in bf:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in ap:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5, f"LSH recall too low: {hits}/{total}"
+
+
+def test_lsh_candidates_subset_of_corpus(spark, tables):
+    emb = tables["embeddings"]
+    out = S.lsh_topk(emb.filter(F.col("vec_id") == 0), emb, k=3, dim=64)
+    rows = out.collect()
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in rows)
+    assert len(rows) <= 3

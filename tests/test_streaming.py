@@ -1,0 +1,117 @@
+"""Structured Streaming tests: stream == batch, watermark late-data
+semantics (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_stream_tumbling_equals_batch(spark):
+    """The same tumbling aggregation over the events fixture, run once
+    as a batch plan and once through readStream → memory sink, must
+    produce identical results (complete mode, bounded input)."""
+    batch = W.tumbling_agg(
+        __import__("distributedqueryengine_spark.session", fromlist=["load_table"]).load_table(
+            spark, SF_DIR, "events"
+        ),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    stream = W.stream_from_table(spark, SF_DIR, "events")
+    agg = W.tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+    W.run_stream_to_memory(agg, "tumbling_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM tumbling_out")
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
+
+
+def test_stream_session_equals_batch(spark):
+    from distributedqueryengine_spark.session import load_table
+
+    batch = W.session_agg(
+        load_table(spark, SF_DIR, "events"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    stream = W.stream_from_table(spark, SF_DIR, "events")
+    agg = W.session_agg(
+        stream.withWatermark("ts", "10 minutes"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    W.run_stream_to_memory(agg, "session_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM session_out")
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg with a watermark: a row arriving far
+    behind the watermark is dropped, one within slack is kept."""
+    import pandas as pd
+
+    d = str(tmp_path / "late_src")
+    schema = "ts TIMESTAMP, v DOUBLE"
+    batch1 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00:05", "2024-01-01 12:00:00"]), "v": [1.0, 2.0]}
+    )
+    # 10:30 is < watermark (12:00 - 1h = 11:00) → its 10:00-11:00 window
+    # is already finalized → dropped; 11:40 lands in a live window.
+    batch2 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:30:00", "2024-01-01 11:40:00"]), "v": [100.0, 4.0]}
+    )
+    spark.createDataFrame(batch1).coalesce(1).write.mode("overwrite").parquet(d + "/b1")
+    src_schema = spark.read.parquet(d + "/b1").schema
+    import shutil, glob, os
+
+    stage = str(tmp_path / "stream_in")
+    os.makedirs(stage)
+    for f in glob.glob(d + "/b1/*.parquet"):
+        shutil.copy(f, stage + "/b1.parquet")
+    stream = (
+        spark.readStream.schema(src_schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("v").alias("sv"))
+        .select(F.unix_timestamp("window.start").alias("ws"), "sv")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    spark.createDataFrame(batch2).coalesce(1).write.mode("overwrite").parquet(d + "/b2")
+    for f in glob.glob(d + "/b2/*.parquet"):
+        shutil.copy(f, stage + "/b2.parquet")
+    q.processAllAvailable()
+    # Force final emission of closed windows by advancing watermark.
+    batch3 = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 20:00:00"]), "v": [0.0]})
+    spark.createDataFrame(batch3).coalesce(1).write.mode("overwrite").parquet(d + "/b3")
+    for f in glob.glob(d + "/b3/*.parquet"):
+        shutil.copy(f, stage + "/b3.parquet")
+    q.processAllAvailable()
+    q.stop()
+    got = {r.ws: r.sv for r in spark.sql("SELECT * FROM late_out").collect()}
+    ts10 = 1704103200  # 2024-01-01 10:00 UTC
+    assert got[ts10] == 1.0, f"late row should be dropped, got {got}"
+    assert got[ts10 + 3600] == 4.0  # 11:00 window kept the in-slack row

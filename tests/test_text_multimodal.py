@@ -1,0 +1,75 @@
+"""Text-analysis functions + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions import multimodal as M
+from distributedqueryengine_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="The cat and the dog are in the house"),
+            Row(doc_id=1, text="xyzzy plugh qwerty"),
+            Row(doc_id=2, text="   "),
+            Row(doc_id=3, text="word"),
+        ]
+    )
+
+
+def test_token_count(sample):
+    got = {r.doc_id: r.n for r in sample.select("doc_id", X.token_count("text").alias("n")).collect()}
+    assert got == {0: 9, 1: 3, 2: 0, 3: 1}
+
+
+def test_stopword_ratio_and_langid(sample):
+    rows = sample.select(
+        "doc_id",
+        X.stopword_ratio("text").alias("sr"),
+        X.lang_id("text").alias("lang"),
+    ).collect()
+    got = {r.doc_id: (round(r.sr, 4), r.lang) for r in rows}
+    assert got[0] == (round(6 / 9, 4), "en")  # the×3, and, are, in → 6 of 9
+    assert got[1] == (0.0, "other")
+    assert got[2] == (0.0, "other")
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="Hello  World"), Row(doc_id=1, text=" hello world ")]
+    )
+    fps = [r.fp for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_score_bounds(tables):
+    scores = (
+        tables["documents"].select(X.quality_score("text").alias("q")).collect()
+    )
+    assert all(0.0 <= r.q <= 1.0 for r in scores)
+
+
+def test_multimodal_pipeline(sample):
+    media = M.attach_payload(sample, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = M.decode_batch(media, fake=True).collect()
+    by_id = {r.media_id: r for r in feats}
+    raw = "The cat and the dog are in the house".encode()
+    assert by_id[0].n_bytes == len(raw)
+    assert by_id[0].digest == hashlib.sha256(raw).hexdigest()
+    assert len(by_id[0].features) == 8
+    assert all(0.0 <= f <= 1.0 for f in by_id[0].features)
+
+
+def test_multimodal_real_decode_is_marked_stub(sample):
+    media = M.attach_payload(sample, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        M.decode_batch(media, fake=False).collect()
