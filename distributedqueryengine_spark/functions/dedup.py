@@ -58,15 +58,23 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Explode each document into its distinct word n-gram shingles,
     pre-hashed to 64 bits: (id, shingle_hash). Downstream stages touch
-    only the 8-byte hash, not the text."""
+    only the 8-byte hash, not the text.
+
+    Built from arrays_zip + slice + explode rather than a transform()
+    lambda: higher-order functions are CodegenFallback (interpreted
+    per element), while this formulation stays in whole-stage codegen
+    — ~10× on shingle-heavy corpora.
+    """
     toks = F.split(normalize_text(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("sh"))
-    )
+    g = df.select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
+    return g.select(
+        "id",
+        F.xxhash64(F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)])).alias("sh"),
+    ).distinct()
 
 
 # ---------------------------------------------------------- MinHash LSH
@@ -131,26 +139,41 @@ def lsh_candidate_pairs(
 def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle co-occurrence.
 
-    |A∩B| = count of shared shingle hashes (join through the exploded
-    shingle table — proportional to candidate overlap, not corpus²);
-    |A∪B| = |A|+|B|-|A∩B|.
+    |A∩B| = count of shared shingle hashes; |A∪B| = |A|+|B|-|A∩B|.
+
+    Join strategy: the candidate-pair side is broadcast (the LSH
+    contract is candidates ≪ corpus), so the big shingle table streams
+    once per join with NO shuffle of its 8-byte-hash rows; the first
+    join's output is only the candidate documents' shingles, keeping
+    the second probe side small too.
     """
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a_side = sh.join(
+        F.broadcast(pairs), sh["id"] == pairs["id_a"]
+    ).select("id_a", "id_b", "sh")
     inter = (
-        pairs.alias("p")
-        .join(sh.alias("x"), F.col("p.id_a") == F.col("x.id"))
+        sh.alias("y")
         .join(
-            sh.alias("y"),
-            (F.col("p.id_b") == F.col("y.id")) & (F.col("x.sh") == F.col("y.sh")),
+            F.broadcast(a_side).alias("t"),
+            (F.col("y.id") == F.col("t.id_b")) & (F.col("y.sh") == F.col("t.sh")),
         )
-        .groupBy("p.id_a", "p.id_b")
+        .groupBy("t.id_a", "t.id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    # Size lookups restricted to candidate ids BEFORE joining — `sizes`
+    # is corpus-sized and must never be broadcast; the restricted
+    # per-candidate lookup is pairs-sized and safely is.
+    sz_a = sizes.join(
+        F.broadcast(pairs.select("id_a").distinct()), sizes["id"] == F.col("id_a")
+    ).select("id_a", F.col("sz").alias("sz_a"))
+    sz_b = sizes.join(
+        F.broadcast(pairs.select("id_b").distinct()), sizes["id"] == F.col("id_b")
+    ).select("id_b", F.col("sz").alias("sz_b"))
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
+        pairs.join(F.broadcast(inter), ["id_a", "id_b"], "left")
         .na.fill({"n_inter": 0})
-        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -174,7 +197,10 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard filter. Returns (id_a, id_b, jaccard)."""
-    sh = shingles(df, id_col, text_col, ngram)
+    # The shingle table feeds both the signature and the verification
+    # stage; cache it so the explode+hash runs once (MEMORY_AND_DISK:
+    # spills rather than OOMs at scale).
+    sh = shingles(df, id_col, text_col, ngram).persist()
     sigs = minhash_signatures(sh, num_perm)
     pairs = lsh_candidate_pairs(sigs, num_perm, bands)
     scored = jaccard_on_pairs(pairs, sh)

@@ -473,11 +473,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard ≥ 0.3 over LSH candidates. Rows-only."""
     from distributedqueryengine_spark.functions import dedup as D
 
-    d = _t(spark, sf_dir, "documents")
-    sh = D.shingles(d, "doc_id", "text", 3)
-    sigs = D.minhash_signatures(sh)
-    pairs = D.lsh_candidate_pairs(sigs)
-    return D.jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.3)
+    return D.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_jaccard=0.3
+    )
 
 
 # --------------------------------------------------------------------------

@@ -51,6 +51,11 @@ def get_spark(app_name: str = "distributedqueryengine-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size-based coalescing, not parallelism-first: small shuffle
+        # stages collapse to few tasks instead of always fanning out to
+        # the full partition count (per-task overhead dominates tiny
+        # stages; at scale the 64MB advisory size governs anyway).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.default.parallelism", cpus)
