@@ -310,3 +310,76 @@ ORACLES["range_join"] = """
           ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
         GROUP BY s_suppkey
     """
+
+# ---- pivot / stats / SQL-API ----
+ORACLES["pivot_events"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error
+        FROM events GROUP BY user_id
+    """
+ORACLES["unpivot_events"] = """
+        WITH wide AS (
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error')    AS n_error
+            FROM events GROUP BY user_id)
+        SELECT user_id, 'n_click' AS metric, n_click AS n FROM wide
+        UNION ALL SELECT user_id, 'n_view', n_view FROM wide
+        UNION ALL SELECT user_id, 'n_purchase', n_purchase FROM wide
+        UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
+        UNION ALL SELECT user_id, 'n_error', n_error FROM wide
+    """
+ORACLES["agg_grouping_sets"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """
+ORACLES["agg_stats"] = """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_discount), 6) AS var_disc,
+               round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+               round(avg(l_tax), 6) AS avg_tax
+        FROM lineitem GROUP BY l_returnflag
+    """
+ORACLES["agg_percentiles"] = """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus
+    """
+ORACLES["fn_array_explode"] = """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+            FROM documents)
+        SELECT token, count(*) AS n
+        FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
+    """
+ORACLES["sql_cte_subquery"] = """
+        WITH big_spenders AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, b.total_spent
+        FROM customer c JOIN big_spenders b ON c.c_custkey = b.o_custkey
+        WHERE b.total_spent > (SELECT avg(total_spent) FROM big_spenders)
+    """
+ORACLES["window_ntile"] = """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS quartile
+        FROM orders
+    """

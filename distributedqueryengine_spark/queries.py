@@ -604,3 +604,123 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["s_suppkey"],
         [F.count(F.lit(1)).alias("n_matches")],
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot, grouping sets, statistical aggregates, arrays, SQL API
+# --------------------------------------------------------------------------
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type (explicit
+    value list → single-pass pivoted hash aggregate, stable schema)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id",
+        F.col("click").alias("n_click"),
+        F.col("view").alias("n_view"),
+        F.col("purchase").alias("n_purchase"),
+        F.col("signup").alias("n_signup"),
+        F.col("error").alias("n_error"),
+    )
+
+
+def q_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted table back to long form; proves the
+    stack/melt direction too."""
+    wide = q_pivot_events(spark, sf_dir)
+    return wide.unpivot(
+        "user_id",
+        ["n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+        "metric",
+        "n",
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): {(status),
+    (priority), ()} in one Expand+aggregate pass."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    out = spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return out
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar (portable
+    two-pass-free streaming forms), rounded for cross-engine compare."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + median (interpolated), per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
+def q_fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lateral surface: tokenize documents, explode, top token
+    frequencies (the word-count of a 100 TB corpus: explode + two-level
+    hash agg, all partial-aggregated)."""
+    from distributedqueryengine_spark.functions.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+
+
+def q_sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL front-end (the reference's actual input surface —
+    QueryService.asmx.cs:141-160 — but ANSI, with CTEs + correlated
+    subqueries its gudusoft/MySQL path never supported)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        WITH big_spenders AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
+            FROM orders_sq GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, b.total_spent
+        FROM customer_sq c JOIN big_spenders b ON c.c_custkey = b.o_custkey
+        WHERE b.total_spent > (SELECT avg(total_spent) FROM big_spenders)
+        """
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles of order value within each status."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

@@ -1,0 +1,72 @@
+"""Source/sink round-trips + layout-driven plan shape (SURVEY §2.2 rows 1-2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.plans import plan_report
+from distributedqueryengine_spark.sources import readers, sinks
+
+
+def test_csv_json_orc_roundtrip(spark, tables, tmp_path):
+    nation = tables["nation"]
+    base = str(tmp_path)
+    sinks.write_files(nation, base + "/n_csv", fmt="csv", header=True)
+    sinks.write_files(nation, base + "/n_json", fmt="json")
+    sinks.write_files(nation, base + "/n_orc", fmt="orc")
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    got_csv = readers.read_csv(spark, base + "/n_csv", schema=schema)
+    got_json = readers.read_json(spark, base + "/n_json", schema=schema)
+    got_orc = readers.read_orc(spark, base + "/n_orc")
+    expect = {tuple(r) for r in nation.collect()}
+    for got in (got_csv, got_json, got_orc):
+        assert {tuple(r) for r in got.collect()} == expect
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    """Dir-partitioned layout → PartitionFilters (not just PushedFilters)
+    on read: the scan never opens non-matching directories."""
+    out = str(tmp_path / "li_part")
+    sinks.write_files(tables["lineitem"], out, partition_by=["l_returnflag"])
+    got = readers.read_parquet(spark, out).filter(F.col("l_returnflag") == "R")
+    phys = plan_report(got)["physical"]
+    assert "PartitionFilters" in phys
+    assert "l_returnflag" in phys.split("PartitionFilters")[1].split("]")[0]
+    n_direct = tables["lineitem"].filter(F.col("l_returnflag") == "R").count()
+    assert got.count() == n_direct
+
+
+def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
+    """Two tables bucketed on the join key: the join plan contains no
+    Exchange — the co-located join the reference approximated with
+    manual site assignment."""
+    sinks.write_bucketed_table(
+        tables["orders"], "orders_b", ["o_custkey"], 8, sort_cols=["o_custkey"]
+    )
+    sinks.write_bucketed_table(
+        tables["customer"], "customer_b", ["c_custkey"], 8, sort_cols=["c_custkey"]
+    )
+    j = (
+        spark.table("orders_b")
+        .join(
+            spark.table("customer_b").hint("merge"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_name")
+    )
+    phys = plan_report(j)["physical"]
+    assert "Exchange" not in phys, phys
+    assert j.count() == tables["orders"].count()
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_jdbc_reader_constructs(spark):
+    """No database in the container: assert the reader builds with
+    partitioned-scan options (the production config path)."""
+    df_builder = readers.read_jdbc
+    import inspect
+
+    sig = inspect.signature(df_builder)
+    assert {"partition_column", "num_partitions", "predicate"} <= set(sig.parameters)

@@ -1,0 +1,77 @@
+"""Stateful streaming: applyInPandasWithState + dropDuplicatesWithinWatermark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.session import load_table
+from distributedqueryengine_spark.streaming import stateful
+from distributedqueryengine_spark.streaming.windows import run_stream_to_memory, stream_from_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_running_totals_match_batch(spark):
+    """Final stateful per-user totals == batch groupBy over the same
+    bounded input (update mode: keep each user's last emitted row)."""
+    stream = stream_from_table(spark, SF_DIR, "events")
+    out = stateful.running_totals_per_user(stream.select("user_id", "value", "ts"))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update-mode memory sink appends each emission; the final state per
+    # user is the row with the max n_events.
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY n_events DESC) AS rn FROM stateful_out) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.t, 4))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_streaming_dedup_drops_in_horizon_dups(spark, tmp_path):
+    import pandas as pd
+
+    stage = str(tmp_path / "dd_src")
+    import os
+
+    os.makedirs(stage)
+    b1 = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:00:30", "2024-01-01 10:01:00"]
+            ),
+        }
+    )
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(stage + "/_b1")
+    import glob, shutil
+
+    for f in glob.glob(stage + "/_b1/*.parquet"):
+        shutil.copy(f, stage + "/b1.parquet")
+    shutil.rmtree(stage + "/_b1")
+    schema = spark.read.parquet(stage + "/b1.parquet").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    dd = stateful.streaming_dedup(stream, ["k"], "ts", "10 minutes")
+    q = dd.writeStream.outputMode("append").format("memory").queryName("dd_out").start()
+    q.processAllAvailable()
+    q.stop()
+    ks = sorted(r.k for r in spark.sql("SELECT k FROM dd_out").collect())
+    assert ks == [1, 2]  # the duplicate k=1 within the horizon dropped
