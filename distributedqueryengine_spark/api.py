@@ -20,12 +20,33 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from distributedqueryengine_spark.plans import plan_report
+from distributedqueryengine_spark.plans.extract import plan_tree
+
+
+def bootstrap(sf_dir: str = "/root/testdata/sf0.001"):
+    """One-call engine bring-up: session + fixture catalog + fragment
+    views — the reference's InitSite/InitAlgTree handshake
+    (QueryService.asmx.cs:61-69) collapsed to a function."""
+    from distributedqueryengine_spark.fragments import register_fragment_views
+    from distributedqueryengine_spark.session import get_spark, register_tables
+
+    spark = get_spark()
+    tables = register_tables(spark, sf_dir)
+    register_fragment_views(spark, tables["customer"], tables["orders"])
+    return spark
 
 
 def query(spark: SparkSession, sql: str, collect_limit: int = 10_000) -> dict[str, Any]:
     """Run SQL against the registered catalog; return rows + plans + stats."""
     df = spark.sql(sql)
     plans = plan_report(df)
+    try:
+        tree = {
+            "original": plan_tree(df, "analyzed"),
+            "optimized": plan_tree(df, "optimized"),
+        }
+    except Exception:
+        tree = None
     start = time.monotonic()
     rows = df.limit(collect_limit).collect()
     elapsed = time.monotonic() - start
@@ -35,6 +56,7 @@ def query(spark: SparkSession, sql: str, collect_limit: int = 10_000) -> dict[st
         "original_plan": plans["original"],
         "optimized_plan": plans["optimized"],
         "physical_plan": plans["physical"],
+        "plan_tree": tree,
         "statistics": {
             "row_count": len(rows),
             "truncated": len(rows) == collect_limit,

@@ -383,3 +383,50 @@ ORACLES["window_ntile"] = """
                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS quartile
         FROM orders
     """
+
+# ---- tpch q3 / grouped map / regexp / json struct / arrays ----
+ORACLES["tpch_q3_shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+ORACLES["grouped_zscore"] = """
+        SELECT o_custkey, o_orderkey,
+               round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                          ELSE (o_totalprice - mu) / sd END, 4) AS z
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   avg(o_totalprice) OVER (PARTITION BY o_custkey) AS mu,
+                   stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS sd
+            FROM orders) t
+    """
+ORACLES["fn_regexp"] = """
+        SELECT p_partkey,
+               regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+               regexp_extract(p_name, '(\d+)', 1) AS first_digits,
+               regexp_matches(p_name, 'part') AS has_part
+        FROM part
+    """
+ORACLES["fn_json_struct"] = """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0) AS k_is_round
+        FROM events
+    """
+ORACLES["fn_array_ops"] = """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 5) AS first_val,
+               round(CAST(embedding[-1] AS DOUBLE), 5) AS last_val,
+               round(CAST(list_max(embedding) AS DOUBLE), 5) AS max_val,
+               round(CAST(list_min(embedding) AS DOUBLE), 5) AS min_val
+        FROM embeddings
+    """

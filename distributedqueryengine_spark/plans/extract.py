@@ -54,3 +54,29 @@ def plan_contains(df: DataFrame, needle: str, which: str = "physical") -> bool:
     """Plan-shape assertion helper (SURVEY §5.3): does the chosen plan
     string mention `needle` (e.g. 'PushedFilters', 'BroadcastHashJoin')?"""
     return needle in plan_report(df)[which]
+
+
+def plan_tree(df: DataFrame, which: str = "optimized") -> dict:
+    """Recursive plan tree as JSON-able dicts — parity with the
+    reference's node JSON for its jointjs UI (QueryService.asmx.cs:
+    444-471: OpType/Condition/Oprands per node). Spark analogue:
+    nodeName + simpleString + children, walked over the JVM plan.
+    """
+    qe = df._jdf.queryExecution()
+    root = {"analyzed": qe.analyzed, "optimized": qe.optimizedPlan, "physical": qe.executedPlan}[
+        which
+    ]()
+
+    def walk(node) -> dict:
+        children = node.children()
+        out = {
+            "op": node.nodeName(),
+            "detail": node.simpleString(100),
+            "children": [],
+        }
+        it = children.iterator()
+        while it.hasNext():
+            out["children"].append(walk(it.next()))
+        return out
+
+    return walk(root)

@@ -724,3 +724,107 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3, grouped-map UDF, regexp, from_json, approx sketches, array ops
+# --------------------------------------------------------------------------
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, revenue agg,
+    global top-10 (TakeOrderedAndProject — no full sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer z-score of order totals.
+
+    The UDTF-style per-group pandas escape hatch (SURVEY §2.2 row
+    UDF/UDAF/UDTF): each customer's orders arrive as one pandas
+    DataFrame; Arrow batches both ways; groups are hash-partitioned so
+    the operator scales with the number of groups, bounded by the
+    largest single group. (Semantically expressible with window
+    functions — used here to exercise the grouped-map path itself.)
+    """
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        z = (pdf["o_totalprice"] - mu) / sd if sd and sd == sd else pdf["o_totalprice"] * 0.0
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "z": z.round(4),
+            }
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        zscore, "o_custkey long, o_orderkey long, z double"
+    )
+
+
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract capture groups, boolean match, count."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.regexp_extract(F.col("p_name"), r"(\d+)", 1).alias("first_digits"),
+        F.col("p_name").rlike("part").cast("boolean").alias("has_part"),
+    )
+
+
+def q_fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (from_json → struct access) — beyond
+    path extraction: nested typed access, null-safe on parse failure."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10 == 0).alias("k_is_round"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch per group — THE scalable distinct
+    (single-pass, mergeable, fixed memory). Sketch internals are
+    engine-specific → rows-only driver check; tests bound the error
+    vs exact counts instead."""
+    return aggregates.distinct_counts(
+        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey", approx=True
+    )
+
+
+def q_fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column: size, slice, sort,
+    element access, containment — rounded doubles for portability."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(vec, 1), 5).alias("first_val"),
+        F.round(F.element_at(vec, -1), 5).alias("last_val"),
+        F.round(F.array_max(vec), 5).alias("max_val"),
+        F.round(F.array_min(vec), 5).alias("min_val"),
+    )

@@ -1,0 +1,52 @@
+"""API layer: bootstrap + query() contract (the reference's web-service
+surface, Sql2AlgTree/GetData — QueryService.asmx.cs:51-100 — with the
+result restored and real statistics)."""
+
+from __future__ import annotations
+
+from distributedqueryengine_spark.api import bootstrap, query
+
+
+def test_query_contract(spark, tables):
+    res = query(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+    )
+    assert res["columns"] == ["o_orderstatus", "n"]
+    assert sum(r["n"] for r in res["rows"]) == tables["orders"].count()
+    assert res["statistics"]["row_count"] == 3
+    assert not res["statistics"]["truncated"]
+    assert res["statistics"]["wall_seconds"] >= 0
+    # plans: original (analyzed) vs optimized differ, physical present
+    assert "Aggregate" in res["original_plan"]
+    assert "PushedFilters" in res["physical_plan"] or "FileScan" in res["physical_plan"]
+    tree = res["plan_tree"]["optimized"]
+    assert tree["op"] == "Aggregate"
+    assert tree["children"], "plan tree must have children"
+
+
+def test_query_through_fragment_views(spark, tables):
+    from distributedqueryengine_spark.fragments import register_fragment_views
+
+    register_fragment_views(spark, tables["customer"], tables["orders"])
+    res = query(
+        spark,
+        """SELECT c.c_name, count(*) AS n
+           FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
+           WHERE o.o_totalprice > 100000 GROUP BY c.c_name""",
+    )
+    direct = query(
+        spark,
+        """SELECT c.c_name, count(*) AS n
+           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+           WHERE o.o_totalprice > 100000 GROUP BY c.c_name""",
+    )
+    assert sorted(map(tuple, (r.values() for r in res["rows"]))) == sorted(
+        map(tuple, (r.values() for r in direct["rows"]))
+    )
+
+
+def test_query_limit_guard(spark, tables):
+    res = query(spark, "SELECT * FROM lineitem", collect_limit=100)
+    assert res["statistics"]["row_count"] == 100
+    assert res["statistics"]["truncated"]
