@@ -147,6 +147,10 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     join's output is only the candidate documents' shingles, keeping
     the second probe side small too.
     """
+    # `pairs` is referenced four times below (intersection probe, final
+    # join, two size restrictions); without persist every broadcast
+    # re-materializes the whole upstream LSH pipeline.
+    pairs = pairs.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_side = sh.join(
         F.broadcast(pairs), sh["id"] == pairs["id_a"]

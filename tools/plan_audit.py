@@ -1,0 +1,69 @@
+"""Plan audit: physical-plan shape summary for every inventory query.
+
+Prints, per query: exchange (shuffle) count, join strategies chosen,
+whether parquet scans carry pushed filters, and the WholeStageCodegen
+span count — the things that decide 100 TB behavior. Run after any
+operator change; keep exchanges minimal and joins broadcast where a
+side is dimension-sized.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from distributedqueryengine_spark.session import get_spark  # noqa: E402
+
+JOIN_KINDS = [
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+]
+
+
+def audit(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    joins = {k: plan.count(k) for k in JOIN_KINDS if plan.count(k)}
+    scans = plan.count("FileScan parquet")
+    pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+    return {
+        "exchanges": plan.count("Exchange "),
+        "joins": joins,
+        "parquet_scans": scans,
+        "scans_with_pushdown": pushed,
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "has_python_stage": ("ArrowEvalPython" in plan)
+        or ("MapInPandas" in plan)
+        or ("FlatMapGroupsInPandas" in plan),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan-audit")
+    for name, fn in sorted(entry_mod.queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            info = audit(fn(spark, sf_dir))
+            joins = ",".join(f"{k}x{v}" for k, v in info["joins"].items()) or "-"
+            py = " PY" if info["has_python_stage"] else ""
+            print(
+                f"{name:32s} exch={info['exchanges']:2d} joins={joins:40s} "
+                f"scans={info['parquet_scans']}(pushed {info['scans_with_pushdown']}) "
+                f"wsc={info['codegen_spans']}{py}"
+            )
+        except Exception as e:
+            print(f"{name:32s} ERROR {e}")
+
+
+if __name__ == "__main__":
+    main()
