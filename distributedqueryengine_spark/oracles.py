@@ -430,3 +430,36 @@ ORACLES["fn_array_ops"] = """
                round(CAST(list_min(embedding) AS DOUBLE), 5) AS min_val
         FROM embeddings
     """
+
+# ---- tpch q4/q10/q14 ----
+ORACLES["tpch_q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate >= TIMESTAMP '1996-06-01')
+        GROUP BY o_orderpriority
+    """
+ORACLES["tpch_q10_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """
+ORACLES["tpch_q14_promo_effect"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-07-01'
+    """

@@ -828,3 +828,61 @@ def q_fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(vec), 5).alias("max_val"),
         F.round(F.array_min(vec), 5).alias("min_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H shapes (Q4 / Q10 / Q14): deeper relational corpus
+# --------------------------------------------------------------------------
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS semi-join + grouped count (late lineitems)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-06-01"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    j = relational.join_tables(
+        orders, late, on=F.col("o_orderkey") == F.col("l_orderkey"), how="left_semi"
+    )
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: 4-way join on returned items, revenue per customer,
+    global top-20 (TakeOrderedAndProject)."""
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation ratio (CASE inside sum) over a
+    fact⋈dim join — one number out of a 100 TB scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+    )

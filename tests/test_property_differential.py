@@ -1,0 +1,67 @@
+"""Property-based differential testing vs DuckDB (SURVEY §5.5).
+
+Hypothesis generates random conjunctive filter+aggregate queries over
+lineitem (generalizing the reference's only query shape: conjunctive
+comparisons — QueryService.asmx.cs:658-674, including the OR→AND bug
+we deliberately do NOT replicate); Spark and DuckDB must agree on
+every one.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return con
+
+
+num_pred = st.tuples(
+    st.sampled_from(NUM_COLS),
+    st.sampled_from([">", "<", ">=", "<=", "="]),
+    st.floats(min_value=0.0, max_value=10.0, allow_nan=False).map(lambda x: round(x, 3)),
+)
+str_pred = st.sampled_from(
+    [(c, "=", v) for c, vs in STR_COLS.items() for v in vs]
+    + [(c, "!=", v) for c, vs in STR_COLS.items() for v in vs]
+)
+predicates = st.lists(st.one_of(num_pred, str_pred), min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=predicates, group_col=st.sampled_from(["l_returnflag", "l_linestatus"]))
+def test_random_conjunctive_agg_matches_duckdb(spark, duck, preds, group_col):
+    conds = [f"{c} {op if op != '!=' else '<>'} " + (f"'{v}'" if isinstance(v, str) else str(v)) for c, op, v in preds]
+    where = " AND ".join(conds)
+    sql = (
+        f"SELECT {group_col}, count(*) AS n, round(sum(l_quantity), 2) AS sq "
+        f"FROM lineitem WHERE {where} GROUP BY {group_col}"
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(F.expr(where))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sq"))
+        .collect()
+    }
+    expect = {tuple(r) for r in duck.execute(sql).fetchall()}
+    assert got == expect
