@@ -32,7 +32,12 @@ HEADLINE = [
     "fragment_horizontal_union",
     "agg_cube",
     "agg_distinct",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "pivot_events",
+    "grouped_zscore",
     "asof_join",
+    "stream_tumbling",
     "stream_session",
     "text_stats",
     "dedup_exact",

@@ -399,14 +399,14 @@ ORACLES["tpch_q3_shipping_priority"] = """
         LIMIT 10
     """
 ORACLES["grouped_zscore"] = """
-        SELECT o_custkey, o_orderkey,
+        SELECT c_nationkey, c_custkey,
                round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
-                          ELSE (o_totalprice - mu) / sd END, 4) AS z
+                          ELSE (c_acctbal - mu) / sd END, 4) AS z
         FROM (
-            SELECT o_custkey, o_orderkey, o_totalprice,
-                   avg(o_totalprice) OVER (PARTITION BY o_custkey) AS mu,
-                   stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey) AS sd
-            FROM orders) t
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS mu,
+                   stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey) AS sd
+            FROM customer) t
     """
 ORACLES["fn_regexp"] = """
         SELECT p_partkey,
@@ -463,3 +463,12 @@ ORACLES["tpch_q14_promo_effect"] = """
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1997-07-01'
     """
+
+ORACLES["window_range_frame"] = """
+        SELECT o_custkey, o_orderkey,
+               count(*) OVER w AS n_near,
+               round(sum(o_totalprice) OVER w, 2) AS sum_near
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+                     RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+"""

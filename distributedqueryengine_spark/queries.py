@@ -749,33 +749,36 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map applyInPandas: per-customer z-score of order totals.
+    """Grouped-map applyInPandas: per-nation z-score of account balances.
 
     The UDTF-style per-group pandas escape hatch (SURVEY §2.2 row
-    UDF/UDAF/UDTF): each customer's orders arrive as one pandas
-    DataFrame; Arrow batches both ways; groups are hash-partitioned so
-    the operator scales with the number of groups, bounded by the
-    largest single group. (Semantically expressible with window
-    functions — used here to exercise the grouped-map path itself.)
+    UDF/UDAF/UDTF): each nation's customers arrive as one pandas
+    DataFrame; Arrow batches both ways; groups are hash-partitioned.
+    Grouped-map carries a fixed per-group Python cost, so the right
+    grain is FEW, SUBSTANTIAL groups (here: 25 nations) — keyed on a
+    high-cardinality column (e.g. per customer) the overhead dominates
+    ~100×, and a window function is the correct tool instead.
+    (Semantically expressible with window functions — used here to
+    exercise the grouped-map path itself.)
     """
     import pandas as pd
 
-    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["o_totalprice"].mean()
-        sd = pdf["o_totalprice"].std(ddof=1)
-        z = (pdf["o_totalprice"] - mu) / sd if sd and sd == sd else pdf["o_totalprice"] * 0.0
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        z = (pdf["c_acctbal"] - mu) / sd if sd and sd == sd else pdf["c_acctbal"] * 0.0
         return pd.DataFrame(
             {
-                "o_custkey": pdf["o_custkey"],
-                "o_orderkey": pdf["o_orderkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "c_custkey": pdf["c_custkey"],
                 "z": z.round(4),
             }
         )
 
-    return orders.groupBy("o_custkey").applyInPandas(
-        zscore, "o_custkey long, o_orderkey long, z double"
+    return cust.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_nationkey int, c_custkey long, z double"
     )
 
 
@@ -885,4 +888,22 @@ def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return j.agg(
         F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window: for each order, count + sum of the customer's
+    orders within ±10000 of its price (value-based frame, not rows)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").asc())
+        .rangeBetween(-10000, 10000)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_near"),
     )

@@ -115,3 +115,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     ts10 = 1704103200  # 2024-01-01 10:00 UTC
     assert got[ts10] == 1.0, f"late row should be dropped, got {got}"
     assert got[ts10 + 3600] == 4.0  # 11:00 window kept the in-slack row
+
+
+def test_foreachbatch_exactly_once_style_sink(spark, tmp_path):
+    """foreachBatch sink: each micro-batch lands via an idempotent
+    (overwrite-by-epoch) writer — the exactly-once pattern for
+    arbitrary sinks."""
+    out_dir = str(tmp_path / "fb_out")
+    stream = W.stream_from_table(spark, SF_DIR, "events")
+    agg = W.tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+
+    def write_batch(df, epoch_id: int):
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import glob
+
+    epochs = sorted(glob.glob(out_dir + "/epoch=*"))
+    assert epochs, "foreachBatch wrote no epochs"
+    final = spark.read.parquet(epochs[-1])
+    from distributedqueryengine_spark.session import load_table
+
+    batch = W.tumbling_agg(
+        load_table(spark, SF_DIR, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    cols = ["window_start", "event_type", "n"]
+    assert _rows_set(final, cols) == _rows_set(batch, cols)
