@@ -59,3 +59,50 @@ def test_set_ops(spark):
     assert sorted(x.v for x in relational.set_op(l, r, "except").collect()) == [2]
     # except_all keeps multiplicity: {1,1,2,3} - {1,3,4} = {1,2}
     assert sorted(x.v for x in relational.set_op(l, r, "except_all").collect()) == [1, 2]
+
+
+def test_sampling_deterministic_with_seed(tables):
+    li = tables["lineitem"]
+    n = li.count()
+    s1 = li.sample(fraction=0.1, seed=7)
+    s2 = li.sample(fraction=0.1, seed=7)
+    c1, c2 = s1.count(), s2.count()
+    assert c1 == c2  # same seed + partitioning → same sample
+    assert 0.05 * n < c1 < 0.15 * n  # Bernoulli bounds
+
+
+def test_sql_broadcast_hint(spark, tables):
+    from distributedqueryengine_spark.plans import plan_report
+
+    tables["orders"].createOrReplaceTempView("o_h")
+    tables["customer"].createOrReplaceTempView("c_h")
+    df = spark.sql(
+        "SELECT /*+ BROADCAST(c_h) */ o_orderkey, c_name "
+        "FROM o_h JOIN c_h ON o_custkey = c_custkey"
+    )
+    assert "BroadcastHashJoin" in plan_report(df)["physical"]
+
+
+def test_explode_outer_keeps_empty(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([Row(i=1, xs=[10, 20]), Row(i=2, xs=[])])
+    plain = df.select("i", F.explode("xs").alias("x"))
+    outer = df.select("i", F.explode_outer("xs").alias("x"))
+    assert plain.count() == 2            # row with empty array dropped
+    assert outer.count() == 3            # kept as null
+    assert outer.filter(F.col("x").isNull()).collect()[0].i == 2
+
+
+def test_cache_table_reused_in_plan(spark, tables):
+    from distributedqueryengine_spark.plans import plan_report
+
+    tables["nation"].createOrReplaceTempView("nation_c")
+    spark.catalog.cacheTable("nation_c")
+    try:
+        df = spark.table("nation_c").groupBy("n_regionkey").count()
+        df.collect()
+        assert "Scan In-memory table nation_c" in plan_report(df)["physical"]
+    finally:
+        spark.catalog.uncacheTable("nation_c")
