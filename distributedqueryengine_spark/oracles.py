@@ -472,3 +472,14 @@ ORACLES["window_range_frame"] = """
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
 """
+
+ORACLES["source_csv_roundtrip"] = """
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation GROUP BY n_regionkey
+"""
+ORACLES["sink_partitioned_roundtrip"] = """
+        SELECT l_returnflag, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_returnflag
+"""

@@ -907,3 +907,56 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_near"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_near"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source/sink round-trips through the correctness gate
+# --------------------------------------------------------------------------
+
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source correctness: parquet → csv → explicit-schema read →
+    aggregate must equal the parquet-derived oracle. Exercises the
+    text-format round trip (quoting, nulls, timestamps)."""
+    import hashlib
+    import tempfile
+
+    from distributedqueryengine_spark.sources import readers, sinks
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/dqe_csv_rt_{tag}"
+    nation = _t(spark, sf_dir, "nation")
+    sinks.write_files(nation, path, fmt="csv", header=True)
+    got = readers.read_csv(
+        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    return got.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink correctness: write lineitem dir-partitioned by
+    returnflag, read back ONE partition (pruned scan), aggregate —
+    must equal the oracle over the base table."""
+    import hashlib
+    import tempfile
+
+    from distributedqueryengine_spark.sources import readers, sinks
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/dqe_part_rt_{tag}"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    sinks.write_files(li, path, partition_by=["l_returnflag"])
+    got = readers.read_parquet(spark, path).filter(F.col("l_returnflag") == "R")
+    out = got.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+    # partition column read back as string-typed directory value; cast
+    # to match the base table's schema for the oracle compare
+    return out.select(
+        F.col("l_returnflag").cast("string").alias("l_returnflag"), "n_rows", "sum_qty"
+    )
