@@ -272,3 +272,58 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def cosine_pairs_above(
+    corpus: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs with cosine >= tau — embedding-based near-dup
+    detection (exact variant).
+
+    The corpus matrix is broadcast once; each partition scores its rows
+    against the full matrix with one BLAS matmul and emits only
+    above-threshold pairs with id_a < id_b (each pair produced exactly
+    once, by the partition holding the smaller... either row — the
+    id_a < id_b mask dedups deterministically because every partition
+    sees the full broadcast matrix).
+
+    Scale contract: exact all-pairs requires the corpus matrix to fit
+    in executor memory (~1 GB per 2M×64-dim float64). Beyond that, run
+    `lsh_topk`-style bucketing first and verify candidates with
+    `_cosine_udf` — same trade as MinHash vs exact Jaccard in dedup.py.
+    """
+    from collections.abc import Iterator
+
+    rows = corpus.select(F.col(id_col), as_double(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((ids, Mn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, Mn_b = bc.value
+        for pdf in batches:
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            sims = np.round(Cn @ Mn_b.T, 6)
+            c_ids = pdf[id_col].to_numpy()
+            mask = (sims >= tau) & (c_ids[:, None] < all_ids[None, :])
+            ri, ci = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": c_ids[ri],
+                    "id_b": all_ids[ci],
+                    "cos": sims[ri, ci],
+                }
+            )
+
+    src = corpus.select(id_col, as_double(vec_col).alias(vec_col))
+    n_parts = src.rdd.getNumPartitions()
+    target = int(sc.defaultParallelism)
+    if n_parts < max(2, target // 4):
+        src = src.repartition(target)
+    return src.mapInPandas(score, "id_a long, id_b long, cos double")

@@ -483,3 +483,25 @@ ORACLES["sink_partitioned_roundtrip"] = """
         FROM lineitem WHERE l_returnflag = 'R'
         GROUP BY l_returnflag
 """
+
+ORACLES["dedup_embedding"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          round(list_dot_product(a.v, b.v)
+                                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                                6) AS cos
+                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45
+"""
+ORACLES["time_rollup"] = """
+        WITH ev AS (
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_bucket,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_bucket,
+                   value
+            FROM events)
+        SELECT hour_bucket, day_bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM ev
+        GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
+"""

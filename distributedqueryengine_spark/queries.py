@@ -960,3 +960,32 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("l_returnflag").cast("string").alias("l_returnflag"), "n_rows", "sum_qty"
     )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, cos >= 0.45): the third
+    dedup modality next to MinHash (lexical) and SimHash (bitwise)."""
+    from distributedqueryengine_spark.functions import similarity as S
+
+    return S.cosine_pairs_above(_t(spark, sf_dir, "embeddings"), tau=0.45)
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly AND daily event
+    aggregates in ONE pass (grouping sets over derived buckets) — at
+    100 TB this halves the scan count vs two separate rollups."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.unix_timestamp("ts").cast("bigint") - F.pmod(F.unix_timestamp("ts"), 3600)).alias("hour_bucket"),
+        (F.unix_timestamp("ts").cast("bigint") - F.pmod(F.unix_timestamp("ts"), 86400)).alias("day_bucket"),
+        "value",
+    )
+    ev.createOrReplaceTempView("events_tr")
+    return spark.sql(
+        """
+        SELECT hour_bucket, day_bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events_tr
+        GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
+        """
+    )

@@ -106,3 +106,31 @@ def test_cache_table_reused_in_plan(spark, tables):
         assert "Scan In-memory table nation_c" in plan_report(df)["physical"]
     finally:
         spark.catalog.uncacheTable("nation_c")
+
+
+def test_null_join_keys_never_match(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame([Row(k=1), Row(k=None)])
+    r = spark.createDataFrame([Row(k=1), Row(k=None)])
+    inner = l.join(r, l["k"] == r["k"], "inner")
+    assert inner.count() == 1  # SQL semantics: NULL = NULL is not true
+
+
+def test_approx_quantile_error_bound(tables):
+    from pyspark.sql import functions as F
+
+    o = tables["orders"]
+    exact = o.agg(F.percentile("o_totalprice", 0.5).alias("m")).collect()[0].m
+    approx = o.approxQuantile("o_totalprice", [0.5], 0.01)[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_count_distinct_error_bound(tables):
+    from pyspark.sql import functions as F
+
+    o = tables["orders"]
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd
