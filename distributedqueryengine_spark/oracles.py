@@ -505,3 +505,36 @@ ORACLES["time_rollup"] = """
         FROM ev
         GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
 """
+
+ORACLES["window_first_last"] = """
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_order,
+               last_value(o_orderkey) OVER w AS last_order,
+               nth_value(o_orderkey, 2) OVER w AS second_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+ORACLES["set_intersect_all"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+"""
+ORACLES["fn_conditional_null"] = """
+        SELECT o_orderkey,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+               greatest(o_totalprice, 100000.0) AS price_floor100k,
+               least(o_totalprice, 300000.0) AS price_cap300k,
+               (nullif(o_orderpriority, o_orderpriority) IS NULL) AS always_true
+        FROM orders
+"""
+ORACLES["fn_bitwise"] = """
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey & 255 AS and255,
+               l_orderkey | 1 AS or1,
+               xor(l_orderkey, l_partkey) AS xor_part,
+               CAST(l_linenumber << 3 AS INTEGER) AS shl3,
+               l_orderkey >> 2 AS shr2
+        FROM lineitem
+"""

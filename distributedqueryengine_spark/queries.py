@@ -989,3 +989,59 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
         """
     )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over a full-partition frame."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiplicity semantics: nationkeys of
+    customers vs suppliers with duplicate counts preserved."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return relational.set_op(c, s, "intersect_all")
+
+
+def q_fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce, nullif, nvl2-style, greatest/least."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
+        F.least(F.col("o_totalprice"), F.lit(300000.0)).alias("price_cap300k"),
+        F.isnull(F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority"))).alias(
+            "always_true"
+        ),
+    )
+
+
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: and/or/xor/shift — the primitives under SimHash."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and255"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("or1"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xor_part"),
+        F.shiftleft(F.col("l_linenumber"), 3).cast("int").alias("shl3"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("shr2"),
+    )
