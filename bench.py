@@ -57,9 +57,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     qs = entry_mod.queries()
-    # JVM/codegen warm-up on the smallest fixture so per-query numbers
-    # measure steady-state execution, not first-call JIT.
-    force(qs["agg_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    # JVM/codegen warm-up: run every headline plan once on the smallest
+    # fixture so per-query numbers measure steady-state execution (data
+    # processing at sf), not one-time whole-stage-codegen compilation —
+    # which a long-running cluster amortizes to zero.
+    for name in HEADLINE:
+        if name in qs:
+            try:
+                force(qs[name](spark, "/root/testdata/sf0.001"))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
