@@ -79,7 +79,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (nanosAsLong) and converted to a microsecond timestamp with exact
     integer arithmetic (DIV, not double math: nanos-epoch exceeds 2^53),
     matching DuckDB's nanos→micros truncation so oracles agree.
+
+    The two semantics-critical confs are (re)set here at runtime so the
+    engine behaves identically under an externally-created
+    SparkSession (e.g. the verification driver's), not only one built
+    by `get_spark`.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
