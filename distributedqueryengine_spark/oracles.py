@@ -538,3 +538,19 @@ ORACLES["fn_bitwise"] = """
                l_orderkey >> 2 AS shr2
         FROM lineitem
 """
+
+ORACLES["fn_map_ops"] = """
+        SELECT l_orderkey, l_linenumber,
+               l_quantity AS qty_from_map,
+               l_tax AS tax_from_map,
+               3 AS map_size
+        FROM lineitem
+"""
+ORACLES["fn_higher_order"] = """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id,
+               round(v[1] * 2.0, 5) AS first_doubled,
+               CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+               round(list_sum(v), 5) AS sum_elems
+        FROM e
+"""

@@ -1045,3 +1045,37 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("l_linenumber"), 3).cast("int").alias("shl3"),
         F.shiftright(F.col("l_orderkey"), 2).alias("shr2"),
     )
+
+
+def q_fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map column, extract by key, size — the
+    typed key/value shape the reference's scalar-only model lacked."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("tax"), F.col("l_tax"),
+        F.lit("disc"), F.col("l_discount"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_from_map"),
+        F.element_at(m, "tax").alias("tax_from_map"),
+        F.size(m).cast("int").alias("map_size"),
+    )
+
+
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a user-facing surface:
+    transform / filter / aggregate over the embedding arrays."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    doubled = F.transform(vec, lambda x: F.round(x * 2.0, 5))
+    n_pos = F.size(F.filter(vec, lambda x: x > 0))
+    total = F.round(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 5)
+    return e.select(
+        "vec_id",
+        F.element_at(doubled, 1).alias("first_doubled"),
+        n_pos.cast("int").alias("n_positive"),
+        total.alias("sum_elems"),
+    )

@@ -1,0 +1,54 @@
+"""Driver-contract consistency: queries()/oracle_sql() stay in sync and
+every oracle is valid DuckDB SQL (cheap guard against typos that would
+otherwise surface only in the driver's CORRECTNESS run)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from distributedqueryengine_spark.session import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_every_oracle_has_a_query():
+    qs = set(entry_mod.queries())
+    orphans = set(entry_mod.oracle_sql()) - qs
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_rows_only_queries_are_the_documented_set():
+    qs = set(entry_mod.queries())
+    no_oracle = qs - set(entry_mod.oracle_sql())
+    assert no_oracle == {
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "sim_lsh_topk",
+        "approx_distinct",
+    }, f"unexpected rows-only set: {no_oracle}"
+
+
+def test_all_oracles_execute_on_duckdb(duck):
+    for name, sql in sorted(entry_mod.oracle_sql().items()):
+        try:
+            duck.execute(sql).fetchall()
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle {name} failed on DuckDB: {e}") from e
+
+
+def test_inventory_size_floor():
+    assert len(entry_mod.queries()) >= 68
+    assert len(entry_mod.oracle_sql()) >= 63
