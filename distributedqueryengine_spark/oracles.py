@@ -554,3 +554,33 @@ ORACLES["fn_higher_order"] = """
                round(list_sum(v), 5) AS sum_elems
         FROM e
 """
+
+ORACLES["join_cross"] = """
+        SELECT r_regionkey, r_name, n_nationkey, n_name
+        FROM region CROSS JOIN nation
+"""
+ORACLES["sort_limit_offset"] = """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 10
+"""
+ORACLES["argmax_latest_event"] = """
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+               event_type
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+        WHERE rn = 1
+"""
+
+ORACLES["dedup_exact_rows"] = """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE doc_id IN (
+            SELECT min(doc_id)
+            FROM documents
+            GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+"""

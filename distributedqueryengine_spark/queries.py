@@ -1079,3 +1079,51 @@ def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pos.cast("int").alias("n_positive"),
         total.alias("sum_elems"),
     )
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (small×small only — the one shape where a
+    cartesian product is legitimate): region × nation grid."""
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return relational.join_tables(r, n, on=None, how="cross").select(
+        "r_regionkey", "r_name", "n_nationkey", "n_name"
+    )
+
+
+def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: deterministic ORDER BY + OFFSET 10 LIMIT 10."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_argmax_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax / DISTINCT ON pattern: each user's latest event row
+    (row_number over (ts desc, id desc) = 1) — the canonical
+    keep-newest-version operator of CDC and snapshot pipelines."""
+    out = windows.top_k_per_group(
+        _t(spark, sf_dir, "events"),
+        partition_by=["user_id"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+        k=1,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_type",
+    )
+
+
+def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-user exact dedup: the surviving full rows (min-id per
+    normalized content fingerprint)."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    kept = D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return kept.select("doc_id", "lang", "source", "n_chars")
