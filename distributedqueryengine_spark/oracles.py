@@ -584,3 +584,9 @@ ORACLES["dedup_exact_rows"] = """
             FROM documents
             GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
 """
+
+ORACLES["fragment_transparent_join"] = """
+        SELECT c_name, c_mktsegment, o_orderkey, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 150000
+"""

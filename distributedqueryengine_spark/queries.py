@@ -1127,3 +1127,24 @@ def q_dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept = D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_fragment_transparent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference scenario end-to-end: a SELECT-PROJECT-JOIN over
+    BOTH fragmented tables at once — vertically split customer joined
+    to horizontally sliced orders, with a pushed predicate
+    (QueryService.asmx.cs:310-427's whole reason to exist). Catalyst
+    pushes the filter into all four order slices and prunes the unused
+    customer fragment columns; tests assert the plan shape."""
+    s1, s2 = fragments.vertical_fragments(_t(spark, sf_dir, "customer"))
+    customer_v = fragments.reconstruct_vertical(s1, s2)
+    orders_v = fragments.reconstruct_horizontal(
+        fragments.horizontal_fragments(_t(spark, sf_dir, "orders"), "o_orderkey")
+    )
+    j = relational.join_tables(
+        orders_v.filter(F.col("o_totalprice") > 150000),
+        customer_v,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+        broadcast_right=True,
+    )
+    return j.select("c_name", "c_mktsegment", "o_orderkey", "o_totalprice")
