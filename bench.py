@@ -72,10 +72,18 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
-        t0 = time.monotonic()
-        force(df)
-        timings[name] = round(time.monotonic() - t0, 3)
+        # min of two runs: suppresses GC/scheduler noise without hiding
+        # real cost. clearCache first — pipelines that persist() internal
+        # stages would otherwise serve run 2 from the CacheManager
+        # (identical-plan reuse) and report a cache-hit, not a compute.
+        runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            df = qs[name](spark, sf_dir)
+            t0 = time.monotonic()
+            force(df)
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(min(runs), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

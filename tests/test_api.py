@@ -50,3 +50,23 @@ def test_query_limit_guard(spark, tables):
     res = query(spark, "SELECT * FROM lineitem", collect_limit=100)
     assert res["statistics"]["row_count"] == 100
     assert res["statistics"]["truncated"]
+
+
+def test_register_python_udf_in_sql(spark, tables):
+    """SQL-visible Python UDF registration (the documented slow path —
+    row-at-a-time; exists for API completeness, never in engine
+    hot paths)."""
+    from pyspark.sql.types import StringType
+
+    spark.udf.register(
+        "priority_word", lambda p: p.split("-")[0].lower(), StringType()
+    )
+    tables["orders"].createOrReplaceTempView("orders_udf")
+    got = spark.sql(
+        "SELECT DISTINCT priority_word(o_orderpriority) AS w FROM orders_udf"
+    ).collect()
+    words = sorted(r.w for r in got)
+    direct = sorted(
+        {r.o_orderpriority.split("-")[0].lower() for r in tables["orders"].select("o_orderpriority").distinct().collect()}
+    )
+    assert words == direct

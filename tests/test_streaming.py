@@ -157,3 +157,16 @@ def test_foreachbatch_exactly_once_style_sink(spark, tmp_path):
     )
     cols = ["window_start", "event_type", "n"]
     assert _rows_set(final, cols) == _rows_set(batch, cols)
+
+
+def test_stream_sliding_equals_batch(spark):
+    from distributedqueryengine_spark.session import load_table
+
+    args = ("ts", "2 hours", "1 hour", [], [F.count(F.lit(1)).alias("n")])
+    batch = W.sliding_agg(load_table(spark, SF_DIR, "events"), *args)
+    stream = W.stream_from_table(spark, SF_DIR, "events")
+    agg = W.sliding_agg(stream, *args)
+    W.run_stream_to_memory(agg, "sliding_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM sliding_out")
+    cols = ["window_start", "n"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
