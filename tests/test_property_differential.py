@@ -65,3 +65,34 @@ def test_random_conjunctive_agg_matches_duckdb(spark, duck, preds, group_col):
     }
     expect = {tuple(r) for r in duck.execute(sql).fetchall()}
     assert got == expect
+
+
+topk_cols = st.lists(
+    st.sampled_from(["l_quantity", "l_extendedprice", "l_shipdate", "l_returnflag"]),
+    min_size=1,
+    max_size=2,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cols=topk_cols, desc=st.booleans(), limit=st.integers(min_value=1, max_value=50))
+def test_random_order_limit_matches_duckdb(spark, duck, cols, desc, limit):
+    """Deterministic ORDER BY (unique tie-break) + LIMIT must agree."""
+    direction = "DESC" if desc else "ASC"
+    order_sql = ", ".join(f"{c} {direction}" for c in cols) + ", l_orderkey ASC, l_linenumber ASC"
+    sql = (
+        f"SELECT l_orderkey, l_linenumber FROM lineitem "
+        f"ORDER BY {order_sql} LIMIT {limit}"
+    )
+    sdf = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ordering = [
+        (F.col(c).desc() if desc else F.col(c).asc()) for c in cols
+    ] + [F.col("l_orderkey").asc(), F.col("l_linenumber").asc()]
+    got = [tuple(r) for r in sdf.orderBy(*ordering).limit(limit).select("l_orderkey", "l_linenumber").collect()]
+    expect = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == expect

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from distributedqueryengine_spark.session import load_table
 from distributedqueryengine_spark.streaming import stateful
-from distributedqueryengine_spark.streaming.windows import run_stream_to_memory, stream_from_table
+from distributedqueryengine_spark.streaming.windows import stream_from_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -75,3 +75,56 @@ def test_streaming_dedup_drops_in_horizon_dups(spark, tmp_path):
     q.stop()
     ks = sorted(r.k for r in spark.sql("SELECT k FROM dd_out").collect())
     assert ks == [1, 2]  # the duplicate k=1 within the horizon dropped
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stop a checkpointed streaming aggregation mid-source, restart it,
+    feed the rest: the final result must equal one continuous run (the
+    checkpoint carries offsets + state across restarts)."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    stage = str(tmp_path / "cp_src")
+    ckpt = str(tmp_path / "cp_state")
+    os.makedirs(stage)
+
+    def add_file(name, times):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(times), "v": [1.0] * len(times)})
+        tmp = str(tmp_path / ("_" + name))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    add_file("b1", ["2024-01-01 10:05:00", "2024-01-01 10:10:00"])
+    schema = spark.read.parquet(stage).schema
+
+    def start():
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour"))
+            .agg(F.sum("v").alias("sv"))
+            .select(F.unix_timestamp("window.start").alias("ws"), "sv")
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("cp_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # new data arrives while the query is down
+    add_file("b2", ["2024-01-01 10:20:00", "2024-01-01 11:05:00"])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r.ws: r.sv for r in spark.sql("SELECT * FROM cp_out").collect()}
+    ts10 = 1704103200  # 2024-01-01 10:00 UTC
+    assert got == {ts10: 3.0, ts10 + 3600: 1.0}, got

@@ -3,7 +3,6 @@ semantics (SURVEY §5.4)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from distributedqueryengine_spark.streaming import windows as W
