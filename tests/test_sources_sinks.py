@@ -69,3 +69,30 @@ def test_jdbc_reader_constructs(spark):
 
     sig = inspect.signature(df_builder)
     assert {"partition_column", "num_partitions", "predicate"} <= set(sig.parameters)
+
+
+def test_custom_python_datasource(spark):
+    """Spark 4 Python DataSource API: partition-parallel deterministic
+    synthetic events source."""
+    from distributedqueryengine_spark.sources import custom
+
+    custom.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numRows", 500)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
+    # deterministic: same options → identical content
+    df2 = (
+        spark.read.format("synthetic_events")
+        .option("numRows", 500)
+        .option("numPartitions", 8)
+        .load()
+    )
+    assert df.subtract(df2).count() == 0 and df2.subtract(df).count() == 0
+    # composes with the relational engine
+    agg = df.groupBy("event_type").count()
+    assert agg.count() == 5
