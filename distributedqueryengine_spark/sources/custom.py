@@ -17,7 +17,12 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 _EPOCH_START = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -49,6 +54,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -82,3 +90,39 @@ class SyntheticEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Register the source on a session (idempotent)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic sequence: each
+    batch advances the offset by ``rowsPerBatch`` rows. Offsets are
+    plain dicts → checkpointable; `readBetweenOffsets` replays any
+    range exactly, giving end-to-end exactly-once with an idempotent
+    sink."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rowsPerBatch", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _gen(self, start: int, end: int):
+        for rid in range(start, end):
+            h = _mix(self.seed * 0x9E3779B97F4A7C15 + rid)
+            ts = _EPOCH_START + dt.timedelta(seconds=(h % (30 * 86400)))
+            yield (
+                rid,
+                ts.replace(tzinfo=None),
+                (h >> 16) % 1000,
+                EVENT_TYPES[(h >> 8) % len(EVENT_TYPES)],
+                round(((h >> 24) % 100000) / 1000.0, 3),
+            )
+
+    def read(self, start: dict):
+        end = {"pos": start["pos"] + self.rows_per_batch}
+        # concrete list, not a generator: the runner pickles the rows
+        # for prefetch (generators are not picklable)
+        return list(self._gen(start["pos"], end["pos"])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["pos"], end["pos"]))
