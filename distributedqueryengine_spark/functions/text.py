@@ -112,6 +112,30 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, leftmost-first alternation. Contractions split off,
+# letter runs, 1-3 digit chunks (BPE-ish digit grouping), then any
+# punctuation run.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish subword-boundary tokenization (GPT-2 pre-tokenizer
+    shape) of lowercased text — pure JVM `regexp_extract_all`, no UDF.
+    This is the token-count estimator a training-data pipeline uses
+    for budget accounting; exact BPE merges need the model's vocab and
+    belong in a pandas UDF, but the pre-tokenizer is where >95% of the
+    count signal is."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pre-tokens; 0 for empty/blank text."""
+    return F.size(regex_tokens(col))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats column set — one JVM-side projection."""
     return df.select(

@@ -590,3 +590,54 @@ ORACLES["fragment_transparent_join"] = """
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_totalprice > 150000
 """
+
+ORACLES["tpch_q12_priority_class"] = """
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """
+
+ORACLES["tpch_q19_disjunctive_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    """
+
+ORACLES["tpch_q16_supplier_variety"] = """
+        SELECT p_brand, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size IN (1, 4, 9, 16, 25)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """
+
+ORACLES["fn_string_distance"] = """
+        SELECT p_partkey,
+               levenshtein(lower(p_name), lower(p_type)) AS name_type_dist,
+               levenshtein('standard', lower(p_type)) AS std_dist
+        FROM part
+    """
+
+ORACLES["text_tokens_regex"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text),
+                       '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws
+            FROM documents)
+        SELECT doc_id,
+               CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+               CAST(n_ws AS INTEGER) AS n_ws_tokens,
+               round(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1), 4) AS fertility
+        FROM t
+    """

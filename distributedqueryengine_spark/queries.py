@@ -1148,3 +1148,95 @@ def q_fragment_transparent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_right=True,
     )
     return j.select("c_name", "c_mktsegment", "o_orderkey", "o_totalprice")
+
+
+def q_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to fixture columns: no l_shipmode, so
+    the group key is l_linestatus): per line status, how many lineitems
+    belong to urgent/high-priority orders vs not — join + conditional
+    SUM(CASE). One shuffle for the join (orders broadcast at small SF,
+    shuffled hash at 100 TB), one for the final agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    branches mixing join-side predicates. The reference FLATTENED
+    OR into AND (QueryService.asmx.cs:670-672 — semantic bug); this
+    query is the regression test that we keep real disjunction
+    semantics. Catalyst extracts the common l_partkey=p_partkey
+    equi-condition; the disjunction stays as a post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11) & (F.col("p_size") <= 5)
+    branch2 = (F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20) & (F.col("p_size") <= 10)
+    branch3 = (F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30) & (F.col("p_size") <= 15)
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: count DISTINCT suppliers per part attribute,
+    excluding a blacklisted supplier set via anti-join (NOT IN
+    subquery). countDistinct is a two-phase partial/final aggregate;
+    the blacklist is tiny → broadcast anti-join, no extra shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .filter(F.col("p_size").isin(1, 4, 9, 16, 25))
+    )
+    return (
+        j.groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def q_fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar function (levenshtein) — fuzzy-matching
+    building block; JVM built-in on both engines."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein(F.lower("p_name"), F.lower("p_type")).alias("name_type_dist"),
+        F.levenshtein(F.lit("standard"), F.lower("p_type")).alias("std_dist"),
+    )
+
+
+def q_text_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer token counting over documents (GPT-2-style
+    regex, JVM-side regexp_extract_all — no Python in the hot path).
+    Complements whitespace token_count in text_stats."""
+    from distributedqueryengine_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+        F.round(
+            T.bpe_token_count("text").cast("double")
+            / F.greatest(T.token_count("text"), F.lit(1)).cast("double"),
+            4,
+        ).alias("fertility"),
+    )
