@@ -1240,3 +1240,14 @@ def q_text_tokens_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fertility"),
     )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5 — coarse k-means cells +
+    n_probe multi-probe. Rows-only; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from distributedqueryengine_spark.functions import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.ivf_topk(queries_df, emb, k=5, n_cells=16, n_probe=6)

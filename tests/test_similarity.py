@@ -65,3 +65,35 @@ def test_lsh_candidates_subset_of_corpus(spark, tables):
     rows = out.collect()
     assert all(r.query_id == 0 and r.neighbor_id != 0 for r in rows)
     assert len(rows) <= 3
+
+
+def test_ivf_topk_recall_and_determinism(spark, tables):
+    """IVF recall@5 vs brute force on the fixture; random vectors are
+    also an IVF worst case (no cluster structure), so the bar is
+    moderate. Determinism: two runs produce identical rows (hash-
+    ordered sample → same centroids → same candidates)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    bf = S.brute_force_topk(queries, emb, k=5).collect()
+    a = S.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=6).collect()
+    b = S.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=6).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    truth: dict[int, set[int]] = {}
+    for r in bf:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in a:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+
+
+def test_ivf_probe_monotone_recall(spark, tables):
+    """Probing every cell makes IVF exhaustive — results must equal
+    brute force exactly (same rounding, same tie order)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = S.brute_force_topk(queries, emb, k=3).collect()
+    full = S.ivf_topk(queries, emb, k=3, n_cells=8, n_probe=8).collect()
+    assert sorted(map(tuple, bf)) == sorted(map(tuple, full))
