@@ -641,3 +641,17 @@ ORACLES["text_tokens_regex"] = """
                round(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1), 4) AS fertility
         FROM t
     """
+
+ORACLES["stream_interval_join"] = """
+        WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, event_id AS purchase_id, ts, value FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               c.click_id,
+               p.purchase_id,
+               CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_epoch,
+               CAST(floor(epoch(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
+               round(p.value, 2) AS purchase_value
+        FROM c JOIN p ON c.user_id = p.user_id
+                     AND p.ts >= c.ts
+                     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """

@@ -1251,3 +1251,31 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 10 == 0)
     return S.ivf_topk(queries_df, emb, k=5, n_cells=16, n_probe=6)
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event correlation: each click joined to the same user's
+    purchases within the following hour (stream-stream interval join;
+    batch form here, watermarked streaming form verified in
+    tests/test_streaming.py)."""
+    from distributedqueryengine_spark.streaming import joins as J
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    j = J.interval_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    return j.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("l_ts").alias("click_epoch"),
+        F.unix_timestamp("r_ts").alias("purchase_epoch"),
+        F.round("value", 2).alias("purchase_value"),
+    )

@@ -169,3 +169,40 @@ def test_stream_sliding_equals_batch(spark):
     got = spark.sql("SELECT * FROM sliding_out")
     cols = ["window_start", "n"]
     assert _rows_set(got, cols) == _rows_set(batch, cols)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """The watermarked stream-stream interval join (clicks → purchases
+    within 1h per user) must produce exactly the batch join's rows once
+    the bounded stream drains. Watermarks on both sides make Spark run
+    its symmetric-hash stream-stream join with state eviction — the
+    100 TB-safe configuration."""
+    from distributedqueryengine_spark.session import load_table
+    from distributedqueryengine_spark.streaming import joins as J
+
+    def split(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts"
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+        )
+        return clicks, purchases
+
+    def project(j):
+        return j.select("user_id", "click_id", "purchase_id", "l_ts", "r_ts")
+
+    batch = project(
+        J.interval_join(*split(load_table(spark, SF_DIR, "events")),
+                        keys=["user_id"], left_ts="ts", right_ts="ts")
+    )
+    sev = W.stream_from_table(spark, SF_DIR, "events", max_files_per_trigger=1)
+    stream = project(
+        J.interval_join(*split(sev), keys=["user_id"], left_ts="ts",
+                        right_ts="ts", watermark="2 hours")
+    )
+    W.run_stream_to_memory(stream, "ssj_out", output_mode="append")
+    got = spark.sql("SELECT * FROM ssj_out")
+    cols = ["user_id", "click_id", "purchase_id", "l_ts", "r_ts"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
+    assert batch.count() > 0
