@@ -655,3 +655,31 @@ ORACLES["stream_interval_join"] = """
                      AND p.ts >= c.ts
                      AND p.ts <= c.ts + INTERVAL 1 HOUR
     """
+
+ORACLES["window_percentiles_rank"] = """
+        SELECT o_orderkey, o_orderpriority,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """
+
+ORACLES["agg_string_collect"] = """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+ORACLES["agg_mode"] = """
+        WITH c AS (
+            SELECT l_returnflag, l_quantity, count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                         ORDER BY cnt DESC, l_quantity) AS rn
+            FROM c)
+        SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+        FROM r WHERE rn = 1
+    """

@@ -1279,3 +1279,54 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("r_ts").alias("purchase_epoch"),
         F.round("value", 2).alias("purchase_value"),
     )
+
+
+def q_window_percentiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank + cume_dist of order
+    value within each priority class."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group: collect_list inside
+    sort_array → array_join (deterministic LISTAGG equivalent —
+    collect_list alone has nondeterministic order under parallelism,
+    so the sort is load-bearing)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+    )
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group (deterministic: explicit max-count
+    then min-value tiebreak, identical on both engines)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("cnt").alias("mode_n"))
+    )
