@@ -44,7 +44,14 @@ HEADLINE = [
     "dedup_minhash",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "multimodal_features",
+    "tpch_q12_priority_class",
+    "tpch_q16_supplier_variety",
+    "tpch_q19_disjunctive_revenue",
+    "stream_interval_join",
+    "text_tokens_regex",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -285,3 +285,61 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- Winnowing
+
+def positional_ngram_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, pos, h): 64-bit hash of the token k-gram starting at each
+    position — the winnowing substrate. Same codegen-friendly
+    arrays_zip+slice construction as `shingles`, plus posexplode to
+    keep the position."""
+    toks = F.split(normalize_text(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - k + 1, F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(k)]
+    )
+    g = df.select(F.col(id_col).alias("id"), F.posexplode(zipped).alias("pos", "z"))
+    return g.select(
+        "id",
+        "pos",
+        F.xxhash64(F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)])).alias("h"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer et al. 2003): hash every token k-gram, then keep the
+    minimum hash of each window of w consecutive k-grams. Guarantee:
+    any match of ≥ w+k-1 consecutive tokens between two documents
+    shares at least one fingerprint; expected density 2/(w+1).
+
+    Distributed shape: one explode (per-token row fan-out), one
+    running-min window partitioned BY DOCUMENT (no cross-document
+    shuffle skew — each doc's rows sort locally within its partition),
+    one distinct. Output: (id, fp) — join it against itself on fp to
+    find copied passages at corpus scale.
+    """
+    from pyspark.sql.window import Window
+
+    ph = positional_ngram_hashes(df, id_col, text_col, k)
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("id")
+    # Canonical winnowing slides only FULL windows of w k-grams; a doc
+    # shorter than w k-grams contributes its single global min
+    # (pos 0's partial window).
+    return (
+        ph.select(
+            "id",
+            "pos",
+            F.min("h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(cnt).alias("n_grams"),
+        )
+        .filter((F.col("pos") <= F.col("n_grams") - w) | (F.col("pos") == 0))
+        .select("id", "fp")
+        .distinct()
+    )

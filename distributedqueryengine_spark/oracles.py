@@ -683,3 +683,25 @@ ORACLES["agg_mode"] = """
         SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
         FROM r WHERE rn = 1
     """
+
+ORACLES["pipeline_clean_corpus"] = """
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   round((least(len(toks) / 50.0, 1.0)
+                          + least(5.0 * CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE) / len(toks), 1.0)
+                          + CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+                                 THEN 1.0 ELSE 0.3 END) / 3.0, 4) AS quality,
+                   CASE WHEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE) / len(toks) >= 0.08
+                        THEN 'en' ELSE 'other' END AS lang_pred,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+            FROM t)
+        SELECT doc_id, n_tokens, quality, fp
+        FROM s
+        WHERE quality >= 0.5 AND lang_pred = 'en'
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+    """

@@ -1330,3 +1330,46 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), F.col("cnt").alias("mode_n"))
     )
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint density per document —
+    MOSS-style passage-level signatures. Rows-only (xxhash64 is not
+    portable to the oracle); semantics pinned by tests/test_dedup.py
+    against a driver-side reference winnower."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    fps = D.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    return (
+        fps.groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in ONE declarative
+    plan: quality filter → language filter → exact dedup (keep lowest
+    doc_id per content fingerprint). Single scan, one shuffle (the
+    per-fingerprint window); every stage JVM-side. The composition is
+    the point: filters fuse into the scan and dedup sees only
+    survivors."""
+    from pyspark.sql.window import Window
+
+    from distributedqueryengine_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.fingerprint("text").alias("fp"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "quality", "fp")
+    )

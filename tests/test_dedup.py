@@ -85,3 +85,55 @@ def test_simhash_deterministic_and_symmetric(docs):
     pairs = D.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).collect()
     found = {(r.id_a, r.id_b): r.hamming for r in pairs}
     assert found[(0, 1)] == 0 and found[(0, 4)] == 0
+
+
+def test_winnow_matches_reference_window_min(spark, tables):
+    """Spark winnowing ≡ a driver-side reference implementation run on
+    the same positional k-gram hashes (sliding full-window min, short
+    docs take the global min)."""
+    from distributedqueryengine_spark.functions.dedup import (
+        positional_ngram_hashes,
+        winnow_fingerprints,
+    )
+
+    docs = tables["documents"].limit(40)
+    k, w = 3, 4
+    ph = positional_ngram_hashes(docs, "doc_id", "text", k).collect()
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in ph:
+        by_doc.setdefault(r.id, []).append((r.pos, r.h))
+    expected: set[tuple[int, int]] = set()
+    for doc, rows in by_doc.items():
+        hs = [h for _, h in sorted(rows)]
+        if len(hs) <= w:
+            expected.add((doc, min(hs)))
+        else:
+            for i in range(len(hs) - w + 1):
+                expected.add((doc, min(hs[i : i + w])))
+    got = {
+        (r.id, r.fp)
+        for r in winnow_fingerprints(docs, "doc_id", "text", k, w).collect()
+    }
+    assert got == expected
+
+
+def test_winnow_guarantee_shared_passage(spark):
+    """Schleimer et al. guarantee: documents sharing w+k-1 consecutive
+    tokens share at least one fingerprint; disjoint docs share none."""
+    from distributedqueryengine_spark.functions.dedup import winnow_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens >= w+k-1=6
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " and a unique ending one"),
+            (2, "completely different opening text " + passage + " closing remarks two"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    sets: dict[int, set[int]] = {}
+    for r in fps:
+        sets.setdefault(r.id, set()).add(r.fp)
+    assert sets[1] & sets[2], "shared passage must yield a shared fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
