@@ -343,3 +343,87 @@ def winnow_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+# ------------------------------------------- Connected components
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    (id, component) where component = min id reachable — the canonical
+    representative every training-data dedup pipeline needs to go from
+    pairwise matches to "keep one per cluster".
+
+    Algorithm: iterative min-label propagation. Each round every node
+    adopts the minimum label in its closed neighborhood; converges in
+    O(diameter) rounds (near-dup clusters are tiny — diameter rarely
+    exceeds a handful). Each round is two hash-partitioned
+    shuffles (join + groupBy) on (id, label) pairs only — never the
+    documents; `localCheckpoint` truncates the growing lineage so round
+    N doesn't replan rounds 1..N-1. Iteration is driver-coordinated
+    but all data stays distributed (the only collect is the 1-row
+    convergence check), matching GraphX/GraphFrames' CC strategy.
+    Genuinely non-SQL-expressible (unbounded recursion) → rows-only
+    gate + union-find reference test.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # undirected: keep both directions so label flow is symmetric
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.repartition("src").localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # label(v) <- min(label(v), min over neighbors u of label(u))
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash pairs → connected components → one row per document
+    with its cluster representative (docs with no near-dup are their
+    own representative only if they appear in a pair; absent docs are
+    implicitly unique)."""
+    pairs = minhash_near_duplicates(df, id_col, text_col, min_jaccard=min_jaccard)
+    return connected_components(pairs)

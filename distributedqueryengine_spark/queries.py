@@ -1373,3 +1373,19 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tokens", "quality", "fp")
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → cluster membership
+    (iterative min-label propagation; GraphX-style, checkpointed).
+    Rows-only: unbounded recursion is not single-query SQL; semantics
+    pinned against driver-side union-find in tests/test_dedup.py."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    d = _t(spark, sf_dir, "documents")
+    cc = D.dedup_clusters(d, "doc_id", "text", min_jaccard=0.5)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("id").alias("rep_id"))
+        .orderBy("component")
+    )

@@ -137,3 +137,54 @@ def test_winnow_guarantee_shared_passage(spark):
         sets.setdefault(r.id, set()).add(r.fp)
     assert sets[1] & sets[2], "shared passage must yield a shared fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+def test_connected_components_vs_union_find(spark):
+    """Distributed min-label CC ≡ driver-side union-find on an
+    adversarial graph: a path (slow label flow), a star, a triangle
+    with cross edge, and singleton-pair islands."""
+    from distributedqueryengine_spark.functions.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 17)]      # path 10-17
+        + [(100, x) for x in (101, 102, 103)]     # star
+        + [(200, 201), (201, 202), (202, 200), (202, 203)]  # triangle + tail
+        + [(300, 301), (400, 401)]                # islands
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r.id, r.component) for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {(x, find(x)) for x in parent}
+    assert got == expected
+
+
+def test_dedup_clusters_on_fixture(spark, tables):
+    """Cluster representative is the cluster min id; every clustered
+    doc appears exactly once."""
+    from distributedqueryengine_spark.functions.dedup import dedup_clusters
+
+    docs = tables["documents"]
+    cc = dedup_clusters(docs, "doc_id", "text").collect()
+    ids = [r.id for r in cc]
+    assert len(ids) == len(set(ids))
+    by_comp: dict[int, set[int]] = {}
+    for r in cc:
+        by_comp.setdefault(r.component, set()).add(r.id)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
