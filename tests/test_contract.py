@@ -37,7 +37,10 @@ def test_rows_only_queries_are_the_documented_set():
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "sim_lsh_topk",
+        "sim_ivf_topk",
         "approx_distinct",
+        "text_winnow",
+        "dedup_clusters",
     }, f"unexpected rows-only set: {no_oracle}"
 
 
