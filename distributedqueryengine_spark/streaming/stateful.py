@@ -71,3 +71,54 @@ def streaming_dedup(events: DataFrame, keys: list[str], watermark_col: str, dela
     survives an unbounded stream.
     """
     return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------- transformWithState
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs `google.protobuf` for its
+    Python↔JVM state-server protocol; absent in some environments
+    (including this container). Gate, don't crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the Spark 4 `transformWithState`
+    API — the successor to applyInPandasWithState: named state
+    variables (ValueState/ListState/MapState), timers, and TTL, backed
+    by the same hash-partitioned state store (requires the RocksDB
+    provider). Functionally identical to `running_totals_per_user`;
+    when the runtime supports it, tests assert both match the batch
+    aggregate so the two stateful APIs pin each other. Requires
+    `transform_with_state_available()`.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -128,3 +128,46 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     got = {r.ws: r.sv for r in spark.sql("SELECT * FROM cp_out").collect()}
     ts10 = 1704103200  # 2024-01-01 10:00 UTC
     assert got == {ts10: 3.0, ts10 + 3600: 1.0}, got
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithState (Spark 4 named-state API) running totals ==
+    batch groupBy over the same bounded input — and therefore == the
+    applyInPandasWithState implementation above. Skipped where the
+    runtime lacks protobuf (state-server protocol dependency)."""
+    import pytest
+
+    if not stateful.transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: transformWithState state server cannot start")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = stream_from_table(spark, SF_DIR, "events")
+    out = stateful.running_totals_tws(stream.select("user_id", "value", "ts"))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY n_events DESC) AS rn FROM tws_out) WHERE rn = 1
+            """
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.t, 4))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == batch
