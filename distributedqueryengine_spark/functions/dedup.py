@@ -65,12 +65,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     per element), while this formulation stays in whole-stage codegen
     — ~10× on shingle-heavy corpora.
     """
+    from distributedqueryengine_spark.session import ensure_parallelism
+
     toks = F.split(normalize_text(text_col), " ")
     n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
     )
-    g = df.select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
+    g = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
     return g.select(
         "id",
         F.xxhash64(F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)])).alias("sh"),
@@ -220,7 +222,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Expressed as one explode + one groupBy with 64 conditional-sum
     aggregates — all JVM-side, map-side-combinable. Output:
     (id, simhash long)."""
-    tok = df.select(
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    tok = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("t"),
     ).withColumn("h", F.xxhash64("t"))
@@ -296,12 +300,14 @@ def positional_ngram_hashes(
     position — the winnowing substrate. Same codegen-friendly
     arrays_zip+slice construction as `shingles`, plus posexplode to
     keep the position."""
+    from distributedqueryengine_spark.session import ensure_parallelism
+
     toks = F.split(normalize_text(text_col), " ")
     n_grams = F.greatest(F.size(toks) - k + 1, F.lit(0))
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(k)]
     )
-    g = df.select(F.col(id_col).alias("id"), F.posexplode(zipped).alias("pos", "z"))
+    g = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.posexplode(zipped).alias("pos", "z"))
     return g.select(
         "id",
         "pos",

@@ -108,3 +108,22 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[s
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs
+
+
+def ensure_parallelism(df: DataFrame, min_fraction: int = 4) -> DataFrame:
+    """Round-robin repartition a DataFrame whose scan yields far fewer
+    partitions than the cluster has cores (single-file / single-row-
+    group local fixtures read as ONE task, serializing every downstream
+    narrow transformation until the first shuffle).
+
+    Guarded: a real multi-file dataset already scans wide, so this is a
+    no-op there — the repartition (and its full-row shuffle) only fires
+    when input partitions < parallelism/min_fraction. Apply before
+    explode-heavy per-row work (shingling, winnowing), where the
+    narrow-stage CPU dwarfs one extra shuffle of the input rows.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < max(2, target // min_fraction):
+        return df.repartition(target)
+    return df
