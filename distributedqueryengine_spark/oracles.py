@@ -705,3 +705,14 @@ ORACLES["pipeline_clean_corpus"] = """
         WHERE quality >= 0.5 AND lang_pred = 'en'
         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
     """
+
+ORACLES["fn_datetime_extract"] = """
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(last_day(o_orderdate) AS DATE) AS month_end,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+        FROM orders
+    """

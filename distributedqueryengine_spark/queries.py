@@ -1389,3 +1389,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("id").alias("rep_id"))
         .orderBy("component")
     )
+
+
+def q_fn_datetime_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wider temporal surface: quarter, ISO week, day-of-week,
+    day-of-year, month-end, month arithmetic. Engine-semantics note:
+    Spark dayofweek is 1=Sunday..7=Saturday; the oracle shifts
+    DuckDB's 0=Sunday to match."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sun1"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.last_day("o_orderdate").cast("date").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("date").alias("plus3m"),
+    )
+
+
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (Greenwald-Khanna sketch,
+    accuracy=10000 → ±0.01% rank error; mergeable partial aggregation,
+    so the shuffle carries one sketch per group per partition, never
+    values). Rows-only: the sketch is engine-specific; the error bound
+    vs the exact percentile is asserted in tests/test_relational.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_p"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("approx_p")[0], 2).alias("p50"),
+        F.round(F.col("approx_p")[1], 2).alias("p90"),
+        F.round(F.col("approx_p")[2], 2).alias("p99"),
+        "n",
+    )

@@ -39,6 +39,7 @@ def test_rows_only_queries_are_the_documented_set():
         "sim_lsh_topk",
         "sim_ivf_topk",
         "approx_distinct",
+        "approx_percentiles",
         "text_winnow",
         "dedup_clusters",
     }, f"unexpected rows-only set: {no_oracle}"

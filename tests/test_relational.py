@@ -134,3 +134,29 @@ def test_approx_count_distinct_error_bound(tables):
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.06  # 3x rsd
+
+
+def test_approx_percentile_within_rank_error(spark, tables):
+    """Sketch percentiles must land within a tight rank-error window of
+    the exact order statistics (GK accuracy=10000 ⇒ ε=1e-4 rank error;
+    allow a generous 0.005 rank margin against the exact ranks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"]
+    got = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in __import__("distributedqueryengine_spark.queries", fromlist=["q_approx_percentiles"])
+        .q_approx_percentiles(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    vals = li.select("l_returnflag", "l_extendedprice").collect()
+    by_flag: dict[str, list[float]] = {}
+    for r in vals:
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for flag, (p50, p90, p99) in got.items():
+        xs = np.sort(np.array(by_flag[flag]))
+        n = len(xs)
+        for q, approx in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            rank = np.searchsorted(xs, approx, side="right") / n
+            assert abs(rank - q) <= 0.005 + 1.0 / n, (flag, q, approx, rank)
