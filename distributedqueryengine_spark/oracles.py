@@ -716,3 +716,34 @@ ORACLES["fn_datetime_extract"] = """
                CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
         FROM orders
     """
+
+ORACLES["sql_recursive_cte"] = """
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST('1997-01-01' AS DATE)
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months WHERE m < CAST('1997-12-01' AS DATE)
+        )
+        SELECT CAST(m AS DATE) AS month_start,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+        FROM months LEFT JOIN orders
+          ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+        GROUP BY m
+        ORDER BY m
+    """
+
+ORACLES["fn_variant"] = """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+               sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+        FROM events GROUP BY event_type
+    """
+
+ORACLES["sql_lateral_topk"] = """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """

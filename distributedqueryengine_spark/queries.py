@@ -1425,3 +1425,70 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("approx_p")[2], 2).alias("p99"),
         "n",
     )
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): a 1997 month spine LEFT JOINed to
+    per-month order counts — empty months surface as zero instead of
+    disappearing, which a plain GROUP BY cannot express without a
+    generated dimension."""
+    from distributedqueryengine_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST('1997-01-01' AS DATE)
+            UNION ALL
+            SELECT add_months(m, 1) FROM months WHERE m < CAST('1997-12-01' AS DATE)
+        )
+        SELECT m AS month_start,
+               count(o_orderkey) AS n_orders,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+        FROM months LEFT JOIN orders
+          ON o_orderdate >= m AND o_orderdate < add_months(m, 1)
+        GROUP BY m
+        ORDER BY m
+        """
+    )
+
+
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse events.props once
+    into variant, then typed-path extraction — the modern engine
+    answer to schemaless JSON columns (binary-encoded, no per-access
+    re-parse, unlike get_json_object)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long").alias("n_null_k"),
+        )
+    )
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's single highest
+    order — the SQL-standard alternative to the row_number window
+    (Catalyst rewrites it to a join, not a per-row loop)."""
+    from distributedqueryengine_spark.session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )
