@@ -727,7 +727,7 @@ ORACLES["sql_recursive_cte"] = """
                count(o_orderkey) AS n_orders,
                round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
         FROM months LEFT JOIN orders
-          ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
         GROUP BY m
         ORDER BY m
     """

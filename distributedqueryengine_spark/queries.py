@@ -1446,7 +1446,7 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(o_orderkey) AS n_orders,
                round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
         FROM months LEFT JOIN orders
-          ON o_orderdate >= m AND o_orderdate < add_months(m, 1)
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
         GROUP BY m
         ORDER BY m
         """
