@@ -52,6 +52,8 @@ HEADLINE = [
     "stream_interval_join",
     "text_tokens_regex",
     "pipeline_clean_corpus",
+    "fn_variant",
+    "sql_lateral_topk",
 ]
 
 

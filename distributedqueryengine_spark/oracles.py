@@ -747,3 +747,21 @@ ORACLES["sql_lateral_topk"] = """
                  WHERE o_custkey = c.c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
     """
+
+ORACLES["agg_conditional"] = """
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_returnflag = 'R') AS any_returned,
+               count(*) AS n
+        FROM lineitem GROUP BY l_linestatus
+    """
+
+ORACLES["join_null_safe"] = """
+        WITH a AS (SELECT event_id AS a_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                   FROM events WHERE event_type = 'click'),
+             b AS (SELECT event_id AS b_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                   FROM events WHERE event_type = 'error')
+        SELECT a.a_id, b.b_id, a.k
+        FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """

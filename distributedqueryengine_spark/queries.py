@@ -1492,3 +1492,34 @@ def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
         """
     )
+
+
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_and, bool_or —
+    FILTER-clause equivalents, all partial-aggregatable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): rows with
+    NULL keys MATCH each other instead of vanishing — the semantic the
+    reference's IComparable join silently got wrong for DBNull. Keys
+    here: events.props '$.k' (absent → NULL on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), k.alias("k")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), k.alias("k")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select("a_id", "b_id", a["k"].alias("k"))
+    )
