@@ -106,3 +106,103 @@ def decode_batch(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("n_frame_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image resize as an Arrow-batched binary→binary transform.
+
+    STUB: a real pipeline calls PIL here
+    (`Image.open(io.BytesIO(p)).resize((width, height))`); absent
+    codecs, fake=True emits a deterministic byte slice scaled to
+    width*height bytes so the schema, batch shape, and memory profile
+    (output ∝ width·height, not input size) are the real thing.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image codecs unavailable; plug PIL resize here"
+                )
+            payloads = pdf["payload"].map(
+                lambda p: (bytes(p) * (n_out // max(len(p), 1) + 1))[:n_out]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    max_frames: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling: one input row → up to max_frames output
+    rows (UDTF-shaped mapInPandas — the one-to-many Arrow batch plumbing
+    real frame extraction needs).
+
+    STUB: a real pipeline seeks keyframes via ffmpeg/pyav here;
+    fake=True emits deterministic fixed-size byte chunks, so frame
+    counts/sizes are exactly computable by the oracle:
+    n_frames = min(ceil(n_bytes / frame_bytes), max_frames).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real video codecs unavailable; plug ffmpeg frame seek here"
+                )
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                n = min(
+                    (len(b) + frame_bytes - 1) // frame_bytes if b else 0,
+                    max_frames,
+                )
+                for i in range(n):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -261,6 +261,24 @@ ORACLES["multimodal_features"] = """
                sha256(text) AS digest
         FROM documents
     """
+ORACLES["multimodal_resize"] = """
+        SELECT doc_id AS media_id,
+               32 AS width,
+               16 AS height,
+               CAST(CASE WHEN octet_length(encode(text)) = 0
+                         THEN 0 ELSE 32 * 16 END AS INTEGER) AS n_out
+        FROM documents
+    """
+ORACLES["multimodal_frames"] = """
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+             f AS (SELECT doc_id, nb,
+                          unnest(range(least(CAST(ceil(nb / 256.0) AS BIGINT), 4))) AS i
+                   FROM d WHERE nb > 0)
+        SELECT doc_id AS media_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(least(256, nb - i * 256) AS INTEGER) AS n_frame_bytes
+        FROM f
+    """
 ORACLES["stream_tumbling"] = """
         SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
                event_type,

@@ -516,6 +516,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", "digest")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary→binary mapInPandas where output
+    size is ∝ width·height, not input size (fake codec; real PIL slot
+    is a marked stub). Output byte-length is oracle-checkable."""
+    from distributedqueryengine_spark.functions import multimodal as M
+
+    media = M.attach_payload(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    resized = M.resize_images(media, width=32, height=16, fake=True)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").alias("n_out"),
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one payload → ≤4 frame rows
+    (UDTF-shaped mapInPandas). Frame counts/sizes are exactly
+    computable by the oracle from the payload length."""
+    from distributedqueryengine_spark.functions import multimodal as M
+
+    media = M.attach_payload(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    frames = M.sample_frames(media, frame_bytes=256, max_frames=4, fake=True)
+    return frames.select("media_id", "frame_idx", "n_frame_bytes")
+
+
 # --------------------------------------------------------------------------
 # Streaming semantics, batch-checkable form (streaming/windows.py)
 # --------------------------------------------------------------------------
