@@ -261,6 +261,51 @@ ORACLES["multimodal_features"] = """
                sha256(text) AS digest
         FROM documents
     """
+ORACLES["sample_hash_split"] = """
+        WITH d AS (
+            SELECT n_chars,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
+        FROM d GROUP BY split
+    """
+ORACLES["sample_stratified"] = """
+        WITH r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)
+        SELECT doc_id, lang FROM r WHERE rn % 10 = 1
+    """
+ORACLES["agg_regression"] = """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n_pairs
+        FROM lineitem GROUP BY l_returnflag
+    """
+ORACLES["agg_bitwise"] = """
+        SELECT l_returnflag,
+               bit_or(CAST(l_linenumber AS BIGINT)) AS bits_or,
+               bit_and(CAST(l_linenumber AS BIGINT)) AS bits_and,
+               bit_xor(CAST(l_linenumber AS BIGINT)) AS bits_xor
+        FROM lineitem GROUP BY l_returnflag
+    """
+ORACLES["histogram_bucket"] = """
+        WITH b AS (
+            SELECT o_totalprice,
+                   CAST(CASE WHEN o_totalprice < 0 THEN 0
+                             WHEN o_totalprice >= 600000 THEN 21
+                             ELSE floor(o_totalprice / 30000.0) + 1 END AS BIGINT) AS bucket
+            FROM orders)
+        SELECT bucket, count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM b GROUP BY bucket
+    """
 ORACLES["multimodal_resize"] = """
         SELECT doc_id AS media_id,
                32 AS width,

@@ -544,6 +544,51 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Training-pipeline sampling (deterministic, reproducible at any scale)
+# --------------------------------------------------------------------------
+
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5 of the key: the split
+    is a pure function of doc_id, so it is stable across runs, engines,
+    cluster sizes, and repartitions — the reproducibility property a
+    100 TB training pipeline needs (no rand(), no global sort). ~80/10/10
+    via lexicographic ranges on the leading hex byte."""
+    doc = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < F.lit("cc"), F.lit("train"))
+        .when(h2 < F.lit("e6"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        doc.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic 10% sample per language: order each
+    stratum by a content-independent hash and keep every 10th row.
+    Deterministic (vs sampleBy's seeded Bernoulli), per-stratum
+    parallel — one shuffle on the stratum key."""
+    doc = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming semantics, batch-checkable form (streaming/windows.py)
 # --------------------------------------------------------------------------
 
@@ -695,6 +740,49 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
         F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count):
+    single-pass streaming moments, partial+final combine — no second
+    scan of the fact table at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
+
+
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_or/bit_and/bit_xor) — commutative and
+    associative, so map-side partials combine freely."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or(ln).alias("bits_or"),
+        F.bit_and(ln).alias("bits_and"),
+        F.bit_xor(ln).alias("bits_xor"),
+    )
+
+
+def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: 20 buckets over order
+    totals — a single hash agg on a derived key (the classic one-pass
+    distributed histogram)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
     )
 
 
