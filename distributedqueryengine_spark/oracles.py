@@ -159,7 +159,7 @@ ORACLES: dict[str, str] = {
 }
 
 # ---- extension operators / functions / streaming ----
-ORACLES["fn_string"] = """
+ORACLES["fn_string"] = r"""
         SELECT p_partkey,
                upper(p_brand) AS brand_upper,
                lower(p_type) AS type_lower,
@@ -169,7 +169,7 @@ ORACLES["fn_string"] = """
                replace(p_name, 'a', '@') AS name_subst
         FROM part
     """
-ORACLES["fn_date"] = """
+ORACLES["fn_date"] = r"""
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INTEGER) AS order_year,
                CAST(month(o_orderdate) AS INTEGER) AS order_month,
@@ -178,7 +178,7 @@ ORACLES["fn_date"] = """
                CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002
         FROM orders
     """
-ORACLES["fn_math"] = """
+ORACLES["fn_math"] = r"""
         SELECT l_orderkey, l_linenumber,
                abs(l_discount - 0.05) AS abs_disc_delta,
                CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
@@ -188,14 +188,14 @@ ORACLES["fn_math"] = """
                CAST(l_partkey % 7 AS BIGINT) AS part_mod
         FROM lineitem
     """
-ORACLES["fn_json"] = """
+ORACLES["fn_json"] = r"""
         SELECT event_type,
                count(*) AS n_events,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
                CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
         FROM events GROUP BY event_type
     """
-ORACLES["fn_case_when"] = """
+ORACLES["fn_case_when"] = r"""
         SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
                     WHEN o_totalprice < 200000 THEN 'mid'
                     ELSE 'high' END AS price_band,
@@ -203,7 +203,7 @@ ORACLES["fn_case_when"] = """
                round(avg(o_totalprice), 2) AS avg_price
         FROM orders GROUP BY 1
     """
-ORACLES["text_stats"] = """
+ORACLES["text_stats"] = r"""
         WITH t AS (
             SELECT doc_id, text,
                    string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -217,7 +217,7 @@ ORACLES["text_stats"] = """
                      / len(toks), 4) AS mean_wlen
         FROM t
     """
-ORACLES["text_langid"] = """
+ORACLES["text_langid"] = r"""
         WITH t AS (
             SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         r AS (
@@ -228,18 +228,18 @@ ORACLES["text_langid"] = """
                count(*) AS n_docs
         FROM r GROUP BY 1
     """
-ORACLES["text_fingerprint"] = """
+ORACLES["text_fingerprint"] = r"""
         SELECT doc_id,
                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         FROM documents
     """
-ORACLES["dedup_exact"] = """
+ORACLES["dedup_exact"] = r"""
         SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                min(doc_id) AS canonical_id,
                count(*) AS n_copies
         FROM documents GROUP BY 1
     """
-ORACLES["sim_bruteforce_topk"] = """
+ORACLES["sim_bruteforce_topk"] = r"""
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id % 10 = 0),
              c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
@@ -255,13 +255,13 @@ ORACLES["sim_bruteforce_topk"] = """
                    FROM s)
         SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
     """
-ORACLES["multimodal_features"] = """
+ORACLES["multimodal_features"] = r"""
         SELECT doc_id AS media_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                sha256(text) AS digest
         FROM documents
     """
-ORACLES["sample_hash_split"] = """
+ORACLES["sample_hash_split"] = r"""
         WITH d AS (
             SELECT n_chars,
                    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
@@ -271,7 +271,7 @@ ORACLES["sample_hash_split"] = """
         SELECT split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
         FROM d GROUP BY split
     """
-ORACLES["sample_stratified"] = """
+ORACLES["sample_stratified"] = r"""
         WITH r AS (
             SELECT doc_id, lang,
                    row_number() OVER (PARTITION BY lang
@@ -279,7 +279,7 @@ ORACLES["sample_stratified"] = """
             FROM documents)
         SELECT doc_id, lang FROM r WHERE rn % 10 = 1
     """
-ORACLES["agg_regression"] = """
+ORACLES["agg_regression"] = r"""
         SELECT l_returnflag,
                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
                round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
@@ -287,14 +287,14 @@ ORACLES["agg_regression"] = """
                regr_count(l_extendedprice, l_quantity) AS n_pairs
         FROM lineitem GROUP BY l_returnflag
     """
-ORACLES["agg_bitwise"] = """
+ORACLES["agg_bitwise"] = r"""
         SELECT l_returnflag,
                bit_or(CAST(l_linenumber AS BIGINT)) AS bits_or,
                bit_and(CAST(l_linenumber AS BIGINT)) AS bits_and,
                bit_xor(CAST(l_linenumber AS BIGINT)) AS bits_xor
         FROM lineitem GROUP BY l_returnflag
     """
-ORACLES["histogram_bucket"] = """
+ORACLES["histogram_bucket"] = r"""
         WITH b AS (
             SELECT o_totalprice,
                    CAST(CASE WHEN o_totalprice < 0 THEN 0
@@ -306,7 +306,7 @@ ORACLES["histogram_bucket"] = """
                round(max(o_totalprice), 2) AS hi
         FROM b GROUP BY bucket
     """
-ORACLES["multimodal_resize"] = """
+ORACLES["multimodal_resize"] = r"""
         SELECT doc_id AS media_id,
                32 AS width,
                16 AS height,
@@ -314,7 +314,7 @@ ORACLES["multimodal_resize"] = """
                          THEN 0 ELSE 32 * 16 END AS INTEGER) AS n_out
         FROM documents
     """
-ORACLES["multimodal_frames"] = """
+ORACLES["multimodal_frames"] = r"""
         WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
              f AS (SELECT doc_id, nb,
                           unnest(range(least(CAST(ceil(nb / 256.0) AS BIGINT), 4))) AS i
@@ -324,14 +324,14 @@ ORACLES["multimodal_frames"] = """
                CAST(least(256, nb - i * 256) AS INTEGER) AS n_frame_bytes
         FROM f
     """
-ORACLES["stream_tumbling"] = """
+ORACLES["stream_tumbling"] = r"""
         SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
                event_type,
                count(*) AS n,
                round(sum(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """
-ORACLES["stream_sliding"] = """
+ORACLES["stream_sliding"] = r"""
         WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
              x AS (SELECT unnest([(es // 3600) * 3600, (es // 3600) * 3600 - 3600]) AS window_start,
                           value
@@ -339,7 +339,7 @@ ORACLES["stream_sliding"] = """
         SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM x GROUP BY 1
     """
-ORACLES["stream_session"] = """
+ORACLES["stream_session"] = r"""
         WITH e AS (
             SELECT user_id, ts,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -358,7 +358,7 @@ ORACLES["stream_session"] = """
                count(*) AS n_events
         FROM s GROUP BY user_id, sid
     """
-ORACLES["asof_join"] = """
+ORACLES["asof_join"] = r"""
         SELECT l.event_id, l.user_id,
                CAST(floor(epoch(l.ts)) AS BIGINT) AS click_epoch,
                CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_epoch,
@@ -367,7 +367,7 @@ ORACLES["asof_join"] = """
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           ON l.user_id = r.user_id AND l.ts >= r.ts
     """
-ORACLES["range_join"] = """
+ORACLES["range_join"] = r"""
         SELECT s_suppkey, count(*) AS n_matches
         FROM supplier JOIN customer
           ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + 500
@@ -375,7 +375,7 @@ ORACLES["range_join"] = """
     """
 
 # ---- pivot / stats / SQL-API ----
-ORACLES["pivot_events"] = """
+ORACLES["pivot_events"] = r"""
         SELECT user_id,
                count(*) FILTER (WHERE event_type = 'click')    AS n_click,
                count(*) FILTER (WHERE event_type = 'view')     AS n_view,
@@ -384,7 +384,7 @@ ORACLES["pivot_events"] = """
                count(*) FILTER (WHERE event_type = 'error')    AS n_error
         FROM events GROUP BY user_id
     """
-ORACLES["unpivot_events"] = """
+ORACLES["unpivot_events"] = r"""
         WITH wide AS (
             SELECT user_id,
                    count(*) FILTER (WHERE event_type = 'click')    AS n_click,
@@ -399,14 +399,14 @@ ORACLES["unpivot_events"] = """
         UNION ALL SELECT user_id, 'n_signup', n_signup FROM wide
         UNION ALL SELECT user_id, 'n_error', n_error FROM wide
     """
-ORACLES["agg_grouping_sets"] = """
+ORACLES["agg_grouping_sets"] = r"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """
-ORACLES["agg_stats"] = """
+ORACLES["agg_stats"] = r"""
         SELECT l_returnflag,
                round(stddev_samp(l_quantity), 4) AS sd_qty,
                round(var_samp(l_discount), 6) AS var_disc,
@@ -415,14 +415,14 @@ ORACLES["agg_stats"] = """
                round(avg(l_tax), 6) AS avg_tax
         FROM lineitem GROUP BY l_returnflag
     """
-ORACLES["agg_percentiles"] = """
+ORACLES["agg_percentiles"] = r"""
         SELECT o_orderstatus,
                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
                round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
                round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         FROM orders GROUP BY o_orderstatus
     """
-ORACLES["fn_array_explode"] = """
+ORACLES["fn_array_explode"] = r"""
         WITH toks AS (
             SELECT unnest(string_split_regex(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
             FROM documents)
@@ -431,7 +431,7 @@ ORACLES["fn_array_explode"] = """
         ORDER BY n DESC, token ASC
         LIMIT 20
     """
-ORACLES["sql_cte_subquery"] = """
+ORACLES["sql_cte_subquery"] = r"""
         WITH big_spenders AS (
             SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent
             FROM orders GROUP BY o_custkey
@@ -440,7 +440,7 @@ ORACLES["sql_cte_subquery"] = """
         FROM customer c JOIN big_spenders b ON c.c_custkey = b.o_custkey
         WHERE b.total_spent > (SELECT avg(total_spent) FROM big_spenders)
     """
-ORACLES["window_ntile"] = """
+ORACLES["window_ntile"] = r"""
         SELECT o_orderkey, o_orderstatus,
                CAST(ntile(4) OVER (PARTITION BY o_orderstatus
                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS quartile
@@ -448,7 +448,7 @@ ORACLES["window_ntile"] = """
     """
 
 # ---- tpch q3 / grouped map / regexp / json struct / arrays ----
-ORACLES["tpch_q3_shipping_priority"] = """
+ORACLES["tpch_q3_shipping_priority"] = r"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
@@ -461,7 +461,7 @@ ORACLES["tpch_q3_shipping_priority"] = """
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
     """
-ORACLES["grouped_zscore"] = """
+ORACLES["grouped_zscore"] = r"""
         SELECT c_nationkey, c_custkey,
                round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
                           ELSE (c_acctbal - mu) / sd END, 4) AS z
@@ -471,20 +471,20 @@ ORACLES["grouped_zscore"] = """
                    stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey) AS sd
             FROM customer) t
     """
-ORACLES["fn_regexp"] = """
+ORACLES["fn_regexp"] = r"""
         SELECT p_partkey,
                regexp_extract(p_type, '^(\w+)', 1) AS type_head,
                regexp_extract(p_name, '(\d+)', 1) AS first_digits,
                regexp_matches(p_name, 'part') AS has_part
         FROM part
     """
-ORACLES["fn_json_struct"] = """
+ORACLES["fn_json_struct"] = r"""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                (CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0) AS k_is_round
         FROM events
     """
-ORACLES["fn_array_ops"] = """
+ORACLES["fn_array_ops"] = r"""
         SELECT vec_id,
                CAST(len(embedding) AS INTEGER) AS dim,
                round(CAST(embedding[1] AS DOUBLE), 5) AS first_val,
@@ -495,7 +495,7 @@ ORACLES["fn_array_ops"] = """
     """
 
 # ---- tpch q4/q10/q14 ----
-ORACLES["tpch_q4_order_priority"] = """
+ORACLES["tpch_q4_order_priority"] = r"""
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
@@ -505,7 +505,7 @@ ORACLES["tpch_q4_order_priority"] = """
                         AND l_shipdate >= TIMESTAMP '1996-06-01')
         GROUP BY o_orderpriority
     """
-ORACLES["tpch_q10_returned_items"] = """
+ORACLES["tpch_q10_returned_items"] = r"""
         SELECT c_custkey, c_name, n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem
@@ -517,7 +517,7 @@ ORACLES["tpch_q10_returned_items"] = """
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
     """
-ORACLES["tpch_q14_promo_effect"] = """
+ORACLES["tpch_q14_promo_effect"] = r"""
         SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
                                       THEN l_extendedprice * (1 - l_discount)
                                       ELSE 0.0 END)
@@ -527,7 +527,7 @@ ORACLES["tpch_q14_promo_effect"] = """
           AND l_shipdate <  TIMESTAMP '1997-07-01'
     """
 
-ORACLES["window_range_frame"] = """
+ORACLES["window_range_frame"] = r"""
         SELECT o_custkey, o_orderkey,
                count(*) OVER w AS n_near,
                round(sum(o_totalprice) OVER w, 2) AS sum_near
@@ -536,18 +536,18 @@ ORACLES["window_range_frame"] = """
                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
 """
 
-ORACLES["source_csv_roundtrip"] = """
+ORACLES["source_csv_roundtrip"] = r"""
         SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
         FROM nation GROUP BY n_regionkey
 """
-ORACLES["sink_partitioned_roundtrip"] = """
+ORACLES["sink_partitioned_roundtrip"] = r"""
         SELECT l_returnflag, count(*) AS n_rows,
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem WHERE l_returnflag = 'R'
         GROUP BY l_returnflag
 """
 
-ORACLES["dedup_embedding"] = """
+ORACLES["dedup_embedding"] = r"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                           round(list_dot_product(a.v, b.v)
@@ -556,7 +556,7 @@ ORACLES["dedup_embedding"] = """
                    FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, cos FROM s WHERE cos >= 0.45
 """
-ORACLES["time_rollup"] = """
+ORACLES["time_rollup"] = r"""
         WITH ev AS (
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_bucket,
                    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_bucket,
@@ -569,7 +569,7 @@ ORACLES["time_rollup"] = """
         GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
 """
 
-ORACLES["window_first_last"] = """
+ORACLES["window_first_last"] = r"""
         SELECT o_custkey, o_orderkey,
                first_value(o_orderkey) OVER w AS first_order,
                last_value(o_orderkey) OVER w AS last_order,
@@ -579,12 +579,12 @@ ORACLES["window_first_last"] = """
                      ORDER BY o_orderdate ASC, o_orderkey ASC
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
-ORACLES["set_intersect_all"] = """
+ORACLES["set_intersect_all"] = r"""
         SELECT c_nationkey AS nationkey FROM customer
         INTERSECT ALL
         SELECT s_nationkey AS nationkey FROM supplier
 """
-ORACLES["fn_conditional_null"] = """
+ORACLES["fn_conditional_null"] = r"""
         SELECT o_orderkey,
                coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
                greatest(o_totalprice, 100000.0) AS price_floor100k,
@@ -592,7 +592,7 @@ ORACLES["fn_conditional_null"] = """
                (nullif(o_orderpriority, o_orderpriority) IS NULL) AS always_true
         FROM orders
 """
-ORACLES["fn_bitwise"] = """
+ORACLES["fn_bitwise"] = r"""
         SELECT l_orderkey, l_linenumber,
                l_orderkey & 255 AS and255,
                l_orderkey | 1 AS or1,
@@ -602,14 +602,14 @@ ORACLES["fn_bitwise"] = """
         FROM lineitem
 """
 
-ORACLES["fn_map_ops"] = """
+ORACLES["fn_map_ops"] = r"""
         SELECT l_orderkey, l_linenumber,
                l_quantity AS qty_from_map,
                l_tax AS tax_from_map,
                3 AS map_size
         FROM lineitem
 """
-ORACLES["fn_higher_order"] = """
+ORACLES["fn_higher_order"] = r"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT vec_id,
                round(v[1] * 2.0, 5) AS first_doubled,
@@ -618,17 +618,17 @@ ORACLES["fn_higher_order"] = """
         FROM e
 """
 
-ORACLES["join_cross"] = """
+ORACLES["join_cross"] = r"""
         SELECT r_regionkey, r_name, n_nationkey, n_name
         FROM region CROSS JOIN nation
 """
-ORACLES["sort_limit_offset"] = """
+ORACLES["sort_limit_offset"] = r"""
         SELECT o_orderkey, o_totalprice
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 10 OFFSET 10
 """
-ORACLES["argmax_latest_event"] = """
+ORACLES["argmax_latest_event"] = r"""
         SELECT user_id, event_id,
                CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
                event_type
@@ -639,25 +639,25 @@ ORACLES["argmax_latest_event"] = """
         WHERE rn = 1
 """
 
-ORACLES["dedup_exact_rows"] = """
+ORACLES["dedup_exact_rows"] = r"""
         SELECT doc_id, lang, source, n_chars
         FROM documents
         WHERE doc_id IN (
             SELECT min(doc_id)
             FROM documents
-            GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+            GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
 """
 
-ORACLES["fragment_transparent_join"] = """
+ORACLES["fragment_transparent_join"] = r"""
         SELECT c_name, c_mktsegment, o_orderkey, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE o_totalprice > 150000
 """
 
-ORACLES["tpch_q12_priority_class"] = """
+ORACLES["tpch_q12_priority_class"] = r"""
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -665,7 +665,7 @@ ORACLES["tpch_q12_priority_class"] = """
         ORDER BY l_linestatus
     """
 
-ORACLES["tpch_q19_disjunctive_revenue"] = """
+ORACLES["tpch_q19_disjunctive_revenue"] = r"""
         SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -674,7 +674,7 @@ ORACLES["tpch_q19_disjunctive_revenue"] = """
            OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
     """
 
-ORACLES["tpch_q16_supplier_variety"] = """
+ORACLES["tpch_q16_supplier_variety"] = r"""
         SELECT p_brand, p_size,
                count(DISTINCT l_suppkey) AS supplier_cnt
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -684,14 +684,14 @@ ORACLES["tpch_q16_supplier_variety"] = """
         ORDER BY supplier_cnt DESC, p_brand, p_size
     """
 
-ORACLES["fn_string_distance"] = """
+ORACLES["fn_string_distance"] = r"""
         SELECT p_partkey,
                levenshtein(lower(p_name), lower(p_type)) AS name_type_dist,
                levenshtein('standard', lower(p_type)) AS std_dist
         FROM part
     """
 
-ORACLES["text_tokens_regex"] = """
+ORACLES["text_tokens_regex"] = r"""
         WITH t AS (
             SELECT doc_id,
                    len(regexp_extract_all(lower(text),
@@ -705,7 +705,7 @@ ORACLES["text_tokens_regex"] = """
         FROM t
     """
 
-ORACLES["stream_interval_join"] = """
+ORACLES["stream_interval_join"] = r"""
         WITH c AS (SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'),
              p AS (SELECT user_id, event_id AS purchase_id, ts, value FROM events WHERE event_type = 'purchase')
         SELECT c.user_id,
@@ -719,7 +719,7 @@ ORACLES["stream_interval_join"] = """
                      AND p.ts <= c.ts + INTERVAL 1 HOUR
     """
 
-ORACLES["window_percentiles_rank"] = """
+ORACLES["window_percentiles_rank"] = r"""
         SELECT o_orderkey, o_orderpriority,
                round(percent_rank() OVER w, 6) AS pct_rank,
                round(cume_dist() OVER w, 6) AS cume
@@ -727,7 +727,7 @@ ORACLES["window_percentiles_rank"] = """
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """
 
-ORACLES["agg_string_collect"] = """
+ORACLES["agg_string_collect"] = r"""
         SELECT r_name,
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
                count(*) AS n_nations
@@ -735,7 +735,7 @@ ORACLES["agg_string_collect"] = """
         GROUP BY r_name
     """
 
-ORACLES["agg_mode"] = """
+ORACLES["agg_mode"] = r"""
         WITH c AS (
             SELECT l_returnflag, l_quantity, count(*) AS cnt
             FROM lineitem GROUP BY 1, 2),
@@ -747,7 +747,7 @@ ORACLES["agg_mode"] = """
         FROM r WHERE rn = 1
     """
 
-ORACLES["pipeline_clean_corpus"] = """
+ORACLES["pipeline_clean_corpus"] = r"""
         WITH t AS (
             SELECT doc_id, text,
                    string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -769,7 +769,7 @@ ORACLES["pipeline_clean_corpus"] = """
         QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
     """
 
-ORACLES["fn_datetime_extract"] = """
+ORACLES["fn_datetime_extract"] = r"""
         SELECT o_orderkey,
                CAST(quarter(o_orderdate) AS INTEGER) AS q,
                CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
@@ -780,7 +780,7 @@ ORACLES["fn_datetime_extract"] = """
         FROM orders
     """
 
-ORACLES["sql_recursive_cte"] = """
+ORACLES["sql_recursive_cte"] = r"""
         WITH RECURSIVE months(m) AS (
             SELECT CAST('1997-01-01' AS DATE)
             UNION ALL
@@ -795,15 +795,15 @@ ORACLES["sql_recursive_cte"] = """
         ORDER BY m
     """
 
-ORACLES["fn_variant"] = """
+ORACLES["fn_variant"] = r"""
         SELECT event_type,
                count(*) AS n,
                CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
-               sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+               CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
         FROM events GROUP BY event_type
     """
 
-ORACLES["sql_lateral_topk"] = """
+ORACLES["sql_lateral_topk"] = r"""
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         FROM customer c,
         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
@@ -811,7 +811,7 @@ ORACLES["sql_lateral_topk"] = """
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
     """
 
-ORACLES["agg_conditional"] = """
+ORACLES["agg_conditional"] = r"""
         SELECT l_linestatus,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
                bool_and(l_quantity > 0) AS all_positive_qty,
@@ -820,7 +820,7 @@ ORACLES["agg_conditional"] = """
         FROM lineitem GROUP BY l_linestatus
     """
 
-ORACLES["join_null_safe"] = """
+ORACLES["join_null_safe"] = r"""
         WITH a AS (SELECT event_id AS a_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
                    FROM events WHERE event_type = 'click'),
              b AS (SELECT event_id AS b_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

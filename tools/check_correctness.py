@@ -59,6 +59,18 @@ def compare(name, sdf, con, sql):
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
     problems = []
+    # The driver hashes values after a width-canonicalizing conversion
+    # (round-1 evidence: uint32/int32/int64 all hash equal) but DuckDB
+    # HUGEINT/DECIMAL columns surface as Decimal objects and break the
+    # hash (fn_variant, round 1). Flag exactly that class.
+    oracle_types = {d[0]: str(con.execute(sql).arrow().schema.field(d[0]).type)
+                    for d in res.description}
+    for col, otyp in oracle_types.items():
+        if otyp.startswith("decimal") or "128" in otyp:
+            problems.append(
+                f"type: oracle column {col} is {otyp} (hashes as Decimal, "
+                f"not int/float): CAST it in the oracle SQL"
+            )
     if sorted(scols) != sorted(ocols):
         problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
     if len(srows) != len(orows):
