@@ -21,40 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod  # noqa: E402
 from distributedqueryengine_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "leaf_scan_filter",
-    "select_project_join",
-    "agg_pricing_summary",
-    "agg_top_nation_revenue",
-    "join_theta",
-    "topk_orders_per_customer",
-    "window_running_sum",
-    "fragment_horizontal_union",
-    "agg_cube",
-    "agg_distinct",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "pivot_events",
-    "grouped_zscore",
-    "asof_join",
-    "stream_tumbling",
-    "stream_session",
-    "text_stats",
-    "dedup_exact",
-    "dedup_minhash",
-    "sim_bruteforce_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "multimodal_features",
-    "tpch_q12_priority_class",
-    "tpch_q16_supplier_variety",
-    "tpch_q19_disjunctive_revenue",
-    "stream_interval_join",
-    "text_tokens_regex",
-    "pipeline_clean_corpus",
-    "fn_variant",
-    "sql_lateral_topk",
-]
+# The consolidated inventory is <=48 queries; bench ALL of them so the
+# per-round BENCH file covers exactly what the CORRECTNESS file covers.
+HEADLINE: list[str] | None = None  # None → every queries() entry, sorted
 
 
 def force(df) -> None:
@@ -66,11 +35,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
     qs = entry_mod.queries()
+    headline = HEADLINE if HEADLINE is not None else sorted(qs)
     # JVM/codegen warm-up: run every headline plan once on the smallest
     # fixture so per-query numbers measure steady-state execution (data
     # processing at sf), not one-time whole-stage-codegen compilation —
     # which a long-running cluster amortizes to zero.
-    for name in HEADLINE:
+    for name in headline:
         if name in qs:
             try:
                 force(qs[name](spark, "/root/testdata/sf0.001"))
@@ -78,7 +48,7 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         if name not in qs:
             continue
         # min of two runs: suppresses GC/scheduler noise without hiding

@@ -1,0 +1,783 @@
+"""Driver-facing query inventory (round 2 consolidation).
+
+The driver's correctness gate caps at 50 queries (alphabetical), so the
+round-1 inventory of 102 left half unverified (VERDICT r1). This module
+consolidates the full operator surface into <=48 driver entries:
+
+- single-plan *suite* queries (one wide projection / one groupBy) live
+  in `queries.py` (q_window_suite, q_fn_*_suite, ...);
+- operator families over DIFFERENT tables are combined here as tagged
+  unions: each branch is the existing building-block query harmonized
+  to a shared (variant, ...) schema, and the oracle is the identical
+  UNION ALL over the building-block oracle SQL. Every branch therefore
+  keeps full value-level verification — nothing is reduced to counts.
+
+`INVENTORY` maps driver key -> callable(spark, sf_dir) -> DataFrame;
+`INVENTORY_ORACLES` maps the oracled subset to DuckDB SQL. Keys absent
+from the oracle dict are rows-only by design (sketches / xxhash64-based
+near-dup / ANN), documented per entry.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark import queries as Q
+from distributedqueryengine_spark.oracles import ORACLES
+
+# (name, spark_type, duckdb_type) triples keyed per composite schema.
+_DUCK = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE", "string": "VARCHAR"}
+
+
+def _tagged(variant: str, df: DataFrame, mapping: dict[str, Column | str], schema) -> DataFrame:
+    """Project `df` onto the shared composite schema with a variant tag;
+    unmapped columns become typed NULLs. All casts explicit so every
+    branch of the union carries identical Arrow types."""
+    cols = [F.lit(variant).alias("variant")]
+    for name, typ in schema:
+        expr = mapping.get(name)
+        if expr is None:
+            expr = F.lit(None)
+        elif isinstance(expr, str):
+            expr = F.col(expr)
+        cols.append(expr.cast(typ).alias(name))
+    return df.select(*cols)
+
+
+def _sql_tagged(variant: str, inner_sql: str, mapping: dict[str, str], schema) -> str:
+    """The oracle-side mirror of `_tagged`: wrap a building-block oracle
+    in a harmonizing SELECT with the same variant tag, aliases, casts."""
+    sels = [f"'{variant}' AS variant"]
+    for name, typ in schema:
+        expr = mapping.get(name, "NULL")
+        sels.append(f"CAST({expr} AS {_DUCK[typ]}) AS {name}")
+    return "SELECT " + ", ".join(sels) + f" FROM (\n{inner_sql}\n) AS t_{variant}"
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _sql_union(parts: list[str]) -> str:
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Join composites
+# --------------------------------------------------------------------------
+
+_JOIN_OUTER_S = [("key", "bigint"), ("name", "string"), ("v1", "bigint"), ("v2", "bigint")]
+
+
+def q_join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer/filtering join lattice under one driver row: left outer,
+    left semi, left anti, full outer (each branch the original verified
+    query; RPC.cs:248-310 had inner-equi only)."""
+    return _union([
+        _tagged("left_outer", Q.q_join_left_outer(spark, sf_dir),
+                {"key": "c_custkey", "name": "c_name", "v1": "n_orders"}, _JOIN_OUTER_S),
+        _tagged("semi", Q.q_join_semi(spark, sf_dir),
+                {"key": "c_custkey", "name": "c_name"}, _JOIN_OUTER_S),
+        _tagged("anti", Q.q_join_anti(spark, sf_dir),
+                {"key": "c_custkey", "name": "c_name"}, _JOIN_OUTER_S),
+        _tagged("full_outer", Q.q_join_full_outer(spark, sf_dir),
+                {"key": "nationkey", "v1": "n_cust", "v2": "n_supp"}, _JOIN_OUTER_S),
+    ])
+
+
+_JOIN_SPECIAL_S = [("k1", "bigint"), ("k2", "bigint"), ("s1", "string"),
+                   ("s2", "string"), ("v", "bigint")]
+
+
+def q_join_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-standard join semantics under one driver row: explicit cross
+    (small x small), theta (equi + interval residual), null-safe
+    equality (<=>)."""
+    return _union([
+        _tagged("cross", Q.q_join_cross(spark, sf_dir),
+                {"k1": "r_regionkey", "k2": "n_nationkey",
+                 "s1": "r_name", "s2": "n_name"}, _JOIN_SPECIAL_S),
+        _tagged("theta", Q.q_join_theta(spark, sf_dir),
+                {"s1": "o_orderpriority", "v": "n_fast_lines"}, _JOIN_SPECIAL_S),
+        _tagged("null_safe", Q.q_join_null_safe(spark, sf_dir),
+                {"k1": "a_id", "k2": "b_id", "v": "k"}, _JOIN_SPECIAL_S),
+    ])
+
+
+# --------------------------------------------------------------------------
+# Aggregation composites
+# --------------------------------------------------------------------------
+
+_MULTI_GROUP_S = [("g1", "string"), ("g2", "string"), ("n", "bigint"), ("sum_val", "double")]
+
+
+def q_agg_multi_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional grouping under one driver row: ROLLUP, CUBE,
+    GROUPING SETS (each a single-pass Expand + hash aggregate)."""
+    return _union([
+        _tagged("rollup", Q.q_agg_rollup(spark, sf_dir),
+                {"g1": "l_returnflag", "g2": "l_linestatus",
+                 "n": "n_rows", "sum_val": "sum_qty"}, _MULTI_GROUP_S),
+        _tagged("cube", Q.q_agg_cube(spark, sf_dir),
+                {"g1": "o_orderstatus", "g2": "o_orderpriority",
+                 "n": "n_orders", "sum_val": "sum_price"}, _MULTI_GROUP_S),
+        _tagged("grouping_sets", Q.q_agg_grouping_sets(spark, sf_dir),
+                {"g1": "o_orderstatus", "g2": "o_orderpriority",
+                 "n": "n_orders", "sum_val": "sum_price"}, _MULTI_GROUP_S),
+    ])
+
+
+_AGG_MIXED_S = [("key", "string"), ("s", "string"), ("n", "bigint"),
+                ("v1", "double"), ("v2", "double"), ("v3", "double")]
+
+
+def q_agg_mixed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specialized aggregates under one driver row: exact COUNT
+    DISTINCT, exact percentiles, ordered string_agg, conditional/boolean
+    aggs, CASE-WHEN bucketing, width_bucket histogram."""
+    cond = Q.q_agg_conditional(spark, sf_dir).select(
+        "l_linestatus", "n",
+        F.col("n_discounted").cast("double").alias("v1"),
+        F.col("all_positive_qty").cast("int").cast("double").alias("v2"),
+        F.col("any_returned").cast("int").cast("double").alias("v3"),
+    )
+    return _union([
+        _tagged("distinct", Q.q_agg_distinct(spark, sf_dir),
+                {"key": "o_orderstatus", "n": "n_customers"}, _AGG_MIXED_S),
+        _tagged("percentiles", Q.q_agg_percentiles(spark, sf_dir),
+                {"key": "o_orderstatus", "v1": "p50", "v2": "p90", "v3": "p99"},
+                _AGG_MIXED_S),
+        _tagged("string_collect", Q.q_agg_string_collect(spark, sf_dir),
+                {"key": "r_name", "s": "nations", "n": "n_nations"}, _AGG_MIXED_S),
+        _tagged("conditional", cond,
+                {"key": "l_linestatus", "n": "n", "v1": "v1", "v2": "v2", "v3": "v3"},
+                _AGG_MIXED_S),
+        _tagged("case_when", Q.q_fn_case_when(spark, sf_dir),
+                {"key": "price_band", "n": "n_orders", "v1": "avg_price"}, _AGG_MIXED_S),
+        _tagged("histogram", Q.q_histogram_bucket(spark, sf_dir),
+                {"key": "bucket", "n": "n", "v1": "lo", "v2": "hi"}, _AGG_MIXED_S),
+    ])
+
+
+# --------------------------------------------------------------------------
+# Top-k / argmax / pagination / set ops
+# --------------------------------------------------------------------------
+
+_TOPK_S = [("key", "bigint"), ("id", "bigint"), ("v", "double"),
+           ("rn", "int"), ("s", "string"), ("ts_epoch", "bigint")]
+
+
+def q_topk_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group + argmax/DISTINCT-ON (latest event per
+    user) under one driver row — both row_number-based, scale-safe."""
+    return _union([
+        _tagged("topk", Q.q_topk_orders_per_customer(spark, sf_dir),
+                {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
+                 "rn": "rn"}, _TOPK_S),
+        _tagged("argmax", Q.q_argmax_latest_event(spark, sf_dir),
+                {"key": "user_id", "id": "event_id", "s": "event_type",
+                 "ts_epoch": "ts_epoch"}, _TOPK_S),
+    ])
+
+
+_SORT_S = [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_totalprice", "double")]
+
+
+def q_sort_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (TakeOrderedAndProject) and deterministic
+    OFFSET pagination under one driver row."""
+    return _union([
+        _tagged("top25", Q.q_sort_limit(spark, sf_dir),
+                {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
+                 "o_totalprice": "o_totalprice"}, _SORT_S),
+        _tagged("page2", Q.q_sort_limit_offset(spark, sf_dir),
+                {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}, _SORT_S),
+    ])
+
+
+_SET_S = [("nationkey", "bigint")]
+
+
+def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation semantics under one driver row: UNION (distinct),
+    INTERSECT, EXCEPT, INTERSECT ALL."""
+    return _union([
+        _tagged("union", Q.q_union_distinct(spark, sf_dir), {"nationkey": "nationkey"}, _SET_S),
+        _tagged("intersect", Q.q_set_intersect(spark, sf_dir), {"nationkey": "nationkey"}, _SET_S),
+        _tagged("except", Q.q_set_except(spark, sf_dir), {"nationkey": "nationkey"}, _SET_S),
+        _tagged("intersect_all", Q.q_set_intersect_all(spark, sf_dir), {"nationkey": "nationkey"}, _SET_S),
+    ])
+
+
+# --------------------------------------------------------------------------
+# Dedup / sampling / similarity / multimodal composites
+# --------------------------------------------------------------------------
+
+_DEDUP_EXACT_S = [("id", "bigint"), ("n", "bigint"), ("lang", "string"), ("source", "string")]
+
+
+def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under one driver row: fingerprint groups
+    (canonical_id, n_copies) AND the surviving full rows."""
+    return _union([
+        _tagged("groups", Q.q_dedup_exact(spark, sf_dir),
+                {"id": "canonical_id", "n": "n_copies"}, _DEDUP_EXACT_S),
+        _tagged("rows", Q.q_dedup_exact_rows(spark, sf_dir),
+                {"id": "doc_id", "n": "n_chars", "lang": "lang", "source": "source"},
+                _DEDUP_EXACT_S),
+    ])
+
+
+_DEDUP_NEAR_S = [("a", "bigint"), ("b", "bigint"), ("v", "double")]
+
+
+def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection, all modalities, under one driver row:
+    MinHash-LSH pairs (tau=0.5), 3-gram Jaccard pairs (tau=0.3), SimHash
+    pairs (hamming<=3), connected components, winnowing fingerprint
+    density. Rows-only by design: xxhash64 banding is not portable to
+    the DuckDB oracle; semantics are pinned in tests/test_dedup.py
+    against exact Jaccard / reference winnower / union-find."""
+    return _union([
+        _tagged("minhash", Q.q_dedup_minhash(spark, sf_dir),
+                {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
+        _tagged("ngram_jaccard", Q.q_dedup_ngram_jaccard(spark, sf_dir),
+                {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
+        _tagged("simhash", Q.q_dedup_simhash(spark, sf_dir),
+                {"a": "id_a", "b": "id_b", "v": "hamming"}, _DEDUP_NEAR_S),
+        _tagged("clusters", Q.q_dedup_clusters(spark, sf_dir),
+                {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
+        _tagged("winnow", Q.q_text_winnow(spark, sf_dir),
+                {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
+    ])
+
+
+_APPROX_S = [("key", "string"), ("n", "bigint"), ("v1", "double"),
+             ("v2", "double"), ("v3", "double")]
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketch aggregates under one driver row: HLL++
+    distinct counts and Greenwald-Khanna percentiles. Rows-only by
+    design (sketch internals are engine-specific); error bounds vs the
+    exact values are asserted in tests/test_relational.py."""
+    return _union([
+        _tagged("hll_distinct", Q.q_approx_distinct(spark, sf_dir),
+                {"key": "o_orderstatus", "n": "approx_distinct_o_custkey"}, _APPROX_S),
+        _tagged("gk_percentiles", Q.q_approx_percentiles(spark, sf_dir),
+                {"key": "l_returnflag", "n": "n", "v1": "p50", "v2": "p90",
+                 "v3": "p99"}, _APPROX_S),
+    ])
+
+
+_ANN_S = [("query_id", "bigint"), ("neighbor_id", "bigint"), ("cos", "double"), ("rnk", "int")]
+
+
+def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors under one driver row: hyperplane-
+    LSH buckets and IVF coarse quantization. Rows-only by design
+    (bucketing is seeded/engine-specific); recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    return _union([
+        _tagged("lsh", Q.q_sim_lsh_topk(spark, sf_dir),
+                {"query_id": "query_id", "neighbor_id": "neighbor_id",
+                 "cos": "cos", "rnk": "rnk"}, _ANN_S),
+        _tagged("ivf", Q.q_sim_ivf_topk(spark, sf_dir),
+                {"query_id": "query_id", "neighbor_id": "neighbor_id",
+                 "cos": "cos", "rnk": "rnk"}, _ANN_S),
+    ])
+
+
+_MM_S = [("media_id", "bigint"), ("v1", "bigint"), ("v2", "bigint"),
+         ("v3", "bigint"), ("s", "string")]
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under one driver row: binary feature
+    extraction (digest/size), resize (output bytes ∝ W*H), frame
+    sampling (UDTF-shaped) — all mapInPandas Arrow batches; codec slots
+    are marked stubs (PIL/ffmpeg absent in container)."""
+    return _union([
+        _tagged("features", Q.q_multimodal_features(spark, sf_dir),
+                {"media_id": "media_id", "v1": "n_bytes", "s": "digest"}, _MM_S),
+        _tagged("resize", Q.q_multimodal_resize(spark, sf_dir),
+                {"media_id": "media_id", "v1": "width", "v2": "height",
+                 "v3": "n_out"}, _MM_S),
+        _tagged("frames", Q.q_multimodal_frames(spark, sf_dir),
+                {"media_id": "media_id", "v1": "frame_idx",
+                 "v2": "n_frame_bytes"}, _MM_S),
+    ])
+
+
+_SAMPLE_S = [("key", "string"), ("lang", "string"), ("n", "bigint"), ("avg_chars", "double")]
+
+
+def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling under one driver row: hash-based
+    train/val/test split counts and per-language stratified systematic
+    10% sample membership (both pure functions of the key — stable
+    across engines, cluster sizes, repartitions)."""
+    return _union([
+        _tagged("hash_split", Q.q_sample_hash_split(spark, sf_dir),
+                {"key": "split", "n": "n", "avg_chars": "avg_chars"}, _SAMPLE_S),
+        _tagged("stratified", Q.q_sample_stratified(spark, sf_dir),
+                {"key": F.col("doc_id").cast("string"), "lang": "lang"}, _SAMPLE_S),
+    ])
+
+
+# --------------------------------------------------------------------------
+# Streaming / SQL front-end / IO composites
+# --------------------------------------------------------------------------
+
+_STREAM_S = [("w_start", "bigint"), ("w_end", "bigint"), ("key", "string"),
+             ("n", "bigint"), ("sum_value", "double")]
+
+
+def q_stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming window semantics (batch-checkable form) under one
+    driver row: tumbling 1h, sliding 2h/1h, session 30min-gap. The
+    watermarked streaming forms are verified stream≡batch in
+    tests/test_streaming.py."""
+    return _union([
+        _tagged("tumbling", Q.q_stream_tumbling(spark, sf_dir),
+                {"w_start": "window_start", "key": "event_type", "n": "n",
+                 "sum_value": "sum_value"}, _STREAM_S),
+        _tagged("sliding", Q.q_stream_sliding(spark, sf_dir),
+                {"w_start": "window_start", "n": "n", "sum_value": "sum_value"},
+                _STREAM_S),
+        _tagged("session", Q.q_stream_session(spark, sf_dir),
+                {"w_start": "session_start", "w_end": "session_end",
+                 "key": F.col("user_id").cast("string"), "n": "n_events"}, _STREAM_S),
+    ])
+
+
+_SQL_S = [("key", "bigint"), ("id", "bigint"), ("s", "string"),
+          ("v1", "double"), ("n", "bigint")]
+
+
+def q_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end surface under one driver row: CTE + correlated
+    subquery, LATERAL top-1, recursive CTE month spine (Spark 4) —
+    the reference's input surface (QueryService.asmx.cs:141-160)
+    generalized far beyond its gudusoft/MySQL parser."""
+    return _union([
+        _tagged("cte", Q.q_sql_cte_subquery(spark, sf_dir),
+                {"key": "c_custkey", "s": "c_name", "v1": "total_spent"}, _SQL_S),
+        _tagged("lateral", Q.q_sql_lateral_topk(spark, sf_dir),
+                {"key": "c_custkey", "id": "o_orderkey", "v1": "o_totalprice"}, _SQL_S),
+        _tagged("recursive", Q.q_sql_recursive_cte(spark, sf_dir),
+                {"s": F.col("month_start").cast("string"), "n": "n_orders",
+                 "v1": "revenue"}, _SQL_S),
+    ])
+
+
+_IO_S = [("key", "string"), ("n", "bigint"), ("v", "double"), ("s", "string")]
+
+
+def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink round trips under one driver row: parquet→CSV→
+    explicit-schema read→agg, and dir-partitioned parquet write→pruned
+    single-partition read→agg."""
+    return _union([
+        _tagged("csv", Q.q_source_csv_roundtrip(spark, sf_dir),
+                {"key": F.col("n_regionkey").cast("string"), "n": "n_nations",
+                 "s": "first_name"}, _IO_S),
+        _tagged("partitioned", Q.q_sink_partitioned_roundtrip(spark, sf_dir),
+                {"key": "l_returnflag", "n": "n_rows", "v": "sum_qty"}, _IO_S),
+    ])
+
+
+# --------------------------------------------------------------------------
+# Composite oracles: the same harmonization over the building-block SQL
+# --------------------------------------------------------------------------
+
+COMPOSITE_ORACLES: dict[str, str] = {}
+
+COMPOSITE_ORACLES["join_outer_suite"] = _sql_union([
+    _sql_tagged("left_outer", ORACLES["join_left_outer"],
+                {"key": "c_custkey", "name": "c_name", "v1": "n_orders"}, _JOIN_OUTER_S),
+    _sql_tagged("semi", ORACLES["join_semi"],
+                {"key": "c_custkey", "name": "c_name"}, _JOIN_OUTER_S),
+    _sql_tagged("anti", ORACLES["join_anti"],
+                {"key": "c_custkey", "name": "c_name"}, _JOIN_OUTER_S),
+    _sql_tagged("full_outer", ORACLES["join_full_outer"],
+                {"key": "nationkey", "v1": "n_cust", "v2": "n_supp"}, _JOIN_OUTER_S),
+])
+
+COMPOSITE_ORACLES["join_special"] = _sql_union([
+    _sql_tagged("cross", ORACLES["join_cross"],
+                {"k1": "r_regionkey", "k2": "n_nationkey", "s1": "r_name",
+                 "s2": "n_name"}, _JOIN_SPECIAL_S),
+    _sql_tagged("theta", ORACLES["join_theta"],
+                {"s1": "o_orderpriority", "v": "n_fast_lines"}, _JOIN_SPECIAL_S),
+    _sql_tagged("null_safe", ORACLES["join_null_safe"],
+                {"k1": "a_id", "k2": "b_id", "v": "k"}, _JOIN_SPECIAL_S),
+])
+
+COMPOSITE_ORACLES["agg_multi_group"] = _sql_union([
+    _sql_tagged("rollup", ORACLES["agg_rollup"],
+                {"g1": "l_returnflag", "g2": "l_linestatus", "n": "n_rows",
+                 "sum_val": "sum_qty"}, _MULTI_GROUP_S),
+    _sql_tagged("cube", ORACLES["agg_cube"],
+                {"g1": "o_orderstatus", "g2": "o_orderpriority", "n": "n_orders",
+                 "sum_val": "sum_price"}, _MULTI_GROUP_S),
+    _sql_tagged("grouping_sets", ORACLES["agg_grouping_sets"],
+                {"g1": "o_orderstatus", "g2": "o_orderpriority", "n": "n_orders",
+                 "sum_val": "sum_price"}, _MULTI_GROUP_S),
+])
+
+COMPOSITE_ORACLES["agg_mixed_suite"] = _sql_union([
+    _sql_tagged("distinct", ORACLES["agg_distinct"],
+                {"key": "o_orderstatus", "n": "n_customers"}, _AGG_MIXED_S),
+    _sql_tagged("percentiles", ORACLES["agg_percentiles"],
+                {"key": "o_orderstatus", "v1": "p50", "v2": "p90", "v3": "p99"},
+                _AGG_MIXED_S),
+    _sql_tagged("string_collect", ORACLES["agg_string_collect"],
+                {"key": "r_name", "s": "nations", "n": "n_nations"}, _AGG_MIXED_S),
+    _sql_tagged("conditional", ORACLES["agg_conditional"],
+                {"key": "l_linestatus", "n": "n", "v1": "n_discounted",
+                 "v2": "CAST(all_positive_qty AS INTEGER)",
+                 "v3": "CAST(any_returned AS INTEGER)"}, _AGG_MIXED_S),
+    _sql_tagged("case_when", ORACLES["fn_case_when"],
+                {"key": "price_band", "n": "n_orders", "v1": "avg_price"}, _AGG_MIXED_S),
+    _sql_tagged("histogram", ORACLES["histogram_bucket"],
+                {"key": "bucket", "n": "n", "v1": "lo", "v2": "hi"}, _AGG_MIXED_S),
+])
+
+COMPOSITE_ORACLES["topk_argmax"] = _sql_union([
+    _sql_tagged("topk", ORACLES["topk_orders_per_customer"],
+                {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
+                 "rn": "rn"}, _TOPK_S),
+    _sql_tagged("argmax", ORACLES["argmax_latest_event"],
+                {"key": "user_id", "id": "event_id", "s": "event_type",
+                 "ts_epoch": "ts_epoch"}, _TOPK_S),
+])
+
+COMPOSITE_ORACLES["sort_pagination"] = _sql_union([
+    _sql_tagged("top25", ORACLES["sort_limit"],
+                {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
+                 "o_totalprice": "o_totalprice"}, _SORT_S),
+    _sql_tagged("page2", ORACLES["sort_limit_offset"],
+                {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}, _SORT_S),
+])
+
+COMPOSITE_ORACLES["set_ops_suite"] = _sql_union([
+    _sql_tagged("union", ORACLES["union_distinct"], {"nationkey": "nationkey"}, _SET_S),
+    _sql_tagged("intersect", ORACLES["set_intersect"], {"nationkey": "nationkey"}, _SET_S),
+    _sql_tagged("except", ORACLES["set_except"], {"nationkey": "nationkey"}, _SET_S),
+    _sql_tagged("intersect_all", ORACLES["set_intersect_all"], {"nationkey": "nationkey"}, _SET_S),
+])
+
+COMPOSITE_ORACLES["dedup_exact_suite"] = _sql_union([
+    _sql_tagged("groups", ORACLES["dedup_exact"],
+                {"id": "canonical_id", "n": "n_copies"}, _DEDUP_EXACT_S),
+    _sql_tagged("rows", ORACLES["dedup_exact_rows"],
+                {"id": "doc_id", "n": "n_chars", "lang": "lang", "source": "source"},
+                _DEDUP_EXACT_S),
+])
+
+COMPOSITE_ORACLES["multimodal_pipeline"] = _sql_union([
+    _sql_tagged("features", ORACLES["multimodal_features"],
+                {"media_id": "media_id", "v1": "n_bytes", "s": "digest"}, _MM_S),
+    _sql_tagged("resize", ORACLES["multimodal_resize"],
+                {"media_id": "media_id", "v1": "width", "v2": "height",
+                 "v3": "n_out"}, _MM_S),
+    _sql_tagged("frames", ORACLES["multimodal_frames"],
+                {"media_id": "media_id", "v1": "frame_idx",
+                 "v2": "n_frame_bytes"}, _MM_S),
+])
+
+COMPOSITE_ORACLES["sample_suite"] = _sql_union([
+    _sql_tagged("hash_split", ORACLES["sample_hash_split"],
+                {"key": "split", "n": "n", "avg_chars": "avg_chars"}, _SAMPLE_S),
+    _sql_tagged("stratified", ORACLES["sample_stratified"],
+                {"key": "CAST(doc_id AS VARCHAR)", "lang": "lang"}, _SAMPLE_S),
+])
+
+COMPOSITE_ORACLES["stream_windows_suite"] = _sql_union([
+    _sql_tagged("tumbling", ORACLES["stream_tumbling"],
+                {"w_start": "window_start", "key": "event_type", "n": "n",
+                 "sum_value": "sum_value"}, _STREAM_S),
+    _sql_tagged("sliding", ORACLES["stream_sliding"],
+                {"w_start": "window_start", "n": "n", "sum_value": "sum_value"},
+                _STREAM_S),
+    _sql_tagged("session", ORACLES["stream_session"],
+                {"w_start": "session_start", "w_end": "session_end",
+                 "key": "CAST(user_id AS VARCHAR)", "n": "n_events"}, _STREAM_S),
+])
+
+COMPOSITE_ORACLES["sql_frontend"] = _sql_union([
+    _sql_tagged("cte", ORACLES["sql_cte_subquery"],
+                {"key": "c_custkey", "s": "c_name", "v1": "total_spent"}, _SQL_S),
+    _sql_tagged("lateral", ORACLES["sql_lateral_topk"],
+                {"key": "c_custkey", "id": "o_orderkey", "v1": "o_totalprice"}, _SQL_S),
+    _sql_tagged("recursive", ORACLES["sql_recursive_cte"],
+                {"s": "CAST(month_start AS VARCHAR)", "n": "n_orders",
+                 "v1": "revenue"}, _SQL_S),
+])
+
+COMPOSITE_ORACLES["io_roundtrip"] = _sql_union([
+    _sql_tagged("csv", ORACLES["source_csv_roundtrip"],
+                {"key": "CAST(n_regionkey AS VARCHAR)", "n": "n_nations",
+                 "s": "first_name"}, _IO_S),
+    _sql_tagged("partitioned", ORACLES["sink_partitioned_roundtrip"],
+                {"key": "l_returnflag", "n": "n_rows", "v": "sum_qty"}, _IO_S),
+])
+
+
+# --------------------------------------------------------------------------
+# Suite oracles (for the single-plan suites defined in queries.py)
+# --------------------------------------------------------------------------
+
+SUITE_ORACLES: dict[str, str] = {}
+
+SUITE_ORACLES["window_suite"] = r"""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+               CAST(date_diff('day',
+                    lag(o_orderdate) OVER w_seq, o_orderdate) AS INTEGER) AS days_since_prev,
+               first_value(o_orderkey) OVER w_full AS first_order,
+               last_value(o_orderkey) OVER w_full AS last_order,
+               nth_value(o_orderkey, 2) OVER w_full AS second_order,
+               count(*) OVER w_range AS n_near,
+               round(sum(o_totalprice) OVER w_range, 2) AS sum_near,
+               CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS quartile,
+               round(percent_rank() OVER w_pct, 6) AS pct_rank,
+               round(cume_dist() OVER w_pct, 6) AS cume,
+               CAST(dense_rank() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC) AS INTEGER) AS value_rank
+        FROM orders
+        WINDOW w_seq AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+               w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+               w_range AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC
+                           RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING),
+               w_pct AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """
+
+SUITE_ORACLES["fn_string_suite"] = r"""
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               lower(p_type) AS type_lower,
+               substr(p_name, 1, 8) AS name_prefix,
+               p_brand || '#' || p_type AS brand_type,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               replace(p_name, 'a', '@') AS name_subst,
+               regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+               regexp_extract(p_name, '(\d+)', 1) AS first_digits,
+               regexp_matches(p_name, 'part') AS has_part,
+               levenshtein(lower(p_name), lower(p_type)) AS name_type_dist,
+               levenshtein('standard', lower(p_type)) AS std_dist
+        FROM part
+    """
+
+SUITE_ORACLES["fn_math_bitwise"] = r"""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS abs_disc_delta,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               round(sqrt(l_quantity), 4) AS qty_sqrt,
+               round(ln(l_extendedprice + 1.0), 4) AS price_ln,
+               round(pow(l_tax + 1.0, 2), 6) AS tax_sq,
+               CAST(l_partkey % 7 AS BIGINT) AS part_mod,
+               l_orderkey & 255 AS and255,
+               l_orderkey | 1 AS or1,
+               xor(l_orderkey, l_partkey) AS xor_part,
+               CAST(l_linenumber << 3 AS INTEGER) AS shl3,
+               l_orderkey >> 2 AS shr2,
+               l_quantity AS qty_from_map,
+               l_tax AS tax_from_map,
+               3 AS map_size
+        FROM lineitem
+    """
+
+SUITE_ORACLES["fn_temporal"] = r"""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(day(o_orderdate) AS INTEGER) AS order_day,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(last_day(o_orderdate) AS DATE) AS month_end,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+               greatest(o_totalprice, 100000.0) AS price_floor100k,
+               least(o_totalprice, 300000.0) AS price_cap300k,
+               (nullif(o_orderpriority, o_orderpriority) IS NULL) AS always_true
+        FROM orders
+    """
+
+SUITE_ORACLES["fn_json_variant"] = r"""
+        WITH t AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events)
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(max(k) AS INTEGER) AS max_k,
+               CAST(max(k) AS INTEGER) AS vmax_k,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+               CAST(sum(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_round
+        FROM t GROUP BY event_type
+    """
+
+SUITE_ORACLES["fn_collections"] = r"""
+        WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               round(v[1], 5) AS first_val,
+               round(v[-1], 5) AS last_val,
+               round(list_max(v), 5) AS max_val,
+               round(list_min(v), 5) AS min_val,
+               round(v[1] * 2.0, 5) AS first_doubled,
+               CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+               round(list_sum(v), 5) AS sum_elems
+        FROM e
+    """
+
+SUITE_ORACLES["text_doc_profile"] = r"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   len(regexp_extract_all(lower(text),
+                       '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_actual,
+               round(CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE)
+                     / len(toks), 4) AS stop_ratio,
+               round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks), 4) AS mean_wlen,
+               CASE WHEN CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE)
+                         / len(toks) >= 0.08
+                    THEN 'en' ELSE 'other' END AS lang_pred,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+               CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+               round(CAST(n_bpe AS DOUBLE) / greatest(len(toks), 1), 4) AS fertility
+        FROM t
+    """
+
+SUITE_ORACLES["agg_stats_suite"] = r"""
+        WITH s AS (
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 4) AS sd_qty,
+                   round(var_samp(l_discount), 6) AS var_disc,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+                   round(avg(l_tax), 6) AS avg_tax,
+                   round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+                   bit_or(CAST(l_linenumber AS BIGINT)) AS bits_or,
+                   bit_and(CAST(l_linenumber AS BIGINT)) AS bits_and,
+                   bit_xor(CAST(l_linenumber AS BIGINT)) AS bits_xor
+            FROM lineitem GROUP BY l_returnflag),
+        c AS (
+            SELECT l_returnflag, l_quantity, count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2),
+        m AS (
+            SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                           ORDER BY cnt DESC, l_quantity) AS rn FROM c) r
+            WHERE rn = 1)
+        SELECT s.*, m.mode_qty, m.mode_n
+        FROM s JOIN m USING (l_returnflag)
+    """
+
+
+# --------------------------------------------------------------------------
+# The registry: <=48 driver entries, all inside the 50-row cap
+# --------------------------------------------------------------------------
+
+INVENTORY = {
+    # reference algebra (SURVEY §2.1)
+    "leaf_scan_filter": Q.q_leaf_scan_filter,
+    "select_project_join": Q.q_select_project_join,
+    "fragment_vertical_join": Q.q_fragment_vertical_join,
+    "fragment_horizontal_union": Q.q_fragment_horizontal_union,
+    "fragment_transparent_join": Q.q_fragment_transparent_join,
+    # joins
+    "join_outer_suite": q_join_outer_suite,
+    "join_special": q_join_special,
+    # aggregation
+    "agg_pricing_summary": Q.q_agg_pricing_summary,
+    "agg_top_nation_revenue": Q.q_agg_top_nation_revenue,
+    "agg_multi_group": q_agg_multi_group,
+    "agg_stats_suite": Q.q_agg_stats_suite,
+    "agg_mixed_suite": q_agg_mixed_suite,
+    "approx_sketches": q_approx_sketches,
+    # windows / sort / top-k
+    "window_suite": Q.q_window_suite,
+    "topk_argmax": q_topk_argmax,
+    "sort_pagination": q_sort_pagination,
+    "set_ops_suite": q_set_ops_suite,
+    # scalar function surface
+    "fn_string_suite": Q.q_fn_string_suite,
+    "fn_math_bitwise": Q.q_fn_math_bitwise,
+    "fn_temporal": Q.q_fn_temporal,
+    "fn_json_variant": Q.q_fn_json_variant,
+    "fn_collections": Q.q_fn_collections,
+    # text / dedup / similarity / multimodal (north star)
+    "text_doc_profile": Q.q_text_doc_profile,
+    "text_wordcount": Q.q_fn_array_explode,
+    "dedup_exact_suite": q_dedup_exact_suite,
+    "dedup_near_suite": q_dedup_near_suite,
+    "dedup_embedding": Q.q_dedup_embedding,
+    "sim_bruteforce_topk": Q.q_sim_bruteforce_topk,
+    "sim_ann_topk": q_sim_ann_topk,
+    "multimodal_pipeline": q_multimodal_pipeline,
+    "sample_suite": q_sample_suite,
+    "pipeline_clean_corpus": Q.q_pipeline_clean_corpus,
+    # streaming / temporal joins
+    "stream_windows_suite": q_stream_windows_suite,
+    "stream_interval_join": Q.q_stream_interval_join,
+    "asof_join": Q.q_asof_join,
+    "range_join": Q.q_range_join,
+    "time_rollup": Q.q_time_rollup,
+    # reshaping / SQL / UDF / IO
+    "pivot_unpivot": Q.q_unpivot_events,
+    "sql_frontend": q_sql_frontend,
+    "grouped_zscore": Q.q_grouped_zscore,
+    "io_roundtrip": q_io_roundtrip,
+    # TPC-H corpus
+    "tpch_q3_shipping_priority": Q.q_tpch_q3_shipping_priority,
+    "tpch_q4_order_priority": Q.q_tpch_q4_order_priority,
+    "tpch_q10_returned_items": Q.q_tpch_q10_returned_items,
+    "tpch_q12_priority_class": Q.q_tpch_q12_priority_class,
+    "tpch_q14_promo_effect": Q.q_tpch_q14_promo_effect,
+    "tpch_q16_supplier_variety": Q.q_tpch_q16_supplier_variety,
+    "tpch_q19_disjunctive_revenue": Q.q_tpch_q19_disjunctive_revenue,
+}
+
+# Rows-only by design (no portable oracle): see each query's docstring.
+ROWS_ONLY = {"dedup_near_suite", "approx_sketches", "sim_ann_topk"}
+
+INVENTORY_ORACLES: dict[str, str] = {}
+for _name in INVENTORY:
+    if _name in ROWS_ONLY:
+        continue
+    if _name in COMPOSITE_ORACLES:
+        INVENTORY_ORACLES[_name] = COMPOSITE_ORACLES[_name]
+    elif _name in SUITE_ORACLES:
+        INVENTORY_ORACLES[_name] = SUITE_ORACLES[_name]
+    elif _name == "text_wordcount":
+        INVENTORY_ORACLES[_name] = ORACLES["fn_array_explode"]
+    elif _name == "pivot_unpivot":
+        INVENTORY_ORACLES[_name] = ORACLES["unpivot_events"]
+    else:
+        INVENTORY_ORACLES[_name] = ORACLES[_name]
+
+assert len(INVENTORY) <= 48, f"inventory exceeds driver cap margin: {len(INVENTORY)}"
+assert set(INVENTORY_ORACLES) == set(INVENTORY) - ROWS_ONLY

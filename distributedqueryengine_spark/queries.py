@@ -1638,3 +1638,229 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["k"].eqNullSafe(b["k"]))
         .select("a_id", "b_id", a["k"].alias("k"))
     )
+
+
+# --------------------------------------------------------------------------
+# Consolidated suite queries (round 2): one driver-checked plan per
+# operator family so the FULL inventory fits inside the driver's 50-row
+# correctness cap (VERDICT r1 "Next round #1"). Each suite is a single
+# coherent plan — multiple window specs / scalar expressions in one
+# projection — not a bag of unrelated jobs.
+# --------------------------------------------------------------------------
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full window-function surface in ONE pass over orders: running
+    frame, lag, full-partition first/last/nth, RANGE frame, ntile,
+    percent_rank/cume_dist, dense_rank. Spark plans one Window exec per
+    distinct (partition, order, frame) spec over a single shuffle per
+    partitioning key — 3 partitionings here vs 7 separate scans before."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_totalprice"))
+        .rangeBetween(-10000, 10000)
+    )
+    w_ntile = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_pct = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_dense = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w_seq))
+        .cast("int")
+        .alias("days_since_prev"),
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.count(F.lit(1)).over(w_range).alias("n_near"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("sum_near"),
+        F.ntile(4).over(w_ntile).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w_pct), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_pct), 6).alias("cume"),
+        F.dense_rank().over(w_dense).cast("int").alias("value_rank"),
+    )
+
+
+def q_fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface in one projection over part: case ops,
+    substring, concat, replace, regexp extract/match, levenshtein."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).cast("int").alias("name_len"),
+        F.regexp_replace(F.col("p_name"), "a", "@").alias("name_subst"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+        F.regexp_extract(F.col("p_name"), r"(\d+)", 1).alias("first_digits"),
+        F.col("p_name").rlike("part").cast("boolean").alias("has_part"),
+        F.levenshtein(F.lower("p_name"), F.lower("p_type")).alias("name_type_dist"),
+        F.levenshtein(F.lit("standard"), F.lower("p_type")).alias("std_dist"),
+    )
+
+
+def q_fn_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + bitwise + map-type surface in one projection over
+    lineitem — all JVM expressions inside one whole-stage-codegen span."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("tax"), F.col("l_tax"),
+        F.lit("disc"), F.col("l_discount"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("price_floor"),
+        F.round(F.sqrt(F.col("l_quantity")), 4).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 4).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("tax_sq"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("part_mod"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and255"),
+        F.col("l_orderkey").bitwiseOR(F.lit(1)).alias("or1"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("xor_part"),
+        F.shiftleft(F.col("l_linenumber"), 3).cast("int").alias("shl3"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("shr2"),
+        F.element_at(m, "qty").alias("qty_from_map"),
+        F.element_at(m, "tax").alias("tax_from_map"),
+        F.size(m).cast("int").alias("map_size"),
+    )
+
+
+def q_fn_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal + null-handling surface in one projection over orders:
+    extract/trunc/diff/add, quarter/week/doy, month-end arithmetic,
+    coalesce/nullif/greatest/least."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_2002"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow_sun1"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.last_day("o_orderdate").cast("date").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("date").alias("plus3m"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
+        F.least(F.col("o_totalprice"), F.lit(300000.0)).alias("price_cap300k"),
+        F.isnull(F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority"))).alias(
+            "always_true"
+        ),
+    )
+
+
+def q_fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface in ONE aggregation over events: JSON
+    path extraction (get_json_object), schema-full parsing (from_json),
+    and the Spark 4 VARIANT type (parse_json + try_variant_get) — all
+    three extraction paths must agree with the oracle's json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    kj = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ks = F.from_json(F.col("props"), "k INT").getField("k")
+    kv = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    base = ev.select(
+        "event_type", kj.alias("kj"), ks.alias("ks"), kv.alias("kv")
+    )
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("kj").cast("bigint").alias("sum_k"),
+        F.max("kj").cast("int").alias("max_k"),
+        F.max("kv").cast("int").alias("vmax_k"),
+        F.sum(F.when(F.col("kv").isNull(), 1).otherwise(0)).cast("long").alias("n_null_k"),
+        F.count_if((F.col("ks") % 10) == 0).alias("n_round"),
+    )
+
+
+def q_fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function surface in one projection over the
+    embedding arrays: size/element_at/min/max plus transform/filter/
+    aggregate lambdas — all JVM-side (no UDF)."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    doubled = F.transform(vec, lambda x: F.round(x * 2.0, 5))
+    n_pos = F.size(F.filter(vec, lambda x: x > 0))
+    total = F.round(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 5)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(vec, 1), 5).alias("first_val"),
+        F.round(F.element_at(vec, -1), 5).alias("last_val"),
+        F.round(F.array_max(vec), 5).alias("max_val"),
+        F.round(F.array_min(vec), 5).alias("min_val"),
+        F.element_at(doubled, 1).alias("first_doubled"),
+        n_pos.cast("int").alias("n_positive"),
+        total.alias("sum_elems"),
+    )
+
+
+def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile in ONE scan: whitespace + BPE
+    token counts, char count, stopword ratio, mean word length,
+    language ID, content fingerprint, tokenizer fertility. The
+    single-scan form is the point at 100 TB — four separate profile
+    queries would read the corpus four times."""
+    from distributedqueryengine_spark.functions import text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
+        F.round(T.mean_word_len("text"), 4).alias("mean_wlen"),
+        T.lang_id("text").alias("lang_pred"),
+        T.fingerprint("text").alias("fp"),
+        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.round(
+            T.bpe_token_count("text").cast("double")
+            / F.greatest(T.token_count("text"), F.lit(1)).cast("double"),
+            4,
+        ).alias("fertility"),
+    )
+
+
+def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface in ONE groupBy over lineitem:
+    stddev/variance/corr/covar, regression moments, bitwise aggs —
+    all partial+final combinable — plus the deterministic mode
+    (max-count, min-value tiebreak) joined on the 3-row group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("bigint")
+    stats = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n_pairs"),
+        F.bit_or(ln).alias("bits_or"),
+        F.bit_and(ln).alias("bits_and"),
+        F.bit_xor(ln).alias("bits_xor"),
+    )
+    mode = q_agg_mode(spark, sf_dir)
+    return stats.join(F.broadcast(mode), "l_returnflag")

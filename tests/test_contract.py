@@ -33,16 +33,17 @@ def test_rows_only_queries_are_the_documented_set():
     qs = set(entry_mod.queries())
     no_oracle = qs - set(entry_mod.oracle_sql())
     assert no_oracle == {
-        "dedup_minhash",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "sim_lsh_topk",
-        "sim_ivf_topk",
-        "approx_distinct",
-        "approx_percentiles",
-        "text_winnow",
-        "dedup_clusters",
+        "dedup_near_suite",
+        "approx_sketches",
+        "sim_ann_topk",
     }, f"unexpected rows-only set: {no_oracle}"
+
+
+def test_inventory_fits_driver_cap():
+    """The driver's correctness run caps at 50 queries (alphabetical);
+    everything must fit inside it or half the inventory goes
+    unverified (VERDICT r1)."""
+    assert len(entry_mod.queries()) <= 50
 
 
 def test_all_oracles_execute_on_duckdb(duck):
@@ -54,5 +55,5 @@ def test_all_oracles_execute_on_duckdb(duck):
 
 
 def test_inventory_size_floor():
-    assert len(entry_mod.queries()) >= 68
-    assert len(entry_mod.oracle_sql()) >= 63
+    assert len(entry_mod.queries()) >= 45
+    assert len(entry_mod.oracle_sql()) >= 42

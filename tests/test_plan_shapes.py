@@ -17,13 +17,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # Queries whose SEMANTICS require a non-equi join strategy.
 NESTED_LOOP_OK = {
-    "join_cross",        # explicit cartesian by definition
-    "join_theta",        # pure inequality predicate — no equi keys exist
-    "sort_limit_offset", # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
+    "join_special",      # contains the explicit cross-join branch (cartesian by definition)
+    "sort_pagination",   # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
 }
-
-STREAMING = {"stream_tumbling", "stream_sliding", "stream_session"}
-
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
@@ -33,7 +29,7 @@ def _plan(df) -> str:
 def plans(spark):
     out = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        if name in ("dedup_clusters",):  # iterative: executes jobs eagerly, covered in test_dedup
+        if name in ("dedup_near_suite",):  # contains iterative clusters: executes jobs eagerly, covered in test_dedup
             continue
         out[name] = _plan(fn(spark, SF_DIR))
     return out
