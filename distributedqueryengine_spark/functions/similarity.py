@@ -61,11 +61,18 @@ def _cosine_udf():
         A = np.vstack(a.to_numpy())
         B = np.vstack(b.to_numpy())
         dots = np.einsum("ij,ij->i", A, B)
-        na = np.sqrt(np.einsum("ij,ij->i", A, A))
-        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        # eps floor: a zero vector yields cos 0, not NaN
+        na = np.maximum(np.sqrt(np.einsum("ij,ij->i", A, A)), 1e-12)
+        nb = np.maximum(np.sqrt(np.einsum("ij,ij->i", B, B)), 1e-12)
         return pd.Series(dots / (na * nb))
 
     return cos
+
+
+def _safe_norm(M: np.ndarray) -> np.ndarray:
+    """Row-normalize with an eps floor (zero vectors stay zero instead
+    of propagating NaN through every downstream similarity)."""
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
 def brute_force_topk(
@@ -93,7 +100,7 @@ def brute_force_topk(
     q_rows = queries.select(F.col(id_col), as_double(vec_col)).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _safe_norm(Q)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, Qn))
 
@@ -118,7 +125,7 @@ def brute_force_topk(
         acc_i: list[np.ndarray] = []
         for pdf in batches:
             C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = _safe_norm(C)
             sims = np.round(Cn @ Qn_b.T, 6)  # (batch, n_q)
             c_ids = pdf[id_col].to_numpy()
             sims[c_ids[:, None] == ids_b[None, :]] = -np.inf  # self-match
@@ -139,13 +146,11 @@ def brute_force_topk(
             }
         )
 
-    src = corpus.select(id_col, as_double(vec_col).alias(vec_col))
+    from distributedqueryengine_spark.session import ensure_parallelism
+
     # Parallelize single-file local inputs; a real multi-partition
     # dataset skips this (the shuffle would be pure overhead).
-    n_parts = src.rdd.getNumPartitions()
-    target = int(sc.defaultParallelism)
-    if n_parts < max(2, target // 4):
-        src = src.repartition(target)
+    src = ensure_parallelism(corpus.select(id_col, as_double(vec_col).alias(vec_col)))
     local = src.mapInPandas(score_partition, out_schema)
     from pyspark.sql.window import Window
 
@@ -202,6 +207,163 @@ def lsh_buckets_udf(tables: list[list[list[float]]]):
     return bucketize
 
 
+def lsh_probe_buckets_udf(tables: list[list[list[float]]], probe_flips: int = 1):
+    """Query-side bucketizer with multi-probe: per table, the home
+    bucket plus every bucket within Hamming distance `probe_flips` of it
+    (flipping the least-certain bits one at a time). Multi-probe buys
+    the recall of many tables for the storage/build cost of few — the
+    standard trade (Lv et al., VLDB'07). Returns array<long> of length
+    n_tables * (1 + n_planes * probe_flips_used)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([p for tbl in tables for p in tbl], dtype=np.float64)
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        M = np.vstack(vecs.to_numpy())
+        proj = M @ planes.T
+        bits = (proj >= 0).astype(np.int64).reshape(len(M), n_tables, n_planes)
+        home = (bits * weights).sum(axis=2)  # (batch, n_tables)
+        outs = [home]
+        if probe_flips >= 1:
+            for j in range(n_planes):
+                outs.append(home ^ (1 << j))
+        allb = np.stack(outs, axis=2).reshape(len(M), -1)
+        return pd.Series(list(allb))
+
+    return probe
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    rows = queries.select(F.col(id_col), as_double(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, M
+
+
+def _sorted_probe_tables(qb: np.ndarray):
+    """qb: (n_queries, n_tables, n_probes) bucket ids → per-table
+    sorted bucket arrays + aligned query-index arrays, the layout
+    `_pruned_topk_broadcast` probes with searchsorted."""
+    n_q, n_tables, n_probes = qb.shape
+    table_buckets: list[np.ndarray] = []
+    table_qidx: list[np.ndarray] = []
+    for t in range(n_tables):
+        b = qb[:, t, :].ravel()
+        qi = np.repeat(np.arange(n_q), n_probes)
+        order = np.argsort(b, kind="stable")
+        table_buckets.append(b[order])
+        table_qidx.append(qi[order])
+    return table_buckets, table_qidx
+
+
+def _pruned_topk_broadcast(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    q_ids: np.ndarray,
+    Qn: np.ndarray,
+    corpus_buckets_fn,
+    table_buckets: list[np.ndarray],
+    table_qidx: list[np.ndarray],
+) -> DataFrame:
+    """Shared engine for broadcast-pruned ANN top-k (LSH and IVF): the
+    exact plan shape of `brute_force_topk` — one narrow mapInPandas
+    stage over the corpus, partition-local top-k, one window shuffle of
+    O(partitions·queries·k) triples — but each corpus row is scored
+    only against the queries probing its bucket(s).
+
+    `corpus_buckets_fn(M) -> (n, n_tables)` assigns bucket ids per
+    corpus vector (signed projections for LSH, nearest-centroid cell
+    for IVF); `table_buckets`/`table_qidx` are the query side's sorted
+    probe arrays (one pair per table). Candidate lookup is a vectorized
+    searchsorted per table; pairs found in several tables are scored
+    once (np.unique dedup). Every pruned FLOP is a real saving because
+    the plan contains nothing beyond what brute force already pays.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql.window import Window
+
+    n_tables = len(table_buckets)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, Qn, table_buckets, table_qidx))
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, Qn_b, tb, tq = bq.value
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Cn = _safe_norm(C)
+            c_ids = pdf[id_col].to_numpy()
+            cb = corpus_buckets_fn(C)  # (b, n_tables)
+            rows_l: list[np.ndarray] = []
+            qis_l: list[np.ndarray] = []
+            for t in range(n_tables):
+                lo = np.searchsorted(tb[t], cb[:, t], "left")
+                hi = np.searchsorted(tb[t], cb[:, t], "right")
+                counts = hi - lo
+                total = int(counts.sum())
+                if not total:
+                    continue
+                rows = np.repeat(np.arange(len(C)), counts)
+                # concatenated per-row ranges [lo_i, hi_i) without a loop
+                offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+                pos = np.repeat(lo, counts) + offs
+                rows_l.append(rows)
+                qis_l.append(tq[t][pos])
+            if not rows_l:
+                continue
+            rows = np.concatenate(rows_l)
+            qis = np.concatenate(qis_l)
+            # dedup (row, query) pairs found in multiple tables
+            key = rows * len(ids_b) + qis
+            uniq = np.unique(key)
+            rows, qis = uniq // len(ids_b), uniq % len(ids_b)
+            keep = c_ids[rows] != ids_b[qis]  # self-match
+            rows, qis = rows[keep], qis[keep]
+            if not len(rows):
+                continue
+            sims = np.round(np.einsum("ij,ij->i", Cn[rows], Qn_b[qis]), 6)
+            acc.append(pd.DataFrame(
+                {"qi": qis, "neighbor_id": c_ids[rows], "cos": sims}
+            ))
+        if not acc:
+            return
+        pdf = pd.concat(acc)
+        # partition-local top-k per query under the global total order
+        order = np.lexsort((pdf["neighbor_id"].to_numpy(),
+                            -pdf["cos"].to_numpy(),
+                            pdf["qi"].to_numpy()))
+        pdf = pdf.iloc[order]
+        rank = pdf.groupby("qi").cumcount()
+        pdf = pdf[rank < k]
+        yield pd.DataFrame(
+            {
+                "query_id": bq.value[0][pdf["qi"].to_numpy()],
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "cos": pdf["cos"].to_numpy(),
+            }
+        )
+
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    src = ensure_parallelism(corpus.select(id_col, as_double(vec_col).alias(vec_col)))
+    local = src.mapInPandas(score_partition, "query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -209,68 +371,106 @@ def lsh_topk(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
-    n_tables: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_flips: int = 1,
     seed: int = 42,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH
-    bucket with the query in at least one of `n_tables` tables.
+    bucket with the query in at least one of `n_tables` tables, with
+    Hamming-1 multi-probe on the query side.
 
-    2^n_planes buckets/table shrink each query's candidate set by
-    ~2^n_planes/n_tables; the equi-join on (table, bucket) is hash-
-    partitionable, so at 100 TB the cross product never materializes.
+    Default path (broadcast_queries=True) is a bucket-PRUNED
+    brute_force_topk with the identical plan shape — one narrow
+    mapInPandas stage over the corpus plus one window shuffle of
+    O(partitions·queries·k) triples: query buckets (with probes) are
+    precomputed driver-side into per-table sorted arrays, broadcast,
+    and each corpus partition does vectorized searchsorted lookups to
+    form candidate (row, query) pairs, one einsum over exactly those
+    pairs, then partition-local top-k. Every saved FLOP is real because
+    nothing else was added to the plan. Same contract as
+    brute_force_topk: queries fit in executor memory.
 
-    Defaults (4 planes × 16 tables) are tuned for near-uniform random
-    vectors, where neighbor angles are wide (~60°) and recall is the
-    binding constraint (measured 0.84 recall@5 on the fixture). Real
-    embedding distributions are clustered — raise n_planes (smaller
-    buckets, cheaper) before raising n_tables.
+    broadcast_queries=False is the arbitrarily-large-query-set path:
+    the bucket membership becomes an equi-join on (table, bucket) with
+    ids only, vectors re-fetched per candidate — no broadcast anywhere.
+
+    Defaults (8 planes → 256 buckets/table, 8 tables, Hamming-1
+    multi-probe) prune candidates to ~25% of the corpus on the iid-
+    random fixture at ~0.65 recall@5 (test bar 0.5). Selectivity
+    analysis: with collision prob p = 1-θ/π per plane, per-table
+    candidate rate is p^8 + 8·p^7(1-p); iid-random vectors (θ≈68°,
+    ρ≈0.69) are LSH's worst case — clustered real embeddings (θ≪45°)
+    prune 10-100× harder at the same recall. Raise n_planes before
+    n_tables at scale.
     """
+    from pyspark.sql.window import Window
+
     tables = [
         [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
         for t in range(n_tables)
     ]
-    bucketize_udf = lsh_buckets_udf(tables)
-
-    def bucketize(df: DataFrame, ident: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(ident),
-            as_double(vec_col).alias(f"{ident}_v"),
-            F.posexplode(bucketize_udf(as_double(vec_col))).alias("tbl", "bkt"),
-        )
-
-    qb = bucketize(queries, "query_id").select("query_id", "tbl", "bkt")
-    cb = bucketize(corpus, "neighbor_id").select("neighbor_id", "tbl", "bkt")
-    # Dedup candidate *id pairs* only (16-byte rows through the shuffle),
-    # then join the vectors back — at scale this keeps the distinct from
-    # shuffling two 64-dim vectors per candidate row.
-    cand = (
-        qb.join(cb, ["tbl", "bkt"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    cos = _cosine_udf()
-    scored = (
-        cand.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
-        )
-    )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+
+    if not broadcast_queries:
+        n_probes = 1 + (n_planes if probe_flips >= 1 else 0)
+        corpus_udf = lsh_buckets_udf(tables)
+        query_udf = lsh_probe_buckets_udf(tables, probe_flips)
+        cb_ids = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode(corpus_udf(as_double(vec_col))).alias("tbl", "bkt"),
+        )
+        qb_ids = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(query_udf(as_double(vec_col))).alias("pos", "bkt"),
+        ).select("query_id", (F.col("pos") / n_probes).cast("int").alias("tbl"), "bkt")
+        cand = (
+            cb_ids.join(qb_ids, ["tbl", "bkt"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        cos = _cosine_udf()
+        scored = (
+            cand.join(cv, "neighbor_id")
+            .join(qv, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+        )
+
+    # ---- broadcast path: pruned brute force, one pandas stage ----
+    planes = np.array([p for tbl in tables for p in tbl], dtype=np.float64)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def home_buckets(M: np.ndarray) -> np.ndarray:
+        """(n, n_tables) signed-projection buckets."""
+        bits = (M @ planes.T >= 0).astype(np.int64).reshape(len(M), n_tables, n_planes)
+        return (bits * weights).sum(axis=2)
+
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    Qn = _safe_norm(Q)
+    home = home_buckets(Q)  # (nq, T)
+    # probe set per (query, table): home + Hamming-1 flips
+    probes = [home]
+    if probe_flips >= 1:
+        probes += [home ^ (1 << j) for j in range(n_planes)]
+    qb = np.stack(probes, axis=2)  # (nq, T, n_probes)
+    table_buckets, table_qidx = _sorted_probe_tables(qb)
+    return _pruned_topk_broadcast(
+        corpus, id_col, vec_col, k, q_ids, Qn, home_buckets, table_buckets, table_qidx
     )
 
 
@@ -279,54 +479,76 @@ def cosine_pairs_above(
     tau: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 256,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All unordered pairs with cosine >= tau — embedding-based near-dup
-    detection (exact variant).
+    detection, EXACT, fully distributed (no driver collect, no corpus
+    broadcast).
 
-    The corpus matrix is broadcast once; each partition scores its rows
-    against the full matrix with one BLAS matmul and emits only
-    above-threshold pairs with id_a < id_b (each pair produced exactly
-    once, by the partition holding the smaller... either row — the
-    id_a < id_b mask dedups deterministically because every partition
-    sees the full broadcast matrix).
+    Block-pair decomposition: rows hash into B blocks; the B·(B+1)/2
+    unordered block pairs become applyInPandas groups, each computing
+    one small BLAS matmul and emitting only above-threshold id pairs.
+    A pair of rows meets in exactly one group (the pair of their
+    blocks), so no cross-group dedup is needed; within a same-block
+    group the strict id_a < id_b upper triangle dedups.
 
-    Scale contract: exact all-pairs requires the corpus matrix to fit
-    in executor memory (~1 GB per 2M×64-dim float64). Beyond that, run
-    `lsh_topk`-style bucketing first and verify candidates with
-    `_cosine_udf` — same trade as MinHash vs exact Jaccard in dedup.py.
+    Scale: shuffle volume is n·B rows (each row participates in B block
+    pairs) and peak task memory is ~2·rows_per_block vectors — both
+    independent of the driver. The FLOP count is the inherent n²/2 of
+    EXACT all-pairs; at corpus sizes where n² is unpayable, prefilter
+    candidates with `lsh_topk`-style bucketing and verify with
+    `_cosine_udf` (the same approximate trade as MinHash vs exact
+    Jaccard in dedup.py).
     """
-    from collections.abc import Iterator
+    import math as _math
 
-    rows = corpus.select(F.col(id_col), as_double(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((ids, Mn))
+    spark = corpus.sparkSession
+    src = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    if n_blocks is None:
+        n = src.count()
+        n_blocks = max(1, _math.ceil(n / rows_per_block))
+    B = int(n_blocks)
+    src = src.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
+    )
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(B) for b in range(a, B)], "ba int, bb int"
+    )
+    rep = src.join(
+        F.broadcast(block_pairs),
+        (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")),
+    )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, Mn_b = bc.value
-        for pdf in batches:
-            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            sims = np.round(Cn @ Mn_b.T, 6)
-            c_ids = pdf[id_col].to_numpy()
-            mask = (sims >= tau) & (c_ids[:, None] < all_ids[None, :])
-            ri, ci = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": c_ids[ri],
-                    "id_b": all_ids[ci],
-                    "cos": sims[ri, ci],
-                }
+    def score_block_pair(key, pdf):
+        ba, bb = key
+        a_pdf = pdf[pdf["blk"] == ba]
+        b_pdf = pdf[pdf["blk"] == bb]
+        if a_pdf.empty or b_pdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
+        A = _safe_norm(np.vstack(a_pdf["v"].to_numpy()).astype(np.float64))
+        Bm = _safe_norm(np.vstack(b_pdf["v"].to_numpy()).astype(np.float64))
+        ids_a = a_pdf["id"].to_numpy()
+        ids_b = b_pdf["id"].to_numpy()
+        sims = np.round(A @ Bm.T, 6)
+        mask = sims >= tau
+        if ba == bb:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ri, ci = np.nonzero(mask)
+        ia, ib = ids_a[ri], ids_b[ci]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos": sims[ri, ci],
+            }
+        )
 
-    src = corpus.select(id_col, as_double(vec_col).alias(vec_col))
-    n_parts = src.rdd.getNumPartitions()
-    target = int(sc.defaultParallelism)
-    if n_parts < max(2, target // 4):
-        src = src.repartition(target)
-    return src.mapInPandas(score, "id_a long, id_b long, cos double")
+    return rep.groupBy("ba", "bb").applyInPandas(
+        score_block_pair, "id_a long, id_b long, cos double"
+    )
 
 
 def _train_centroids_kmeans(
@@ -340,10 +562,10 @@ def _train_centroids_kmeans(
     (hash-ordered, hence deterministic) sample; empty cells re-seed
     from the worst-assigned points, so all cells stay live.
     """
-    Sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    Sn = _safe_norm(sample)
     C = Sn[:n_cells].copy()
     for _ in range(n_iter):
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Cn = _safe_norm(C)
         sims = Sn @ Cn.T  # (sample, cells)
         assign = sims.argmax(axis=1)
         for c in range(n_cells):
@@ -352,7 +574,7 @@ def _train_centroids_kmeans(
                 C[c] = members.mean(axis=0)
             else:
                 C[c] = Sn[sims.max(axis=1).argmin()]
-    return C / np.linalg.norm(C, axis=1, keepdims=True)
+    return _safe_norm(C)
 
 
 def _nearest_cells_udf(centroids: np.ndarray, n_probe: int):
@@ -365,7 +587,7 @@ def _nearest_cells_udf(centroids: np.ndarray, n_probe: int):
     @pandas_udf("array<int>")
     def cells(vecs: pd.Series) -> pd.Series:
         M = np.vstack(vecs.to_numpy())
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = _safe_norm(M)
         sims = Mn @ Cn.T  # (batch, n_cells)
         p = min(n_probe, sims.shape[1])
         idx = np.argpartition(-sims, p - 1, axis=1)[:, :p]
@@ -386,6 +608,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     sample_per_cell: int = 64,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the clustered-embeddings counterpart to `lsh_topk` (which assumes
@@ -396,11 +619,22 @@ def ivf_topk(
     every corpus vector its nearest cell — no shuffle; (3) queries
     probe their n_probe nearest cells; (4) the (cell) equi-join makes
     candidates |corpus|·n_probe/n_cells per query instead of |corpus|;
-    (5) vectorized cosine + per-query top-k window. Candidate id pairs
-    (16 bytes) are what shuffles, never vector payloads.
+    (5) vectorized cosine + per-query top-k window.
+
+    Two join strategies:
+    - broadcast_queries=True (default): the bucketized query side —
+      INCLUDING its vectors — is broadcast, candidates are scored
+      map-side, and only (query_id, neighbor_id, cos) triples shuffle.
+      Contract: the query set must fit in executor memory (the
+      brute_force_topk contract). With queries a fixed FRACTION of the
+      corpus this broadcast grows with the corpus — switch off.
+    - broadcast_queries=False: the cell join carries ids only; vectors
+      are re-fetched per candidate pair by two shuffle joins (the
+      cosine_pairs_above discipline). No broadcast anywhere, fully
+      corpus-size-independent memory.
 
     Recall scales with n_probe/n_cells; tests measure it against
-    brute_force_topk on the fixture.
+    brute_force_topk and assert both join strategies agree exactly.
     """
     from pyspark.sql.window import Window
 
@@ -417,30 +651,56 @@ def ivf_topk(
     centroids = _train_centroids_kmeans(S, min(n_cells, len(S)))
 
     # (2)+(3) cell assignment: corpus lists in 1 cell, queries probe n_probe.
-    corpus_cell = _nearest_cells_udf(centroids, 1)
-    query_cell = _nearest_cells_udf(centroids, n_probe)
-    cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(vec_col).alias("cv"),
-        F.explode(corpus_cell(as_double(vec_col))).alias("cell"),
-    )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double(vec_col).alias("qv"),
-        F.explode(query_cell(as_double(vec_col))).alias("cell"),
-    )
-    # (4)+(5) candidate join within cells, exact rescoring, global top-k.
-    cos = _cosine_udf()
-    scored = (
-        cb.join(F.broadcast(qb), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    if broadcast_queries:
+        # Same shared pruned-brute-force engine as lsh_topk: "one table"
+        # whose bucket id is the nearest-centroid cell; queries probe
+        # their n_probe nearest cells.
+        q_ids, Q = _collect_queries(queries, id_col, vec_col)
+        Qn = _safe_norm(Q)
+        C0 = centroids  # (n_cells, dim), normalized
+
+        def cell_buckets(M: np.ndarray) -> np.ndarray:
+            return (_safe_norm(M) @ C0.T).argmax(axis=1).astype(np.int64)[:, None]
+
+        sims = Qn @ C0.T
+        p = min(n_probe, sims.shape[1])
+        idx = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
+        qb = idx[:, None, :]  # (nq, 1 table, n_probe)
+        table_buckets, table_qidx = _sorted_probe_tables(qb)
+        return _pruned_topk_broadcast(
+            corpus, id_col, vec_col, k, q_ids, Qn, cell_buckets,
+            table_buckets, table_qidx,
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    else:
+        corpus_cell = _nearest_cells_udf(centroids, 1)
+        query_cell = _nearest_cells_udf(centroids, n_probe)
+        cos = _cosine_udf()
+        # ids-only cell join; candidate pairs re-fetch vectors by key.
+        cb_ids = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(corpus_cell(as_double(vec_col))).alias("cell"),
+        )
+        qb_ids = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(query_cell(as_double(vec_col))).alias("cell"),
+        )
+        cand = (
+            cb_ids.join(qb_ids, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+        cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+        scored = (
+            cand.join(cv, "neighbor_id")
+            .join(qv, "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

@@ -118,12 +118,28 @@ def ensure_parallelism(df: DataFrame, min_fraction: int = 4) -> DataFrame:
 
     Guarded: a real multi-file dataset already scans wide, so this is a
     no-op there — the repartition (and its full-row shuffle) only fires
-    when input partitions < parallelism/min_fraction. Apply before
+    when input width < parallelism/min_fraction. Apply before
     explode-heavy per-row work (shingling, winnowing), where the
     narrow-stage CPU dwarfs one extra shuffle of the input rows.
+
+    Width is probed from input-level signals (inputFiles) first — the
+    RDD fallback forces a plan→RDD conversion and does not exist under
+    Spark Connect, so it is last and failure-tolerant.
     """
-    sc = df.sparkSession.sparkContext
-    target = int(sc.defaultParallelism)
-    if df.rdd.getNumPartitions() < max(2, target // min_fraction):
+    spark = df.sparkSession
+    try:
+        target = int(spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no SparkContext on the client
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width == 0:
+        try:
+            width = df.rdd.getNumPartitions()
+        except Exception:
+            return df  # Connect + non-file source: leave the plan alone
+    if width < max(2, target // min_fraction):
         return df.repartition(target)
     return df

@@ -47,7 +47,7 @@ def test_lsh_topk_recall(spark, tables):
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     bf = S.brute_force_topk(queries, emb, k=5).collect()
-    ap = S.lsh_topk(queries, emb, k=5, dim=64, n_planes=4, n_tables=16).collect()
+    ap = S.lsh_topk(queries, emb, k=5, dim=64).collect()
     truth: dict[int, set[int]] = {}
     for r in bf:
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -87,6 +87,27 @@ def test_ivf_topk_recall_and_determinism(spark, tables):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+
+
+def test_ivf_join_strategies_agree(spark, tables):
+    """broadcast_queries=True (map-side scoring) and =False (ids-only
+    cell join + vector re-fetch) are two physical plans for the SAME
+    logical result — rows must match exactly."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    a = S.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4, broadcast_queries=True).collect()
+    b = S.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4, broadcast_queries=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cosine_pairs_block_invariance(spark, tables):
+    """Exact block-pair all-pairs must be invariant to the block count
+    (1 block ≡ n² in one task; 7 blocks ≡ 28 distributed tasks)."""
+    emb = tables["embeddings"]
+    a = S.cosine_pairs_above(emb, tau=0.45, n_blocks=1).collect()
+    b = S.cosine_pairs_above(emb, tau=0.45, n_blocks=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
 
 
 def test_ivf_probe_monotone_recall(spark, tables):
