@@ -138,29 +138,37 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, broadcast_limit: int = 10_000
+) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle co-occurrence.
 
     |A∩B| = count of shared shingle hashes; |A∪B| = |A|+|B|-|A∩B|.
 
-    Join strategy: the candidate-pair side is broadcast (the LSH
-    contract is candidates ≪ corpus), so the big shingle table streams
-    once per join with NO shuffle of its 8-byte-hash rows; the first
-    join's output is only the candidate documents' shingles, keeping
-    the second probe side small too.
+    Join strategy: while candidates ≪ corpus (the LSH contract), the
+    candidate-pair side is broadcast, so the big shingle table streams
+    once per join with NO shuffle of its 8-byte-hash rows. The
+    broadcast of `a_side` (candidate documents' shingles) grows as
+    n_pairs × shingles/doc, so above `broadcast_limit` candidate pairs
+    — a pathological LSH band collision or a very low threshold — every
+    join degrades gracefully to a shuffled hash join instead of
+    OOM-ing an executor on the broadcast.
     """
     # `pairs` is referenced four times below (intersection probe, final
     # join, two size restrictions); without persist every broadcast
-    # re-materializes the whole upstream LSH pipeline.
+    # re-materializes the whole upstream LSH pipeline. The count both
+    # materializes the persist and decides the join strategy.
     pairs = pairs.persist()
+    n_pairs = pairs.count()
+    maybe_b = F.broadcast if n_pairs <= broadcast_limit else (lambda df: df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a_side = sh.join(
-        F.broadcast(pairs), sh["id"] == pairs["id_a"]
+        maybe_b(pairs), sh["id"] == pairs["id_a"]
     ).select("id_a", "id_b", "sh")
     inter = (
         sh.alias("y")
         .join(
-            F.broadcast(a_side).alias("t"),
+            maybe_b(a_side).alias("t"),
             (F.col("y.id") == F.col("t.id_b")) & (F.col("y.sh") == F.col("t.sh")),
         )
         .groupBy("t.id_a", "t.id_b")
@@ -170,16 +178,16 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     # is corpus-sized and must never be broadcast; the restricted
     # per-candidate lookup is pairs-sized and safely is.
     sz_a = sizes.join(
-        F.broadcast(pairs.select("id_a").distinct()), sizes["id"] == F.col("id_a")
+        maybe_b(pairs.select("id_a").distinct()), sizes["id"] == F.col("id_a")
     ).select("id_a", F.col("sz").alias("sz_a"))
     sz_b = sizes.join(
-        F.broadcast(pairs.select("id_b").distinct()), sizes["id"] == F.col("id_b")
+        maybe_b(pairs.select("id_b").distinct()), sizes["id"] == F.col("id_b")
     ).select("id_b", F.col("sz").alias("sz_b"))
     return (
-        pairs.join(F.broadcast(inter), ["id_a", "id_b"], "left")
+        pairs.join(maybe_b(inter), ["id_a", "id_b"], "left")
         .na.fill({"n_inter": 0})
-        .join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        .join(maybe_b(sz_a), "id_a")
+        .join(maybe_b(sz_b), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -391,6 +399,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         # label(v) <- min(label(v), min over neighbors u of label(u))
         neighbor_min = (
@@ -417,7 +426,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; a component
+        # whose diameter exceeds max_iter would silently get WRONG
+        # (split) labels — make that loud instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"a component has diameter > {max_iter} — raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -188,3 +188,40 @@ def test_dedup_clusters_on_fixture(spark, tables):
         by_comp.setdefault(r.component, set()).add(r.id)
     for comp, members in by_comp.items():
         assert comp == min(members)
+
+
+def test_jaccard_shuffle_path_matches_broadcast(spark, tables):
+    """Above broadcast_limit candidate pairs, jaccard_on_pairs degrades
+    to shuffled hash joins — results must be identical to the broadcast
+    plan (broadcast_limit=0 forces the shuffle path)."""
+    from distributedqueryengine_spark.functions.dedup import (
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = tables["documents"]
+    sh = shingles(docs, "doc_id", "text").persist()
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, 32), 32, 8)
+    bcast = jaccard_on_pairs(pairs, sh).collect()
+    shuf = jaccard_on_pairs(pairs, sh, broadcast_limit=0).collect()
+    assert sorted(map(tuple, bcast)) == sorted(map(tuple, shuf))
+    assert len(bcast) > 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A 6-hop chain cannot converge in 2 rounds — the truncation must
+    be loud, not silently-wrong labels."""
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain is one component
+    ok = connected_components(chain, max_iter=10).collect()
+    assert {r.component for r in ok} == {0}
