@@ -70,3 +70,44 @@ def test_register_python_udf_in_sql(spark, tables):
         {r.o_orderpriority.split("-")[0].lower() for r in tables["orders"].select("o_orderpriority").distinct().collect()}
     )
     assert words == direct
+
+
+def test_http_service_roundtrip(spark):
+    """The reference's full service contract over a real socket
+    (QueryService.asmx.cs:51-89): SQL in, rows + original/optimized
+    plans + statistics out."""
+    import json
+    import urllib.request
+
+    from distributedqueryengine_spark import service
+    from distributedqueryengine_spark.session import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    server = service.serve(spark)
+    try:
+        port = server.server_address[1]
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.load(r)["status"] == "ok"
+        # POST /query
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=json.dumps({"sql": "SELECT n_name FROM nation ORDER BY n_name LIMIT 3"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.load(r)
+        assert [row["n_name"] for row in out["rows"]] == sorted(row["n_name"] for row in out["rows"])
+        assert len(out["rows"]) == 3
+        assert out["original_plan"] != "<unavailable>"
+        assert out["optimized_plan"] != "<unavailable>"
+        assert out["statistics"]["row_count"] == 3
+        # GET with error surfaces as 400, not a hung socket
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/query?sql=SELECT+bogus+FROM+nowhere")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
