@@ -503,7 +503,6 @@ def cosine_pairs_above(
     """
     import math as _math
 
-    spark = corpus.sparkSession
     src = corpus.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     if n_blocks is None:
         n = src.count()
@@ -512,12 +511,14 @@ def cosine_pairs_above(
     src = src.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int")
     )
-    block_pairs = spark.createDataFrame(
-        [(a, b) for a in range(B) for b in range(a, B)], "ba int, bb int"
-    )
-    rep = src.join(
-        F.broadcast(block_pairs),
-        (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")),
+    # A row in block b participates in the B block pairs
+    # {(min(b,x), max(b,x)) : x in 0..B-1}; that is a pure function of
+    # blk, so replicate with a narrow explode — no join in the plan.
+    rep = (
+        src.withColumn("x", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("ba", F.least("blk", "x").cast("int"))
+        .withColumn("bb", F.greatest("blk", "x").cast("int"))
+        .drop("x")
     )
 
     def score_block_pair(key, pdf):

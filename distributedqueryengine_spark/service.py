@@ -12,6 +12,12 @@ Endpoints:
 - POST /query   body {"sql": "...", "limit": N?} → full api.query dict
 - GET  /query?sql=...                            → same
 - GET  /health                                   → {"status": "ok"}
+- GET  /                                         → plan-tree UI (HTML)
+
+The / page is the index.js parity surface: it submits SQL, renders the
+original vs optimized plan trees side by side (nested lists instead of
+jointjs boxes), and tabulates the first rows — everything the reference
+UI showed, without a vendored JS framework.
 
 The server is a ThreadingHTTPServer on a caller-chosen (or ephemeral)
 port; Spark drives all actual execution, so the HTTP layer stays a thin
@@ -29,6 +35,60 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import SparkSession
 
 from distributedqueryengine_spark import api
+
+
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>distributedqueryengine-spark</title>
+<style>
+ body{font-family:monospace;margin:1.5em;background:#fafafa}
+ textarea{width:100%;height:6em;font-family:inherit}
+ .plans{display:flex;gap:2em}.plans>div{flex:1;overflow:auto}
+ ul{list-style:none;padding-left:1.2em;border-left:1px solid #bbb;margin:.2em 0}
+ li>span{background:#eef;padding:0 .3em;border-radius:3px}
+ li>small{color:#666}
+ table{border-collapse:collapse;margin-top:1em}
+ td,th{border:1px solid #ccc;padding:.15em .5em}
+ .stats{color:#060;margin:.5em 0}
+</style></head><body>
+<h2>distributedqueryengine_spark — query service</h2>
+<textarea id="sql">SELECT n_name, count(*) AS n FROM nation GROUP BY n_name ORDER BY n LIMIT 10</textarea>
+<br><button onclick="run()">Run</button>
+<div class="stats" id="stats"></div>
+<div class="plans">
+ <div><h3>original plan</h3><div id="orig"></div></div>
+ <div><h3>optimized plan</h3><div id="opt"></div></div>
+</div>
+<div id="rows"></div>
+<script>
+function tree(n){
+  if(!n) return document.createTextNode('(unavailable)');
+  const ul=document.createElement('ul'), li=document.createElement('li');
+  li.innerHTML='<span>'+n.op+'</span> <small>'+(n.detail||'')+'</small>';
+  ul.appendChild(li);
+  const kids=document.createElement('ul');
+  (n.children||[]).forEach(c=>kids.appendChild(tree(c)));
+  if((n.children||[]).length) li.appendChild(kids);
+  return ul;
+}
+async function run(){
+  const r=await fetch('/query',{method:'POST',headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({sql:document.getElementById('sql').value,limit:100})});
+  const d=await r.json();
+  if(d.error){document.getElementById('stats').textContent='ERROR: '+d.error;return}
+  document.getElementById('stats').textContent=
+    d.statistics.row_count+' rows in '+d.statistics.wall_seconds+'s';
+  const o=document.getElementById('orig');o.innerHTML='';o.appendChild(tree(d.plan_tree&&d.plan_tree.original));
+  const p=document.getElementById('opt');p.innerHTML='';p.appendChild(tree(d.plan_tree&&d.plan_tree.optimized));
+  const rows=document.getElementById('rows');rows.innerHTML='';
+  if(d.rows.length){
+    const t=document.createElement('table'),h=t.insertRow();
+    d.columns.forEach(c=>{const th=document.createElement('th');th.textContent=c;h.appendChild(th)});
+    d.rows.forEach(row=>{const tr=t.insertRow();d.columns.forEach(c=>tr.insertCell().textContent=row[c])});
+    rows.appendChild(t);
+  }
+}
+</script></body></html>
+"""
 
 
 def _make_handler(spark: SparkSession):
@@ -52,6 +112,14 @@ def _make_handler(spark: SparkSession):
 
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
             url = urlparse(self.path)
+            if url.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if url.path == "/health":
                 self._send(200, {"status": "ok"})
                 return

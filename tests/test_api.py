@@ -89,6 +89,10 @@ def test_http_service_roundtrip(spark):
         # health
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
             assert json.load(r)["status"] == "ok"
+        # plan-tree UI page (index.js parity surface)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+            assert "optimized plan" in page and "/query" in page
         # POST /query
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/query",

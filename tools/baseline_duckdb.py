@@ -6,11 +6,14 @@ Spark carries ~100-300 ms/query of fixed stage overhead locally that
 amortizes to zero on a cluster. Use this to tell real regressions
 (per-query ratio jumps) from overhead noise.
 
-Usage: python tools/baseline_duckdb.py [sf_dir]
+Usage: python tools/baseline_duckdb.py [sf_dir] [out.json]
+Writes a BASELINE_r{N}.json-style summary when out.json is given, so
+every round leaves a tracked perf trend instead of a one-off judge run.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -25,13 +28,16 @@ from distributedqueryengine_spark.session import TABLES, get_spark  # noqa: E402
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     spark = get_spark("baseline-compare")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    headline = HEADLINE if HEADLINE is not None else sorted(qs)
     tot_s = tot_d = 0.0
-    for name in HEADLINE:
+    per_query = {}
+    for name in headline:
         if name not in qs:
             continue
         df = qs[name](spark, sf_dir)
@@ -45,10 +51,26 @@ def main():
             con.execute(oracles[name]).fetchall()
             td = time.monotonic() - t0
             tot_d += td
+            per_query[name] = {"spark": round(ts, 3), "duckdb": round(td, 3),
+                               "ratio": round(ts / max(td, 1e-9), 2)}
             print(f"{name:30s} spark={ts:6.3f}s duckdb={td:6.3f}s ratio={ts/max(td,1e-9):5.1f}x")
         else:
+            per_query[name] = {"spark": round(ts, 3), "duckdb": None, "ratio": None}
             print(f"{name:30s} spark={ts:6.3f}s duckdb=   n/a")
     print(f"\nTOTAL spark={tot_s:.2f}s duckdb(oracled)={tot_d:.2f}s")
+    if out_path:
+        oracled_spark = sum(v["spark"] for v in per_query.values() if v["duckdb"] is not None)
+        summary = {
+            "sf_dir": sf_dir,
+            "spark_total_sec": round(tot_s, 2),
+            "spark_oracled_total_sec": round(oracled_spark, 2),
+            "duckdb_oracled_total_sec": round(tot_d, 2),
+            "aggregate_ratio_oracled": round(oracled_spark / max(tot_d, 1e-9), 2),
+            "queries": per_query,
+        }
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
