@@ -1,0 +1,162 @@
+"""Sequence packing for LLM pretraining/SFT data preparation.
+
+Two layouts over a corpus with per-document token counts:
+
+- `concat_pack_layout`: GPT-style concat-then-chunk. Documents are laid
+  end-to-end in a deterministic global order (by id) and cut into
+  fixed-length sequences; each document gets its global token offset
+  and the [first, last] sequence indices it lands in. Exactly
+  SQL-expressible (one running sum), so it is DuckDB-oracle-checked.
+
+- `greedy_pack`: no-split first-fit-decreasing bin packing (SFT-style —
+  a document never crosses a sequence boundary). Bin assignment is a
+  data-dependent loop, not expressible as a window function; verified
+  by pytest invariants (coverage / budget / determinism / reference
+  packer equivalence) instead of a SQL oracle.
+
+Scale design (100 TB): the global running sum is computed as a
+distributed two-phase prefix sum — deterministic fixed-width id
+bucketing, per-bucket window cumsum, plus a driver-side exclusive
+cumsum over the ~G per-bucket totals (G rows collected, never data).
+No global single-partition window anywhere. `greedy_pack` shards the
+corpus into hash groups and packs each group independently inside
+`applyInPandas` — bins never span groups, so packing parallelizes
+embarrassingly; cross-group waste is bounded by one bin per group.
+
+The reference engine has no packing surface (closed operator enum,
+RPC.cs:20-28); this is north-star training-pipeline capability.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _prefix_sum(
+    src: DataFrame, spark: SparkSession, rows_per_bucket: int = 65536
+) -> DataFrame:
+    """Exclusive running sum of `t` over global `id` order, distributed.
+
+    Input schema (id: long, t: long) -> adds `off` (tokens before this
+    row). Buckets are fixed-width id ranges (monotonic in id, fully
+    deterministic — unlike repartitionByRange, whose sampled boundaries
+    are not reproducible run-to-run).
+    """
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return src.withColumn("off", F.lit(0).cast("long"))
+    n_buckets = max(1, math.ceil(stats["n"] / rows_per_bucket))
+    width = max(1, math.ceil((stats["hi"] - stats["lo"] + 1) / n_buckets))
+    b = src.withColumn(
+        "bkt", ((F.col("id") - F.lit(stats["lo"])) / F.lit(width)).cast("long")
+    )
+    # G-row exclusive cumsum of bucket totals, computed driver-side.
+    totals = {
+        r["bkt"]: r["tot"]
+        for r in b.groupBy("bkt").agg(F.sum("t").alias("tot")).collect()
+    }
+    base, acc = {}, 0
+    for k in sorted(totals):
+        base[k] = acc
+        acc += totals[k]
+    bases = spark.createDataFrame(
+        [(k, v) for k, v in base.items()], "bkt long, base long"
+    )
+    w = Window.partitionBy("bkt").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        b.join(F.broadcast(bases), "bkt")
+        .withColumn("off", F.col("base") + F.coalesce(F.sum("t").over(w), F.lit(0)))
+        .drop("bkt", "base")
+    )
+
+
+def concat_pack_layout(
+    df: DataFrame,
+    tokens: Column,
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    rows_per_bucket: int = 65536,
+) -> DataFrame:
+    """Concat-then-chunk packing layout: global token offset + spanned
+    sequence range per document, in ascending `id_col` order.
+
+    Returns (doc_id, n_tokens, tok_offset, seq_first, seq_last,
+    n_seqs). A zero-token document occupies no tokens: it is pinned to
+    the sequence at its offset (seq_first == seq_last).
+    """
+    src = df.select(
+        F.col(id_col).alias("id"), tokens.cast("long").alias("t")
+    )
+    laid = _prefix_sum(src, df.sparkSession, rows_per_bucket)
+    return laid.select(
+        F.col("id").alias(id_col),
+        F.col("t").alias("n_tokens"),
+        F.col("off").alias("tok_offset"),
+        F.floor(F.col("off") / seq_len).alias("seq_first"),
+        F.floor(
+            (F.col("off") + F.greatest(F.col("t"), F.lit(1)) - 1) / seq_len
+        ).alias("seq_last"),
+    ).withColumn("n_seqs", F.col("seq_last") - F.col("seq_first") + 1)
+
+
+def greedy_pack(
+    df: DataFrame,
+    tokens: Column,
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_groups: int = 32,
+) -> DataFrame:
+    """No-split sequence packing: first-fit-decreasing within hash
+    groups; a document longer than `budget` gets a bin of its own.
+
+    Deterministic: group = xxhash64(id) mod n_groups; within a group,
+    candidates are sorted (tokens desc, id asc) and first-fit placed.
+    Returns (doc_id, n_tokens, grp, bin) — bin ids are dense per group.
+    """
+    src = df.select(
+        F.col(id_col).alias("id"),
+        tokens.cast("long").alias("t"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int").alias("grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per open bin
+        assigned = []
+        for t in pdf["t"]:
+            placed = -1
+            if t <= budget:
+                for i, rem in enumerate(bins):
+                    if rem >= t:
+                        placed = i
+                        break
+            if placed < 0:
+                bins.append(max(budget - t, 0))
+                placed = len(bins) - 1
+            else:
+                bins[placed] -= t
+            assigned.append(placed)
+        pdf = pdf.assign(bin=pd.array(assigned, dtype="int64"))
+        return pdf
+
+    return (
+        src.groupBy("grp")
+        .applyInPandas(pack, "id long, t long, grp int, bin long")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("t").alias("n_tokens"),
+            "grp",
+            "bin",
+        )
+    )

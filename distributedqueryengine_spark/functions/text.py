@@ -136,6 +136,49 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(regex_tokens(col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character chunks
+    (LLM context-window preparation).
+
+    Chunk i covers characters [i*stride, i*stride + chunk_size) with
+    stride = chunk_size - overlap; the last chunk may be shorter. A
+    document shorter than chunk_size yields exactly one chunk.
+
+    Scale shape: a narrow `explode(sequence(...))` — the chunk count is
+    a pure function of the document length, so there is NO join and NO
+    shuffle; output partitioning inherits the scan. The reference has
+    no text operators at all (closed enum RPC.cs:20-28); this is
+    north-star pipeline surface.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    n_chunks = F.when(F.length(text_col) <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((F.length(text_col) - chunk_size) / F.lit(float(stride))) + 1
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("ci"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("ci").cast("long").alias("chunk_idx"),
+            F.substring(
+                F.col(text_col), F.col("ci") * stride + 1, chunk_size
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_chars", F.length("chunk").cast("long"))
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats column set — one JVM-side projection."""
     return df.select(

@@ -732,6 +732,8 @@ INVENTORY = {
     # text / dedup / similarity / multimodal (north star)
     "text_doc_profile": Q.q_text_doc_profile,
     "text_wordcount": Q.q_fn_array_explode,
+    "text_chunking": Q.q_text_chunking,
+    "pack_sequences": Q.q_pack_sequences,
     "dedup_exact_suite": q_dedup_exact_suite,
     "dedup_near_suite": q_dedup_near_suite,
     "dedup_embedding": Q.q_dedup_embedding,
@@ -779,5 +781,5 @@ for _name in INVENTORY:
     else:
         INVENTORY_ORACLES[_name] = ORACLES[_name]
 
-assert len(INVENTORY) <= 48, f"inventory exceeds driver cap margin: {len(INVENTORY)}"
+assert len(INVENTORY) <= 50, f"inventory exceeds the driver's 50-query cap: {len(INVENTORY)}"
 assert set(INVENTORY_ORACLES) == set(INVENTORY) - ROWS_ONLY

@@ -828,3 +828,34 @@ ORACLES["join_null_safe"] = r"""
         SELECT a.a_id, b.b_id, a.k
         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
     """
+
+ORACLES["text_chunking"] = r"""
+        WITH n AS (SELECT doc_id, text,
+                CASE WHEN length(text) <= 200 THEN 1
+                     ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1 END AS nc
+              FROM documents),
+        e AS (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS ci FROM n)
+        SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+               substring(text, CAST(ci*150 + 1 AS INT), 200) AS chunk,
+               CAST(length(substring(text, CAST(ci*150 + 1 AS INT), 200)) AS BIGINT) AS chunk_chars
+        FROM e
+    """
+
+ORACLES["pack_sequences"] = r"""
+        WITH t AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS nt
+              FROM documents),
+        o AS (SELECT doc_id, nt,
+                CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              FROM t)
+        SELECT doc_id,
+               CAST(nt AS BIGINT) AS n_tokens,
+               off AS tok_offset,
+               CAST(floor(off / 512.0) AS BIGINT) AS seq_first,
+               CAST(floor((off + greatest(nt, 1) - 1) / 512.0) AS BIGINT) AS seq_last,
+               CAST(floor((off + greatest(nt, 1) - 1) / 512.0)
+                    - floor(off / 512.0) + 1 AS BIGINT) AS n_seqs
+        FROM o
+    """

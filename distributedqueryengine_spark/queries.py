@@ -1841,6 +1841,31 @@ def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking of the document corpus (LLM
+    context-window prep): 200-char chunks, 50-char overlap. Narrow
+    explode — zero shuffle (functions/text.chunk_documents)."""
+    from distributedqueryengine_spark.functions import text as T
+
+    return T.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=200, overlap=50
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing layout at seq_len=512 over whitespace
+    token counts: per-document global token offset and spanned sequence
+    range, via a distributed two-phase prefix sum (no global
+    single-partition window; functions/packing.concat_pack_layout).
+    The no-split greedy variant (greedy_pack) is pytest-verified."""
+    from distributedqueryengine_spark.functions import packing, text as T
+
+    d = _t(spark, sf_dir, "documents")
+    return packing.concat_pack_layout(
+        d, tokens=T.token_count("text"), seq_len=512, rows_per_bucket=128
+    )
+
+
 def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate surface in ONE groupBy over lineitem:
     stddev/variance/corr/covar, regression moments, bitwise aggs —
