@@ -240,15 +240,37 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (hamming<=3), connected components, winnowing fingerprint
     density. Rows-only by design: xxhash64 banding is not portable to
     the DuckDB oracle; semantics are pinned in tests/test_dedup.py
-    against exact Jaccard / reference winnower / union-find."""
+    against exact Jaccard / reference winnower / union-find.
+
+    The minhash / ngram_jaccard / clusters branches SHARE one
+    shingle -> signature -> band -> exact-Jaccard computation (the
+    standalone building blocks each run it end-to-end; unioning those
+    directly would execute the same pipeline three times). Branch
+    semantics are identical: tests/test_dedup.py pins the suite's
+    branches against the standalone building-block queries."""
+    from distributedqueryengine_spark.functions import dedup as D
+    from distributedqueryengine_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(d, "doc_id", "text", 3).persist()
+    sigs = D.minhash_signatures(sh, 32)
+    cand = D.lsh_candidate_pairs(sigs, 32, 8)
+    scored = D.jaccard_on_pairs(cand, sh).persist()
+    minhash_pairs = scored.filter(F.col("jaccard") >= 0.5)
+    ngram_pairs = scored.filter(F.col("jaccard") >= 0.3)
+    clusters = (
+        D.connected_components(minhash_pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("id").alias("rep_id"))
+    )
     return _union([
-        _tagged("minhash", Q.q_dedup_minhash(spark, sf_dir),
+        _tagged("minhash", minhash_pairs,
                 {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
-        _tagged("ngram_jaccard", Q.q_dedup_ngram_jaccard(spark, sf_dir),
+        _tagged("ngram_jaccard", ngram_pairs,
                 {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
         _tagged("simhash", Q.q_dedup_simhash(spark, sf_dir),
                 {"a": "id_a", "b": "id_b", "v": "hamming"}, _DEDUP_NEAR_S),
-        _tagged("clusters", Q.q_dedup_clusters(spark, sf_dir),
+        _tagged("clusters", clusters,
                 {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
         _tagged("winnow", Q.q_text_winnow(spark, sf_dir),
                 {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),

@@ -225,3 +225,37 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and with enough rounds the same chain is one component
     ok = connected_components(chain, max_iter=10).collect()
     assert {r.component for r in ok} == {0}
+
+
+def test_near_suite_branches_match_standalone_queries(spark):
+    """q_dedup_near_suite shares ONE shingle->sign->band->score pipeline
+    across its minhash / ngram_jaccard / clusters branches; each branch
+    must stay value-identical to the standalone building-block query."""
+    from distributedqueryengine_spark import queries as Q
+    from distributedqueryengine_spark.inventory import q_dedup_near_suite
+
+    sf_dir = "/root/testdata/sf0.001"
+    suite = q_dedup_near_suite(spark, sf_dir).persist()
+
+    def branch(v, cols):
+        return sorted(
+            tuple(r[c] for c in cols)
+            for r in suite.filter(F.col("variant") == v).collect()
+        )
+
+    mh = sorted(
+        (r["id_a"], r["id_b"], float(r["jaccard"]))
+        for r in Q.q_dedup_minhash(spark, sf_dir).collect()
+    )
+    assert branch("minhash", ["a", "b", "v"]) == mh
+    ng = sorted(
+        (r["id_a"], r["id_b"], float(r["jaccard"]))
+        for r in Q.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    )
+    assert branch("ngram_jaccard", ["a", "b", "v"]) == ng
+    cl = sorted(
+        (r["rep_id"], r["cluster_size"], float(r["component"]))
+        for r in Q.q_dedup_clusters(spark, sf_dir).collect()
+    )
+    assert branch("clusters", ["a", "b", "v"]) == cl
+    suite.unpersist()
