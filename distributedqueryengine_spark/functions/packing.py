@@ -95,9 +95,14 @@ def concat_pack_layout(
     n_seqs). A zero-token document occupies no tokens: it is pinned to
     the sequence at its offset (seq_first == seq_last).
     """
-    src = df.select(
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    # The prefix sum runs three jobs (corpus stats, bucket totals, the
+    # laid-out result); persist the 16-byte (id, t) projection so the
+    # token-count scan — the only per-document work — runs once, wide.
+    src = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), tokens.cast("long").alias("t")
-    )
+    ).persist()
     laid = _prefix_sum(src, df.sparkSession, rows_per_bucket)
     return laid.select(
         F.col("id").alias(id_col),
