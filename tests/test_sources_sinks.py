@@ -123,14 +123,18 @@ def test_custom_streaming_datasource(spark):
     import time
 
     deadline = time.monotonic() + 60
-    total = 0
     while time.monotonic() < deadline:
         rows = spark.sql("SELECT sum(n) AS t FROM synth_stream_out").collect()
-        total = rows[0].t or 0
-        if total >= 400:
+        if (rows[0].t or 0) >= 400:
             break
         time.sleep(1)
+    # Stop FIRST, then read the final table exactly once: sampling `total`
+    # while micro-batches are still committing races against the comparison
+    # read below (the table would advance past the sampled prefix).
     q.stop()
+    q.awaitTermination()
+    got = {r.event_type: r.n for r in spark.sql("SELECT * FROM synth_stream_out").collect()}
+    total = sum(got.values())
     assert total >= 400 and total % 200 == 0
     # stream content equals the batch source over the same prefix
     batch = (
@@ -141,6 +145,5 @@ def test_custom_streaming_datasource(spark):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    got = {r.event_type: r.n for r in spark.sql("SELECT * FROM synth_stream_out").collect()}
     expect = {r.event_type: r.n for r in batch.collect()}
     assert got == expect
