@@ -109,15 +109,13 @@ def brute_force_topk(
     def _topk_per_query(sims: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per column: k best under (rounded cos desc, id asc) — the
         exact total order the final window uses, so partition-local
-        selection can never disagree with the global ranking."""
+        selection can never disagree with the global ranking. One
+        column-wise lexsort over the whole (rows, n_q) matrix — no
+        per-query Python loop."""
         kk = min(k, sims.shape[0])
-        top_s = np.empty((kk, sims.shape[1]))
-        top_i = np.empty((kk, sims.shape[1]), dtype=np.int64)
-        for qi in range(sims.shape[1]):
-            order = np.lexsort((ids[:, qi] if ids.ndim == 2 else ids, -sims[:, qi]))[:kk]
-            top_s[:, qi] = sims[order, qi]
-            top_i[:, qi] = (ids[:, qi] if ids.ndim == 2 else ids)[order]
-        return top_s, top_i
+        ids2 = ids if ids.ndim == 2 else np.broadcast_to(ids[:, None], sims.shape)
+        order = np.lexsort((ids2, -sims), axis=0)[:kk]
+        return np.take_along_axis(sims, order, axis=0), np.take_along_axis(ids2, order, axis=0)
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, Qn_b = bq.value
