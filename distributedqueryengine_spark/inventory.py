@@ -170,9 +170,13 @@ _TOPK_S = [("key", "bigint"), ("id", "bigint"), ("v", "double"),
            ("rn", "int"), ("s", "string"), ("ts_epoch", "bigint")]
 
 
-def q_topk_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed top-k per group + argmax/DISTINCT-ON (latest event per
-    user) under one driver row — both row_number-based, scale-safe."""
+def q_order_limit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sort/limit/top-k/offset operator class under one driver
+    row: windowed top-k per group, argmax/DISTINCT-ON (latest event per
+    user), global ORDER BY + LIMIT (TakeOrderedAndProject), and
+    deterministic OFFSET pagination. (Round-5 merge of the former
+    topk_argmax + sort_pagination entries to stay inside the driver's
+    50-row cap while adding decontam/greedy_pack.)"""
     return _union([
         _tagged("topk", Q.q_topk_orders_per_customer(spark, sf_dir),
                 {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
@@ -180,21 +184,11 @@ def q_topk_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tagged("argmax", Q.q_argmax_latest_event(spark, sf_dir),
                 {"key": "user_id", "id": "event_id", "s": "event_type",
                  "ts_epoch": "ts_epoch"}, _TOPK_S),
-    ])
-
-
-_SORT_S = [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_totalprice", "double")]
-
-
-def q_sort_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ORDER BY + LIMIT (TakeOrderedAndProject) and deterministic
-    OFFSET pagination under one driver row."""
-    return _union([
         _tagged("top25", Q.q_sort_limit(spark, sf_dir),
-                {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
-                 "o_totalprice": "o_totalprice"}, _SORT_S),
+                {"id": "o_orderkey", "key": "o_custkey",
+                 "v": "o_totalprice"}, _TOPK_S),
         _tagged("page2", Q.q_sort_limit_offset(spark, sf_dir),
-                {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}, _SORT_S),
+                {"id": "o_orderkey", "v": "o_totalprice"}, _TOPK_S),
     ])
 
 
@@ -275,6 +269,73 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tagged("winnow", Q.q_text_winnow(spark, sf_dir),
                 {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
     ])
+
+
+_TEMPORAL_S = [("id", "bigint"), ("key", "bigint"), ("t1", "bigint"),
+               ("t2", "bigint"), ("v", "double")]
+
+
+def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of / range join operator class under one driver row:
+    backward as-of (latest purchase at or before each click,
+    union-sort-window, one shuffle) and interval-containment range join
+    (bucketed equi-join). (Round-5 merge of the former asof_join +
+    range_join entries to stay inside the driver's 50-row cap.)"""
+    return _union([
+        _tagged("asof", Q.q_asof_join(spark, sf_dir),
+                {"id": "event_id", "key": "user_id", "t1": "click_epoch",
+                 "t2": "purchase_epoch", "v": "purchase_value"}, _TEMPORAL_S),
+        _tagged("range", Q.q_range_join(spark, sf_dir),
+                {"key": "s_suppkey", "t1": "n_matches"}, _TEMPORAL_S),
+    ])
+
+
+_DECON_S = [("id", "bigint"), ("n", "bigint"), ("lang", "string")]
+
+
+def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/decontam.py) under one
+    driver row: documents with doc_id % 97 == 0 act as the held-out
+    eval set, the rest as the training corpus. Branches: the
+    contaminated train ids (>=1 shared word 3-gram with eval — n=3
+    because the synthetic corpus has almost no 5-gram collisions) and
+    the surviving decontaminated rows. md5 n-gram fingerprints are
+    engine-portable, so both branches are fully value-checked against
+    the DuckDB oracle.
+
+    `bad` is persisted: it feeds both the contaminated branch and the
+    anti-join of the clean branch, and at a few thousand rows max it is
+    driver-cache-sized even at 100 TB corpus scale (contamination is
+    bounded by eval-set n-gram reach, not corpus size)."""
+    from distributedqueryengine_spark.functions import decontam as DC
+    from distributedqueryengine_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    bad = DC.contaminated_ids(train, ev, "doc_id", "text", n=3).persist()
+    clean = train.join(bad, "doc_id", "left_anti")
+    return _union([
+        _tagged("contaminated", bad, {"id": "doc_id"}, _DECON_S),
+        _tagged("clean", clean,
+                {"id": "doc_id", "n": "n_chars", "lang": "lang"}, _DECON_S),
+    ])
+
+
+def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split first-fit-decreasing sequence packing
+    (functions/packing.greedy_pack) at budget=512 over whitespace token
+    counts: deterministic (doc_id, n_tokens, grp, bin). Rows-only by
+    design: FFD bin assignment is a data-dependent loop with no SQL
+    equivalent; coverage/budget/determinism/reference-packer
+    equivalence are pinned in tests/test_packing.py."""
+    from distributedqueryengine_spark.functions import packing, text as T
+    from distributedqueryengine_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return packing.greedy_pack(
+        d, tokens=T.token_count("text"), budget=512, n_groups=32
+    )
 
 
 _APPROX_S = [("key", "string"), ("n", "bigint"), ("v1", "double"),
@@ -469,21 +530,57 @@ COMPOSITE_ORACLES["agg_mixed_suite"] = _sql_union([
                 {"key": "bucket", "n": "n", "v1": "lo", "v2": "hi"}, _AGG_MIXED_S),
 ])
 
-COMPOSITE_ORACLES["topk_argmax"] = _sql_union([
+COMPOSITE_ORACLES["order_limit_suite"] = _sql_union([
     _sql_tagged("topk", ORACLES["topk_orders_per_customer"],
                 {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
                  "rn": "rn"}, _TOPK_S),
     _sql_tagged("argmax", ORACLES["argmax_latest_event"],
                 {"key": "user_id", "id": "event_id", "s": "event_type",
                  "ts_epoch": "ts_epoch"}, _TOPK_S),
+    _sql_tagged("top25", ORACLES["sort_limit"],
+                {"id": "o_orderkey", "key": "o_custkey",
+                 "v": "o_totalprice"}, _TOPK_S),
+    _sql_tagged("page2", ORACLES["sort_limit_offset"],
+                {"id": "o_orderkey", "v": "o_totalprice"}, _TOPK_S),
 ])
 
-COMPOSITE_ORACLES["sort_pagination"] = _sql_union([
-    _sql_tagged("top25", ORACLES["sort_limit"],
-                {"o_orderkey": "o_orderkey", "o_custkey": "o_custkey",
-                 "o_totalprice": "o_totalprice"}, _SORT_S),
-    _sql_tagged("page2", ORACLES["sort_limit_offset"],
-                {"o_orderkey": "o_orderkey", "o_totalprice": "o_totalprice"}, _SORT_S),
+COMPOSITE_ORACLES["temporal_join_suite"] = _sql_union([
+    _sql_tagged("asof", ORACLES["asof_join"],
+                {"id": "event_id", "key": "user_id", "t1": "click_epoch",
+                 "t2": "purchase_epoch", "v": "purchase_value"}, _TEMPORAL_S),
+    _sql_tagged("range", ORACLES["range_join"],
+                {"key": "s_suppkey", "t1": "n_matches"}, _TEMPORAL_S),
+])
+
+# Decontamination: word-3-gram md5 fingerprints are engine-portable;
+# the train/eval split (doc_id % 97) and the n-gram construction mirror
+# q_decontam_suite exactly (DuckDB list slice toks[i:i+2] == Spark
+# arrays_zip of 3 shifted slices).
+_DECON_BAD = r"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+         ev    AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+         tt AS (SELECT doc_id,
+                       string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+                FROM train),
+         et AS (SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+                FROM ev),
+         tg AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+2], ' ')) AS g
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks)-1, 1))) AS i FROM tt)),
+         eg AS (SELECT DISTINCT md5(array_to_string(toks[i:i+2], ' ')) AS g
+                FROM (SELECT toks,
+                             unnest(range(1, greatest(len(toks)-1, 1))) AS i FROM et)),
+         bad AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg))
+"""
+
+COMPOSITE_ORACLES["decontam_suite"] = _sql_union([
+    _sql_tagged("contaminated", _DECON_BAD + "SELECT doc_id FROM bad",
+                {"id": "doc_id"}, _DECON_S),
+    _sql_tagged("clean",
+                _DECON_BAD
+                + """SELECT doc_id, n_chars, lang FROM train
+                     WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
+                {"id": "doc_id", "n": "n_chars", "lang": "lang"}, _DECON_S),
 ])
 
 COMPOSITE_ORACLES["set_ops_suite"] = _sql_union([
@@ -742,8 +839,7 @@ INVENTORY = {
     "approx_sketches": q_approx_sketches,
     # windows / sort / top-k
     "window_suite": Q.q_window_suite,
-    "topk_argmax": q_topk_argmax,
-    "sort_pagination": q_sort_pagination,
+    "order_limit_suite": q_order_limit_suite,
     "set_ops_suite": q_set_ops_suite,
     # scalar function surface
     "fn_string_suite": Q.q_fn_string_suite,
@@ -756,6 +852,8 @@ INVENTORY = {
     "text_wordcount": Q.q_fn_array_explode,
     "text_chunking": Q.q_text_chunking,
     "pack_sequences": Q.q_pack_sequences,
+    "greedy_pack": q_greedy_pack,
+    "decontam_suite": q_decontam_suite,
     "dedup_exact_suite": q_dedup_exact_suite,
     "dedup_near_suite": q_dedup_near_suite,
     "dedup_embedding": Q.q_dedup_embedding,
@@ -767,8 +865,7 @@ INVENTORY = {
     # streaming / temporal joins
     "stream_windows_suite": q_stream_windows_suite,
     "stream_interval_join": Q.q_stream_interval_join,
-    "asof_join": Q.q_asof_join,
-    "range_join": Q.q_range_join,
+    "temporal_join_suite": q_temporal_join_suite,
     "time_rollup": Q.q_time_rollup,
     # reshaping / SQL / UDF / IO
     "pivot_unpivot": Q.q_unpivot_events,
@@ -786,7 +883,7 @@ INVENTORY = {
 }
 
 # Rows-only by design (no portable oracle): see each query's docstring.
-ROWS_ONLY = {"dedup_near_suite", "approx_sketches", "sim_ann_topk"}
+ROWS_ONLY = {"dedup_near_suite", "approx_sketches", "sim_ann_topk", "greedy_pack"}
 
 INVENTORY_ORACLES: dict[str, str] = {}
 for _name in INVENTORY:

@@ -36,6 +36,7 @@ def test_rows_only_queries_are_the_documented_set():
         "dedup_near_suite",
         "approx_sketches",
         "sim_ann_topk",
+        "greedy_pack",
     }, f"unexpected rows-only set: {no_oracle}"
 
 

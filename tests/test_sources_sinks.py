@@ -132,7 +132,7 @@ def test_custom_streaming_datasource(spark):
     # while micro-batches are still committing races against the comparison
     # read below (the table would advance past the sampled prefix).
     q.stop()
-    q.awaitTermination()
+    q.awaitTermination(30)
     got = {r.event_type: r.n for r in spark.sql("SELECT * FROM synth_stream_out").collect()}
     total = sum(got.values())
     assert total >= 400 and total % 200 == 0
