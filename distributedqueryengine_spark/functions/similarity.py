@@ -265,9 +265,8 @@ def _pruned_topk_broadcast(
     k: int,
     q_ids: np.ndarray,
     Qn: np.ndarray,
-    corpus_buckets_fn,
-    table_buckets: list[np.ndarray],
-    table_qidx: list[np.ndarray],
+    methods: list[tuple[str, object, list[np.ndarray], list[np.ndarray]]],
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Shared engine for broadcast-pruned ANN top-k (LSH and IVF): the
     exact plan shape of `brute_force_topk` — one narrow mapInPandas
@@ -275,73 +274,90 @@ def _pruned_topk_broadcast(
     O(partitions·queries·k) triples — but each corpus row is scored
     only against the queries probing its bucket(s).
 
-    `corpus_buckets_fn(M) -> (n, n_tables)` assigns bucket ids per
-    corpus vector (signed projections for LSH, nearest-centroid cell
-    for IVF); `table_buckets`/`table_qidx` are the query side's sorted
-    probe arrays (one pair per table). Candidate lookup is a vectorized
-    searchsorted per table; pairs found in several tables are scored
-    once (np.unique dedup). Every pruned FLOP is a real saving because
-    the plan contains nothing beyond what brute force already pays.
+    `methods` is a list of (name, corpus_buckets_fn, table_buckets,
+    table_qidx): corpus_buckets_fn(M) -> (n, n_tables) assigns bucket
+    ids per corpus vector (signed projections for LSH, nearest-centroid
+    cell for IVF); table_buckets/table_qidx are the query side's sorted
+    probe arrays (one pair per table). Several methods share ONE corpus
+    scan and ONE window shuffle — a multi-index ANN pass — which halves
+    the fixed Spark cost vs running each index as its own plan.
+    Candidate lookup is a vectorized searchsorted per table; pairs found
+    in several tables are scored once per method (np.unique dedup).
+    Every pruned FLOP is a real saving because the plan contains nothing
+    beyond what brute force already pays.
+
+    Output: (method, query_id, neighbor_id, cos, rnk) with rnk the
+    per-(method, query) rank.
     """
     from collections.abc import Iterator
 
     from pyspark.sql.window import Window
 
-    n_tables = len(table_buckets)
     sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((q_ids, Qn, table_buckets, table_qidx))
+    # Arrays travel via broadcast (torrent, once per executor); the
+    # bucket functions are tiny closures and ride the task (cloudpickle
+    # — plain-pickle broadcast can't serialize local functions).
+    bq = sc.broadcast((q_ids, Qn, [(m[2], m[3]) for m in methods]))
+    bucket_fns = [m[1] for m in methods]
+    names = [m[0] for m in methods]
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, Qn_b, tb, tq = bq.value
+        ids_b, Qn_b, meths = bq.value
         acc: list[pd.DataFrame] = []
         for pdf in batches:
             C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             Cn = _safe_norm(C)
             c_ids = pdf[id_col].to_numpy()
-            cb = corpus_buckets_fn(C)  # (b, n_tables)
-            rows_l: list[np.ndarray] = []
-            qis_l: list[np.ndarray] = []
-            for t in range(n_tables):
-                lo = np.searchsorted(tb[t], cb[:, t], "left")
-                hi = np.searchsorted(tb[t], cb[:, t], "right")
-                counts = hi - lo
-                total = int(counts.sum())
-                if not total:
+            for mi, (tb, tq) in enumerate(meths):
+                corpus_buckets_fn = bucket_fns[mi]
+                cb = corpus_buckets_fn(Cn)  # (b, n_tables)
+                rows_l: list[np.ndarray] = []
+                qis_l: list[np.ndarray] = []
+                for t in range(len(tb)):
+                    lo = np.searchsorted(tb[t], cb[:, t], "left")
+                    hi = np.searchsorted(tb[t], cb[:, t], "right")
+                    counts = hi - lo
+                    total = int(counts.sum())
+                    if not total:
+                        continue
+                    rows = np.repeat(np.arange(len(C)), counts)
+                    # concatenated per-row ranges [lo_i, hi_i), no loop
+                    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+                    pos = np.repeat(lo, counts) + offs
+                    rows_l.append(rows)
+                    qis_l.append(tq[t][pos])
+                if not rows_l:
                     continue
-                rows = np.repeat(np.arange(len(C)), counts)
-                # concatenated per-row ranges [lo_i, hi_i) without a loop
-                offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
-                pos = np.repeat(lo, counts) + offs
-                rows_l.append(rows)
-                qis_l.append(tq[t][pos])
-            if not rows_l:
-                continue
-            rows = np.concatenate(rows_l)
-            qis = np.concatenate(qis_l)
-            # dedup (row, query) pairs found in multiple tables
-            key = rows * len(ids_b) + qis
-            uniq = np.unique(key)
-            rows, qis = uniq // len(ids_b), uniq % len(ids_b)
-            keep = c_ids[rows] != ids_b[qis]  # self-match
-            rows, qis = rows[keep], qis[keep]
-            if not len(rows):
-                continue
-            sims = np.round(np.einsum("ij,ij->i", Cn[rows], Qn_b[qis]), 6)
-            acc.append(pd.DataFrame(
-                {"qi": qis, "neighbor_id": c_ids[rows], "cos": sims}
-            ))
+                rows = np.concatenate(rows_l)
+                qis = np.concatenate(qis_l)
+                # dedup (row, query) pairs found in multiple tables
+                key = rows * len(ids_b) + qis
+                uniq = np.unique(key)
+                rows, qis = uniq // len(ids_b), uniq % len(ids_b)
+                keep = c_ids[rows] != ids_b[qis]  # self-match
+                rows, qis = rows[keep], qis[keep]
+                if not len(rows):
+                    continue
+                sims = np.round(np.einsum("ij,ij->i", Cn[rows], Qn_b[qis]), 6)
+                acc.append(pd.DataFrame(
+                    {"mi": np.full(len(rows), mi, dtype=np.int64),
+                     "qi": qis, "neighbor_id": c_ids[rows], "cos": sims}
+                ))
         if not acc:
             return
         pdf = pd.concat(acc)
-        # partition-local top-k per query under the global total order
+        # partition-local top-k per (method, query) under the global
+        # total order
         order = np.lexsort((pdf["neighbor_id"].to_numpy(),
                             -pdf["cos"].to_numpy(),
-                            pdf["qi"].to_numpy()))
+                            pdf["qi"].to_numpy(),
+                            pdf["mi"].to_numpy()))
         pdf = pdf.iloc[order]
-        rank = pdf.groupby("qi").cumcount()
+        rank = pdf.groupby(["mi", "qi"]).cumcount()
         pdf = pdf[rank < k]
         yield pd.DataFrame(
             {
+                "mi": pdf["mi"].to_numpy(),
                 "query_id": bq.value[0][pdf["qi"].to_numpy()],
                 "neighbor_id": pdf["neighbor_id"].to_numpy(),
                 "cos": pdf["cos"].to_numpy(),
@@ -350,15 +366,35 @@ def _pruned_topk_broadcast(
 
     from distributedqueryengine_spark.session import ensure_parallelism
 
-    src = ensure_parallelism(corpus.select(id_col, as_double(vec_col).alias(vec_col)))
-    local = src.mapInPandas(score_partition, "query_id long, neighbor_id long, cos double")
-    w = Window.partitionBy("query_id").orderBy(
+    src = corpus.select(id_col, as_double(vec_col).alias(vec_col))
+    if n_partitions is not None:
+        # Bucket pruning cuts per-partition FLOPs to a fraction of brute
+        # force's, so the pruned path wants FEWER, LARGER partitions for
+        # the same per-task granularity: bigger Arrow batches amortize
+        # the numpy dispatch, and the window input — O(partitions ·
+        # queries · k · methods) — shrinks proportionally. Only applied
+        # to narrow local fixtures; a wide multi-file scan keeps its
+        # native partitioning.
+        if len(src.inputFiles() or []) <= 1:
+            src = src.repartition(n_partitions)
+        # else: native width already reflects data size
+    else:
+        src = ensure_parallelism(src)
+    local = src.mapInPandas(
+        score_partition, "mi long, query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("mi", "query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
+    method_expr = F.element_at(F.array(*[F.lit(n) for n in names]), F.col("mi").cast("int") + 1)
     return (
         local.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+        .select(
+            method_expr.alias("method"),
+            "query_id", "neighbor_id", "cos",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )
 
 
@@ -450,25 +486,110 @@ def lsh_topk(
         )
 
     # ---- broadcast path: pruned brute force, one pandas stage ----
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    Qn = _safe_norm(Q)
+    method = _lsh_method(Qn, tables, n_planes, n_tables, probe_flips)
+    return _pruned_topk_broadcast(
+        corpus, id_col, vec_col, k, q_ids, Qn, [method]
+    ).drop("method")
+
+
+def _lsh_method(
+    Qn: np.ndarray,
+    tables: list[list[list[float]]],
+    n_planes: int,
+    n_tables: int,
+    probe_flips: int,
+):
+    """('lsh', corpus_buckets_fn, table_buckets, table_qidx) for the
+    shared pruned-brute-force engine."""
     planes = np.array([p for tbl in tables for p in tbl], dtype=np.float64)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def home_buckets(M: np.ndarray) -> np.ndarray:
-        """(n, n_tables) signed-projection buckets."""
+        """(n, n_tables) signed-projection buckets (sign is invariant
+        to row normalization, so raw or normalized input both work)."""
         bits = (M @ planes.T >= 0).astype(np.int64).reshape(len(M), n_tables, n_planes)
         return (bits * weights).sum(axis=2)
 
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
-    Qn = _safe_norm(Q)
-    home = home_buckets(Q)  # (nq, T)
+    home = home_buckets(Qn)  # (nq, T)
     # probe set per (query, table): home + Hamming-1 flips
     probes = [home]
     if probe_flips >= 1:
         probes += [home ^ (1 << j) for j in range(n_planes)]
     qb = np.stack(probes, axis=2)  # (nq, T, n_probes)
     table_buckets, table_qidx = _sorted_probe_tables(qb)
+    return ("lsh", home_buckets, table_buckets, table_qidx)
+
+
+def _ivf_method(Qn: np.ndarray, centroids: np.ndarray, n_probe: int):
+    """('ivf', corpus_buckets_fn, table_buckets, table_qidx): one
+    'table' whose bucket id is the nearest-centroid cell; queries probe
+    their n_probe nearest cells."""
+    C0 = centroids  # (n_cells, dim), normalized
+
+    def cell_buckets(M: np.ndarray) -> np.ndarray:
+        return (_safe_norm(M) @ C0.T).argmax(axis=1).astype(np.int64)[:, None]
+
+    sims = Qn @ C0.T
+    p = min(n_probe, sims.shape[1])
+    idx = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
+    qb = idx[:, None, :]  # (nq, 1 table, n_probe)
+    table_buckets, table_qidx = _sorted_probe_tables(qb)
+    return ("ivf", cell_buckets, table_buckets, table_qidx)
+
+
+def multi_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_flips: int = 1,
+    seed: int = 42,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """LSH and IVF approximate top-k fused into ONE corpus pass.
+
+    Running each index as its own query doubles every fixed cost (scan,
+    Arrow transfer, window shuffle); here both methods are candidate
+    generators inside the same `_pruned_topk_broadcast` stage, so the
+    plan is exactly one narrow mapInPandas over the corpus plus one
+    O(partitions·queries·k·methods) window shuffle — the brute-force
+    plan shape, pruned.
+
+    The IVF coarse quantizer trains on the (already collected,
+    broadcast) query matrix rather than a separate corpus sample: the
+    queries are drawn from the same distribution, and reusing them
+    removes the corpus sample job (a scan + tiny sort) from the plan.
+    With a query set not representative of the corpus, train centroids
+    separately and call `ivf_topk` instead.
+
+    Output: (method, query_id, neighbor_id, cos, rnk), rnk per
+    (method, query).
+    """
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    Qn = _safe_norm(Q)
+    tables = [
+        [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    centroids = _train_centroids_kmeans(Qn, min(n_cells, len(Qn)))
+    try:
+        target = corpus.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        target = 32
     return _pruned_topk_broadcast(
-        corpus, id_col, vec_col, k, q_ids, Qn, home_buckets, table_buckets, table_qidx
+        corpus, id_col, vec_col, k, q_ids, Qn,
+        [
+            _lsh_method(Qn, tables, n_planes, n_tables, probe_flips),
+            _ivf_method(Qn, centroids, n_probe),
+        ],
+        n_partitions=max(8, target // 4),
     )
 
 
@@ -656,20 +777,10 @@ def ivf_topk(
         # their n_probe nearest cells.
         q_ids, Q = _collect_queries(queries, id_col, vec_col)
         Qn = _safe_norm(Q)
-        C0 = centroids  # (n_cells, dim), normalized
-
-        def cell_buckets(M: np.ndarray) -> np.ndarray:
-            return (_safe_norm(M) @ C0.T).argmax(axis=1).astype(np.int64)[:, None]
-
-        sims = Qn @ C0.T
-        p = min(n_probe, sims.shape[1])
-        idx = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
-        qb = idx[:, None, :]  # (nq, 1 table, n_probe)
-        table_buckets, table_qidx = _sorted_probe_tables(qb)
         return _pruned_topk_broadcast(
-            corpus, id_col, vec_col, k, q_ids, Qn, cell_buckets,
-            table_buckets, table_qidx,
-        )
+            corpus, id_col, vec_col, k, q_ids, Qn,
+            [_ivf_method(Qn, centroids, n_probe)],
+        ).drop("method")
     else:
         corpus_cell = _nearest_cells_udf(centroids, 1)
         query_cell = _nearest_cells_udf(centroids, n_probe)

@@ -361,17 +361,25 @@ _ANN_S = [("query_id", "bigint"), ("neighbor_id", "bigint"), ("cos", "double"), 
 
 def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors under one driver row: hyperplane-
-    LSH buckets and IVF coarse quantization. Rows-only by design
-    (bucketing is seeded/engine-specific); recall vs brute force is
-    asserted in tests/test_similarity.py."""
-    return _union([
-        _tagged("lsh", Q.q_sim_lsh_topk(spark, sf_dir),
-                {"query_id": "query_id", "neighbor_id": "neighbor_id",
-                 "cos": "cos", "rnk": "rnk"}, _ANN_S),
-        _tagged("ivf", Q.q_sim_ivf_topk(spark, sf_dir),
-                {"query_id": "query_id", "neighbor_id": "neighbor_id",
-                 "cos": "cos", "rnk": "rnk"}, _ANN_S),
-    ])
+    LSH buckets and IVF coarse quantization FUSED into a single corpus
+    pass (functions/similarity.multi_ann_topk) — one mapInPandas scan +
+    one window shuffle serve both indexes, vs two full plans for the
+    union of the standalone queries. Rows-only by design (bucketing is
+    seeded/engine-specific); recall vs brute force and lsh-branch ≡
+    standalone lsh_topk are asserted in tests/test_similarity.py."""
+    from distributedqueryengine_spark.functions import similarity as S
+    from distributedqueryengine_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 10 == 0)
+    out = S.multi_ann_topk(queries_df, emb, k=5, dim=64, n_probe=6)
+    return out.select(
+        F.col("method").alias("variant"),
+        F.col("query_id").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("cos").cast("double"),
+        F.col("rnk").cast("int"),
+    )
 
 
 _MM_S = [("media_id", "bigint"), ("v1", "bigint"), ("v2", "bigint"),

@@ -110,6 +110,43 @@ def test_cosine_pairs_block_invariance(spark, tables):
     assert len(a) > 0
 
 
+def test_multi_ann_lsh_branch_equals_standalone(spark, tables):
+    """The fused multi-index pass must not change LSH results: its lsh
+    branch uses the same tables/seed/probes as standalone lsh_topk."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    fused = S.multi_ann_topk(queries, emb, k=5, dim=64).collect()
+    lsh_rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rnk)
+        for r in fused if r.method == "lsh"
+    )
+    standalone = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rnk)
+        for r in S.lsh_topk(queries, emb, k=5, dim=64).collect()
+    )
+    assert lsh_rows == standalone
+
+
+def test_multi_ann_ivf_branch_recall(spark, tables):
+    """The query-trained IVF branch of the fused pass still clears the
+    recall bar vs brute force (queries are drawn from the corpus
+    distribution, so query-trained centroids are representative)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    bf = S.brute_force_topk(queries, emb, k=5).collect()
+    fused = S.multi_ann_topk(queries, emb, k=5, dim=64, n_probe=6).collect()
+    truth: dict[int, set[int]] = {}
+    for r in bf:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in fused:
+        if r.method == "ivf":
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5, f"fused IVF recall too low: {hits}/{total}"
+
+
 def test_ivf_probe_monotone_recall(spark, tables):
     """Probing every cell makes IVF exhaustive — results must equal
     brute force exactly (same rounding, same tie order)."""
