@@ -671,6 +671,101 @@ def cosine_pairs_above(
     )
 
 
+def cosine_pairs_above_approx(
+    corpus: DataFrame,
+    tau: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs cosine >= tau: LSH bucket candidates,
+    exact verification — the scale path past `cosine_pairs_above`'s
+    inherent n² FLOPs (same trade as MinHash-LSH vs exact Jaccard in
+    dedup.py).
+
+    Plan: every vector lands in `n_tables` signed-projection buckets
+    (one pandas-UDF matmul, narrow); a self-equi-join on (table,
+    bucket) with id_a < id_b forms candidates; vectors are re-fetched
+    by two shuffle joins and verified with the exact vectorized cosine.
+    No broadcast of the corpus, no block replication: shuffle volume is
+    n·n_tables id/bucket rows plus the candidate pairs, against the
+    exact path's O(n²/rows_per_block) replicated rows.
+
+    Output pairs are a SUBSET of the exact result (verification is
+    exact, so no false positives — only misses). Recall: with per-plane
+    collision prob p = 1-arccos(tau)/pi, a true pair survives one table
+    with p^n_planes; defaults (8 planes, 16 tables) give ~98% recall at
+    tau=0.85 while matching ~6% of random pairs. This is the HIGH-tau
+    near-dup regime; at tau < ~0.6 the angle gap vs random vectors is
+    too small for hyperplane LSH to separate (raise n_tables or use the
+    exact path). A hot bucket with m rows contributes m² join pairs —
+    raise n_planes to split hot buckets before raising n_tables.
+    """
+    tables = [
+        [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    udf = lsh_buckets_udf(tables)
+    ids_buckets = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(udf(as_double(vec_col))).alias("tbl", "bkt"),
+    )
+    a = ids_buckets.select(F.col("id").alias("id_a"), "tbl", "bkt")
+    b = ids_buckets.select(F.col("id").alias("id_b"), "tbl", "bkt")
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    cos = _cosine_udf()
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def cosine_pairs_above_scaled(
+    corpus: DataFrame,
+    tau: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact_threshold: int = 100_000,
+    **approx_kwargs,
+) -> DataFrame:
+    """Size-gated embedding near-dup pairs: EXACT block-pair all-pairs
+    under `exact_threshold` rows (its n·B replicated shuffle rows are
+    cheap there and the result is exhaustive), LSH-prefiltered
+    approximate above it (where n² FLOPs and O(n²/B) shuffle are
+    unpayable). The default threshold marks roughly where the exact
+    path's shuffle (n²/256 rows) passes ~40M rows.
+
+    The driver's correctness gate always runs below the threshold, so
+    the oracle-checked result stays exact; the gate is exercised in
+    tests/test_similarity.py by forcing exact_threshold=0 and asserting
+    both the plan shape (no block-replication explode) and that the
+    approximate pairs are a subset of the exact ones.
+    """
+    n = corpus.count()
+    if n <= exact_threshold:
+        return cosine_pairs_above(corpus, tau, id_col=id_col, vec_col=vec_col)
+    return cosine_pairs_above_approx(
+        corpus, tau, dim, id_col=id_col, vec_col=vec_col, **approx_kwargs
+    )
+
+
 def _train_centroids_kmeans(
     sample: np.ndarray, n_cells: int, n_iter: int = 8
 ) -> np.ndarray:

@@ -1078,11 +1078,17 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, cos >= 0.45): the third
-    dedup modality next to MinHash (lexical) and SimHash (bitwise)."""
+    """Embedding-cosine near-dup pairs (cos >= 0.45): the third dedup
+    modality next to MinHash (lexical) and SimHash (bitwise).
+    Size-gated: exact block-pair all-pairs at test scales (oracle-
+    checked against DuckDB's n² join), LSH-prefiltered approximate
+    above 100k vectors where the exact path's O(n²/B) shuffle is
+    unpayable (similarity.cosine_pairs_above_scaled)."""
     from distributedqueryengine_spark.functions import similarity as S
 
-    return S.cosine_pairs_above(_t(spark, sf_dir, "embeddings"), tau=0.45)
+    return S.cosine_pairs_above_scaled(
+        _t(spark, sf_dir, "embeddings"), tau=0.45, dim=64
+    )
 
 
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,7 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # Queries whose SEMANTICS require a non-equi join strategy.
 NESTED_LOOP_OK = {
     "join_special",      # contains the explicit cross-join branch (cartesian by definition)
-    "sort_pagination",   # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
+    "order_limit_suite",  # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
 }
 
 def _plan(df) -> str:

@@ -147,6 +147,55 @@ def test_multi_ann_ivf_branch_recall(spark, tables):
     assert hits / total >= 0.5, f"fused IVF recall too low: {hits}/{total}"
 
 
+def test_cosine_pairs_approx_subset_and_recall(spark, tables):
+    """Approximate near-dup pairs must be a SUBSET of the exact result
+    (verification is exact — only misses, no false positives); on
+    planted high-cos near-dups (the regime the approx path targets)
+    recall must clear 0.9."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+        # planted near-duplicate: small perturbation → cos ≈ 0.99
+        w = v + rng.normal(scale=0.05, size=16)
+        rows.append(Row(vec_id=1000 + i, embedding=[float(x) for x in w]))
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_above(df, tau=0.9, id_col="vec_id").collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_above_approx(df, tau=0.9, dim=16, id_col="vec_id").collect()
+    }
+    assert approx <= exact
+    assert len(exact) >= 60  # the planted pairs are really there
+    assert len(approx) / len(exact) >= 0.9, f"recall {len(approx)}/{len(exact)}"
+
+
+def test_cosine_pairs_scaled_gate(spark, tables):
+    """Below the threshold the gate returns the exact block-pair plan
+    (block-replication explode present); above it (threshold=0) the
+    approximate plan — no block replication, no n² anywhere."""
+    emb = tables["embeddings"]
+    exact_plan = S.cosine_pairs_above_scaled(
+        emb, tau=0.45, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    approx_plan = S.cosine_pairs_above_scaled(
+        emb, tau=0.45, dim=64, exact_threshold=0
+    )._jdf.queryExecution().executedPlan().toString()
+    # exact path: block-pair applyInPandas over replicated blocks
+    assert "score_block_pair" in exact_plan
+    # approx path: no block-pair stage, bucket self-join instead
+    assert "score_block_pair" not in approx_plan
+    assert "bucketize" in approx_plan
+
+
 def test_ivf_probe_monotone_recall(spark, tables):
     """Probing every cell makes IVF exhaustive — results must equal
     brute force exactly (same rounding, same tie order)."""
