@@ -241,7 +241,16 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone building blocks each run it end-to-end; unioning those
     directly would execute the same pipeline three times). Branch
     semantics are identical: tests/test_dedup.py pins the suite's
-    branches against the standalone building-block queries."""
+    branches against the standalone building-block queries.
+
+    `scored` is an EAGER localCheckpoint, not a lazy persist: three
+    branches and every connected-components iteration hang off it, and
+    a lazy persist leaves the full shingle->band lineage in each
+    consumer's plan (the round-2 audit counted 163 scan nodes).
+    Checkpointing truncates the lineage to one in-memory scan, so the
+    composite's physical plan stays audit-small and CC's iterative
+    jobs replay nothing. (At cluster scale the same role is played by
+    a reliable checkpoint or an intermediate table write.)"""
     from distributedqueryengine_spark.functions import dedup as D
     from distributedqueryengine_spark.session import load_table
 
@@ -249,7 +258,8 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingles(d, "doc_id", "text", 3).persist()
     sigs = D.minhash_signatures(sh, 32)
     cand = D.lsh_candidate_pairs(sigs, 32, 8)
-    scored = D.jaccard_on_pairs(cand, sh).persist()
+    scored = D.jaccard_on_pairs(cand, sh).localCheckpoint()
+    sh.unpersist()
     minhash_pairs = scored.filter(F.col("jaccard") >= 0.5)
     ngram_pairs = scored.filter(F.col("jaccard") >= 0.3)
     clusters = (

@@ -29,8 +29,6 @@ def _plan(df) -> str:
 def plans(spark):
     out = {}
     for name, fn in sorted(entry_mod.queries().items()):
-        if name in ("dedup_near_suite",):  # contains iterative clusters: executes jobs eagerly, covered in test_dedup
-            continue
         out[name] = _plan(fn(spark, SF_DIR))
     return out
 
