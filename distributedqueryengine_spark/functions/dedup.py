@@ -15,15 +15,53 @@ transformations with NO pairwise O(n²) stage over the full corpus:
 - n-gram Jaccard: exact verification on candidate pairs only.
 
 All hashing uses Spark's built-in xxhash64 (JVM, codegen) — no Python
-in the hot path.
+in the hot path. Every hashing stage also has a `portable=True` mode
+that swaps xxhash64 for engine-portable constructions (md5-derived
+60-bit ints + universal-hash arithmetic mod 2^31-1) so the ENTIRE
+near-dup pipeline can be value-checked against a DuckDB oracle running
+the identical math; xxhash64 stays the default production path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from distributedqueryengine_spark.functions.text import fingerprint, normalize_text
+
+# ---------------------------------------------- portable hashing mode
+
+#: Mersenne prime 2^31-1: universal-hash modulus small enough that
+#: a*x+b never overflows signed 64-bit in either engine.
+P31 = 2_147_483_647
+
+
+def portable_hash64(c: Column) -> Column:
+    """60-bit engine-portable hash: integer value of the first 15 hex
+    chars of md5. DuckDB mirror:
+    CAST('0x' || substr(md5(x), 1, 15) AS BIGINT). Non-negative, so
+    %/min/ordering agree across engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _splitmix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def perm_coeffs(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal-hash MinHash
+    permutations h_i(x) = (a_i*x + b_i) mod P31, a_i != 0. Shared by
+    the Spark expression and the generated oracle SQL."""
+    return [
+        (
+            1 + _splitmix(seed * 1_000_003 + i) % (P31 - 1),
+            _splitmix(seed * 2_000_003 + i) % P31,
+        )
+        for i in range(num_perm)
+    ]
 
 
 # ---------------------------------------------------------------- exact
@@ -55,7 +93,9 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ------------------------------------------------------------- shingles
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, portable: bool = False
+) -> DataFrame:
     """Explode each document into its distinct word n-gram shingles,
     pre-hashed to 64 bits: (id, shingle_hash). Downstream stages touch
     only the 8-byte hash, not the text.
@@ -73,34 +113,43 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
     )
     g = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
-    return g.select(
-        "id",
-        F.xxhash64(F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)])).alias("sh"),
-    ).distinct()
+    gram = F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)])
+    h = portable_hash64(gram) if portable else F.xxhash64(gram)
+    return g.select("id", h.alias("sh")).distinct()
 
 
 # ---------------------------------------------------------- MinHash LSH
 
 def minhash_signatures(
-    sh: DataFrame, num_perm: int = 32
+    sh: DataFrame, num_perm: int = 32, portable: bool = False
 ) -> DataFrame:
     """MinHash signature per document from its shingle hashes.
 
-    Permutation i is simulated by re-hashing: xxhash64(sh, i). The min
-    over each permutation is a partial-aggregatable agg — map-side
-    combine keeps the shuffle at one row per document.
+    Permutation i is simulated by re-hashing: xxhash64(sh, i), or in
+    portable mode by the universal hash (a_i*(sh mod P31)+b_i) mod P31
+    — pure arithmetic with identical results in DuckDB. The min over
+    each permutation is a partial-aggregatable agg — map-side combine
+    keeps the shuffle at one row per document.
     Output: (id, sig array<long>[num_perm]).
     """
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
-        for i in range(num_perm)
-    ]
+    if portable:
+        x = F.col("sh") % P31
+        coeffs = perm_coeffs(num_perm)
+        mins = [
+            F.min((x * F.lit(a) + F.lit(b)) % P31).alias(f"m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_perm)
+        ]
     sigs = sh.groupBy("id").agg(*mins)
     return sigs.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_perm: int = 32, bands: int = 8
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8, portable: bool = False
 ) -> DataFrame:
     """Banding: equal band-signature ⇒ candidate pair.
 
@@ -110,6 +159,7 @@ def lsh_candidate_pairs(
     with id_a < id_b.
     """
     r = num_perm // bands
+    band_hash = portable_hash64 if portable else F.xxhash64
     banded = sigs.select(
         "id",
         F.explode(
@@ -117,7 +167,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bh"),
+                        band_hash(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bh"),
                     )
                     for b in range(bands)
                 ]
@@ -208,57 +258,73 @@ def minhash_near_duplicates(
     num_perm: int = 32,
     bands: int = 8,
     min_jaccard: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
     candidates → exact-Jaccard filter. Returns (id_a, id_b, jaccard)."""
     # The shingle table feeds both the signature and the verification
     # stage; cache it so the explode+hash runs once (MEMORY_AND_DISK:
     # spills rather than OOMs at scale).
-    sh = shingles(df, id_col, text_col, ngram).persist()
-    sigs = minhash_signatures(sh, num_perm)
-    pairs = lsh_candidate_pairs(sigs, num_perm, bands)
+    sh = shingles(df, id_col, text_col, ngram, portable=portable).persist()
+    sigs = minhash_signatures(sh, num_perm, portable=portable)
+    pairs = lsh_candidate_pairs(sigs, num_perm, bands, portable=portable)
     scored = jaccard_on_pairs(pairs, sh)
     return scored.filter(F.col("jaccard") >= min_jaccard)
 
 
 # -------------------------------------------------------------- SimHash
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: bit i is the sign of the sum over
-    tokens of ±1 depending on bit i of the token hash.
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, portable: bool = False
+) -> DataFrame:
+    """SimHash per document: bit i is the sign of the sum over tokens
+    of ±1 depending on bit i of the token hash. 64 bits from xxhash64
+    by default; 60 bits from the md5-derived portable hash in portable
+    mode (identical math in DuckDB).
 
-    Expressed as one explode + one groupBy with 64 conditional-sum
-    aggregates — all JVM-side, map-side-combinable. Output:
+    Expressed as one explode + one groupBy with one conditional-sum
+    aggregate per bit — all JVM-side, map-side-combinable. Output:
     (id, simhash long)."""
     from distributedqueryengine_spark.session import ensure_parallelism
 
+    n_bits = 60 if portable else 64
+    tok_hash = portable_hash64 if portable else F.xxhash64
     tok = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", tok_hash(F.col("t")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tok.groupBy("id").agg(*bit_sums)
     fp = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp.bitwiseXOR(term)
     return agg.select("id", fp.alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
+) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: split 64 bits into 4 16-bit bands; distance ≤ 3
-    implies ≥ 1 band matches exactly, so candidates come from an
-    equi-join on (band_idx, band_value) — shuffle-partitionable —
-    then the exact hamming filter (bit_count, JVM) keeps true pairs."""
-    sh = simhash(df, id_col, text_col)
+    Pigeonhole banding: split the fingerprint into 4 bands (16 bits
+    each, or 15 in 60-bit portable mode); distance ≤ 3 implies ≥ 1 band
+    matches exactly, so candidates come from an equi-join on
+    (band_idx, band_value) — shuffle-partitionable — then the exact
+    hamming filter (bit_count, JVM) keeps true pairs."""
+    band_bits = 15 if portable else 16
+    band_mask = (1 << band_bits) - 1
+    sh = simhash(df, id_col, text_col, portable=portable)
     banded = sh.select(
         "id",
         "simhash",
@@ -267,8 +333,8 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bv"),
                     )
                     for b in range(4)
@@ -302,7 +368,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str, max_hammi
 # ------------------------------------------------------- Winnowing
 
 def positional_ngram_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, portable: bool = False
 ) -> DataFrame:
     """(id, pos, h): 64-bit hash of the token k-gram starting at each
     position — the winnowing substrate. Same codegen-friendly
@@ -316,15 +382,18 @@ def positional_ngram_hashes(
         *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(k)]
     )
     g = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.posexplode(zipped).alias("pos", "z"))
-    return g.select(
-        "id",
-        "pos",
-        F.xxhash64(F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)])).alias("h"),
-    )
+    gram = F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(k)])
+    h = portable_hash64(gram) if portable else F.xxhash64(gram)
+    return g.select("id", "pos", h.alias("h"))
 
 
 def winnow_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, w: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS rolling-hash scheme,
     Schleimer et al. 2003): hash every token k-gram, then keep the
@@ -340,7 +409,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window
 
-    ph = positional_ngram_hashes(df, id_col, text_col, k)
+    ph = positional_ngram_hashes(df, id_col, text_col, k, portable=portable)
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     cnt = Window.partitionBy("id")
     # Canonical winnowing slides only FULL windows of w k-grams; a doc
@@ -444,10 +513,13 @@ def dedup_clusters(
     id_col: str,
     text_col: str,
     min_jaccard: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash pairs → connected components → one row per document
     with its cluster representative (docs with no near-dup are their
     own representative only if they appear in a pair; absent docs are
     implicitly unique)."""
-    pairs = minhash_near_duplicates(df, id_col, text_col, min_jaccard=min_jaccard)
+    pairs = minhash_near_duplicates(
+        df, id_col, text_col, min_jaccard=min_jaccard, portable=portable
+    )
     return connected_components(pairs)

@@ -232,8 +232,12 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection, all modalities, under one driver row:
     MinHash-LSH pairs (tau=0.5), 3-gram Jaccard pairs (tau=0.3), SimHash
     pairs (hamming<=3), connected components, winnowing fingerprint
-    density. Rows-only by design: xxhash64 banding is not portable to
-    the DuckDB oracle; semantics are pinned in tests/test_dedup.py
+    density. Runs the PORTABLE hashing mode (md5-derived 60-bit hashes
+    + universal-hash MinHash permutations, dedup.portable_hash64), so
+    every branch — including connected components, via a recursive-CTE
+    reachability oracle — is fully value-checked against DuckDB running
+    the identical math. The xxhash64 default mode is the production
+    path; semantics are additionally pinned in tests/test_dedup.py
     against exact Jaccard / reference winnower / union-find.
 
     The minhash / ngram_jaccard / clusters branches SHARE one
@@ -255,9 +259,9 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedqueryengine_spark.session import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(d, "doc_id", "text", 3).persist()
-    sigs = D.minhash_signatures(sh, 32)
-    cand = D.lsh_candidate_pairs(sigs, 32, 8)
+    sh = D.shingles(d, "doc_id", "text", 3, portable=True).persist()
+    sigs = D.minhash_signatures(sh, 32, portable=True)
+    cand = D.lsh_candidate_pairs(sigs, 32, 8, portable=True)
     scored = D.jaccard_on_pairs(cand, sh).localCheckpoint()
     sh.unpersist()
     minhash_pairs = scored.filter(F.col("jaccard") >= 0.5)
@@ -272,11 +276,11 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
         _tagged("ngram_jaccard", ngram_pairs,
                 {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
-        _tagged("simhash", Q.q_dedup_simhash(spark, sf_dir),
+        _tagged("simhash", Q.q_dedup_simhash(spark, sf_dir, portable=True),
                 {"a": "id_a", "b": "id_b", "v": "hamming"}, _DEDUP_NEAR_S),
         _tagged("clusters", clusters,
                 {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
-        _tagged("winnow", Q.q_text_winnow(spark, sf_dir),
+        _tagged("winnow", Q.q_text_winnow(spark, sf_dir, portable=True),
                 {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
     ])
 
@@ -591,6 +595,127 @@ _DECON_BAD = r"""
          bad AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM eg))
 """
 
+def _dedup_near_oracle() -> str:
+    """DuckDB oracle for the ENTIRE portable near-dup suite: the same
+    md5-60-bit hashes, universal-hash MinHash permutations, banding,
+    exact Jaccard, SimHash bit math, recursive-CTE connected
+    components, and winnowing window mins as the Spark pipeline —
+    generated from the same perm_coeffs constants so the two engines
+    compute literally identical numbers."""
+    from distributedqueryengine_spark.functions.dedup import P31, perm_coeffs
+
+    def h60(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+    num_perm, bands, r = 32, 8, 4
+    mins = ",\n                   ".join(
+        f"min(((sh % {P31}) * {a} + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT id, {b} AS band, {h} AS bh FROM sig".format(
+            b=b,
+            h=h60(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    bitsums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp_expr = " + ".join(
+        f"(CAST(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})"
+        for i in range(60)
+    )
+    sim_band_selects = "\n            UNION ALL\n            ".join(
+        f"SELECT id, simhash, {b} AS band, (simhash >> {b * 15}) & 32767 AS bv FROM simfp"
+        for b in range(4)
+    )
+    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+    ctes = f"""
+    toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               {h60("array_to_string(t[i:i+2], ' ')")} AS sh
+        FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM toks)),
+    sig AS (SELECT id,
+                   {mins}
+            FROM sh GROUP BY id),
+    banded AS (
+            {band_selects}),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+    sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh x ON x.id = c.id_a
+              JOIN sh y ON y.id = c.id_b AND y.sh = x.sh
+              GROUP BY c.id_a, c.id_b),
+    scored AS (SELECT c.id_a, c.id_b,
+                      round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                            / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)), 4) AS jaccard
+               FROM cand c
+               LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+               JOIN sizes sa ON sa.id = c.id_a
+               JOIN sizes sb ON sb.id = c.id_b),
+    minhash_pairs AS (SELECT * FROM scored WHERE jaccard >= 0.5),
+    ngram_pairs AS (SELECT * FROM scored WHERE jaccard >= 0.3),
+    tok2 AS (SELECT doc_id AS id, unnest(string_split({norm}, ' ')) AS tk FROM documents),
+    th AS (SELECT id, {h60("tk")} AS h FROM tok2),
+    bitsums AS (SELECT id,
+                   {bitsums}
+                FROM th GROUP BY id),
+    simfp AS (SELECT id, {fp_expr} AS simhash FROM bitsums),
+    simbanded AS (
+            {sim_band_selects}),
+    simcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                FROM simbanded a JOIN simbanded b
+                  ON a.band = b.band AND a.bv = b.bv AND a.id < b.id),
+    simpairs AS (SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+                 FROM simcand WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM minhash_pairs
+              UNION SELECT id_b, id_a FROM minhash_pairs),
+    reach(a, b) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+    comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+    clusters AS (SELECT component, count(*) AS cluster_size, min(id) AS rep_id
+                 FROM comp GROUP BY component),
+    ph AS (SELECT doc_id AS id, i - 1 AS pos,
+                  {h60("array_to_string(t[i:i+2], ' ')")} AS h
+           FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM toks)),
+    winfp AS (SELECT DISTINCT id, fp FROM (
+                  SELECT id, pos,
+                         min(h) OVER (PARTITION BY id ORDER BY pos
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                         count(*) OVER (PARTITION BY id) AS n_grams
+                  FROM ph) wf
+              WHERE pos <= n_grams - 4 OR pos = 0),
+    winnow AS (SELECT id AS doc_id, count(*) AS n_fingerprints FROM winfp GROUP BY id)"""
+    branches = _sql_union([
+        _sql_tagged("minhash", "SELECT * FROM minhash_pairs",
+                    {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
+        _sql_tagged("ngram_jaccard", "SELECT * FROM ngram_pairs",
+                    {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
+        _sql_tagged("simhash", "SELECT * FROM simpairs",
+                    {"a": "id_a", "b": "id_b", "v": "hamming"}, _DEDUP_NEAR_S),
+        _sql_tagged("clusters", "SELECT * FROM clusters",
+                    {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
+        _sql_tagged("winnow", "SELECT * FROM winnow",
+                    {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
+    ])
+    return "WITH RECURSIVE" + ctes + "\n" + branches
+
+
+COMPOSITE_ORACLES["dedup_near_suite"] = _dedup_near_oracle()
+
 COMPOSITE_ORACLES["decontam_suite"] = _sql_union([
     _sql_tagged("contaminated", _DECON_BAD + "SELECT doc_id FROM bad",
                 {"id": "doc_id"}, _DECON_S),
@@ -901,7 +1026,7 @@ INVENTORY = {
 }
 
 # Rows-only by design (no portable oracle): see each query's docstring.
-ROWS_ONLY = {"dedup_near_suite", "approx_sketches", "sim_ann_topk", "greedy_pack"}
+ROWS_ONLY = {"approx_sketches", "sim_ann_topk", "greedy_pack"}
 
 INVENTORY_ORACLES: dict[str, str] = {}
 for _name in INVENTORY:

@@ -451,30 +451,43 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (jaccard >= 0.5). Non-SQL (xxhash64
-    banding) → rows-only driver check; recall vs exact Jaccard is
-    asserted in tests/test_dedup.py."""
+def q_dedup_minhash(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs (jaccard >= 0.5). xxhash64 banding by
+    default; portable=True (the inventory suite) swaps in md5-derived
+    hashes + universal-hash permutations so the full pipeline is
+    DuckDB-oracle-checkable. Recall vs exact Jaccard is asserted in
+    tests/test_dedup.py."""
     from distributedqueryengine_spark.functions import dedup as D
 
     return D.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "doc_id", "text"
+        _t(spark, sf_dir, "documents"), "doc_id", "text", portable=portable
     )
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs (hamming <= 3). Rows-only."""
+def q_dedup_simhash(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
+    """SimHash near-dup candidate pairs (hamming <= 3). xxhash64 by
+    default; portable=True (the inventory suite) uses the md5-derived
+    60-bit hash so the result is DuckDB-oracle-checkable."""
     from distributedqueryengine_spark.functions import dedup as D
 
-    return D.simhash_near_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", portable=portable
+    )
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.3 over LSH candidates. Rows-only."""
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.3 over LSH candidates."""
     from distributedqueryengine_spark.functions import dedup as D
 
     return D.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", min_jaccard=0.3
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_jaccard=0.3,
+        portable=portable,
     )
 
 
@@ -1453,15 +1466,18 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_winnow(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
     """Winnowing (rolling-hash) fingerprint density per document —
-    MOSS-style passage-level signatures. Rows-only (xxhash64 is not
-    portable to the oracle); semantics pinned by tests/test_dedup.py
-    against a driver-side reference winnower."""
+    MOSS-style passage-level signatures. xxhash64 by default;
+    portable=True (the inventory suite) makes it oracle-checkable.
+    Semantics also pinned by tests/test_dedup.py against a driver-side
+    reference winnower."""
     from distributedqueryengine_spark.functions import dedup as D
 
     d = _t(spark, sf_dir, "documents")
-    fps = D.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+    fps = D.winnow_fingerprints(d, "doc_id", "text", k=3, w=4, portable=portable)
     return (
         fps.groupBy(F.col("id").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_fingerprints"))
@@ -1496,15 +1512,19 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_clusters(
+    spark: SparkSession, sf_dir: str, portable: bool = False
+) -> DataFrame:
     """Near-dup pairs → connected components → cluster membership
     (iterative min-label propagation; GraphX-style, checkpointed).
-    Rows-only: unbounded recursion is not single-query SQL; semantics
-    pinned against driver-side union-find in tests/test_dedup.py."""
+    Semantics pinned against driver-side union-find in
+    tests/test_dedup.py; in portable mode the driver additionally
+    value-checks it against a DuckDB recursive-CTE reachability
+    oracle."""
     from distributedqueryengine_spark.functions import dedup as D
 
     d = _t(spark, sf_dir, "documents")
-    cc = D.dedup_clusters(d, "doc_id", "text", min_jaccard=0.5)
+    cc = D.dedup_clusters(d, "doc_id", "text", min_jaccard=0.5, portable=portable)
     return (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("id").alias("rep_id"))

@@ -33,7 +33,6 @@ def test_rows_only_queries_are_the_documented_set():
     qs = set(entry_mod.queries())
     no_oracle = qs - set(entry_mod.oracle_sql())
     assert no_oracle == {
-        "dedup_near_suite",
         "approx_sketches",
         "sim_ann_topk",
         "greedy_pack",

@@ -230,7 +230,8 @@ def test_connected_components_raises_on_non_convergence(spark):
 def test_near_suite_branches_match_standalone_queries(spark):
     """q_dedup_near_suite shares ONE shingle->sign->band->score pipeline
     across its minhash / ngram_jaccard / clusters branches; each branch
-    must stay value-identical to the standalone building-block query."""
+    must stay value-identical to the standalone building-block query
+    run in the same (portable) hashing mode."""
     from distributedqueryengine_spark import queries as Q
     from distributedqueryengine_spark.inventory import q_dedup_near_suite
 
@@ -245,17 +246,40 @@ def test_near_suite_branches_match_standalone_queries(spark):
 
     mh = sorted(
         (r["id_a"], r["id_b"], float(r["jaccard"]))
-        for r in Q.q_dedup_minhash(spark, sf_dir).collect()
+        for r in Q.q_dedup_minhash(spark, sf_dir, portable=True).collect()
     )
     assert branch("minhash", ["a", "b", "v"]) == mh
     ng = sorted(
         (r["id_a"], r["id_b"], float(r["jaccard"]))
-        for r in Q.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+        for r in Q.q_dedup_ngram_jaccard(spark, sf_dir, portable=True).collect()
     )
     assert branch("ngram_jaccard", ["a", "b", "v"]) == ng
     cl = sorted(
         (r["rep_id"], r["cluster_size"], float(r["component"]))
-        for r in Q.q_dedup_clusters(spark, sf_dir).collect()
+        for r in Q.q_dedup_clusters(spark, sf_dir, portable=True).collect()
     )
     assert branch("clusters", ["a", "b", "v"]) == cl
     suite.unpersist()
+
+
+def test_portable_mode_matches_default_semantics(spark, tables):
+    """Portable (md5 + universal-hash) and default (xxhash64) modes are
+    the SAME algorithm under different hash families: exact-Jaccard
+    verification makes the high-confidence pairs agree. Every pair
+    scored >= 0.5 by both pipelines' candidate stages must carry the
+    IDENTICAL exact jaccard value (verification is hash-independent)."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    d = tables["documents"]
+    a = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_near_duplicates(d, "doc_id", "text").collect()
+    }
+    b = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_near_duplicates(d, "doc_id", "text", portable=True).collect()
+    }
+    shared = set(a) & set(b)
+    assert shared, "no overlapping pairs between hash modes"
+    for k in shared:
+        assert a[k] == b[k]
