@@ -88,10 +88,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Fixture generations vary: TIMESTAMP(MICROS, isAdjustedToUTC=
+        # false) reads as NTZ, which streaming watermarks reject
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Session TZ is pinned
+        # UTC above, so the cast reinterprets the same wall-clock
+        # instant — values match DuckDB's naive-timestamp read exactly.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -110,8 +110,13 @@ def stream_from_table(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stage)
     )
-    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # micros-NTZ fixture generation: same normalization as
+        # session.load_table (UTC session TZ → identical instants).
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch.schema
     return stream
 
