@@ -317,8 +317,12 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable, so both branches are fully value-checked against
     the DuckDB oracle.
 
-    `bad` is persisted: it feeds both the contaminated branch and the
-    anti-join of the clean branch, and at a few thousand rows max it is
+    Because train and eval are id-partitions of the SAME table, the
+    n-gram fingerprints are computed in ONE explode pass and split by
+    id afterwards (the general decontaminate() API scans each side
+    separately since they are normally different tables). `bad` is
+    persisted: it feeds both the contaminated branch and the anti-join
+    of the clean branch, and at a few thousand rows max it is
     driver-cache-sized even at 100 TB corpus scale (contamination is
     bounded by eval-set n-gram reach, not corpus size)."""
     from distributedqueryengine_spark.functions import decontam as DC
@@ -326,8 +330,15 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
-    ev = d.filter(F.col("doc_id") % 97 == 0)
-    bad = DC.contaminated_ids(train, ev, "doc_id", "text", n=3).persist()
+    g = DC.doc_ngram_fingerprints(d, "doc_id", "text", n=3).persist()
+    ev_g = g.filter(F.col("id") % 97 == 0).select("g").distinct()
+    bad = (
+        g.filter(F.col("id") % 97 != 0)
+        .join(F.broadcast(ev_g), "g", "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .persist()
+    )
     clean = train.join(bad, "doc_id", "left_anti")
     return _union([
         _tagged("contaminated", bad, {"id": "doc_id"}, _DECON_S),
