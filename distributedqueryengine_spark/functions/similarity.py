@@ -671,15 +671,43 @@ def cosine_pairs_above(
     )
 
 
+def lsh_pair_params(
+    n: int,
+    tau: float,
+    recall: float = 0.95,
+    target_occupancy: float = 4.0,
+    max_planes: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Standard LSH parameter selection for all-pairs search.
+
+    Planes grow with log2(n) so expected bucket occupancy n/2^planes
+    stays ~constant — THE scale knob: with fixed planes the candidate
+    join is O(n²·collision_rate), i.e. still quadratic; occupancy-
+    normalized planes keep per-bucket join work linear in n. Tables
+    then come from the recall target: a true pair at cosine tau
+    survives one table with p^planes (p = 1-arccos(tau)/pi), so
+    tables = ln(1-recall)/ln(1-p^planes).
+    """
+    import math as _m
+
+    planes = max(8, min(max_planes, _m.ceil(_m.log2(max(n / target_occupancy, 2.0)))))
+    p = 1.0 - _m.acos(min(max(tau, -1.0), 1.0)) / _m.pi
+    per_table = max(p**planes, 1e-12)
+    tables = _m.ceil(_m.log(max(1.0 - recall, 1e-9)) / _m.log(1.0 - min(per_table, 0.999999)))
+    return planes, max(4, min(max_tables, tables))
+
+
 def cosine_pairs_above_approx(
     corpus: DataFrame,
     tau: float,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
-    n_tables: int = 16,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs cosine >= tau: LSH bucket candidates,
     exact verification — the scale path past `cosine_pairs_above`'s
@@ -695,15 +723,25 @@ def cosine_pairs_above_approx(
     exact path's O(n²/rows_per_block) replicated rows.
 
     Output pairs are a SUBSET of the exact result (verification is
-    exact, so no false positives — only misses). Recall: with per-plane
-    collision prob p = 1-arccos(tau)/pi, a true pair survives one table
-    with p^n_planes; defaults (8 planes, 16 tables) give ~98% recall at
-    tau=0.85 while matching ~6% of random pairs. This is the HIGH-tau
-    near-dup regime; at tau < ~0.6 the angle gap vs random vectors is
-    too small for hyperplane LSH to separate (raise n_tables or use the
-    exact path). A hot bucket with m rows contributes m² join pairs —
-    raise n_planes to split hot buckets before raising n_tables.
+    exact, so no false positives — only misses). By default n_planes /
+    n_tables are AUTO-SIZED from the corpus row count and tau via
+    `lsh_pair_params`: planes ∝ log2(n) keep expected bucket occupancy
+    constant (with FIXED planes the candidate join is O(n²·rate) —
+    measured quadratic on an 8× replicated fixture before this sizing),
+    and tables are chosen for 95% recall at tau from the collision
+    probability p = 1-arccos(tau)/pi. This is the HIGH-tau near-dup
+    regime; at tau < ~0.6 the angle gap vs random vectors is too small
+    for hyperplane LSH to separate (use the exact path). Exact
+    DUPLICATES collide in every table regardless of planes, so output
+    (and its cost) inherently grows with copies² per content — cluster
+    with connected_components downstream instead of materializing
+    mega-cliques when duplicate density is extreme.
     """
+    if n_planes is None or n_tables is None:
+        n = n_rows if n_rows is not None else corpus.count()
+        auto_planes, auto_tables = lsh_pair_params(n, tau)
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
     tables = [
         [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
         for t in range(n_tables)
@@ -762,7 +800,8 @@ def cosine_pairs_above_scaled(
     if n <= exact_threshold:
         return cosine_pairs_above(corpus, tau, id_col=id_col, vec_col=vec_col)
     return cosine_pairs_above_approx(
-        corpus, tau, dim, id_col=id_col, vec_col=vec_col, **approx_kwargs
+        corpus, tau, dim, id_col=id_col, vec_col=vec_col, n_rows=n,
+        **approx_kwargs
     )
 
 
