@@ -410,10 +410,16 @@ def lsh_topk(
     probe_flips: int = 1,
     seed: int = 42,
     broadcast_queries: bool = True,
+    n_corpus_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing an LSH
     bucket with the query in at least one of `n_tables` tables, with
     Hamming-1 multi-probe on the query side.
+
+    Pass `n_corpus_rows` (e.g. from catalog stats) at scale: planes
+    are raised to keep expected bucket occupancy ~constant
+    (n/2^planes), the knob that keeps candidate counts linear in the
+    corpus — see lsh_pair_params / SCALING.md round-5 probe.
 
     Default path (broadcast_queries=True) is a bucket-PRUNED
     brute_force_topk with the identical plan shape — one narrow
@@ -439,8 +445,12 @@ def lsh_topk(
     prune 10-100× harder at the same recall. Raise n_planes before
     n_tables at scale.
     """
+    import math as _m
+
     from pyspark.sql.window import Window
 
+    if n_corpus_rows is not None:
+        n_planes = max(n_planes, _m.ceil(_m.log2(max(n_corpus_rows / 4.0, 2.0))))
     tables = [
         [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
         for t in range(n_tables)
@@ -552,6 +562,7 @@ def multi_ann_topk(
     seed: int = 42,
     n_cells: int = 16,
     n_probe: int = 4,
+    n_corpus_rows: int | None = None,
 ) -> DataFrame:
     """LSH and IVF approximate top-k fused into ONE corpus pass.
 
@@ -572,8 +583,14 @@ def multi_ann_topk(
     Output: (method, query_id, neighbor_id, cos, rnk), rnk per
     (method, query).
     """
+    import math as _m
+
     q_ids, Q = _collect_queries(queries, id_col, vec_col)
     Qn = _safe_norm(Q)
+    if n_corpus_rows is not None:
+        # occupancy-normalized planes (see lsh_pair_params): keeps the
+        # pruned candidate count linear in the corpus at scale.
+        n_planes = max(n_planes, _m.ceil(_m.log2(max(n_corpus_rows / 4.0, 2.0))))
     tables = [
         [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
         for t in range(n_tables)
