@@ -196,6 +196,21 @@ def test_cosine_pairs_scaled_gate(spark, tables):
     assert "bucketize" in approx_plan
 
 
+def test_lsh_pair_params_sizing():
+    """Planes grow with log2(n) (constant bucket occupancy); tables
+    grow when recall demands it and shrink when tau is easier."""
+    p1, t1 = S.lsh_pair_params(1_000, 0.85)
+    p2, t2 = S.lsh_pair_params(1_000_000, 0.85)
+    assert p2 > p1  # occupancy normalization
+    assert p2 == max(8, min(24, __import__("math").ceil(__import__("math").log2(1_000_000 / 4))))
+    _, t_hi = S.lsh_pair_params(100_000, 0.85, recall=0.99)
+    _, t_lo = S.lsh_pair_params(100_000, 0.85, recall=0.80)
+    assert t_hi >= t_lo
+    _, t_easy = S.lsh_pair_params(100_000, 0.99)
+    _, t_hard = S.lsh_pair_params(100_000, 0.80)
+    assert t_easy <= t_hard
+
+
 def test_ivf_probe_monotone_recall(spark, tables):
     """Probing every cell makes IVF exhaustive — results must equal
     brute force exactly (same rounding, same tie order)."""

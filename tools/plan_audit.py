@@ -28,8 +28,24 @@ JOIN_KINDS = [
 ]
 
 
-def audit(df) -> dict:
+def audit(df, execute: bool = True) -> dict:
+    """Inspect the physical plan. With AQE on, the pre-execution plan
+    prints `AdaptiveSparkPlan isFinalPlan=false` with NO codegen
+    annotations — so by default the query is executed (noop sink) first
+    and the FINAL adaptive plan is audited; `execute=False` keeps the
+    cheap static view (joins/scans are still meaningful there)."""
+    if execute:
+        try:
+            # collect() (not a noop write: that clones the plan into a
+            # fresh QueryExecution) drives THIS DataFrame's adaptive
+            # plan to isFinalPlan=true with *(n) codegen annotations.
+            df.collect()
+        except Exception:
+            pass  # fall back to the static plan
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # post-execution AQE toString prints Final AND Initial plans; keep
+    # only the final section or every node double-counts.
+    plan = plan.split("== Initial Plan ==")[0]
     joins = {k: plan.count(k) for k in JOIN_KINDS if plan.count(k)}
     scans = plan.count("FileScan parquet")
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
