@@ -192,3 +192,43 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+# ---------------------------------------------------------- PII scrubbing
+
+# Redaction patterns restricted to constructs with identical semantics
+# in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+# backreferences — the same portability rule as the BPE tokenizer
+# pattern above. Order matters: URLs first (they may contain '@' and
+# digit runs that the later patterns would mangle).
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://\S+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() .-]{6,}[0-9]",
+}
+
+
+def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
+    """Replace URLs, emails, and phone-shaped digit runs with `token` —
+    the standard scrubbing pass before a corpus ships to training.
+    Chained JVM regexp_replace: one projection, codegen, zero shuffle,
+    linear scan at any corpus size. Idempotent (the token matches none
+    of the patterns)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """Struct of per-class PII match counts (url, email, phone) — the
+    audit side of redaction: aggregate it corpus-wide to report what
+    scrubbing removed. regexp_count is JVM-side and portable to the
+    DuckDB oracle via len(regexp_extract_all(...))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(pat)).cast("int").alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )

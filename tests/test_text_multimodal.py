@@ -73,3 +73,40 @@ def test_multimodal_real_decode_is_marked_stub(sample):
     media = M.attach_payload(sample, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         M.decode_batch(media, fake=False).collect()
+
+
+def test_redact_pii_planted_fixtures(spark):
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "see https://example.com/a?b=c#frag and http://t.co/xyz for info"),
+            (3, "plain text with no sensitive content at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.red, r.cnt)
+        for r in df.select(
+            "doc_id",
+            T.redact_pii("text").alias("red"),
+            T.pii_counts("text").alias("cnt"),
+        ).collect()
+    }
+    red1, cnt1 = out[1]
+    assert "@" not in red1 and "555" not in red1 and "[PII]" in red1
+    assert cnt1.email == 1 and cnt1.phone == 1 and cnt1.url == 0
+    red2, cnt2 = out[2]
+    assert "http" not in red2 and cnt2.url == 2
+    red3, cnt3 = out[3]
+    assert red3 == "plain text with no sensitive content at all"
+    assert (cnt3.url, cnt3.email, cnt3.phone) == (0, 0, 0)
+    # idempotent: redacting the redacted text changes nothing
+    again = df.select(
+        T.redact_pii(T.redact_pii("text")).alias("r2"),
+        T.redact_pii("text").alias("r1"),
+    ).collect()
+    assert all(r.r1 == r.r2 for r in again)
