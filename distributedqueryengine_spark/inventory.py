@@ -389,9 +389,11 @@ def q_sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH buckets and IVF coarse quantization FUSED into a single corpus
     pass (functions/similarity.multi_ann_topk) — one mapInPandas scan +
     one window shuffle serve both indexes, vs two full plans for the
-    union of the standalone queries. Rows-only by design (bucketing is
-    seeded/engine-specific); recall vs brute force and lsh-branch ≡
-    standalone lsh_topk are asserted in tests/test_similarity.py."""
+    union of the standalone queries. Fully value-checked: the seeded
+    hyperplanes and the unrolled query-trained k-means are generated
+    into a DuckDB oracle (ann_oracle.py). Recall vs brute force and
+    lsh-branch ≡ standalone lsh_topk are additionally asserted in
+    tests/test_similarity.py."""
     from distributedqueryengine_spark.functions import similarity as S
     from distributedqueryengine_spark.session import load_table
 
@@ -727,6 +729,12 @@ def _dedup_near_oracle() -> str:
 
 COMPOSITE_ORACLES["dedup_near_suite"] = _dedup_near_oracle()
 
+# Fused ANN: deterministic hyperplanes + unrolled query-trained k-means
+# are fully expressible in DuckDB (see ann_oracle.py).
+from distributedqueryengine_spark.ann_oracle import sim_ann_oracle_sql  # noqa: E402
+
+COMPOSITE_ORACLES["sim_ann_topk"] = sim_ann_oracle_sql()
+
 COMPOSITE_ORACLES["decontam_suite"] = _sql_union([
     _sql_tagged("contaminated", _DECON_BAD + "SELECT doc_id FROM bad",
                 {"id": "doc_id"}, _DECON_S),
@@ -1037,7 +1045,7 @@ INVENTORY = {
 }
 
 # Rows-only by design (no portable oracle): see each query's docstring.
-ROWS_ONLY = {"approx_sketches", "sim_ann_topk", "greedy_pack"}
+ROWS_ONLY = {"approx_sketches", "greedy_pack"}
 
 INVENTORY_ORACLES: dict[str, str] = {}
 for _name in INVENTORY:
