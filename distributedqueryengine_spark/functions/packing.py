@@ -121,18 +121,29 @@ def greedy_pack(
     id_col: str = "doc_id",
     budget: int = 512,
     n_groups: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """No-split sequence packing: first-fit-decreasing within hash
     groups; a document longer than `budget` gets a bin of its own.
 
-    Deterministic: group = xxhash64(id) mod n_groups; within a group,
-    candidates are sorted (tokens desc, id asc) and first-fit placed.
+    Deterministic: group = xxhash64(id) mod n_groups (portable=True
+    swaps in the md5-derived 60-bit hash of the id string so the
+    grouping — and with it the whole FFD fold — is reproducible in the
+    DuckDB oracle's recursive CTE); within a group, candidates are
+    sorted (tokens desc, id asc) and first-fit placed.
     Returns (doc_id, n_tokens, grp, bin) — bin ids are dense per group.
     """
+    from distributedqueryengine_spark.functions.dedup import portable_hash64
+
+    grp_hash = (
+        portable_hash64(F.col(id_col).cast("string"))
+        if portable
+        else F.xxhash64(F.col(id_col))
+    )
     src = df.select(
         F.col(id_col).alias("id"),
         tokens.cast("long").alias("t"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int").alias("grp"),
+        F.pmod(grp_hash, F.lit(n_groups)).cast("int").alias("grp"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -350,16 +350,18 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No-split first-fit-decreasing sequence packing
     (functions/packing.greedy_pack) at budget=512 over whitespace token
-    counts: deterministic (doc_id, n_tokens, grp, bin). Rows-only by
-    design: FFD bin assignment is a data-dependent loop with no SQL
-    equivalent; coverage/budget/determinism/reference-packer
-    equivalence are pinned in tests/test_packing.py."""
+    counts: deterministic (doc_id, n_tokens, grp, bin). Runs the
+    portable (md5) grouping so the FFD fold is fully value-checked
+    against a DuckDB recursive-CTE oracle that carries the open-bin
+    capacity list as recursion state (list_position = first-fit);
+    coverage/budget/determinism/reference-packer equivalence are
+    additionally pinned in tests/test_packing.py."""
     from distributedqueryengine_spark.functions import packing, text as T
     from distributedqueryengine_spark.session import load_table
 
     d = load_table(spark, sf_dir, "documents")
     return packing.greedy_pack(
-        d, tokens=T.token_count("text"), budget=512, n_groups=32
+        d, tokens=T.token_count("text"), budget=512, n_groups=32, portable=True
     )
 
 
@@ -735,6 +737,38 @@ from distributedqueryengine_spark.ann_oracle import sim_ann_oracle_sql  # noqa: 
 
 COMPOSITE_ORACLES["sim_ann_topk"] = sim_ann_oracle_sql()
 
+# Greedy FFD packing: a sequential fold, expressed as a recursive CTE
+# whose state is the open-bin capacity list; list_position over
+# (capacity >= t) is the first-fit probe, and the md5 grouping matches
+# greedy_pack(portable=True) exactly.
+_FIT = "list_position(list_transform(r.bins, x -> x >= d.t), true)"
+COMPOSITE_ORACLES["greedy_pack"] = rf"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id AS id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT) AS t,
+                 CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS INTEGER) AS grp
+          FROM documents),
+    d AS (SELECT *, CAST(row_number() OVER (PARTITION BY grp ORDER BY t DESC, id) AS BIGINT) AS rn FROM t),
+    r(grp, rn, id, t, placed, bins) AS (
+        SELECT grp, rn, id, t, CAST(0 AS BIGINT), [greatest(512 - t, CAST(0 AS BIGINT))]
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.grp, d.rn, d.id, d.t,
+               CASE WHEN d.t <= 512 AND {_FIT} > 0
+                    THEN CAST({_FIT} - 1 AS BIGINT)
+                    ELSE CAST(len(r.bins) AS BIGINT) END,
+               CASE WHEN d.t <= 512 AND {_FIT} > 0
+                    THEN list_concat(list_concat(
+                            r.bins[1:{_FIT} - 1],
+                            [r.bins[{_FIT}] - d.t]),
+                            r.bins[{_FIT} + 1:])
+                    ELSE list_append(r.bins, greatest(512 - d.t, CAST(0 AS BIGINT))) END
+        FROM r JOIN d ON d.grp = r.grp AND d.rn = r.rn + 1
+    )
+    SELECT id AS doc_id, t AS n_tokens, grp, placed AS bin FROM r
+"""
+
 COMPOSITE_ORACLES["decontam_suite"] = _sql_union([
     _sql_tagged("contaminated", _DECON_BAD + "SELECT doc_id FROM bad",
                 {"id": "doc_id"}, _DECON_S),
@@ -1045,7 +1079,7 @@ INVENTORY = {
 }
 
 # Rows-only by design (no portable oracle): see each query's docstring.
-ROWS_ONLY = {"approx_sketches", "greedy_pack"}
+ROWS_ONLY = {"approx_sketches"}
 
 INVENTORY_ORACLES: dict[str, str] = {}
 for _name in INVENTORY:

@@ -34,7 +34,6 @@ def test_rows_only_queries_are_the_documented_set():
     no_oracle = qs - set(entry_mod.oracle_sql())
     assert no_oracle == {
         "approx_sketches",
-        "greedy_pack",
     }, f"unexpected rows-only set: {no_oracle}"
 
 
