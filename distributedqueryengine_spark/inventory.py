@@ -330,7 +330,12 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
-    g = DC.doc_ngram_fingerprints(d, "doc_id", "text", n=3).persist()
+    # Eager localCheckpoint, same rationale as dedup_near_suite's
+    # `scored`: the fingerprints feed BOTH the eval-gram side and the
+    # train probe, and `bad` feeds both output branches — truncating
+    # here keeps the union's plan at one fingerprint computation
+    # instead of re-deriving the explode per consumer.
+    g = DC.doc_ngram_fingerprints(d, "doc_id", "text", n=3).localCheckpoint()
     ev_g = g.filter(F.col("id") % 97 == 0).select("g").distinct()
     bad = (
         g.filter(F.col("id") % 97 != 0)
