@@ -585,7 +585,11 @@ def multi_ann_topk(
     """
     import math as _m
 
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    # Collect in id order: the k-means init takes the FIRST n_cells
+    # rows, so the row order is semantics-bearing — pin it to the id
+    # ordering instead of inheriting whatever the file layout is (the
+    # DuckDB oracle mirrors with ORDER BY id).
+    q_ids, Q = _collect_queries(queries.orderBy(id_col), id_col, vec_col)
     Qn = _safe_norm(Q)
     if n_corpus_rows is not None:
         # occupancy-normalized planes (see lsh_pair_params): keeps the
