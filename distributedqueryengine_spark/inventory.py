@@ -644,11 +644,11 @@ def _dedup_near_oracle() -> str:
         for b in range(bands)
     )
     bitsums = ",\n                   ".join(
-        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(60)
+        ["count(*) AS n"]
+        + [f"sum((h >> {i}) & 1) AS c{i}" for i in range(60)]
     )
     fp_expr = " + ".join(
-        f"(CAST(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})"
+        f"(CAST(CASE WHEN c{i} * 2 > n THEN 1 ELSE 0 END AS BIGINT) << {i})"
         for i in range(60)
     )
     sim_band_selects = "\n            UNION ALL\n            ".join(
