@@ -876,6 +876,70 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
 
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region→nation→{customer,supplier}
+    →orders→lineitem) with the local-supplier constraint
+    (c_nationkey == s_nationkey), revenue per nation. Dimension chain
+    broadcast end-to-end; only orders⋈lineitem shuffles.
+    Differential-tested against DuckDB in tests/test_tpch_extra.py
+    (the 50-row driver inventory is full — SURVEY §2's TPC-H corpus
+    rows are covered by q3/q4/q10/q12/q14/q16/q19)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.join(F.broadcast(dim), F.col("c_nationkey") == F.col("n_nationkey"))),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold (aggregate semi-filter), joined back to customer detail,
+    top-100. The HAVING-subquery becomes a pre-aggregated filter that
+    the orders⋈lineitem join probes — no correlated re-scan.
+    Differential-tested against DuckDB in tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    j = (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round(F.col("sum_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-nation z-score of account balances.
 
