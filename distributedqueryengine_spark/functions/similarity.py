@@ -595,6 +595,16 @@ def multi_ann_topk(
         # occupancy-normalized planes (see lsh_pair_params): keeps the
         # pruned candidate count linear in the corpus at scale.
         n_planes = max(n_planes, _m.ceil(_m.log2(max(n_corpus_rows / 4.0, 2.0))))
+        # IVF cells must scale too — fixed cells mean n/cells rows per
+        # cell and n_probe·n/cells candidates PER QUERY (measured 2.5×
+        # slower than brute force at 256k rows with 16 cells). The
+        # FAISS sqrt(n) rule, capped at half the query count because
+        # the quantizer trains on the query matrix (past that, train
+        # on a corpus sample via ivf_topk instead).
+        n_cells = max(
+            n_cells,
+            min(int(_m.sqrt(n_corpus_rows)), max(len(q_ids) // 2, 1)),
+        )
     tables = [
         [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
         for t in range(n_tables)
