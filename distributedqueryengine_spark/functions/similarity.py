@@ -460,39 +460,14 @@ def lsh_topk(
     )
 
     if not broadcast_queries:
-        n_probes = 1 + (n_planes if probe_flips >= 1 else 0)
-        corpus_udf = lsh_buckets_udf(tables)
-        query_udf = lsh_probe_buckets_udf(tables, probe_flips)
-        cb_ids = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.posexplode(corpus_udf(as_double(vec_col))).alias("tbl", "bkt"),
+        index = build_lsh_index(
+            corpus, dim, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
         )
-        qb_ids = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.posexplode(query_udf(as_double(vec_col))).alias("pos", "bkt"),
-        ).select("query_id", (F.col("pos") / n_probes).cast("int").alias("tbl"), "bkt")
-        cand = (
-            cb_ids.join(qb_ids, ["tbl", "bkt"])
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-        )
-        qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-        cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-        cos = _cosine_udf()
-        scored = (
-            cand.join(cv, "neighbor_id")
-            .join(qv, "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
-            )
-        )
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k)
-            .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+        return probe_lsh_index(
+            index, corpus, queries, k, dim, id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes, n_tables=n_tables, probe_flips=probe_flips,
+            seed=seed,
         )
 
     # ---- broadcast path: pruned brute force, one pandas stage ----
@@ -502,6 +477,98 @@ def lsh_topk(
     return _pruned_topk_broadcast(
         corpus, id_col, vec_col, k, q_ids, Qn, [method]
     ).drop("method")
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-side LSH index: (neighbor_id, tbl, bkt) bucket
+    assignments — the AMORTIZATION half of ANN at scale.
+
+    Bucketizing is an n×planes×d matmul, the same work class as one
+    brute-force pass (SCALING.md round-5 probe), so single-shot ANN
+    cannot beat brute force. Built ONCE — persisted, or written as a
+    partitioned table bucketed by (tbl, bkt) — this table makes every
+    subsequent `probe_lsh_index` batch candidates-only: no corpus
+    matmul, just an equi-join plus exact verification on candidates.
+    """
+    tables = [
+        [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    corpus_udf = lsh_buckets_udf(tables)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(corpus_udf(as_double(vec_col))).alias("tbl", "bkt"),
+    )
+
+
+def probe_lsh_index(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_flips: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a prebuilt `build_lsh_index` table
+    (same planes ⇒ same seed/n_planes/n_tables as the build).
+
+    Per batch: bucketize the QUERIES only (queries×planes×d — tiny),
+    equi-join on (tbl, bkt) against the index, re-fetch vectors for
+    the candidate pairs, exact vectorized cosine, per-query top-k.
+    No broadcast anywhere and no corpus-sized matmul — the index is
+    where that cost went, once.
+    """
+    from pyspark.sql.window import Window
+
+    tables = [
+        [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    n_probes = 1 + (n_planes if probe_flips >= 1 else 0)
+    query_udf = lsh_probe_buckets_udf(tables, probe_flips)
+    qb_ids = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(query_udf(as_double(vec_col))).alias("pos", "bkt"),
+    ).select("query_id", (F.col("pos") / n_probes).cast("int").alias("tbl"), "bkt")
+    cand = (
+        index.join(qb_ids, ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    cos = _cosine_udf()
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
+    )
 
 
 def _lsh_method(

@@ -196,6 +196,32 @@ def test_cosine_pairs_scaled_gate(spark, tables):
     assert "bucketize" in approx_plan
 
 
+def test_lsh_index_build_probe_equals_direct(spark, tables):
+    """probe_lsh_index over a prebuilt (and persisted) index must equal
+    the direct ids-only join path row for row, and the probe plan must
+    not re-bucketize the corpus (exactly one python bucketize stage —
+    the query side)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    direct = sorted(map(tuple, S.lsh_topk(
+        queries, emb, k=5, dim=64, broadcast_queries=False).collect()))
+    index = S.build_lsh_index(emb, dim=64).persist()
+    index.count()  # materialize: probes below reuse, never rebuild
+    probed_df = S.probe_lsh_index(index, emb, queries, k=5, dim=64)
+    probed = sorted(map(tuple, probed_df.collect()))
+    assert probed == direct
+    # The corpus-side buckets must be served from the persisted index
+    # (InMemoryTableScan), not recomputed: the only bucketize mention
+    # left in the final plan is the cosmetic InMemoryRelation echo of
+    # how the cache was originally built.
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in final_plan
+    before_cache = final_plan.split("InMemoryRelation")[0]
+    assert "bucketize" not in before_cache
+    index.unpersist()
+
+
 def test_lsh_pair_params_sizing():
     """Planes grow with log2(n) (constant bucket occupancy); tables
     grow when recall demands it and shrink when tau is easier."""
