@@ -1014,35 +1014,94 @@ def ivf_topk(
             [_ivf_method(Qn, centroids, n_probe)],
         ).drop("method")
     else:
-        corpus_cell = _nearest_cells_udf(centroids, 1)
-        query_cell = _nearest_cells_udf(centroids, n_probe)
-        cos = _cosine_udf()
-        # ids-only cell join; candidate pairs re-fetch vectors by key.
-        cb_ids = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.explode(corpus_cell(as_double(vec_col))).alias("cell"),
+        index = build_ivf_index(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        return probe_ivf_index(
+            index, corpus, queries, centroids, k,
+            id_col=id_col, vec_col=vec_col, n_probe=n_probe,
         )
-        qb_ids = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(query_cell(as_double(vec_col))).alias("cell"),
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    sample_per_cell: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: hash-ordered corpus sample,
+    driver-side spherical k-means (constant cost in corpus size). Train
+    once, keep the (n_cells, dim) array with the index — build and
+    probe must share it."""
+    n_sample = n_cells * sample_per_cell
+    srows = (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_sample)
+        .collect()
+    )
+    S = np.array([r["v"] for r in srows], dtype=np.float64)
+    return _train_centroids_kmeans(S, min(n_cells, len(S)))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-side IVF index: (neighbor_id, cell) nearest-centroid
+    assignments — the amortization half of IVF ANN, mirroring
+    `build_lsh_index`. The n×cells×d assignment matmul is paid once;
+    persist or write the table partitioned by cell and every
+    `probe_ivf_index` batch is candidates-only."""
+    corpus_cell = _nearest_cells_udf(centroids, 1)
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(corpus_cell(as_double(vec_col))).alias("cell"),
+    )
+
+
+def probe_ivf_index(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a prebuilt `build_ivf_index` table
+    (same centroids as the build). Queries probe their n_probe nearest
+    cells (queries×cells×d — tiny); the cell equi-join against the
+    index forms candidates, vectors are re-fetched per candidate, and
+    the exact vectorized cosine + per-query window pick the top-k. No
+    corpus-sized matmul, no broadcast."""
+    from pyspark.sql.window import Window
+
+    query_cell = _nearest_cells_udf(centroids, n_probe)
+    cos = _cosine_udf()
+    qb_ids = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(query_cell(as_double(vec_col))).alias("cell"),
+    )
+    cand = (
+        index.join(qb_ids, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
         )
-        cand = (
-            cb_ids.join(qb_ids, "cell")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
-        )
-        qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-        cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-        scored = (
-            cand.join(cv, "neighbor_id")
-            .join(qv, "query_id")
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
-            )
-        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

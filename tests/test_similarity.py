@@ -222,6 +222,22 @@ def test_lsh_index_build_probe_equals_direct(spark, tables):
     index.unpersist()
 
 
+def test_ivf_index_build_probe_equals_direct(spark, tables):
+    """probe_ivf_index over a prebuilt index with shared centroids must
+    equal the direct ids-only path (which is now its composition)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    direct = sorted(map(tuple, S.ivf_topk(
+        queries, emb, k=5, n_cells=16, n_probe=4, broadcast_queries=False).collect()))
+    cent = S.train_ivf_centroids(emb, n_cells=16)
+    index = S.build_ivf_index(emb, cent).persist()
+    index.count()
+    probed = sorted(map(tuple, S.probe_ivf_index(
+        index, emb, queries, cent, k=5, n_probe=4).collect()))
+    assert probed == direct
+    index.unpersist()
+
+
 def test_lsh_pair_params_sizing():
     """Planes grow with log2(n) (constant bucket occupancy); tables
     grow when recall demands it and shrink when tau is easier."""
