@@ -148,20 +148,34 @@ def greedy_pack(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["t", "id"], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per open bin
+        # Leftmost-fit via a max-capacity segment tree: leaf b holds the
+        # remaining capacity of open bin b (-1 = not yet opened), inner
+        # nodes the max of their subtree, so "lowest-indexed bin with
+        # rem >= t" is one root-to-leaf descent — O(log bins) per doc
+        # instead of the linear open-bin scan, same first-fit-by-index
+        # semantics the DuckDB recursive-CTE oracle folds.
+        n = len(pdf)
+        size = 1
+        while size < max(1, n):  # each doc opens at most one bin
+            size *= 2
+        tree = [-1] * (2 * size)
+        nbins = 0
         assigned = []
         for t in pdf["t"]:
-            placed = -1
-            if t <= budget:
-                for i, rem in enumerate(bins):
-                    if rem >= t:
-                        placed = i
-                        break
-            if placed < 0:
-                bins.append(max(budget - t, 0))
-                placed = len(bins) - 1
+            if t <= budget and tree[1] >= t:
+                i = 1
+                while i < size:
+                    i = 2 * i if tree[2 * i] >= t else 2 * i + 1
+                placed = i - size
+                tree[i] -= t
             else:
-                bins[placed] -= t
+                placed = nbins
+                nbins += 1
+                i = size + placed
+                tree[i] = max(budget - t, 0)
+            while i > 1:
+                i //= 2
+                tree[i] = max(tree[2 * i], tree[2 * i + 1])
             assigned.append(placed)
         pdf = pdf.assign(bin=pd.array(assigned, dtype="int64"))
         return pdf

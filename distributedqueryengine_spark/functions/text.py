@@ -204,7 +204,14 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 PII_PATTERNS: dict[str, str] = {
     "url": r"https?://\S+",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9() .-]{6,}[0-9]",
+    # Two phone shapes, NOT a free-form digit-run: (a) international —
+    # leading '+' then digits with fillers; (b) structured 3-3-4 with
+    # optional () and [ .-] separators. A bare space-joined digit run
+    # ("2020 2021 2022", numeric columns in prose) matches neither, so
+    # year lists / number tables survive the scrub; the cost is missing
+    # unprefixed non-3-3-4 groupings ("01522 343333") — an accepted
+    # precision/recall trade for a training-corpus scrub.
+    "phone": r"\+[0-9][0-9() .-]{5,}[0-9]|\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}",
 }
 
 
@@ -220,15 +227,19 @@ def redact_pii(col: Column | str, token: str = "[PII]") -> Column:
     return c
 
 
-def pii_counts(col: Column | str) -> Column:
+def pii_counts(col: Column | str, token: str = "[PII]") -> Column:
     """Struct of per-class PII match counts (url, email, phone) — the
     audit side of redaction: aggregate it corpus-wide to report what
-    scrubbing removed. regexp_count is JVM-side and portable to the
-    DuckDB oracle via len(regexp_extract_all(...))."""
+    scrubbing removed. Each class is counted on the text AFTER the
+    earlier classes were redacted — exactly the text redact_pii's
+    chained regexp_replace sees — so a URL containing an '@' or a digit
+    run is counted once as a URL, never double-counted as email/phone,
+    and sum(counts) == number of token insertions redact_pii makes.
+    regexp_count is JVM-side and portable to the DuckDB oracle via
+    len(regexp_extract_all(...)) over the same chained replacements."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.struct(
-        *[
-            F.regexp_count(c, F.lit(pat)).cast("int").alias(name)
-            for name, pat in PII_PATTERNS.items()
-        ]
-    )
+    counts = []
+    for name, pat in PII_PATTERNS.items():
+        counts.append(F.regexp_count(c, F.lit(pat)).cast("int").alias(name))
+        c = F.regexp_replace(c, pat, token)
+    return F.struct(*counts)

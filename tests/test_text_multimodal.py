@@ -85,6 +85,11 @@ def test_redact_pii_planted_fixtures(spark):
             (1, "contact john.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
             (2, "see https://example.com/a?b=c#frag and http://t.co/xyz for info"),
             (3, "plain text with no sensitive content at all"),
+            # digit runs that are NOT phones: year lists / numeric prose
+            (4, "revenue for 2020 2021 2022 was 3 500 and 12 45 resp"),
+            # a URL embedding an email-shaped and digit-run substring:
+            # must count as ONE url, zero email/phone (chained semantics)
+            (5, "ref https://x.io/a@b.com/555-123-4567?y=1 cited"),
         ],
         "doc_id long, text string",
     )
@@ -104,6 +109,22 @@ def test_redact_pii_planted_fixtures(spark):
     red3, cnt3 = out[3]
     assert red3 == "plain text with no sensitive content at all"
     assert (cnt3.url, cnt3.email, cnt3.phone) == (0, 0, 0)
+    red4, cnt4 = out[4]
+    assert red4 == "revenue for 2020 2021 2022 was 3 500 and 12 45 resp"
+    assert (cnt4.url, cnt4.email, cnt4.phone) == (0, 0, 0)
+    red5, cnt5 = out[5]
+    assert (cnt5.url, cnt5.email, cnt5.phone) == (1, 0, 0)
+    assert red5 == "ref [PII] cited"
+    # audit counts reconcile with redaction: sum of per-class counts ==
+    # number of [PII] tokens the redacted text contains, per row
+    recon = df.select(
+        T.pii_counts("text").alias("cnt"),
+        T.redact_pii("text").alias("red"),
+    ).select(
+        (F.col("cnt.url") + F.col("cnt.email") + F.col("cnt.phone")).alias("n"),
+        F.regexp_count(F.col("red"), F.lit(r"\[PII\]")).alias("k"),
+    ).collect()
+    assert all(r.n == r.k for r in recon)
     # idempotent: redacting the redacted text changes nothing
     again = df.select(
         T.redact_pii(T.redact_pii("text")).alias("r2"),
