@@ -212,10 +212,14 @@ def q_agg_top_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.round_cols(out, 2)
 
 
-def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT) per group (expand + two-phase aggregate)."""
+def q_agg_distinct(
+    spark: SparkSession, sf_dir: str, src: DataFrame | None = None
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand + two-phase aggregate).
+    `src` lets a suite share one orders scan across sibling branches."""
+    o = src if src is not None else _t(spark, sf_dir, "orders")
     return aggregates.distinct_counts(
-        _t(spark, sf_dir, "orders"), ["o_orderstatus"], "o_custkey"
+        o, ["o_orderstatus"], "o_custkey"
     ).withColumnRenamed("distinct_o_custkey", "n_customers")
 
 
@@ -389,9 +393,11 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_fn_case_when(
+    spark: SparkSession, sf_dir: str, src: DataFrame | None = None
+) -> DataFrame:
     """Conditional bucketing (CASE WHEN) + aggregation."""
-    o = _t(spark, sf_dir, "orders").withColumn(
+    o = (src if src is not None else _t(spark, sf_dir, "orders")).withColumn(
         "price_band",
         F.when(F.col("o_totalprice") < 50000, "low")
         .when(F.col("o_totalprice") < 200000, "mid")
@@ -781,11 +787,13 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_histogram_bucket(
+    spark: SparkSession, sf_dir: str, src: DataFrame | None = None
+) -> DataFrame:
     """Equi-width histogram via width_bucket: 20 buckets over order
     totals — a single hash agg on a derived key (the classic one-pass
     distributed histogram)."""
-    o = _t(spark, sf_dir, "orders")
+    o = src if src is not None else _t(spark, sf_dir, "orders")
     return (
         o.withColumn(
             "bucket", F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(20))
@@ -799,9 +807,11 @@ def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_percentiles(
+    spark: SparkSession, sf_dir: str, src: DataFrame | None = None
+) -> DataFrame:
     """Exact percentiles + median (interpolated), per group."""
-    o = _t(spark, sf_dir, "orders")
+    o = src if src is not None else _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),

@@ -28,6 +28,39 @@ JOIN_KINDS = [
 ]
 
 
+def _node_depth(line: str) -> int:
+    """Indent depth of a plan-tree line (position of the node text after
+    the ':  +- ' drawing characters)."""
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def _count_scans(plan: str) -> int:
+    """Count EXECUTED parquet scans. A persisted subtree prints its
+    FileScan inside every InMemoryTableScan that references it, but the
+    cached plan materializes at most once — so FileScans nested under an
+    InMemoryRelation are excluded and each DISTINCT cached relation
+    contributes one scan instead."""
+    direct = 0
+    cached: set[str] = set()
+    lines = plan.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = _node_depth(line)
+            sub = [re.sub(r"#\d+L?", "", line.strip(" :+-"))]
+            i += 1
+            while i < len(lines) and _node_depth(lines[i]) > depth:
+                sub.append(re.sub(r"#\d+L?", "", lines[i].strip(" :+-")))
+                i += 1
+            cached.add("\n".join(sub))
+            continue
+        if "FileScan parquet" in line:
+            direct += 1
+        i += 1
+    return direct + sum(s.count("FileScan parquet") for s in cached)
+
+
 def audit(df, execute: bool = True) -> dict:
     """Inspect the physical plan. With AQE on, the pre-execution plan
     prints `AdaptiveSparkPlan isFinalPlan=false` with NO codegen
@@ -47,7 +80,7 @@ def audit(df, execute: bool = True) -> dict:
     # only the final section or every node double-counts.
     plan = plan.split("== Initial Plan ==")[0]
     joins = {k: plan.count(k) for k in JOIN_KINDS if plan.count(k)}
-    scans = plan.count("FileScan parquet")
+    scans = _count_scans(plan)
     pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
     return {
         "exchanges": plan.count("Exchange "),
