@@ -1,0 +1,184 @@
+"""Amortized-ANN lifecycle measurement: build the index ONCE, then
+time per-batch probes against per-batch exact brute force.
+
+SCALING.md's round-5 probes established the structural boundary:
+single-shot ANN (bucketize + probe in one query) cannot beat one
+brute-force BLAS pass, because corpus bucketization is the same
+n×planes×d matmul class. The scale answer is the build/probe split
+(`build_lsh_index` / `build_ivf_index` persisted, `probe_*` per query
+batch) — this module turns that claim into a recorded number: amortized
+per-batch probe cost vs per-batch brute force at a corpus size where
+the matmul dominates Spark's fixed per-query overhead.
+
+Used by `tools/ann_amortized_bench.py` (CLI, markdown table) and by
+`bench.py` (compact run recorded into the per-round BENCH json).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    build_lsh_index,
+    probe_ivf_index,
+    probe_lsh_index,
+    train_ivf_centroids,
+)
+from distributedqueryengine_spark.session import load_table
+
+_ID_SHIFT = 10_000_000
+
+
+def _replicate(df: DataFrame, n: int, id_col: str) -> DataFrame:
+    """n key-shifted copies: ids stay unique, content repeats (same
+    scheme as tools/scale_probe.py — near-dup density scales too)."""
+    if n <= 1:
+        return df
+    copies = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    return (
+        df.select("*", copies)
+        .withColumn(id_col, F.col(id_col) + F.col("rep").cast("long") * _ID_SHIFT)
+        .drop("rep")
+    )
+
+
+def _force(df: DataFrame) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def _topk_sets(df: DataFrame) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def ann_lifecycle(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_rows: int = 131072,
+    batch_size: int = 256,
+    n_batches: int = 4,
+    k: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> dict:
+    """Build both ANN indexes once over a ~corpus_rows replica of the
+    sf embeddings, then time n_batches disjoint query batches through
+    probe_lsh_index / probe_ivf_index vs exact brute_force_topk.
+
+    Per-batch timings are min-of-batches (bench.py's noise discipline);
+    brute and probes run interleaved within each batch so box noise
+    hits both sides alike. Returns a flat dict for the bench JSON.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base_n = emb.count()
+    mult = max(1, math.ceil(corpus_rows / base_n))
+    corpus = _replicate(emb, mult, "vec_id").persist()
+    n = corpus.count()
+
+    batches = []
+    for i in range(n_batches):
+        b = (
+            corpus.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(997)) == i)
+            .limit(batch_size)
+            .persist()
+        )
+        b.count()
+        batches.append(b)
+
+    # Same occupancy-normalized sizing as the fused single-shot path:
+    # planes ∝ log2(n) keep bucket occupancy ~4, cells ∝ sqrt(n) keep
+    # per-query candidates ~n_probe·sqrt(n).
+    n_planes = max(8, math.ceil(math.log2(max(n / 4.0, 2.0))))
+    n_tables = 8
+    # 2·sqrt(n) cells (vs the single-shot sqrt(n) rule): in the
+    # amortized regime the assignment matmul is paid once at build, so
+    # finer cells are nearly free and halve the per-batch candidate
+    # volume n_probe·n/cells — measured at 132k rows (with n_probe=4)
+    # they move IVF probes from parity with brute force to a win.
+    n_cells = max(16, int(2 * math.sqrt(n)))
+
+    t0 = time.monotonic()
+    lsh_idx = build_lsh_index(
+        corpus, dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    ).persist()
+    lsh_idx.count()
+    t_build_lsh = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    # sample_per_cell=8: the driver-side k-means is O(samples·cells·d)
+    # per iteration and exists only to place centroids — probe timing is
+    # insensitive to training-sample size, so keep the one-time build
+    # cheap (training cost is constant in corpus size either way).
+    centroids = train_ivf_centroids(corpus, n_cells=n_cells, sample_per_cell=8)
+    ivf_idx = build_ivf_index(corpus, centroids).persist()
+    ivf_idx.count()
+    t_build_ivf = time.monotonic() - t0
+
+    t_brute, t_lsh, t_ivf = [], [], []
+    for b in batches:
+        t_brute.append(_force(brute_force_topk(b, corpus, k)))
+        t_lsh.append(
+            _force(
+                probe_lsh_index(
+                    lsh_idx, corpus, b, k, dim,
+                    n_planes=n_planes, n_tables=n_tables, seed=seed,
+                )
+            )
+        )
+        t_ivf.append(
+            _force(probe_ivf_index(ivf_idx, corpus, b, centroids, k, n_probe=4))
+        )
+
+    # Recall on the first batch, probe vs exact (honesty guard: a fast
+    # probe that returns garbage is not a win).
+    b0 = batches[0]
+    exact = _topk_sets(brute_force_topk(b0, corpus, k))
+    got_lsh = _topk_sets(
+        probe_lsh_index(
+            lsh_idx, corpus, b0, k, dim,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+        )
+    )
+    got_ivf = _topk_sets(probe_ivf_index(ivf_idx, corpus, b0, centroids, k, n_probe=4))
+
+    def recall(got: dict[int, set[int]]) -> float:
+        if not exact:
+            return 0.0
+        return sum(
+            len(got.get(q, set()) & s) / len(s) for q, s in exact.items()
+        ) / len(exact)
+
+    med = min  # min-of-runs: same noise discipline as bench.py
+    result = {
+        "corpus_rows": n,
+        "batch_size": batch_size,
+        "n_batches": n_batches,
+        "k": k,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "n_cells": n_cells,
+        "build_lsh_s": round(t_build_lsh, 3),
+        "build_ivf_s": round(t_build_ivf, 3),
+        "probe_lsh_batch_s": round(med(t_lsh), 3),
+        "probe_ivf_batch_s": round(med(t_ivf), 3),
+        "bruteforce_batch_s": round(med(t_brute), 3),
+        "recall_lsh": round(recall(got_lsh), 3),
+        "recall_ivf": round(recall(got_ivf), 3),
+    }
+
+    for b in batches:
+        b.unpersist()
+    lsh_idx.unpersist()
+    ivf_idx.unpersist()
+    corpus.unpersist()
+    return result

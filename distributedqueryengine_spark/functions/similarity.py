@@ -920,12 +920,30 @@ def _train_centroids_kmeans(
         Cn = _safe_norm(C)
         sims = Sn @ Cn.T  # (sample, cells)
         assign = sims.argmax(axis=1)
-        for c in range(n_cells):
-            members = Sn[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
-            else:
-                C[c] = Sn[sims.max(axis=1).argmin()]
+        if n_cells > 64:
+            # Vectorized update (per-dim bincount scatter-sum): the
+            # per-cell Python loop below is O(cells·sample) mask scans —
+            # 20+ s at the amortized-index scale (700+ cells). Kept on a
+            # gate, not unconditional: float summation order differs
+            # from members.mean(), and the ≤64-cell path is mirrored
+            # bit-for-bit by the generated DuckDB oracle
+            # (ann_oracle.py), which must keep matching.
+            counts = np.bincount(assign, minlength=n_cells)
+            sums = np.empty_like(C)
+            for j in range(Sn.shape[1]):
+                sums[:, j] = np.bincount(
+                    assign, weights=Sn[:, j], minlength=n_cells
+                )
+            live = counts > 0
+            C[live] = sums[live] / counts[live, None]
+            C[~live] = Sn[sims.max(axis=1).argmin()]
+        else:
+            for c in range(n_cells):
+                members = Sn[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+                else:
+                    C[c] = Sn[sims.max(axis=1).argmin()]
     return _safe_norm(C)
 
 
