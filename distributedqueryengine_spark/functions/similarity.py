@@ -509,6 +509,40 @@ def build_lsh_index(
     )
 
 
+def probe_lsh_candidates(
+    index: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    probe_flips: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """The candidate stage of `probe_lsh_index`, exposed on its own:
+    distinct (query_id, neighbor_id) pairs whose vectors a probe batch
+    would actually score. Counting this against |corpus|·|queries| is
+    the pruning rate — the number that decides whether the index pays
+    off — so tests and telemetry can assert it directly."""
+    tables = [
+        [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    n_probes = 1 + (n_planes if probe_flips >= 1 else 0)
+    query_udf = lsh_probe_buckets_udf(tables, probe_flips)
+    qb_ids = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(query_udf(as_double(vec_col))).alias("pos", "bkt"),
+    ).select("query_id", (F.col("pos") / n_probes).cast("int").alias("tbl"), "bkt")
+    return (
+        index.join(qb_ids, ["tbl", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def probe_lsh_index(
     index: DataFrame,
     corpus: DataFrame,
@@ -533,21 +567,10 @@ def probe_lsh_index(
     """
     from pyspark.sql.window import Window
 
-    tables = [
-        [_hyperplane(seed + t, p, dim) for p in range(n_planes)]
-        for t in range(n_tables)
-    ]
-    n_probes = 1 + (n_planes if probe_flips >= 1 else 0)
-    query_udf = lsh_probe_buckets_udf(tables, probe_flips)
-    qb_ids = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(query_udf(as_double(vec_col))).alias("pos", "bkt"),
-    ).select("query_id", (F.col("pos") / n_probes).cast("int").alias("tbl"), "bkt")
-    cand = (
-        index.join(qb_ids, ["tbl", "bkt"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    cand = probe_lsh_candidates(
+        index, queries, dim,
+        id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, probe_flips=probe_flips, seed=seed,
     )
     qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))

@@ -261,3 +261,61 @@ def test_ivf_probe_monotone_recall(spark, tables):
     bf = S.brute_force_topk(queries, emb, k=3).collect()
     full = S.ivf_topk(queries, emb, k=3, n_cells=8, n_probe=8).collect()
     assert sorted(map(tuple, bf)) == sorted(map(tuple, full))
+
+
+def test_clustered_embeddings_prune_and_recall(spark):
+    """On CLUSTERED embeddings (the realistic regime — the iid-random
+    fixture is LSH's worst case, every pair near the 68° median angle)
+    the LSH index must do what indexes are for: score a small fraction
+    of the corpus and still find the true neighbors. Mixture of 32
+    Gaussians in 64-d, 4096 corpus points: assert the probe's scored
+    candidates are < 5% of |corpus|x|queries| at recall >= 0.8 — the
+    measured evidence behind SCALING.md's 'clustered real embeddings
+    prune 10-100x' claim."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 32, 128, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # 0.05/dim noise → ‖noise‖≈0.4 vs unit centers → intra-cluster
+    # cos ≈ 0.86 (≈31°) against ≈90° between clusters: clearly
+    # clustered but far from degenerate-duplicate.
+    pts = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(
+        size=(n_clusters * per, dim)
+    )
+    n = len(pts)  # 4096
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") % 64 == 0)  # 64, 2 per cluster
+    n_q = queries.count()
+
+    # Finer than the occupancy rule (log2(n/4)=10): clustered data
+    # concentrates in few buckets, so extra planes cut candidates
+    # (11%→3.8% measured from 10→14 planes here) while multi-probe
+    # keeps cluster-mates reachable (recall 0.98 at 14).
+    n_planes = max(8, math.ceil(math.log2(n / 4))) + 4
+    index = S.build_lsh_index(corpus, dim=dim, n_planes=n_planes).persist()
+    index.count()
+
+    cand = S.probe_lsh_candidates(index, queries, dim=dim, n_planes=n_planes)
+    n_cand = cand.count()
+    frac = n_cand / (n * n_q)
+    assert frac < 0.05, f"scored {frac:.1%} of corpus x queries (want <5%)"
+
+    bf = S.brute_force_topk(queries, corpus, k=5).collect()
+    ap = S.probe_lsh_index(index, corpus, queries, k=5, dim=dim,
+                           n_planes=n_planes).collect()
+    truth: dict[int, set[int]] = {}
+    for r in bf:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in ap:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    assert recall >= 0.8, f"clustered recall {recall:.2f} (want >=0.8)"
+    index.unpersist()
