@@ -258,6 +258,40 @@ def _sorted_probe_tables(qb: np.ndarray):
     return table_buckets, table_qidx
 
 
+def _lsh_bucket_fn(planes: np.ndarray, n_tables: int, n_planes: int):
+    """Signed-projection bucketizer from plain arrays — reconstructable
+    worker-side from a broadcast spec (sign is invariant to row
+    normalization, so raw or normalized input both work)."""
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def home_buckets(M: np.ndarray) -> np.ndarray:
+        bits = (M @ planes.T >= 0).astype(np.int64).reshape(len(M), n_tables, n_planes)
+        return (bits * weights).sum(axis=2)
+
+    return home_buckets
+
+
+def _ivf_bucket_fn(centroids: np.ndarray):
+    """Nearest-centroid-cell bucketizer from the centroid matrix."""
+
+    def cell_buckets(M: np.ndarray) -> np.ndarray:
+        return (_safe_norm(M) @ centroids.T).argmax(axis=1).astype(np.int64)[:, None]
+
+    return cell_buckets
+
+
+def _bucket_fn_from_spec(spec: tuple):
+    """spec -> corpus_buckets_fn. Specs are plain (tag, ndarray, ...)
+    tuples so the parameter matrices travel ONCE per executor via the
+    torrent broadcast and the closure is rebuilt worker-side — never
+    cloudpickled per task (the matrices grow with the occupancy-scaled
+    plane count and the sqrt(n) IVF cell count, exactly the regime where
+    per-task serialization would hurt)."""
+    if spec[0] == "lsh":
+        return _lsh_bucket_fn(spec[1], spec[2], spec[3])
+    return _ivf_bucket_fn(spec[1])
+
+
 def _pruned_topk_broadcast(
     corpus: DataFrame,
     id_col: str,
@@ -265,7 +299,7 @@ def _pruned_topk_broadcast(
     k: int,
     q_ids: np.ndarray,
     Qn: np.ndarray,
-    methods: list[tuple[str, object, list[np.ndarray], list[np.ndarray]]],
+    methods: list[tuple[str, tuple, list[np.ndarray], list[np.ndarray]]],
     n_partitions: int | None = None,
 ) -> DataFrame:
     """Shared engine for broadcast-pruned ANN top-k (LSH and IVF): the
@@ -274,11 +308,12 @@ def _pruned_topk_broadcast(
     O(partitions·queries·k) triples — but each corpus row is scored
     only against the queries probing its bucket(s).
 
-    `methods` is a list of (name, corpus_buckets_fn, table_buckets,
-    table_qidx): corpus_buckets_fn(M) -> (n, n_tables) assigns bucket
-    ids per corpus vector (signed projections for LSH, nearest-centroid
-    cell for IVF); table_buckets/table_qidx are the query side's sorted
-    probe arrays (one pair per table). Several methods share ONE corpus
+    `methods` is a list of (name, bucket_spec, table_buckets,
+    table_qidx): bucket_spec is a plain-array tuple that
+    `_bucket_fn_from_spec` turns into corpus_buckets_fn(M) ->
+    (n, n_tables) bucket ids per corpus vector (signed projections for
+    LSH, nearest-centroid cell for IVF); table_buckets/table_qidx are
+    the query side's sorted probe arrays (one pair per table). Several methods share ONE corpus
     scan and ONE window shuffle — a multi-index ANN pass — which halves
     the fixed Spark cost vs running each index as its own plan.
     Candidate lookup is a vectorized searchsorted per table; pairs found
@@ -294,21 +329,24 @@ def _pruned_topk_broadcast(
     from pyspark.sql.window import Window
 
     sc = corpus.sparkSession.sparkContext
-    # Arrays travel via broadcast (torrent, once per executor); the
-    # bucket functions are tiny closures and ride the task (cloudpickle
-    # — plain-pickle broadcast can't serialize local functions).
-    bq = sc.broadcast((q_ids, Qn, [(m[2], m[3]) for m in methods]))
-    bucket_fns = [m[1] for m in methods]
+    # ALL parameter arrays — query matrix, probe tables, AND the
+    # LSH-plane / IVF-centroid matrices — travel via broadcast
+    # (torrent, once per executor); the task closure carries only the
+    # broadcast handle plus scalars. The bucket functions are rebuilt
+    # worker-side from their specs, so the occupancy-scaled plane count
+    # and sqrt(n) cell count never inflate per-task serialization.
+    bq = sc.broadcast((q_ids, Qn, [(m[1], m[2], m[3]) for m in methods]))
     names = [m[0] for m in methods]
 
     def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, Qn_b, meths = bq.value
+        bucket_fns = [_bucket_fn_from_spec(spec) for spec, _, _ in meths]
         acc: list[pd.DataFrame] = []
         for pdf in batches:
             C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             Cn = _safe_norm(C)
             c_ids = pdf[id_col].to_numpy()
-            for mi, (tb, tq) in enumerate(meths):
+            for mi, (_, tb, tq) in enumerate(meths):
                 corpus_buckets_fn = bucket_fns[mi]
                 cb = corpus_buckets_fn(Cn)  # (b, n_tables)
                 rows_l: list[np.ndarray] = []
@@ -601,42 +639,32 @@ def _lsh_method(
     n_tables: int,
     probe_flips: int,
 ):
-    """('lsh', corpus_buckets_fn, table_buckets, table_qidx) for the
-    shared pruned-brute-force engine."""
+    """('lsh', bucket_spec, table_buckets, table_qidx) for the shared
+    pruned-brute-force engine; the plane matrix rides the spec so it is
+    broadcast, not cloudpickled per task."""
     planes = np.array([p for tbl in tables for p in tbl], dtype=np.float64)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-
-    def home_buckets(M: np.ndarray) -> np.ndarray:
-        """(n, n_tables) signed-projection buckets (sign is invariant
-        to row normalization, so raw or normalized input both work)."""
-        bits = (M @ planes.T >= 0).astype(np.int64).reshape(len(M), n_tables, n_planes)
-        return (bits * weights).sum(axis=2)
-
-    home = home_buckets(Qn)  # (nq, T)
+    spec = ("lsh", planes, n_tables, n_planes)
+    home = _bucket_fn_from_spec(spec)(Qn)  # (nq, T)
     # probe set per (query, table): home + Hamming-1 flips
     probes = [home]
     if probe_flips >= 1:
         probes += [home ^ (1 << j) for j in range(n_planes)]
     qb = np.stack(probes, axis=2)  # (nq, T, n_probes)
     table_buckets, table_qidx = _sorted_probe_tables(qb)
-    return ("lsh", home_buckets, table_buckets, table_qidx)
+    return ("lsh", spec, table_buckets, table_qidx)
 
 
 def _ivf_method(Qn: np.ndarray, centroids: np.ndarray, n_probe: int):
-    """('ivf', corpus_buckets_fn, table_buckets, table_qidx): one
-    'table' whose bucket id is the nearest-centroid cell; queries probe
-    their n_probe nearest cells."""
-    C0 = centroids  # (n_cells, dim), normalized
-
-    def cell_buckets(M: np.ndarray) -> np.ndarray:
-        return (_safe_norm(M) @ C0.T).argmax(axis=1).astype(np.int64)[:, None]
-
-    sims = Qn @ C0.T
+    """('ivf', bucket_spec, table_buckets, table_qidx): one 'table'
+    whose bucket id is the nearest-centroid cell; queries probe their
+    n_probe nearest cells. The centroid matrix (sqrt(n) cells at scale)
+    rides the spec so it is broadcast, not cloudpickled per task."""
+    sims = Qn @ centroids.T
     p = min(n_probe, sims.shape[1])
     idx = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
     qb = idx[:, None, :]  # (nq, 1 table, n_probe)
     table_buckets, table_qidx = _sorted_probe_tables(qb)
-    return ("ivf", cell_buckets, table_buckets, table_qidx)
+    return ("ivf", ("ivf", centroids), table_buckets, table_qidx)
 
 
 def multi_ann_topk(

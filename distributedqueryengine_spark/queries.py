@@ -958,6 +958,183 @@ def q_tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. The OR of (supp=A,cust=B)/(supp=B,cust=A) stays one join tree
+    — nation (25 rows, fixed at every SF) is broadcast on BOTH sides
+    and the pair predicate is applied post-join, so lineitem⋈orders⋈
+    customer⋈supplier remain shuffle equi-joins on their keys.
+    Differential-tested against DuckDB in tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1999-12-31"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the share of AMERICA's
+    PROMO-part import volume supplied from NATION_5, by order year.
+    Conditional-sum-over-sum ratio on an 8-table join; region/nation
+    broadcast (fixed size), part/supplier/customer shuffle (they scale
+    with SF). Differential-tested in tests/test_tpch_extra.py."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(F.lit("1996-01-01"), F.lit("1998-12-31"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_cust = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_dim = n_cust.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_dim), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — the EXISTS + NOT-EXISTS double
+    correlated subquery, expressed as LEFT SEMI (another supplier
+    shipped on this order) + LEFT ANTI (no OTHER supplier was late)
+    joins, the shapes Catalyst plans them to anyway.
+
+    Adaptation: the fixture has no l_commitdate/l_receiptdate, so
+    "kept waiting" is l_shipdate > o_orderdate + 60 days — the same
+    per-row lateness predicate class, correlated to the order.
+    Scale notes: the late set is computed ONCE off lineitem⋈orders
+    (status F) and reused by the outer side and the anti side; semi and
+    anti are equi-joins on l_orderkey with a suppkey-inequality
+    residual, so everything co-shuffles on the order key; nation (25
+    rows) is broadcast. Differential-tested in tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    candidates = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    j = candidates.join(
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")),
+        F.col("l1.l_suppkey") == F.col("s_suppkey"),
+    )
+    return (
+        j.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-dormant customers per country — a
+    scalar subquery (average positive balance) feeding a filter, plus a
+    NOT-EXISTS anti-join against orders, grouped by country.
+
+    Adaptation: the fixture has no c_phone, so cntrycode :=
+    c_nationkey restricted to a 7-nation list (mirroring Q22's 7
+    country codes); "dormant" is no order since 2000-01-01 (every
+    fixture customer has SOME order). The scalar average stays IN the
+    plan — a 1-row broadcast cross join, no driver collect — and the
+    anti-join co-shuffles on the customer key.
+    Differential-tested in tests/test_tpch_extra.py."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    codes = [1, 3, 5, 7, 11, 13, 17]
+    eligible = cust.filter(F.col("c_nationkey").isin(codes))
+    avg_bal = (
+        eligible.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    rich = eligible.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        dormant.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-nation z-score of account balances.
 

@@ -32,9 +32,7 @@ def test_every_oracle_has_a_query():
 def test_rows_only_queries_are_the_documented_set():
     qs = set(entry_mod.queries())
     no_oracle = qs - set(entry_mod.oracle_sql())
-    assert no_oracle == {
-        "approx_sketches",
-    }, f"unexpected rows-only set: {no_oracle}"
+    assert no_oracle == set(), f"unexpected rows-only set: {no_oracle}"
 
 
 def test_inventory_fits_driver_cap():

@@ -1,4 +1,4 @@
-"""TPC-H Q5/Q18 differential tests vs DuckDB.
+"""TPC-H Q5/Q7/Q8/Q18/Q21/Q22 differential tests vs DuckDB.
 
 The driver inventory is at its 50-row cap, so these extra TPC-H shapes
 are value-checked here with the same discipline as the driver gate:
@@ -44,6 +44,87 @@ Q18_SQL = r"""
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 100
+"""
+
+
+Q7_SQL = r"""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               extract(year FROM l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1999-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+Q8_SQL = r"""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT extract(year FROM o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1998-12-31'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+# Adapted: no l_commitdate/l_receiptdate in the fixture, so "late" is
+# l_shipdate > o_orderdate + 60 days (see q_tpch_q21_waiting_supplier).
+Q21_SQL = r"""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+"""
+
+# Adapted: no c_phone in the fixture, so cntrycode := c_nationkey over a
+# 7-nation list; "dormant" = no order since 2000-01-01.
+Q22_SQL = r"""
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 3, 5, 7, 11, 13, 17)
+      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0
+                         AND c_nationkey IN (1, 3, 5, 7, 11, 13, 17))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_nationkey
 """
 
 
@@ -94,3 +175,35 @@ def test_tpch_q18_matches_duckdb(spark, duck):
     rows = res.fetchall()
     assert rows, "threshold produced no qualifying orders — lower it"
     _assert_match(Q.q_tpch_q18_large_volume_customer(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q7_matches_duckdb(spark, duck):
+    res = duck.execute(Q7_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows, "nation pair produced no trade — pick different nations"
+    _assert_match(Q.q_tpch_q7_volume_shipping(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q8_matches_duckdb(spark, duck):
+    res = duck.execute(Q8_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows, "market-share predicate produced no rows"
+    _assert_match(Q.q_tpch_q8_market_share(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q21_matches_duckdb(spark, duck):
+    res = duck.execute(Q21_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows, "lateness predicate produced no waiting suppliers"
+    _assert_match(Q.q_tpch_q21_waiting_supplier(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q22_matches_duckdb(spark, duck):
+    res = duck.execute(Q22_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows, "dormancy predicate produced no customers"
+    _assert_match(Q.q_tpch_q22_global_sales_opportunity(spark, SF_DIR), rows, cols)
