@@ -171,6 +171,105 @@ def test_stream_sliding_equals_batch(spark):
     assert _rows_set(got, cols) == _rows_set(batch, cols)
 
 
+def test_rate_source_foreachbatch_watermark_soak(spark):
+    """End-to-end soak on the REAL microbatch engine: the
+    `rate-micro-batch` source (deterministic batch boundaries — batch k
+    carries values [k·1000, (k+1)·1000)) drives an append-mode tumbling
+    aggregation with a 10-minute watermark into a foreachBatch sink.
+
+    Event time is derived from `value` (hour = v // 1000, second =
+    v % 1000), so batch k is hour k and the watermark crosses hour k's
+    window end exactly one batch later. Late rows planted in batches
+    2..4 point back into hour 0 and pin down the engine's exact
+    late-data boundary (measured, deterministic): the batch-2 plant
+    (v=2500) lands in the SAME batch that closes window 0 — Spark
+    filters input against the pre-update watermark but evicts with the
+    post-update one — so it is merged before emission (n=1001); the
+    batch-3/4 plants arrive after eviction and are DROPPED: window 0
+    never re-emits and their values leak nowhere. Asserts: (a) each
+    closed window is emitted in exactly one epoch (append-mode
+    exactly-once per window), (b) exact n/sum per window, including
+    the one-row deficit in hours >= 2 whose row was remapped away."""
+    import time
+
+    epochs: list[tuple[int, list]] = []
+
+    def sink(df, epoch_id: int):
+        epochs.append((epoch_id, df.collect()))
+
+    base = "2024-01-01 00:00:00"
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    # hour = v // 1000, second-in-hour = v % 1000; late plants: every
+    # v >= 2000 with v % 1000 == 500 maps back into hour 0.
+    ev = src.select(
+        F.when(
+            (F.col("value") >= 2000) & (F.col("value") % 1000 == 500),
+            F.to_timestamp(F.lit(base)) + F.make_interval(secs=F.lit(500.0)),
+        )
+        .otherwise(
+            F.to_timestamp(F.lit(base))
+            + F.make_interval(
+                hours=(F.col("value") / 1000).cast("int"),
+                secs=(F.col("value") % 1000).cast("double"),
+            )
+        )
+        .alias("ts"),
+        F.col("value").cast("double").alias("v"),
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .select(
+            F.unix_timestamp("window.start").alias("ws"), "n", "sv"
+        )
+    )
+    q = agg.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        deadline = time.time() + 120
+        # run until the hour-0..2 windows have all closed and emitted
+        while time.time() < deadline:
+            emitted = {r.ws for _, rows in epochs for r in rows}
+            if len(emitted) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    seen: dict[int, tuple[int, float, int]] = {}
+    for epoch_id, rows in epochs:
+        for r in rows:
+            assert r.ws not in seen, (
+                f"window {r.ws} emitted twice (epochs {seen[r.ws][2]}, {epoch_id})"
+            )
+            seen[r.ws] = (r.n, r.sv, epoch_id)
+    assert len(seen) >= 3, f"expected >=3 closed windows, got {seen}"
+    # session TZ is honored by unix_timestamp — anchor on the smallest
+    # emitted window instead of assuming UTC
+    ws0 = min(seen)
+    for k, ws in enumerate(sorted(seen)[:3]):
+        n, sv, _ = seen[ws]
+        assert ws == ws0 + k * 3600
+        lo = k * 1000
+        expect_n, expect_sum = 1000, float(sum(range(lo, lo + 1000)))
+        if k == 0:
+            # the batch-2 plant (v=2500) merged into window 0 in the
+            # batch that closed it; the batch-3/4 plants were dropped
+            expect_n, expect_sum = 1001, expect_sum + 2500
+        elif k >= 2:
+            # this hour's v=k*1000+500 row was remapped into hour 0 —
+            # missing here whether it merged there (k=2) or was
+            # dropped as late (k>=3)
+            expect_n, expect_sum = 999, expect_sum - (lo + 500)
+        assert n == expect_n, f"hour {k}: late-data boundary moved (n={n})"
+        assert sv == expect_sum, f"hour {k}: wrong sum {sv}"
+
+
 def test_stream_stream_interval_join_equals_batch(spark):
     """The watermarked stream-stream interval join (clicks → purchases
     within 1h per user) must produce exactly the batch join's rows once
