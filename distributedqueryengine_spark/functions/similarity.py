@@ -703,11 +703,14 @@ def multi_ann_topk(
     """
     import math as _m
 
-    # Collect in id order: the k-means init takes the FIRST n_cells
-    # rows, so the row order is semantics-bearing — pin it to the id
-    # ordering instead of inheriting whatever the file layout is (the
-    # DuckDB oracle mirrors with ORDER BY id).
-    q_ids, Q = _collect_queries(queries.orderBy(id_col), id_col, vec_col)
+    # Pin the query matrix to id order: the k-means init takes the
+    # FIRST n_cells rows, so row order is semantics-bearing (the DuckDB
+    # oracle mirrors with ORDER BY id). Sorted DRIVER-side after an
+    # unordered collect — an .orderBy before collect would add a full
+    # sort shuffle to the plan for rows that land on the driver anyway.
+    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    order = np.argsort(q_ids, kind="stable")
+    q_ids, Q = q_ids[order], Q[order]
     Qn = _safe_norm(Q)
     if n_corpus_rows is not None:
         # occupancy-normalized planes (see lsh_pair_params): keeps the
