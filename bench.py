@@ -87,6 +87,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Timing basis changed after round 5: the window now includes
+        # DataFrame CONSTRUCTION (eager localCheckpoint prefixes, CC
+        # iterations, driver-side index builds), which rounds <=5 left
+        # untimed. Totals are therefore not comparable to BENCH_r05 and
+        # earlier; the DuckDB oracle ratio (BASELINE) is the stable
+        # cross-round gauge.
+        "timing_basis": "construction+execution (since r6)",
     }
     if ann is not None:
         payload["ann_amortized"] = ann
