@@ -424,11 +424,13 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = [0.5, 0.9, 0.99]
     lo_ps = [max(p - _GK_DELTA, 0.0) for p in ps]
     hi_ps = [min(p + _GK_DELTA, 1.0) for p in ps]
+    # ONE exact-percentile aggregate for all 6 rank targets: each
+    # F.percentile expression buffers every group value independently,
+    # so separate lo/hi calls doubled the dominant cost of this branch.
     gk = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("l_extendedprice", ps, 10000).alias("ap"),
-        F.percentile("l_extendedprice", lo_ps).alias("lo"),
-        F.percentile("l_extendedprice", hi_ps).alias("hi"),
+        F.percentile("l_extendedprice", lo_ps + hi_ps).alias("bounds"),
     ).select(
         F.lit("gk_percentiles").alias("variant"),
         F.col("l_returnflag").cast("string").alias("key"),
@@ -436,8 +438,8 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce(
             Column.__and__,
             [
-                (F.col("ap")[i] >= F.col("lo")[i])
-                & (F.col("ap")[i] <= F.col("hi")[i])
+                (F.col("ap")[i] >= F.col("bounds")[i])
+                & (F.col("ap")[i] <= F.col("bounds")[len(ps) + i])
                 for i in range(len(ps))
             ],
         ).cast("int").alias("within_bound"),

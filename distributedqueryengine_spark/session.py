@@ -85,6 +85,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SparkSession (e.g. the verification driver's), not only one built
     by `get_spark`.
     """
+    # Per-session memo: the fixture parquet is immutable, so the
+    # DataFrame (an immutable logical plan) is built once per
+    # (sf_dir, table) and reused — repeated load_table calls otherwise
+    # pay a footer/schema read (~0.1 s locally) every time, which
+    # multiplies across multi-branch suite queries. Confs are set once
+    # on the cache miss; a hit means they are already in place.
+    cache: dict = spark.__dict__.setdefault("_graft_table_cache", {})
+    key = (os.path.abspath(sf_dir), name)
+    if key in cache:
+        return cache[key]
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -102,6 +112,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 
@@ -111,12 +122,24 @@ def register_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[s
     The reference resolved table names against per-site MySQL databases
     at scan time (RPC.cs:311-329); here the catalog is explicit and the
     scan is a parquet columnar read with pushdown.
+
+    Idempotent per (session, sf_dir): views persist in the session
+    catalog, so a repeat call for the SAME sf_dir is a no-op (several
+    SQL-front-end queries each ensure registration; only the first
+    pays). A call with a DIFFERENT sf_dir re-registers, since the view
+    names are session-global.
     """
+    registered = spark.__dict__.setdefault("_graft_registered_views", {})
+    key = os.path.abspath(sf_dir)
+    if registered.get("sf_dir") == key:
+        return registered["dfs"]
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         dfs[name] = df
+    registered["sf_dir"] = key
+    registered["dfs"] = dfs
     return dfs
 
 
