@@ -1042,6 +1042,101 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate — every predicate
+    (date range, discount band, quantity cap) is pushdown-eligible and
+    the plan must be one scan with zero joins, the canonical test that
+    filters reach the parquet reader. Differential-tested in
+    tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution — LEFT join
+    with the filter in the JOIN condition (so order-less customers keep
+    count 0), then a two-level aggregate. Both sides scale with SF, so
+    the join co-shuffles on the customer key; the second aggregate's
+    key space (distinct order counts) is tiny. Differential-tested in
+    tests/test_tpch_extra.py."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    j = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max selection (with
+    ties). The quarterly revenue aggregate is computed ONCE and lazily
+    persisted — its size is bounded by supplier cardinality, not
+    lineitem — then its 1-row max is broadcast back, avoiding both a
+    second lineitem scan and a single-partition global window (which
+    would serialize on one task at scale). Differential-tested in
+    tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total"))
+        .persist()
+    )
+    best = rev.agg(F.max("total").alias("max_total"))
+    top = rev.join(F.broadcast(best), F.col("total") == F.col("max_total"))
+    return (
+        supp.join(top, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-part average subquery
+    (l_quantity < 0.7 * avg over the SAME part), decorrelated into a
+    per-part aggregate joined back. The filtered part list is broadcast
+    into BOTH the probe side and the average computation (left-semi),
+    so lineitem is scanned in one pass per side with no full-table
+    aggregate over irrelevant parts. Differential-tested in
+    tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") < 25)
+    ).select("p_partkey")
+    relevant = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avgs = relevant.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.7).alias("qty_cap")
+    )
+    return (
+        relevant.join(avgs, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     finished multi-supplier order — the EXISTS + NOT-EXISTS double

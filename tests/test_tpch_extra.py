@@ -128,6 +128,46 @@ Q22_SQL = r"""
 """
 
 
+Q6_SQL = r"""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+Q13_SQL = r"""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_SQL = r"""
+    WITH rev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total = (SELECT max(total) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+Q17_SQL = r"""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4' AND p_size < 25
+      AND l_quantity < (SELECT 0.7 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -207,3 +247,35 @@ def test_tpch_q22_matches_duckdb(spark, duck):
     rows = res.fetchall()
     assert rows, "dormancy predicate produced no customers"
     _assert_match(Q.q_tpch_q22_global_sales_opportunity(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q6_matches_duckdb(spark, duck):
+    res = duck.execute(Q6_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows[0][0] is not None, "Q6 predicate selected no rows"
+    _assert_match(Q.q_tpch_q6_forecast_revenue(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q13_matches_duckdb(spark, duck):
+    res = duck.execute(Q13_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert len(rows) > 3
+    _assert_match(Q.q_tpch_q13_customer_distribution(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q15_matches_duckdb(spark, duck):
+    res = duck.execute(Q15_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows, "no supplier had quarterly revenue"
+    _assert_match(Q.q_tpch_q15_top_supplier(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q17_matches_duckdb(spark, duck):
+    res = duck.execute(Q17_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows[0][0] is not None, "Q17 predicate selected no rows"
+    _assert_match(Q.q_tpch_q17_small_quantity_revenue(spark, SF_DIR), rows, cols)
