@@ -148,19 +148,17 @@ def minhash_signatures(
     return sigs.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sigs: DataFrame, num_perm: int = 32, bands: int = 8, portable: bool = False
 ) -> DataFrame:
-    """Banding: equal band-signature ⇒ candidate pair.
-
-    bands=8 over 32 perms → r=4 rows/band; the S-curve threshold is
-    (1/b)^(1/r) ≈ 0.59 Jaccard. Pairs are produced by a self-equi-join
-    on (band, band_hash) — hash-partitionable, never O(n²); dedup'd
-    with id_a < id_b.
-    """
+    """(id, band, bh) band-bucket assignments from (id, sig) MinHash
+    signatures — the LSH index relation. Shared by the batch candidate
+    self-join below and the streaming stream-static candidate join
+    (streaming/dedup.py); also the thing you persist as a bucketed
+    table to amortize the index at scale."""
     r = num_perm // bands
     band_hash = portable_hash64 if portable else F.xxhash64
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -174,6 +172,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8, portable: bool = False
+) -> DataFrame:
+    """Banding: equal band-signature ⇒ candidate pair.
+
+    bands=8 over 32 perms → r=4 rows/band; the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.59 Jaccard. Pairs are produced by a self-equi-join
+    on (band, band_hash) — hash-partitionable, never O(n²); dedup'd
+    with id_a < id_b.
+    """
+    banded = band_buckets(sigs, num_perm, bands, portable=portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

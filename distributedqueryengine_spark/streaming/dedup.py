@@ -1,0 +1,187 @@
+"""Streaming near-duplicate detection: continuous-ingestion MinHash-LSH.
+
+The 100 TB training-pipeline scenario the batch pipeline
+(functions/dedup.py) cannot serve: documents arrive CONTINUOUSLY and
+each new document must be checked against an existing corpus without
+re-running corpus-wide dedup. Design:
+
+1. `narrow_minhash_band_buckets` — the shingle → MinHash-signature →
+   band pipeline re-expressed as per-row ARRAY expressions (transform /
+   array_min / array_distinct) instead of explode + groupBy-min. Same
+   values as the batch path (pytest-pinned, both hash modes), but with
+   NO aggregation it is streaming-safe with ZERO state: watermarks,
+   output modes, and state stores never enter the plan. Higher-order
+   functions are CodegenFallback (interpreted per element) — the
+   documented ~10× penalty vs the batch explode formulation is paid
+   only on each micro-batch's NEW rows, never on the corpus, which is
+   the right trade for ingestion.
+2. The historical corpus is a band-bucket INDEX built once batch-side
+   (`functions.dedup.band_buckets`, persisted or written as a table
+   bucketed by (band, bh)). The stream joins it stream-static on
+   (band, bh) — Spark re-plans the static side per micro-batch, the
+   join is stateless, and with a bucketed static table it is
+   shuffle-free on the corpus side.
+3. Output is candidate pairs (new_id, corpus_id); exact-Jaccard
+   verification belongs downstream (foreachBatch over
+   `functions.dedup.jaccard_on_pairs`, or a periodic batch job),
+   because verification needs the corpus shingle table — candidates
+   are the part that must be LOW-LATENCY.
+
+Reference anchor: extends the reference's batch-only surface
+(RPC.cs:20-28 has no streaming at all); the operator class is the
+north-star LLM-pipeline dedup requirement applied to ingestion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.dedup import (
+    P31,
+    perm_coeffs,
+    portable_hash64,
+)
+from distributedqueryengine_spark.functions.text import normalize_text
+
+
+def _shingle_hash_array(
+    text_col: str, ngram: int, portable: bool
+) -> Column:
+    """array<long> of DISTINCT word-n-gram shingle hashes for one row —
+    the per-row equivalent of functions.dedup.shingles' exploded
+    (id, sh) relation (which applies .distinct())."""
+    toks = F.split(normalize_text(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - ngram + 1, F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(ngram)]
+    )
+    def gram(z: Column) -> Column:
+        g = F.concat_ws(" ", *[z[f"t{i}"] for i in range(ngram)])
+        return portable_hash64(g) if portable else F.xxhash64(g)
+    return F.array_distinct(F.transform(zipped, gram))
+
+
+def narrow_minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bh) band buckets computed entirely with narrow
+    per-row expressions — works identically on a batch DataFrame and an
+    unbounded stream (no shuffle, no state).
+
+    Value-identical to the batch pipeline
+    shingles → minhash_signatures → band_buckets (pytest-pinned):
+    min over a document's shingle multiset equals min over its distinct
+    set, and documents with zero shingles (< ngram tokens) are excluded
+    exactly as the batch explode naturally excludes them.
+    """
+    sh_arr = _shingle_hash_array(text_col, ngram, portable)
+    src = df.select(F.col(id_col).alias("id"), sh_arr.alias("sh_arr")).filter(
+        F.size("sh_arr") > 0
+    )
+    # single-arg lambda factories: a default-bound `lambda x, i=i:` has
+    # ARITY 2, which F.transform interprets as (element, array_index) —
+    # the index column silently shadows the binding
+    def _perm_portable(a: int, b: int):
+        return lambda x: (x % P31 * F.lit(a) + F.lit(b)) % P31
+
+    def _perm_xx(i: int):
+        return lambda x: F.xxhash64(x, F.lit(i))
+
+    if portable:
+        mins = [
+            F.array_min(F.transform(F.col("sh_arr"), _perm_portable(a, b)))
+            for (a, b) in perm_coeffs(num_perm)
+        ]
+    else:
+        mins = [
+            F.array_min(F.transform(F.col("sh_arr"), _perm_xx(i)))
+            for i in range(num_perm)
+        ]
+    sig = src.select("id", F.array(*mins).alias("sig"))
+    r = num_perm // bands
+    band_hash = portable_hash64 if portable else F.xxhash64
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_hash(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * r + j].cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+
+
+def build_band_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Batch-side historical index: (id, band, bh) over the corpus via
+    the batch explode+aggregate pipeline (whole-stage codegen — the
+    fast path for the BIG side). Persist it, or write it with
+    sinks.write_bucketed bucketed by (band, bh), so each micro-batch's
+    stream-static join prunes instead of rescanning."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    sh = D.shingles(corpus, id_col, text_col, ngram, portable=portable)
+    sigs = D.minhash_signatures(sh, num_perm, portable=portable)
+    return D.band_buckets(sigs, num_perm, bands, portable=portable)
+
+
+def stream_dedup_candidates(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate near-duplicate pairs for a document STREAM against a
+    static corpus index: (new_id, corpus_id, band).
+
+    Stream-static inner equi-join on (band, bh): stateless (no
+    watermark needed — nothing is buffered), append-mode, and the
+    static side is re-resolved per micro-batch so a refreshed index
+    table is picked up automatically. A pair colliding in several bands
+    appears once per band; dedup to distinct pairs downstream where
+    the verification join wants unique (a, b) anyway (per-batch
+    `dropDuplicates` inside foreachBatch — a streaming-global distinct
+    would need state, which this operator deliberately avoids).
+    """
+    new_b = narrow_minhash_band_buckets(
+        stream_docs, id_col, text_col, ngram, num_perm, bands, portable=portable
+    ).withColumnRenamed("id", "new_id")
+    idx = index.select(
+        F.col("id").alias("corpus_id"), "band", "bh"
+    )
+    return (
+        new_b.join(idx, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "band")
+    )

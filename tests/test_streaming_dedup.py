@@ -1,0 +1,127 @@
+"""Streaming near-dup candidates (streaming/dedup.py): the narrow
+per-row MinHash formulation must equal the batch explode+aggregate
+pipeline value-for-value, and the stream-static candidate join must
+emit exactly the batch-computed candidates with a stateless plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions import dedup as D
+from distributedqueryengine_spark.session import load_table
+from distributedqueryengine_spark.streaming import dedup as SD
+from distributedqueryengine_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_narrow_band_buckets_equal_batch_pipeline(spark, portable):
+    """Per-row transform/array_min formulation ≡ explode + groupBy-min
+    + banding, in both hash modes, including the zero-shingle-doc
+    exclusion."""
+    docs = load_table(spark, SF_DIR, "documents")
+    narrow = SD.narrow_minhash_band_buckets(
+        docs, "doc_id", "text", 3, 32, 8, portable=portable
+    )
+    sh = D.shingles(docs, "doc_id", "text", 3, portable=portable)
+    sigs = D.minhash_signatures(sh, 32, portable=portable)
+    batch = D.band_buckets(sigs, 32, 8, portable=portable)
+    cols = ["id", "band", "bh"]
+    got, expect = _rows(narrow, cols), _rows(batch, cols)
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_stream_candidates_equal_batch(spark):
+    """End-to-end through the microbatch engine: odd-id documents
+    streamed against a static index of even-id documents must emit
+    exactly the batch-computed candidate set, with a STATELESS plan."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    index = SD.build_band_index(corpus, "doc_id", "text").persist()
+    index.count()
+
+    stream = W.stream_from_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    cand = SD.stream_dedup_candidates(stream, index, "doc_id", "text")
+    q = (
+        cand.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # stateless: the stream-static join must not create state operators
+    progress = q.lastProgress
+    assert progress is None or not progress.get("stateOperators"), (
+        f"unexpected state operators: {progress.get('stateOperators')}"
+    )
+    q.stop()
+
+    got = _rows(
+        spark.sql("SELECT new_id, corpus_id, band FROM sdedup_out"),
+        ["new_id", "corpus_id", "band"],
+    )
+    batch_cand = SD.stream_dedup_candidates(
+        docs.filter(F.col("doc_id") % 2 == 1), index, "doc_id", "text"
+    )
+    expect = _rows(batch_cand, ["new_id", "corpus_id", "band"])
+    assert got == expect
+    index.unpersist()
+
+
+def test_stream_candidates_find_planted_duplicate(spark, tmp_path):
+    """A planted near-copy arriving on the stream must collide with its
+    original in the static index; an unrelated document must not."""
+    import pandas as pd
+
+    corpus_pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again today",
+                "completely different content about distributed query engines at scale",
+            ],
+        }
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    index = SD.build_band_index(corpus, "doc_id", "text")
+
+    new_pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": [
+                # near-copy of doc 1 (one word changed at the end)
+                "the quick brown fox jumps over the lazy dog again and again tomorrow",
+                "unrelated text mentioning nothing shared with either corpus entry",
+            ],
+        }
+    )
+    d = str(tmp_path / "newdocs")
+    spark.createDataFrame(new_pdf).coalesce(1).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    cand = SD.stream_dedup_candidates(stream, index, "doc_id", "text")
+    q = (
+        cand.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup_plant")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = {
+        (r.new_id, r.corpus_id)
+        for r in spark.sql(
+            "SELECT DISTINCT new_id, corpus_id FROM sdedup_plant"
+        ).collect()
+    }
+    assert (10, 1) in pairs, f"planted near-copy not detected: {pairs}"
+    assert all(nid != 11 for nid, _ in pairs), f"false positive: {pairs}"
