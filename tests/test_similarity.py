@@ -319,3 +319,44 @@ def test_clustered_embeddings_prune_and_recall(spark):
     recall = hits / total
     assert recall >= 0.8, f"clustered recall {recall:.2f} (want >=0.8)"
     index.unpersist()
+
+
+def test_quantized_topk_recall_and_bytes(spark, tables):
+    """int8-quantized brute force: packed rows are exactly dim bytes
+    (the 8x shuffle-byte claim vs array<double>), recall@5 vs exact
+    clears 0.9 on the fixture, and matched pairs' cosines agree within
+    the rounding-error bound."""
+    import numpy as np
+
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    q = S.quantize_embeddings(emb).persist()
+    sizes = q.select(F.length("qvec").alias("n")).distinct().collect()
+    assert [r.n for r in sizes] == [dim]
+
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = S.brute_force_topk(queries, emb, k=5)
+    qq = q.filter(F.col("vec_id") % 40 == 0)
+    approx = S.brute_force_topk(qq, q, k=5, vec_col="qvec", quantized=True)
+    ex = {(r.query_id, r.neighbor_id): r.cos for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id): r.cos for r in approx.collect()}
+    assert ex and ap
+    hits = set(ex) & set(ap)
+    recall = len(hits) / len(ex)
+    assert recall >= 0.9, f"quantized recall {recall}"
+    for key in hits:
+        assert abs(ex[key] - ap[key]) < 0.02, (key, ex[key], ap[key])
+    q.unpersist()
+
+
+def test_quantize_dequantize_error_bound(spark, tables):
+    """Per-element reconstruction error of scale * q is bounded by
+    scale/2 (symmetric round-to-nearest)."""
+    import numpy as np
+
+    emb = tables["embeddings"].limit(50)
+    orig = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    for r in S.quantize_embeddings(emb).collect():
+        qv = np.frombuffer(r.qvec, dtype=np.int8).astype(np.float64)
+        err = np.abs(qv * r.scale - orig[r.vec_id])
+        assert err.max() <= r.scale / 2 + 1e-12, (r.vec_id, err.max(), r.scale)
