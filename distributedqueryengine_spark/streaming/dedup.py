@@ -185,3 +185,79 @@ def stream_dedup_candidates(
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id", "band")
     )
+
+
+def incremental_dedup_foreach_batch(
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    candidate_handler=None,
+):
+    """foreachBatch function for the FULL continuous-dedup loop: each
+    micro-batch is checked against the index AND then appended to it,
+    so later arrivals dedup against everything that came before —
+    including earlier micro-batches of the same stream, which the pure
+    stream-static join cannot see.
+
+    Per epoch (order is load-bearing):
+    1. band-bucket the batch (per-row pipeline; batch is small),
+    2. candidates = batch × current index (cross-batch pairs)
+       ∪ batch × batch with id_a < id_b (intra-batch pairs — an
+       append-only index read BEFORE the write cannot produce them),
+    3. hand (epoch_id, candidates DataFrame) to `candidate_handler`,
+    4. append the batch's buckets to `index_dir` (parquet append — at
+       scale a partitioned/bucketed table write, with periodic
+       compaction like any streaming sink).
+
+    Exactly-once note: foreachBatch may replay an epoch on failure;
+    the append in (4) is then duplicated. Bucket rows are idempotent
+    FACTS (same (id, band, bh)), so replays only duplicate candidate
+    emission — dedup downstream on (pair) as usual, or make (4) an
+    overwrite-by-epoch partition write (sinks.write_partitioned) for
+    strict exactly-once. Seed the index by writing
+    `build_band_index(corpus, ...)` to `index_dir` first.
+    """
+
+    def handle(batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nb = narrow_minhash_band_buckets(
+            batch_df, id_col, text_col, ngram, num_perm, bands, portable=portable
+        ).persist()
+        try:
+            import os
+
+            a = nb.withColumnRenamed("id", "new_id")
+            intra = (
+                a.join(
+                    nb.withColumnRenamed("id", "corpus_id"),
+                    ["band", "bh"],
+                )
+                .filter(F.col("new_id") > F.col("corpus_id"))
+                .select("new_id", "corpus_id", "band")
+            )
+            has_index = os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            )
+            if has_index:
+                idx = spark.read.parquet(index_dir).select(
+                    F.col("id").alias("corpus_id"), "band", "bh"
+                )
+                cross = (
+                    a.join(idx, ["band", "bh"])
+                    .filter(F.col("new_id") != F.col("corpus_id"))
+                    .select("new_id", "corpus_id", "band")
+                )
+                cands = cross.unionByName(intra)
+            else:
+                cands = intra
+            if candidate_handler is not None:
+                candidate_handler(epoch_id, cands)
+            nb.write.mode("append").parquet(index_dir)
+        finally:
+            nb.unpersist()
+
+    return handle

@@ -125,3 +125,70 @@ def test_stream_candidates_find_planted_duplicate(spark, tmp_path):
     }
     assert (10, 1) in pairs, f"planted near-copy not detected: {pairs}"
     assert all(nid != 11 for nid, _ in pairs), f"false positive: {pairs}"
+
+
+def test_incremental_index_catches_cross_batch_pairs(spark, tmp_path):
+    """The check-then-extend foreachBatch loop: a near-dup pair SPLIT
+    ACROSS micro-batches must be detected when the second half arrives
+    (the pure stream-static join cannot see it), an intra-batch pair
+    must be detected in its own epoch, and unrelated docs stay clean."""
+    import os
+    import time
+
+    import pandas as pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        # batch 1: doc 1 (original) + unrelated doc 2
+        pd.DataFrame({"doc_id": [1, 2], "text": [
+            base + " today",
+            "entirely different material on columnar execution engines and shuffles",
+        ]}),
+        # batch 2: doc 3 near-dups doc 1 (cross-batch); docs 4+5 near-dup
+        # each other (intra-batch; one trailing word differs, so their
+        # Jaccard sits far above the 8-band/4-row S-curve threshold)
+        pd.DataFrame({"doc_id": [3, 4, 5], "text": [
+            base + " tomorrow",
+            "streaming ingestion pipelines must deduplicate every arriving document "
+            "against the full historical corpus before any training run starts today",
+            "streaming ingestion pipelines must deduplicate every arriving document "
+            "against the full historical corpus before any training run starts tonight",
+        ]}),
+    ]
+    src = str(tmp_path / "arrivals")
+    os.makedirs(src)
+    index_dir = str(tmp_path / "band_index")
+    schema = None
+    for i, pdf in enumerate(batches):
+        f = str(tmp_path / f"b{i}")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(f)
+        if schema is None:
+            schema = spark.read.parquet(f).schema
+        import glob as g
+        import shutil
+
+        shutil.copy(g.glob(f + "/*.parquet")[0], f"{src}/b{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes → deterministic pickup order
+
+    emitted: dict[int, set] = {}
+
+    def handler(epoch_id, cands):
+        emitted[epoch_id] = {
+            (r.new_id, r.corpus_id)
+            for r in cands.select("new_id", "corpus_id").distinct().collect()
+        }
+
+    fb = SD.incremental_dedup_foreach_batch(index_dir, candidate_handler=handler)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(fb).start()
+    q.processAllAvailable()
+    q.stop()
+
+    all_pairs = {frozenset(p) for pairs in emitted.values() for p in pairs}
+    assert frozenset({1, 3}) in all_pairs, f"cross-batch pair missed: {emitted}"
+    assert frozenset({4, 5}) in all_pairs, f"intra-batch pair missed: {emitted}"
+    flat = {d for p in all_pairs for d in p}
+    assert 2 not in flat, f"unrelated doc flagged: {emitted}"
+    # the index now holds every document's buckets
+    idx_ids = {r.id for r in spark.read.parquet(index_dir).select("id").distinct().collect()}
+    assert idx_ids == {1, 2, 3, 4, 5}
