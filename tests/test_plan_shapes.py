@@ -56,3 +56,36 @@ def test_filtered_scans_push_predicates(spark):
     for name in ("leaf_scan_filter", "tpch_q3_shipping_priority", "tpch_q19_disjunctive_revenue"):
         p = _plan(entry_mod.queries()[name](spark, SF_DIR))
         assert re.search(r"PushedFilters: \[(?!\])", p), f"{name}: no pushed filters\n{p[:2000]}"
+
+
+def test_tpch_extras_plan_classes(spark):
+    """Plan-class pins for the TPC-H shapes carried outside the driver
+    inventory (tests/test_tpch_extra.py): Q6 must be a single pushed
+    scan with zero joins; the join-heavy shapes must never degrade to
+    cartesian products, and Q22's only nested-loop is the 1-row scalar
+    broadcast (its legitimate plan)."""
+    import re
+
+    from distributedqueryengine_spark import queries as Q
+
+    p6 = _plan(Q.q_tpch_q6_forecast_revenue(spark, SF_DIR))
+    assert len(re.findall(r"FileScan parquet", p6)) == 1
+    assert not any(j in p6 for j in ("Join", "CartesianProduct"))
+    assert re.search(r"PushedFilters: \[(?!\])", p6), f"Q6: no pushed filters"
+
+    for fn in (
+        Q.q_tpch_q7_volume_shipping,
+        Q.q_tpch_q8_market_share,
+        Q.q_tpch_q13_customer_distribution,
+        Q.q_tpch_q15_top_supplier,
+        Q.q_tpch_q17_small_quantity_revenue,
+        Q.q_tpch_q21_waiting_supplier,
+    ):
+        p = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p, f"{fn.__name__}: cartesian"
+        assert "BroadcastNestedLoopJoin" not in p, f"{fn.__name__}: BNLJ"
+
+    p22 = _plan(Q.q_tpch_q22_global_sales_opportunity(spark, SF_DIR))
+    assert "CartesianProduct" not in p22
+    # the single BNLJ is the broadcast 1-row scalar average
+    assert p22.count("BroadcastNestedLoopJoin") <= 1
