@@ -360,3 +360,28 @@ def test_quantize_dequantize_error_bound(spark, tables):
         qv = np.frombuffer(r.qvec, dtype=np.int8).astype(np.float64)
         err = np.abs(qv * r.scale - orig[r.vec_id])
         assert err.max() <= r.scale / 2 + 1e-12, (r.vec_id, err.max(), r.scale)
+
+
+def test_quantize_edge_vectors(spark):
+    """Zero, constant, negative, and tiny-magnitude vectors must
+    quantize without NaN/overflow and dequantize within bound."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[5.0, 5.0, 5.0, 5.0]),
+        Row(vec_id=3, embedding=[-1.0, 2.0, -3.0, 4.0]),
+        Row(vec_id=4, embedding=[1e-12, -1e-12, 0.0, 1e-12]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for vid, r in out.items():
+        q = np.frombuffer(r.qvec, dtype=np.int8).astype(np.float64)
+        assert len(q) == 4
+        assert np.isfinite(r.scale) and r.scale > 0
+        orig = np.array(rows[vid - 1].embedding)
+        assert np.abs(q * r.scale - orig).max() <= r.scale / 2 + 1e-12
+    # the zero vector stays exactly zero
+    assert not np.frombuffer(out[1].qvec, dtype=np.int8).any()
