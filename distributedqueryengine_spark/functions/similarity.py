@@ -293,10 +293,18 @@ def lsh_probe_buckets_udf(tables: list[list[list[float]]], probe_flips: int = 1)
     return probe
 
 
-def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
-    rows = queries.select(F.col(id_col), as_double(vec_col)).collect()
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str, quantized: bool = False
+):
+    qv = F.col(vec_col) if quantized else as_double(vec_col)
+    rows = queries.select(F.col(id_col), qv).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r[1] for r in rows], dtype=np.float64)
+    if quantized:
+        M = np.vstack(
+            [np.frombuffer(r[1], dtype=np.int8).astype(np.float64) for r in rows]
+        )
+    else:
+        M = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, M
 
 
@@ -359,6 +367,7 @@ def _pruned_topk_broadcast(
     Qn: np.ndarray,
     methods: list[tuple[str, tuple, list[np.ndarray], list[np.ndarray]]],
     n_partitions: int | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """Shared engine for broadcast-pruned ANN top-k (LSH and IVF): the
     exact plan shape of `brute_force_topk` — one narrow mapInPandas
@@ -401,7 +410,10 @@ def _pruned_topk_broadcast(
         bucket_fns = [_bucket_fn_from_spec(spec) for spec, _, _ in meths]
         acc: list[pd.DataFrame] = []
         for pdf in batches:
-            C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if quantized:
+                C = _decode_int8(pdf[vec_col])
+            else:
+                C = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             Cn = _safe_norm(C)
             c_ids = pdf[id_col].to_numpy()
             for mi, (_, tb, tq) in enumerate(meths):
@@ -462,7 +474,8 @@ def _pruned_topk_broadcast(
 
     from distributedqueryengine_spark.session import ensure_parallelism
 
-    src = corpus.select(id_col, as_double(vec_col).alias(vec_col))
+    src_vec = (F.col(vec_col) if quantized else as_double(vec_col)).alias(vec_col)
+    src = corpus.select(id_col, src_vec)
     if n_partitions is not None:
         # Bucket pruning cuts per-partition FLOPs to a fraction of brute
         # force's, so the pruned path wants FEWER, LARGER partitions for
@@ -739,8 +752,15 @@ def multi_ann_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     n_corpus_rows: int | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """LSH and IVF approximate top-k fused into ONE corpus pass.
+
+    quantized=True: both sides' vec_col holds int8-packed binary from
+    `quantize_embeddings` — same plan over ~1/8 the corpus bytes;
+    bucket assignment and scoring run on the decoded values (LSH signs
+    and IVF argmax are scale-invariant, so only rounding perturbs
+    bucket boundaries — recall vs the float path is pinned in tests).
 
     Running each index as its own query doubles every fixed cost (scan,
     Arrow transfer, window shuffle); here both methods are candidate
@@ -766,7 +786,7 @@ def multi_ann_topk(
     # oracle mirrors with ORDER BY id). Sorted DRIVER-side after an
     # unordered collect — an .orderBy before collect would add a full
     # sort shuffle to the plan for rows that land on the driver anyway.
-    q_ids, Q = _collect_queries(queries, id_col, vec_col)
+    q_ids, Q = _collect_queries(queries, id_col, vec_col, quantized=quantized)
     order = np.argsort(q_ids, kind="stable")
     q_ids, Q = q_ids[order], Q[order]
     Qn = _safe_norm(Q)
@@ -800,6 +820,7 @@ def multi_ann_topk(
             _ivf_method(Qn, centroids, n_probe),
         ],
         n_partitions=max(8, target // 4),
+        quantized=quantized,
     )
 
 

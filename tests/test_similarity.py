@@ -385,3 +385,30 @@ def test_quantize_edge_vectors(spark):
         assert np.abs(q * r.scale - orig).max() <= r.scale / 2 + 1e-12
     # the zero vector stays exactly zero
     assert not np.frombuffer(out[1].qvec, dtype=np.int8).any()
+
+
+def test_quantized_multi_ann_recall(spark, tables):
+    """Fused LSH+IVF ANN over the int8-packed corpus: recall vs the
+    FLOAT fused path clears 0.85 per branch (bucket signs/argmax are
+    scale-invariant; only rounding moves boundary cases)."""
+    emb = tables["embeddings"]
+    q = S.quantize_embeddings(emb).persist()
+    queries_f = emb.filter(F.col("vec_id") % 40 == 0)
+    queries_q = q.filter(F.col("vec_id") % 40 == 0)
+    flt = S.multi_ann_topk(queries_f, emb, k=5, dim=64, n_probe=6)
+    qnt = S.multi_ann_topk(
+        queries_q, q, k=5, dim=64, n_probe=6, vec_col="qvec", quantized=True
+    )
+    for branch in ("lsh", "ivf"):
+        fset = {
+            (r.query_id, r.neighbor_id)
+            for r in flt.filter(F.col("method") == branch).collect()
+        }
+        qset = {
+            (r.query_id, r.neighbor_id)
+            for r in qnt.filter(F.col("method") == branch).collect()
+        }
+        assert fset and qset
+        recall = len(fset & qset) / len(fset)
+        assert recall >= 0.85, f"{branch}: quantized ANN recall {recall}"
+    q.unpersist()
