@@ -78,3 +78,40 @@ def running_agg(
     lo = Window.unboundedPreceding if preceding is None else -preceding
     w = _spec(partition_by, order_by).rowsBetween(lo, Window.currentRow)
     return df.withColumn(out or f"{fn}_{agg_col}_running", fns[fn](agg_col).over(w))
+
+
+def groups_frame_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    agg_exprs: dict[str, Column],
+    preceding: int = 1,
+    following: int = 1,
+) -> DataFrame:
+    """SQL-standard GROUPS window frame (…GROUPS BETWEEN n PRECEDING
+    AND m FOLLOWING), which Spark's window exec does not implement —
+    emulated exactly as a RANGE frame over dense_rank: peer rows (ties
+    on the order key) share a dense_rank value, so a range of ±n over
+    that rank is precisely a frame of ±n PEER GROUPS.
+
+    Both windows share one (partition, order) spec, so the plan carries
+    ONE shuffle and one sort — the dense_rank pass and the range-frame
+    pass pipeline inside the same WindowExec chain. `agg_exprs` maps
+    output name → aggregate over a column, e.g.
+    {"s": F.sum("v"), "n": F.count(F.lit(1))}.
+
+    Differential-tested against DuckDB computing the same semantics in
+    tests/test_relational.py (this DuckDB build rejects native GROUPS
+    too, so the oracle is its independent dense_rank+RANGE form).
+    """
+    w_rank = Window.partitionBy(*partition_by).orderBy(order_by)
+    ranked = df.withColumn("_dr", F.dense_rank().over(w_rank))
+    w_groups = (
+        Window.partitionBy(*partition_by)
+        .orderBy("_dr")
+        .rangeBetween(-preceding, following)
+    )
+    out = ranked
+    for name, expr in agg_exprs.items():
+        out = out.withColumn(name, expr.over(w_groups))
+    return out.drop("_dr")

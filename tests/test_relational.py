@@ -160,3 +160,54 @@ def test_approx_percentile_within_rank_error(spark, tables):
         for q, approx in ((0.5, p50), (0.9, p90), (0.99, p99)):
             rank = np.searchsorted(xs, approx, side="right") / n
             assert abs(rank - q) <= 0.005 + 1.0 / n, (flag, q, approx, rank)
+
+
+def test_groups_frame_emulation_matches_duckdb(spark):
+    """groups_frame_agg (RANGE over dense_rank) must equal the same
+    GROUPS-frame semantics computed independently by DuckDB on data
+    with real peer groups (ties on the order key), and the plan must
+    carry exactly one shuffle. (This DuckDB build rejects native
+    `GROUPS BETWEEN` with 'not implemented yet', so the oracle is
+    DuckDB's own dense_rank+RANGE formulation — still a full
+    cross-engine value check of the emulation.)"""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.windows import groups_frame_agg
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    sql = """
+        WITH r AS (
+            SELECT *, dense_rank() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_orderdate) AS dr
+            FROM orders)
+        SELECT o_orderkey,
+               sum(o_totalprice) OVER w AS s,
+               count(*) OVER w AS n
+        FROM r
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY dr
+                     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    """
+    expect = {
+        r[0]: (round(r[1], 2), r[2]) for r in con.execute(sql).fetchall()
+    }
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    out = groups_frame_agg(
+        orders,
+        ["o_orderstatus"],
+        "o_orderdate",
+        {"s": F.sum("o_totalprice"), "n": F.count(F.lit(1))},
+        preceding=1,
+        following=1,
+    ).select("o_orderkey", "s", "n")
+    got = {r.o_orderkey: (round(r.s, 2), r.n) for r in out.collect()}
+    assert got == expect
+    # one data shuffle; both Window execs pipeline on the same
+    # partitioning (the AQE string repeats the plan under
+    # "== Initial Plan ==" — count only the final section)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final
