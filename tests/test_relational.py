@@ -211,3 +211,61 @@ def test_groups_frame_emulation_matches_duckdb(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1, final
+
+
+def test_ignore_nulls_window_variants_match_duckdb(spark):
+    """lag / first_value / last_value / nth_value with IGNORE NULLS
+    must agree with DuckDB on a naturally-sparse column (JSON key
+    present in a fraction of events) — the gap-fill primitive the as-of
+    join is built from."""
+    import duckdb
+
+    from pyspark.sql.window import Window
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    sql = """
+        SELECT event_id,
+               lag(k IGNORE NULLS) OVER w AS prev_k,
+               first_value(k IGNORE NULLS) OVER w AS first_k,
+               last_value(k IGNORE NULLS) OVER w AS fill_k,
+               nth_value(k, 2 IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS second_k
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(json_extract_string(props, '$.k') AS INT) AS k
+              FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    expect = {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+
+    from distributedqueryengine_spark.session import load_table
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w_seq.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # lag has no ignoreNulls kwarg in the Python API — SQL expr form
+    out = ev.select(
+        "event_id",
+        F.expr("lag(k) IGNORE NULLS").over(w_seq).alias("prev_k"),
+        F.first("k", ignorenulls=True).over(w_run).alias("first_k"),
+        F.last("k", ignorenulls=True).over(w_run).alias("fill_k"),
+        F.nth_value("k", 2, ignoreNulls=True).over(w_full).alias("second_k"),
+    )
+    got = {
+        r.event_id: (r.prev_k, r.first_k, r.fill_k, r.second_k)
+        for r in out.collect()
+    }
+    assert got == expect
+    assert any(v[2] is not None for v in got.values())
