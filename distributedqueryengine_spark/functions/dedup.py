@@ -184,7 +184,10 @@ def lsh_candidate_pairs(
     on (band, band_hash) — hash-partitionable, never O(n²); dedup'd
     with id_a < id_b.
     """
-    banded = band_buckets(sigs, num_perm, bands, portable=portable)
+    # persist (lazy): the self-join below references `banded` on BOTH
+    # sides — without it the whole upstream shingle→signature pipeline
+    # executes twice, once per side. |docs|×bands rows, trivially small.
+    banded = band_buckets(sigs, num_perm, bands, portable=portable).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -340,6 +343,9 @@ def simhash_near_duplicates(
     band_bits = 15 if portable else 16
     band_mask = (1 << band_bits) - 1
     sh = simhash(df, id_col, text_col, portable=portable)
+    # persist (lazy): self-joined below — without it the token-explode +
+    # 60-bit-sum fingerprint aggregation runs once PER JOIN SIDE
+    # (measured 2× the branch's cost at sf0.1). |docs|×4 rows.
     banded = sh.select(
         "id",
         "simhash",
@@ -356,7 +362,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bv")
+    ).select("id", "simhash", "bb.band", "bb.bv").persist()
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
