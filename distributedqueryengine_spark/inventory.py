@@ -406,7 +406,14 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     gk_percentiles: percentile_approx (Greenwald-Khanna, accuracy=10000)
     p50/p90/p99 of l_extendedprice per l_returnflag, each bounded by the
     exact percentiles at p±0.002 rank. Sketch error bounds are further
-    pinned in tests/test_relational.py."""
+    pinned in tests/test_relational.py.
+
+    Scale note: the SKETCHES are the 100 TB operators (bounded state,
+    partial-aggregatable). The exact count(distinct)/percentile side is
+    verification machinery for the within-bound check — F.percentile
+    buffers every group value on one reducer, so at scale you run the
+    sketch alone and verify on a sample, exactly as this row's oracle
+    design implies."""
     orders = Q._t(spark, sf_dir, "orders")
     li = Q._t(spark, sf_dir, "lineitem")
 

@@ -261,3 +261,25 @@ def incremental_dedup_foreach_batch(
             nb.unpersist()
 
     return handle
+
+
+def compact_band_index(
+    spark,
+    index_dir: str,
+    table: str,
+    n_buckets: int = 32,
+) -> None:
+    """Periodic maintenance for the append-only index: rewrite the
+    accumulated small per-epoch parquet files as ONE bucketed table on
+    (band, bh) — the streaming-sink compaction every long-running
+    ingestion pipeline needs. After compaction the per-batch candidate
+    join reads a bucketed corpus side, so the join is shuffle-free on
+    the index (the zero-Exchange bucketed-join property pinned in
+    tests/test_sources_sinks.py), and the small-file count stops growing.
+    Dedups (id, band, bh) — epoch replays append idempotent facts."""
+    from distributedqueryengine_spark.sources.sinks import write_bucketed_table
+
+    idx = spark.read.parquet(index_dir).dropDuplicates(["id", "band", "bh"])
+    write_bucketed_table(
+        idx, table, ["band", "bh"], n_buckets, sort_cols=["band", "bh"]
+    )

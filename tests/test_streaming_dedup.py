@@ -192,3 +192,39 @@ def test_incremental_index_catches_cross_batch_pairs(spark, tmp_path):
     # the index now holds every document's buckets
     idx_ids = {r.id for r in spark.read.parquet(index_dir).select("id").distinct().collect()}
     assert idx_ids == {1, 2, 3, 4, 5}
+
+
+def test_compacted_index_equals_raw_and_probes_identically(spark, tmp_path):
+    """compact_band_index: the bucketed table holds exactly the raw
+    index's distinct rows, and candidates probed against it equal
+    candidates probed against the raw parquet dir."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    raw_dir = str(tmp_path / "raw_index")
+    # simulate several epoch appends (with a replayed epoch)
+    b = SD.build_band_index(corpus, "doc_id", "text")
+    b.filter(F.col("id") % 2 == 0).write.mode("append").parquet(raw_dir)
+    b.filter(F.col("id") % 2 == 1).write.mode("append").parquet(raw_dir)
+    b.filter(F.col("id") % 2 == 1).write.mode("append").parquet(raw_dir)  # replay
+
+    table = "band_index_compact_test"
+    SD.compact_band_index(spark, raw_dir, table)
+    try:
+        compact = spark.table(table)
+        raw = spark.read.parquet(raw_dir).dropDuplicates(["id", "band", "bh"])
+        cols = ["id", "band", "bh"]
+        assert _rows(compact, cols) == _rows(raw, cols)
+
+        batch = docs.filter(F.col("doc_id") % 3 == 1).limit(50)
+        got = _rows(
+            SD.stream_dedup_candidates(batch, compact, "doc_id", "text"),
+            ["new_id", "corpus_id", "band"],
+        )
+        expect = _rows(
+            SD.stream_dedup_candidates(batch, raw, "doc_id", "text"),
+            ["new_id", "corpus_id", "band"],
+        )
+        assert got == expect
+        assert expect, "no candidates — fixture too sparse"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
