@@ -263,6 +263,44 @@ def incremental_dedup_foreach_batch(
     return handle
 
 
+def stream_exact_dedup(
+    stream_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact content dedup AT INGESTION with BOUNDED state: the
+    streaming analogue of functions.dedup.dedup_exact, for the
+    re-crawl/re-submit case where the same document arrives twice
+    within a time window.
+
+    content fingerprint (16-byte md5, functions/text.fingerprint) →
+    event-time watermark → dropDuplicatesWithinWatermark on the
+    fingerprint. The engine keeps one state row per fingerprint and
+    EVICTS it once the watermark passes event_time + delay, so state is
+    bounded by (arrival rate × delay) — never by corpus size, which is
+    what makes this safe on an unbounded 100 TB/day feed. The trade is
+    explicit: a duplicate arriving AFTER its original's state expired
+    is re-emitted (pinned in tests/test_streaming_dedup.py); catching
+    those is the job of the band-index path above / the batch exact
+    pass, exactly like production dedup tiers.
+
+    First-arrival-wins within the window (the engine keeps the row it
+    saw first). Output: the input rows minus in-window duplicates,
+    with the fingerprint attached as `fp`.
+    """
+    from distributedqueryengine_spark.functions.text import fingerprint
+
+    return (
+        stream_docs.select(
+            F.col(id_col), F.col(time_col), fingerprint(text_col).alias("fp")
+        )
+        .withWatermark(time_col, delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def compact_band_index(
     spark,
     index_dir: str,

@@ -228,3 +228,80 @@ def test_compacted_index_equals_raw_and_probes_identically(spark, tmp_path):
         assert expect, "no candidates — fixture too sparse"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """stream_exact_dedup: in-window duplicates are dropped, state is
+    EVICTED once the watermark passes (a later re-arrival of the same
+    content is re-emitted — the documented bounded-state trade), and
+    distinct contents always pass."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    def _stage(name, rows):
+        src = str(tmp_path / ("src_" + name))
+        pd_df = pd.DataFrame(rows)
+        pd_df["ts"] = pd.to_datetime(pd_df["ts"])
+        spark.createDataFrame(pd_df).coalesce(1).write.mode("overwrite").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            shutil.copy(f, stage_dir + f"/{name}.parquet")
+        return src
+
+    stage_dir = str(tmp_path / "stream_in")
+    os.makedirs(stage_dir)
+    first = _stage(
+        "b1",
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta", "alpha  BETA", "gamma delta"],  # 1≡2 after normalize
+            "ts": ["2024-01-01 10:00:00", "2024-01-01 10:00:30", "2024-01-01 10:01:00"],
+        },
+    )
+    schema = spark.read.parquet(first).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
+    out = SD.stream_exact_dedup(stream, "doc_id", "text", "ts", delay="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("exact_dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {r.fp for r in spark.sql("SELECT * FROM exact_dedup_out").collect()}
+    n1 = spark.sql("SELECT count(*) AS n FROM exact_dedup_out").first().n
+    assert n1 == 2, "batch 1: the in-batch duplicate must be dropped"
+    assert len(got1) == 2
+
+    # batch 2: same content as doc 1, still inside the watermark window
+    # (watermark after b1 = 10:01 - 10min < 10:00) → dropped as dup.
+    _stage(
+        "b2",
+        {
+            "doc_id": [4],
+            "text": ["ALPHA beta"],
+            "ts": ["2024-01-01 10:05:00"],
+        },
+    )
+    q.processAllAvailable()
+    n2 = spark.sql("SELECT count(*) AS n FROM exact_dedup_out").first().n
+    assert n2 == 2, "batch 2: in-window re-arrival must be dropped"
+
+    # batch 3: watermark jumps far ahead; batch 4 re-sends the same
+    # content — its state row was evicted, so it is re-emitted.
+    _stage(
+        "b3",
+        {"doc_id": [5], "text": ["epsilon zeta"], "ts": ["2024-01-01 14:00:00"]},
+    )
+    q.processAllAvailable()
+    _stage(
+        "b4",
+        {"doc_id": [6], "text": ["alpha beta"], "ts": ["2024-01-01 14:00:05"]},
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT doc_id, fp FROM exact_dedup_out").collect()
+    assert len(rows) == 4, f"expired-state re-arrival must re-emit, got {rows}"
+    assert {r.doc_id for r in rows} >= {3, 5, 6}
