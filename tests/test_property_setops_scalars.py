@@ -1,0 +1,131 @@
+"""Property-based set-operation and scalar-function differential vs
+DuckDB (SURVEY §5.5) — same discipline as test_property_windows.py:
+one ANSI SQL text, two engines, no translation layer.
+
+Set operations randomize the branch predicates and the op
+(UNION/INTERSECT/EXCEPT × ALL/DISTINCT) — the multiset semantics of
+the ALL variants are exactly where ad-hoc implementations diverge.
+Scalar shapes randomize LIKE patterns, substring windows (1-based,
+positive — the cross-dialect common ground), and date + INTERVAL
+arithmetic over l_shipdate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _key(t):
+    return tuple((v is not None, v) for v in t)
+
+
+def _both(spark, duck, sql: str):
+    got = sorted((tuple(r) for r in spark.sql(sql).collect()), key=_key)
+    expect = sorted((tuple(r) for r in duck.execute(sql).fetchall()), key=_key)
+    assert got == expect, f"engines disagree on:\n{sql}"
+
+
+pred = st.tuples(
+    st.sampled_from(["l_quantity", "l_extendedprice", "l_discount"]),
+    st.sampled_from([">", "<", ">=", "<="]),
+    st.floats(min_value=0.0, max_value=60000.0, allow_nan=False).map(
+        lambda x: round(x, 2)
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p1=pred,
+    p2=pred,
+    op=st.sampled_from(["UNION", "INTERSECT", "EXCEPT"]),
+    all_=st.booleans(),
+)
+def test_random_set_op_matches_duckdb(spark, tables, duck, p1, p2, op, all_):
+    """Random predicates feed both branches of a random set operation.
+    The projected key (l_returnflag, l_linestatus) collides heavily, so
+    ALL-variant multiset counting is genuinely exercised."""
+    q = "ALL" if all_ else "DISTINCT"
+    c1 = f"{p1[0]} {p1[1]} {p1[2]}"
+    c2 = f"{p2[0]} {p2[1]} {p2[2]}"
+    sql = (
+        f"SELECT l_returnflag, l_linestatus FROM lineitem WHERE {c1} "
+        f"{op} {q} "
+        f"SELECT l_returnflag, l_linestatus FROM lineitem WHERE {c2}"
+    )
+    _both(spark, duck, sql)
+
+
+like_pattern = st.tuples(
+    st.sampled_from(["%", ""]),
+    st.sampled_from(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+                     "PROMO", "BRUSHED", "PLATED", "ANODIZED", "POLISHED"]),
+    st.sampled_from(["%", "_%", ""]),
+).map(lambda t: t[0] + t[1] + t[2])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pat=like_pattern,
+    start=st.integers(min_value=1, max_value=8),
+    ln=st.integers(min_value=1, max_value=12),
+    neg=st.booleans(),
+)
+def test_random_string_shape_matches_duckdb(spark, tables, duck, pat, start, ln, neg):
+    """Random LIKE filter + 1-based positive substring window + the
+    length/upper/trim composition — the cross-dialect common ground
+    where both engines must agree exactly."""
+    maybe_not = "NOT " if neg else ""
+    sql = (
+        f"SELECT p_partkey, upper(substring(p_type, {start}, {ln})) AS s, "
+        f"length(p_name) AS n "
+        f"FROM part WHERE p_type {maybe_not}LIKE '{pat}'"
+    )
+    _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    days=st.integers(min_value=1, max_value=365),
+    unit=st.sampled_from(["DAY", "MONTH"]),
+    cmp_year=st.integers(min_value=1993, max_value=1998),
+)
+def test_random_date_interval_matches_duckdb(spark, tables, duck, days, unit, cmp_year):
+    """date + INTERVAL arithmetic and a year-boundary comparison: both
+    engines implement ANSI interval addition over DATE; month addition
+    clamps end-of-month the same way."""
+    n = days if unit == "DAY" else 1 + days % 24
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"CAST(l_shipdate + INTERVAL '{n}' {unit} AS DATE) AS d "
+        f"FROM lineitem WHERE l_shipdate >= DATE '{cmp_year}-06-01' "
+        f"AND l_shipdate < DATE '{cmp_year}-07-01'"
+    )
+    _both(spark, duck, sql)
