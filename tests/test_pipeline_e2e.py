@@ -1,0 +1,130 @@
+"""Full training-data pipeline integration: every tier chained the way
+a production run chains them — quality/lang clean → exact dedup →
+near-dup cluster collapse → benchmark decontamination → greedy packing
+→ partitioned write → read-back. Three adversarial rows are planted
+(an exact duplicate, a near duplicate, an eval-contaminated document)
+and each must be removed by EXACTLY its tier, while the pipeline's
+invariants (no duplicate fingerprints, bins within budget, read-back
+equality) hold on what survives. Complements the per-operator tests:
+this is the composition a user of the reference engine would actually
+run end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions import decontam as DC
+from distributedqueryengine_spark.functions import dedup as D
+from distributedqueryengine_spark.functions import packing
+from distributedqueryengine_spark.functions import text as T
+from distributedqueryengine_spark.session import load_table
+from distributedqueryengine_spark.sources.sinks import write_files
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EXACT_DUP_ID = 900_001
+NEAR_DUP_ID = 900_002
+CONTAM_ID = 900_003
+
+
+def test_full_training_pipeline_e2e(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    base = docs.filter(F.col("doc_id") % 97 != 0)
+
+    # --- plant the three adversaries, derived from documents that pass
+    # the cleaning filters so each one reaches the tier that must kill it
+    clean_pred = (T.quality_score("text") >= 0.5) & (T.lang_id("text") == "en")
+    donors = (
+        base.filter(clean_pred)
+        .orderBy("doc_id")
+        .select("doc_id", "text", "lang", "source")
+        .limit(2)
+        .collect()
+    )
+    ev_donor = eval_df.orderBy("doc_id").select("text").first()
+    assert len(donors) == 2 and ev_donor is not None, "fixture too sparse"
+    near_toks = donors[1].text.split()
+    near_toks[len(near_toks) // 2] = "zzzaltered"
+    ev_toks = ev_donor.text.split()
+    planted = spark.createDataFrame(
+        [
+            # byte-identical content → exact-dedup tier
+            (EXACT_DUP_ID, donors[0].text, donors[0].lang, donors[0].source),
+            # one swapped token → near-dup tier (Jaccard ≫ 0.5)
+            (NEAR_DUP_ID, " ".join(near_toks), donors[1].lang, donors[1].source),
+            # a verbatim eval 3-gram inside donor text → decontam tier
+            (
+                CONTAM_ID,
+                donors[0].text + " " + " ".join(ev_toks[:3]),
+                donors[0].lang,
+                donors[0].source,
+            ),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    corpus = base.unionByName(planted.select(*base.columns))
+
+    # --- tier 1: quality/language cleaning (scan-fused predicates)
+    cleaned = corpus.filter(clean_pred)
+    kept_ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID} <= kept_ids, (
+        "planted rows must survive cleaning to reach their tiers"
+    )
+
+    # --- tier 2: exact dedup (min-id survivor per content fingerprint)
+    exact = D.dedup_exact(cleaned, "doc_id", "text")
+    exact_ids = {r.doc_id for r in exact.select("doc_id").collect()}
+    assert EXACT_DUP_ID not in exact_ids, "exact duplicate must be dropped"
+    assert donors[0].doc_id in exact_ids, "the min-id original must survive"
+    assert NEAR_DUP_ID in exact_ids, "near duplicate is not byte-identical"
+
+    # --- tier 3: near-dup collapse (MinHash-LSH pairs → components →
+    # keep each component's min-id representative)
+    pairs = D.minhash_near_duplicates(exact, "doc_id", "text", min_jaccard=0.5)
+    planted_pair = pairs.filter(
+        (F.col("id_a") == donors[1].doc_id) & (F.col("id_b") == NEAR_DUP_ID)
+    )
+    assert planted_pair.count() == 1, "LSH must surface the planted near-dup pair"
+    cc = D.connected_components(pairs)
+    non_reps = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = exact.join(non_reps, "doc_id", "left_anti")
+    dd_ids = {r.doc_id for r in deduped.select("doc_id").collect()}
+    assert NEAR_DUP_ID not in dd_ids, "near duplicate must be collapsed"
+
+    # --- tier 4: decontamination against the held-out eval set (n=3 —
+    # the synthetic corpus has almost no 5-gram collisions)
+    final = DC.decontaminate(deduped, eval_df, "doc_id", "text", n=3)
+    final_ids = {r.doc_id for r in final.select("doc_id").collect()}
+    assert CONTAM_ID not in final_ids, "contaminated doc must be dropped"
+    assert final_ids, "pipeline must not drop everything"
+    # each tier killed ONLY its target among the planted rows
+    assert final_ids <= dd_ids <= exact_ids <= kept_ids
+
+    # no two survivors share a content fingerprint
+    n_fp = final.select(T.fingerprint("text").alias("fp")).distinct().count()
+    assert n_fp == len(final_ids)
+
+    # --- tier 5: greedy packing (no-split FFD, budget invariant)
+    packed = packing.greedy_pack(
+        final, tokens=T.token_count("text"), budget=512, n_groups=8
+    )
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == final_ids, "packing must cover every survivor"
+    bins: dict[tuple, int] = {}
+    for r in rows:
+        bins[(r.grp, r.bin)] = bins.get((r.grp, r.bin), 0) + r.n_tokens
+    for (grp, b), tot in bins.items():
+        docs_in_bin = [r for r in rows if (r.grp, r.bin) == (grp, b)]
+        assert tot <= 512 or len(docs_in_bin) == 1, (
+            f"bin ({grp},{b}) over budget with {len(docs_in_bin)} docs"
+        )
+
+    # --- tier 6: partitioned write + read-back equality
+    out = str(tmp_path / "final_corpus")
+    write_files(final, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert {r.doc_id for r in back.select("doc_id").collect()} == final_ids
