@@ -305,3 +305,73 @@ def test_stream_stream_interval_join_equals_batch(spark):
     cols = ["user_id", "click_id", "purchase_id", "l_ts", "r_ts"]
     assert _rows_set(got, cols) == _rows_set(batch, cols)
     assert batch.count() > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop a checkpointed windowed aggregation mid-stream and restart
+    it from the same checkpoint over new files: the restarted query
+    must resume from committed offsets — every input file contributes
+    exactly once, finalized windows match the batch recomputation, and
+    nothing is double-counted across the restart boundary."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    stage = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+    os.makedirs(stage)
+
+    def _push(name, ts_vals):
+        src = str(tmp_path / ("src_" + name))
+        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_vals), "v": [1.0] * len(ts_vals)})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            shutil.copy(f, stage + f"/{name}.parquet")
+        return src
+
+    first = _push("b1", ["2024-01-01 10:00:10", "2024-01-01 10:00:20", "2024-01-01 11:00:05"])
+    schema = spark.read.parquet(first).schema
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.sum("v").alias("sv"))
+            .select(F.unix_timestamp("window.start").alias("ws"), "sv")
+        )
+        return (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    # restart from the SAME checkpoint; new files keep arriving,
+    # including one that closes the 11:00 window
+    _push("b2", ["2024-01-01 11:00:30", "2024-01-01 13:00:00"])
+    q2 = _start()
+    q2.processAllAvailable()
+    _push("b3", ["2024-01-01 15:00:00"])  # advance watermark, close 13:00
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {r.ws: r.sv for r in spark.read.parquet(sink).collect()}
+    ts10 = 1704103200  # 2024-01-01 10:00 UTC
+    assert got[ts10] == 2.0, f"10:00 window double- or under-counted: {got}"
+    assert got[ts10 + 3600] == 2.0, (
+        f"11:00 window must merge pre- and post-restart rows exactly once: {got}"
+    )
+    assert got.get(ts10 + 3 * 3600) == 1.0, f"13:00 window missing: {got}"
