@@ -243,3 +243,87 @@ def pii_counts(col: Column | str, token: str = "[PII]") -> Column:
         counts.append(F.regexp_count(c, F.lit(pat)).cast("int").alias(name))
         c = F.regexp_replace(c, pat, token)
     return F.struct(*counts)
+
+
+# ------------------------------------------- boilerplate line removal
+
+def line_doc_frequency(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(lf, n_docs): document frequency of every distinct line across
+    the corpus — the substrate for CCNet/RefinedWeb-style boilerplate
+    detection (navigation chrome, cookie banners, license footers
+    repeat across documents; real prose does not).
+
+    Lines are keyed by the 16-byte md5 of their trimmed text, so the
+    corpus-wide shuffle carries fingerprints, never line bodies. One
+    explode + one hash aggregate; countDistinct(id) is the same
+    partial-aggregatable expand Spark uses for any distinct-agg.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    return (
+        lines.select("id", F.md5(F.trim("line")).alias("lf"))
+        .groupBy("lf")
+        .agg(F.count_distinct("id").alias("n_docs"))
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_freq: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Rewrite each document with its boilerplate lines removed: a line
+    is boilerplate when it appears (trimmed-identical) in MORE than
+    `max_doc_freq` distinct documents. Returns the input schema with
+    `text_col` rewritten (line order preserved; documents whose every
+    line is boilerplate keep an empty string — filter them with
+    token_count downstream).
+
+    Distributed shape: explode lines with their position → left-semi
+    join against the <=max_doc_freq fingerprints (16-byte keys; the
+    frequent side is TINY by definition — boilerplate is what repeats —
+    but the join carries no broadcast hint: the semi-join side is
+    corpus-lines-sized and AQE picks the strategy) → one groupBy(id)
+    reassembly via array_sort(collect_list(struct(pos, line))). The
+    only stage that shuffles line TEXT is the final per-document
+    reassembly, which any rewrite-the-corpus operator must pay; the
+    frequency analysis itself shuffles fingerprints only
+    (line_doc_frequency above).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).filter(F.length(F.trim("line")) > 0)
+    keep_lf = (
+        line_doc_frequency(df, id_col, text_col, sep)
+        .filter(F.col("n_docs") <= max_doc_freq)
+        .select("lf")
+    )
+    kept = lines.withColumn("lf", F.md5(F.trim("line"))).join(
+        keep_lf, "lf", "left_semi"
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("__new_text")
+    )
+    out_cols = [
+        F.coalesce("__new_text", F.lit("")).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
+        .select(*out_cols)
+    )

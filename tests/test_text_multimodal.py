@@ -131,3 +131,68 @@ def test_redact_pii_planted_fixtures(spark):
         T.redact_pii("text").alias("r1"),
     ).collect()
     assert all(r.r1 == r.r2 for r in again)
+
+
+def _ref_remove_boilerplate(rows, max_df, sep="\n"):
+    """Driver-side reference: same semantics, plain Python."""
+    from collections import Counter
+
+    df_count = Counter()
+    for _id, text in rows:
+        seen = {ln.strip() for ln in text.split(sep) if ln.strip()}
+        for ln in seen:
+            df_count[ln] += 1
+    out = {}
+    for _id, text in rows:
+        kept = [
+            ln
+            for ln in text.split(sep)
+            if ln.strip() and df_count[ln.strip()] <= max_df
+        ]
+        out[_id] = sep.join(kept)
+    return out
+
+
+def test_remove_boilerplate_lines_matches_reference(spark):
+    """Planted cookie-banner/footer lines repeating across documents
+    must be stripped; unique prose must survive in order; the operator
+    must agree line-for-line with the driver-side reference and be
+    idempotent."""
+    from distributedqueryengine_spark.functions.text import (
+        line_doc_frequency,
+        remove_boilerplate_lines,
+    )
+
+    banner = "accept all cookies to continue"
+    footer = "copyright 2024 example corp all rights reserved"
+    rows = [
+        (1, f"{banner}\nthe quick brown fox\njumps over the dog\n{footer}"),
+        (2, f"{banner}\na completely different sentence\n{footer}"),
+        (3, f"{banner}\nthird document unique line\n  {footer}  "),
+        (4, "no boilerplate here at all\njust two plain lines"),
+        (5, f"{banner}\n{footer}"),  # all-boilerplate doc → empty text
+        (6, "shared twice only\nsome unique tail"),
+        (7, "shared twice only\nanother unique tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    freq = {r.lf: r.n_docs for r in line_doc_frequency(df, "doc_id", "text").collect()}
+    assert max(freq.values()) == 4  # banner appears in docs 1,2,3,5
+    assert sorted(freq.values(), reverse=True)[1] == 4  # footer too (trim-identical)
+
+    got_df = remove_boilerplate_lines(df, "doc_id", "text", max_doc_freq=2)
+    got = {r.doc_id: r.text for r in got_df.collect()}
+    expect = _ref_remove_boilerplate(rows, max_df=2)
+    assert got == expect, f"{got} != {expect}"
+    assert got[5] == ""  # all-boilerplate doc survives as a row, empty
+    assert got[1] == "the quick brown fox\njumps over the dog"  # order kept
+    assert "shared twice only" in got[6]  # df == max_doc_freq ⇒ kept
+
+    # idempotence: running the rewrite again changes nothing
+    again = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            got_df, "doc_id", "text", max_doc_freq=2
+        ).collect()
+    }
+    assert again == got
