@@ -508,14 +508,17 @@ _SAMPLE_S = [("key", "string"), ("lang", "string"), ("n", "bigint"), ("avg_chars
 
 def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling under one driver row: hash-based
-    train/val/test split counts and per-language stratified systematic
-    10% sample membership (both pure functions of the key — stable
+    train/val/test split counts, per-language stratified systematic
+    10% sample membership, and per-source mixture resampling at
+    source-specific rates (all pure functions of the key — stable
     across engines, cluster sizes, repartitions)."""
     return _union([
         _tagged("hash_split", Q.q_sample_hash_split(spark, sf_dir),
                 {"key": "split", "n": "n", "avg_chars": "avg_chars"}, _SAMPLE_S),
         _tagged("stratified", Q.q_sample_stratified(spark, sf_dir),
                 {"key": F.col("doc_id").cast("string"), "lang": "lang"}, _SAMPLE_S),
+        _tagged("mixture", Q.q_sample_mixture(spark, sf_dir),
+                {"key": F.col("doc_id").cast("string"), "lang": "source"}, _SAMPLE_S),
     ])
 
 
@@ -896,6 +899,8 @@ COMPOSITE_ORACLES["sample_suite"] = _sql_union([
                 {"key": "split", "n": "n", "avg_chars": "avg_chars"}, _SAMPLE_S),
     _sql_tagged("stratified", ORACLES["sample_stratified"],
                 {"key": "CAST(doc_id AS VARCHAR)", "lang": "lang"}, _SAMPLE_S),
+    _sql_tagged("mixture", ORACLES["sample_mixture"],
+                {"key": "CAST(doc_id AS VARCHAR)", "lang": "source"}, _SAMPLE_S),
 ])
 
 COMPOSITE_ORACLES["stream_windows_suite"] = _sql_union([

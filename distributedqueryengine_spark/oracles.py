@@ -279,6 +279,17 @@ ORACLES["sample_stratified"] = r"""
             FROM documents)
         SELECT doc_id, lang FROM r WHERE rn % 10 = 1
     """
+ORACLES["sample_mixture"] = r"""
+        WITH r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n_src,
+                   CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                        THEN 0.2 ELSE 0.6 END AS rate
+            FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= ceil(rate * n_src)
+    """
 ORACLES["agg_regression"] = r"""
         SELECT l_returnflag,
                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

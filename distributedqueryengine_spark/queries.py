@@ -607,6 +607,33 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture resampling: each source keeps a
+    per-source RATE of its rows (even-numbered sources 20%, odd 60%
+    here — in production the rates come from the target domain mixture
+    of the training run, à la data-mixture rebalancing). Membership is
+    rank ≤ ceil(rate·n_source) over a content-independent hash order,
+    so the sample is exact-size per source, reproducible across
+    engines/cluster sizes, and scale-free (rates, not absolute
+    quotas). One shuffle on the source key; no rand()."""
+    doc = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    cw = Window.partitionBy("source")
+    rate = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(0.2)
+    ).otherwise(F.lit(0.6))
+    return (
+        doc.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rn") <= F.ceil(rate * F.col("n_src")))
+        .select("doc_id", "source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming semantics, batch-checkable form (streaming/windows.py)
 # --------------------------------------------------------------------------
