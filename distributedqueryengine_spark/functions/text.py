@@ -327,3 +327,24 @@ def remove_boilerplate_lines(
         df.join(rebuilt, df[id_col] == rebuilt["__id"], "left")
         .select(*out_cols)
     )
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Intra-document n-gram repetition ratio — the Gopher/FineWeb
+    quality signal that catches keyword-stuffed and boilerplate-looped
+    pages: 1 − distinct_ngrams/total_ngrams, 0.0 for documents shorter
+    than n tokens. Pure per-row array expressions (same caveat as
+    stopword_ratio: higher-order fns are CodegenFallback — fine for a
+    per-document scorer, which is output-row-bound, not corpus-bound);
+    filter with e.g. repetition_ratio(text) < 0.2 alongside
+    quality_score in a cleaning pipeline."""
+    toks = tokens(col)
+    total = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )

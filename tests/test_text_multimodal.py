@@ -196,3 +196,45 @@ def test_remove_boilerplate_lines_matches_reference(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_repetition_ratio_matches_reference(spark):
+    """Gopher-style repetition ratio vs a driver-side reference over
+    planted fixtures and real corpus docs."""
+    from distributedqueryengine_spark.functions.text import repetition_ratio
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),          # one distinct 3-gram
+        (2, "all words here are fully distinct okay"),  # no repeats
+        (3, "a b c a b c a b c"),                       # heavy loop
+        (4, "too short"),                               # < n tokens → 0.0
+        (5, ""),                                        # empty → 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: round(r.rr, 6)
+        for r in df.select(
+            "doc_id", repetition_ratio("text", 3).alias("rr")
+        ).collect()
+    }
+
+    def ref(text, n=3):
+        t = text.lower().split()
+        grams = [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+        if not grams:
+            return 0.0
+        return round(1.0 - len(set(grams)) / len(grams), 6)
+
+    expect = {i: ref(t) for i, t in rows}
+    assert got == expect, f"{got} != {expect}"
+    assert got[1] > 0.7 and got[3] > 0.5 and got[2] == 0.0
+
+    # real corpus: defined for every document, in [0, 1)
+    from distributedqueryengine_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    stats = docs.select(
+        F.min(repetition_ratio("text")).alias("lo"),
+        F.max(repetition_ratio("text")).alias("hi"),
+    ).first()
+    assert 0.0 <= stats.lo <= stats.hi < 1.0
