@@ -129,3 +129,71 @@ def test_random_date_interval_matches_duckdb(spark, tables, duck, days, unit, cm
         f"AND l_shipdate < DATE '{cmp_year}-07-01'"
     )
     _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    jt=st.sampled_from(["LEFT", "INNER"]),
+    placement=st.sampled_from(["ON", "WHERE"]),
+    othresh=st.integers(min_value=1000, max_value=400000),
+)
+def test_outer_join_predicate_placement_matches_duckdb(
+    spark, tables, duck, jt, placement, othresh
+):
+    """LEFT JOIN with the filter in the ON clause keeps unmatched left
+    rows (null-extended); in the WHERE clause it post-filters them away
+    — the classic outer-join semantics trap. Both engines must agree
+    for every placement × join type × threshold."""
+    try:
+        duck.execute("SELECT 1 FROM orders LIMIT 1")
+    except duckdb.CatalogException:
+        duck.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+        )
+    pred = f"o_totalprice > {othresh}"
+    if placement == "ON":
+        sql = (
+            f"SELECT l_returnflag, count(*) AS n, count(o_orderkey) AS nm "
+            f"FROM lineitem {jt} JOIN orders "
+            f"ON l_orderkey = o_orderkey AND {pred} "
+            f"GROUP BY l_returnflag"
+        )
+    else:
+        sql = (
+            f"SELECT l_returnflag, count(*) AS n, count(o_orderkey) AS nm "
+            f"FROM lineitem {jt} JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {pred} GROUP BY l_returnflag"
+        )
+    _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    nulls=st.sampled_from(["NULLS FIRST", "NULLS LAST"]),
+    desc=st.booleans(),
+    zero=st.sampled_from(["0.0", "0.04", "0.1"]),
+    limit=st.integers(min_value=5, max_value=60),
+)
+def test_null_ordering_matches_duckdb(spark, tables, duck, nulls, desc, zero, limit):
+    """Explicit NULLS FIRST/LAST with nulls minted via NULLIF: the
+    engines' DEFAULT null ordering differs (Spark: nulls first on ASC;
+    DuckDB: nulls last), so agreement here proves the explicit
+    qualifier is honored, not the default."""
+    d = "DESC" if desc else "ASC"
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, nullif(l_discount, {zero}) AS k "
+        f"FROM lineitem "
+        f"ORDER BY nullif(l_discount, {zero}) {d} {nulls}, "
+        f"l_orderkey, l_linenumber LIMIT {limit}"
+    )
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    expect = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == expect, f"engines disagree on:\n{sql}"
