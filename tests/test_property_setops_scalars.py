@@ -197,3 +197,48 @@ def test_null_ordering_matches_duckdb(spark, tables, duck, nulls, desc, zero, li
     got = [tuple(r) for r in spark.sql(sql).collect()]
     expect = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == expect, f"engines disagree on:\n{sql}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sets=st.lists(
+        st.sampled_from(
+            ["(l_returnflag)", "(l_linestatus)",
+             "(l_returnflag, l_linestatus)", "()"]
+        ),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+    agg_col=st.sampled_from(["l_quantity", "l_extendedprice"]),
+)
+def test_random_grouping_sets_match_duckdb(spark, tables, duck, sets, agg_col):
+    """Random GROUPING SETS combinations: super-aggregate rows are
+    null-marked, and GROUPING() disambiguates a real NULL from a
+    rollup NULL — both engines must produce identical set unions,
+    including duplicate-set semantics when () appears twice via
+    overlapping sets."""
+    gs = ", ".join(sets)
+    # A column may only be referenced bare (or inside GROUPING()) if it
+    # appears in some grouping set — ANSI, enforced by Spark. Columns
+    # absent from every chosen set become NULL placeholders; their
+    # GROUPING() flag is omitted.
+    joined = " ".join(sets)
+    cols, flags = [], []
+    for c in ("l_returnflag", "l_linestatus"):
+        if c in joined:
+            cols.append(c)
+            flags.append(f"GROUPING({c}) AS g_{c}")
+        else:
+            cols.append(f"CAST(NULL AS STRING) AS {c}")
+    flag_sql = (", ".join(flags) + ", ") if flags else ""
+    sql = (
+        f"SELECT {', '.join(cols)}, {flag_sql}"
+        f"count(*) AS n, round(sum({agg_col}), 2) AS s "
+        f"FROM lineitem GROUP BY GROUPING SETS ({gs})"
+    )
+    _both(spark, duck, sql)
