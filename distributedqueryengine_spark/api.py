@@ -63,3 +63,26 @@ def query(spark: SparkSession, sql: str, collect_limit: int = 10_000) -> dict[st
             "wall_seconds": round(elapsed, 4),
         },
     }
+
+
+def run_with_metrics(df, metrics, action=None):
+    """Execute `df` ONCE while collecting aggregate metrics in the same
+    pass, via Spark's Observation API: `metrics` maps name → aggregate
+    Column (count/sum/avg/min/max over the observed frame). Returns
+    (action_result, {name: value}).
+
+    The point at 100 TB: pipeline telemetry (rows in, rows kept, mean
+    quality, redaction counts) must NOT cost a second corpus scan — an
+    observe() rides the existing job's accumulators. Default action
+    writes to the noop sink (pure side-effect-free execution); pass
+    e.g. `lambda d: d.write.parquet(...)` to observe a real sink job.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    if action is None:
+        result = observed.write.format("noop").mode("overwrite").save()
+    else:
+        result = action(observed)
+    return result, obs.get

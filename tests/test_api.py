@@ -115,3 +115,34 @@ def test_http_service_roundtrip(spark):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_run_with_metrics_single_pass_observation(spark, tables):
+    """Observation metrics ride the one execution: the cleaning
+    pipeline reports rows-kept and mean quality with NO second scan,
+    and the numbers match an independent aggregation."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.api import run_with_metrics
+    from distributedqueryengine_spark.functions import text as T
+
+    docs = tables["documents"]
+    cleaned = docs.filter(T.quality_score("text") >= 0.5).select(
+        "doc_id", T.quality_score("text").alias("q")
+    )
+    _, got = run_with_metrics(
+        cleaned,
+        {
+            "n_kept": F.count(F.lit(1)),
+            "mean_q": F.round(F.avg("q"), 6),
+            "min_id": F.min("doc_id"),
+        },
+    )
+    expect = cleaned.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("q"), 6).alias("mean_q"),
+        F.min("doc_id").alias("min_id"),
+    ).first()
+    assert got["n_kept"] == expect.n_kept > 0
+    assert abs(got["mean_q"] - expect.mean_q) < 1e-9
+    assert got["min_id"] == expect.min_id

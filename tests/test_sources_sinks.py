@@ -147,3 +147,41 @@ def test_custom_streaming_datasource(spark):
     )
     expect = {r.event_type: r.n for r in batch.collect()}
     assert got == expect
+
+
+def test_csv_malformed_row_modes(spark, tmp_path):
+    """The three ANSI-ish CSV corruption policies, end-to-end:
+    PERMISSIVE null-fills the bad cells and captures the raw line in
+    columnNameOfCorruptRecord, DROPMALFORMED silently drops the row,
+    FAILFAST raises on materialization. Production ingest at 100 TB
+    picks one explicitly — this pins what each choice does."""
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources.readers import read_csv
+
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("id,qty,price\n")
+        f.write("1,10,2.5\n")
+        f.write("2,notanint,3.5\n")   # malformed qty
+        f.write("3,30,4.5\n")
+
+    schema = "id INT, qty INT, price DOUBLE, _corrupt STRING"
+    perm = read_csv(
+        spark, p, schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    ).collect()
+    by_id = {r.id: r for r in perm}
+    assert len(perm) == 3
+    assert by_id[2].qty is None and "notanint" in by_id[2]._corrupt
+    assert by_id[1]._corrupt is None and by_id[1].qty == 10
+
+    dropped = read_csv(
+        spark, p, schema="id INT, qty INT, price DOUBLE", mode="DROPMALFORMED"
+    ).collect()
+    assert {r.id for r in dropped} == {1, 3}
+
+    with _pytest.raises(Exception, match="[Mm]alformed"):
+        read_csv(
+            spark, p, schema="id INT, qty INT, price DOUBLE", mode="FAILFAST"
+        ).collect()
