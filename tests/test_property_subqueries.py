@@ -1,0 +1,134 @@
+"""Property-based subquery differential vs DuckDB (SURVEY §5.5) —
+one ANSI SQL text, two engines.
+
+Subquery decorrelation is where optimizers earn (or lose) their keep:
+EXISTS/NOT EXISTS rewrite to semi/anti joins, IN/NOT IN carry
+three-valued logic (a NULL in the IN-list makes NOT IN filter
+EVERYTHING — pinned here by minting NULLs with NULLIF), and scalar
+subqueries must evaluate once. Hypothesis randomizes the thresholds
+and shapes; Spark (which decorrelates via RewritePredicateSubquery)
+and DuckDB must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _both(spark, duck, sql: str):
+    got = sorted(tuple(r) for r in spark.sql(sql).collect())
+    expect = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == expect, f"engines disagree on:\n{sql}"
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    neg=st.booleans(),
+    qty=st.integers(min_value=1, max_value=50),
+    othresh=st.integers(min_value=1000, max_value=300000),
+)
+def test_exists_decorrelation_matches_duckdb(spark, tables, duck, neg, qty, othresh):
+    """Correlated EXISTS/NOT EXISTS (the TPC-H Q4/Q21 shape) with random
+    inner and outer predicates — Spark's semi/anti-join rewrite must
+    agree with DuckDB's."""
+    word = "NOT EXISTS" if neg else "EXISTS"
+    sql = (
+        f"SELECT o_orderpriority, count(*) AS n FROM orders "
+        f"WHERE o_totalprice > {othresh} AND {word} ("
+        f"SELECT 1 FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND l_quantity >= {qty}) "
+        f"GROUP BY o_orderpriority"
+    )
+    _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    neg=st.booleans(),
+    null_key=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=1, max_value=50),
+)
+def test_in_subquery_null_semantics_match_duckdb(
+    spark, tables, duck, neg, null_key, size
+):
+    """IN / NOT IN against a subquery whose list CONTAINS a minted NULL
+    (nullif(p_partkey, k)): three-valued logic makes NOT IN drop every
+    row once a NULL is present — the classic trap both engines must
+    implement identically."""
+    word = "NOT IN" if neg else "IN"
+    sql = (
+        f"SELECT count(*) AS n FROM lineitem "
+        f"WHERE l_partkey {word} ("
+        f"SELECT nullif(p_partkey, {null_key}) FROM part WHERE p_size >= {size})"
+    )
+    _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    mult=st.floats(min_value=0.5, max_value=2.0, allow_nan=False).map(
+        lambda x: round(x, 2)
+    ),
+    agg=st.sampled_from(["avg", "min", "max"]),
+)
+def test_scalar_subquery_matches_duckdb(spark, tables, duck, mult, agg):
+    """Uncorrelated scalar subquery in a comparison (the TPC-H Q22
+    shape): one global aggregate drives the outer filter."""
+    sql = (
+        f"SELECT o_orderstatus, count(*) AS n FROM orders "
+        f"WHERE o_totalprice > {mult} * ("
+        f"SELECT {agg}(o_totalprice) FROM orders) "
+        f"GROUP BY o_orderstatus"
+    )
+    _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frac=st.floats(min_value=0.3, max_value=3.0, allow_nan=False).map(
+        lambda x: round(x, 2)
+    ),
+)
+def test_correlated_scalar_subquery_matches_duckdb(spark, tables, duck, frac):
+    """Correlated scalar aggregate subquery (the TPC-H Q17 shape):
+    per-partkey average computed in the inner query gates the outer
+    row — decorrelates to an aggregate + join on both engines."""
+    sql = (
+        f"SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS s "
+        f"FROM lineitem l1 "
+        f"WHERE l_quantity < {frac} * ("
+        f"SELECT avg(l_quantity) FROM lineitem l2 "
+        f"WHERE l2.l_partkey = l1.l_partkey)"
+    )
+    _both(spark, duck, sql)
