@@ -26,6 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 EXACT_DUP_ID = 900_001
 NEAR_DUP_ID = 900_002
 CONTAM_ID = 900_003
+SPAM_ID = 900_004
 
 
 def test_full_training_pipeline_e2e(spark, tmp_path):
@@ -61,17 +62,30 @@ def test_full_training_pipeline_e2e(spark, tmp_path):
                 donors[0].lang,
                 donors[0].source,
             ),
+            # donor prefix looped 20× → repetition-ratio tier (keeps the
+            # language/quality profile, maximizes repeated 3-grams)
+            (
+                SPAM_ID,
+                " ".join(donors[1].text.split()[:6] * 20),
+                donors[1].lang,
+                donors[1].source,
+            ),
         ],
         "doc_id long, text string, lang string, source string",
     ).withColumn("n_chars", F.length("text").cast("long"))
     corpus = base.unionByName(planted.select(*base.columns))
 
     # --- tier 1: quality/language cleaning (scan-fused predicates)
-    cleaned = corpus.filter(clean_pred)
-    kept_ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
-    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID} <= kept_ids, (
-        "planted rows must survive cleaning to reach their tiers"
+    cleaned_ql = corpus.filter(clean_pred)
+    kept_ql = {r.doc_id for r in cleaned_ql.select("doc_id").collect()}
+    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID, SPAM_ID} <= kept_ql, (
+        "planted rows must survive quality/lang cleaning to reach their tiers"
     )
+    # --- tier 1b: repetition filter (Gopher-style) kills ONLY the spam
+    cleaned = cleaned_ql.filter(T.repetition_ratio("text") < 0.7)
+    kept_ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    assert SPAM_ID not in kept_ids, "looped spam must fail the repetition bar"
+    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID} <= kept_ids
 
     # --- tier 2: exact dedup (min-id survivor per content fingerprint)
     exact = D.dedup_exact(cleaned, "doc_id", "text")
