@@ -242,3 +242,43 @@ def test_random_grouping_sets_match_duckdb(spark, tables, duck, sets, agg_col):
         f"FROM lineitem GROUP BY GROUPING SETS ({gs})"
     )
     _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    col=st.sampled_from(["l_extendedprice", "l_quantity", "l_tax"]),
+    scale=st.sampled_from([2, 3]),
+    p1=pred,
+)
+def test_decimal_sum_exactness_matches_duckdb(spark, tables, duck, col, scale, p1):
+    """Double → DECIMAL cast + exact decimal SUM: decimal aggregation
+    must be exact (no float accumulation drift) and the cast must round
+    identically. Scales ≥ 2 keep the source's ≤2-decimal values away
+    from rounding ties, so the engines see the same decimal inputs."""
+    c1 = f"{p1[0]} {p1[1]} {p1[2]}"
+    sql = (
+        f"SELECT l_returnflag, "
+        f"sum(CAST({col} AS DECIMAL(14,{scale}))) AS s, count(*) AS n "
+        f"FROM lineitem WHERE {c1} GROUP BY l_returnflag"
+    )
+    got = sorted(
+        (r.l_returnflag, None if r.s is None else str(r.s), r.n)
+        for r in spark.sql(sql).collect()
+    )
+    expect = sorted(
+        (rf, None if s is None else str(s), n)
+        for rf, s, n in duck.execute(sql).fetchall()
+    )
+    # compare as normalized decimal strings: engines may report
+    # different result SCALES for the same exact value
+    def norm(t):
+        rf, s, n = t
+        if s is not None:
+            s = s.rstrip("0").rstrip(".") if "." in s else s
+        return rf, s, n
+
+    assert [norm(t) for t in got] == [norm(t) for t in expect], sql
