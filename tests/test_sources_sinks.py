@@ -185,3 +185,28 @@ def test_csv_malformed_row_modes(spark, tmp_path):
         read_csv(
             spark, p, schema="id INT, qty INT, price DOUBLE", mode="FAILFAST"
         ).collect()
+
+
+def test_dynamic_partition_pruning_engages(spark, tables, tmp_path):
+    """Star-schema DPP: joining a dir-partitioned fact on its partition
+    column against a FILTERED dimension must inject a runtime pruning
+    subquery (dynamicpruningexpression) into the fact scan — at 100 TB
+    this is the difference between scanning 3 partitions and all of
+    them, decided at run time from the dim filter, not statically."""
+    from distributedqueryengine_spark.sources.sinks import write_files
+
+    fact_dir = str(tmp_path / "fact_by_flag")
+    write_files(tables["lineitem"], fact_dir, partition_by=["l_returnflag"])
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag string, verdict string"
+    )
+    joined = fact.join(dim, fact["l_returnflag"] == dim["flag"]).filter(
+        F.col("verdict") == "keep"
+    )
+    phys = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in phys.lower(), phys[:2000]
+    # and the pruned result is correct: only the 'A' partition's rows
+    n = joined.count()
+    expect = tables["lineitem"].filter(F.col("l_returnflag") == "A").count()
+    assert n == expect > 0
