@@ -60,3 +60,38 @@ def distinct_counts(df: DataFrame, keys: Sequence[str], col: str, approx: bool =
         F.approx_count_distinct(col, rsd) if approx else F.countDistinct(col)
     ).alias(("approx_" if approx else "") + f"distinct_{col}")
     return df.groupBy(*keys).agg(agg)
+
+
+def hll_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-group MERGEABLE distinct-count sketches (Datasketches HLL,
+    `hll_sketch_agg`): (keys..., sk binary, est long).
+
+    The capability approx_count_distinct does NOT give you: the sketch
+    itself is a value, so fine-grained rollups (per source, per day)
+    can be PERSISTED and later re-aggregated to any coarser grain with
+    `hll_reaggregate` — no raw-data rescan. At 100 TB this is the
+    incremental-rollup pattern: sketch each new partition once, answer
+    "distinct users this month/quarter/ever" by unioning kilobyte
+    sketches. lgk=12 → ~2.5% relative error, 4 KB per sketch.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(col, F.lit(lgk))).alias("est"),
+    )
+
+
+def hll_reaggregate(
+    sketches: DataFrame, keys: Sequence[str], sk_col: str = "sk"
+) -> DataFrame:
+    """Union persisted HLL sketches up to a coarser grain: (keys...,
+    est long). Empty `keys` → one global estimate. Union is exact over
+    sketch registers — re-aggregated estimates are IDENTICAL to
+    sketching the raw data directly (pinned in tests), so rollup
+    hierarchies stay consistent."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg(F.col(sk_col))).alias("est")
+    return sketches.groupBy(*keys).agg(agg) if keys else sketches.agg(agg)

@@ -269,3 +269,45 @@ def test_ignore_nulls_window_variants_match_duckdb(spark):
     }
     assert got == expect
     assert any(v[2] is not None for v in got.values())
+
+
+def test_hll_sketch_rollup_merges_without_rescan(spark, tables):
+    """Mergeable-sketch rollup (operators/aggregates.hll_rollup):
+    per-status sketches union to the SAME estimate as sketching the
+    raw column directly (register-exact merge), estimates sit within
+    the lgk error bar of exact counts, and re-aggregation needs only
+    the kilobyte sketches — the incremental distinct-count pattern."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        hll_reaggregate,
+        hll_rollup,
+    )
+
+    orders = tables["orders"]
+    per_status = hll_rollup(orders, ["o_orderstatus"], "o_custkey").persist()
+    rows = per_status.collect()
+    assert len(rows) >= 2 and all(r.sk is not None for r in rows)
+
+    # per-group estimates within the HLL error bar of exact
+    exact = {
+        r.o_orderstatus: r.n
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r.est - exact[r.o_orderstatus]) <= 0.1 * exact[r.o_orderstatus] + 5
+
+    # merged estimate == direct global sketch estimate (exact register
+    # union), and within the error bar of the true global distinct
+    merged = hll_reaggregate(per_status, []).first().est
+    direct = (
+        orders.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(12))).alias("e")
+        )
+        .first()
+        .e
+    )
+    true_global = orders.select("o_custkey").distinct().count()
+    assert merged == direct
+    assert abs(merged - true_global) <= 0.1 * true_global + 5
+    per_status.unpersist()
