@@ -36,9 +36,20 @@ def bootstrap(sf_dir: str = "/root/testdata/sf0.001"):
     return spark
 
 
-def query(spark: SparkSession, sql: str, collect_limit: int = 10_000) -> dict[str, Any]:
-    """Run SQL against the registered catalog; return rows + plans + stats."""
-    df = spark.sql(sql)
+def query(
+    spark: SparkSession,
+    sql: str,
+    collect_limit: int = 10_000,
+    args: dict[str, Any] | list | None = None,
+) -> dict[str, Any]:
+    """Run SQL against the registered catalog; return rows + plans + stats.
+
+    `args` binds named (:name) or positional (?) parameters through
+    Spark's parameterized-SQL API — literals travel as typed values,
+    never spliced into the query text. The reference concatenates user
+    predicates straight into SQL strings (RPC.cs:316-320, the classic
+    injection shape); this is the fixed contract."""
+    df = spark.sql(sql, args=args) if args is not None else spark.sql(sql)
     plans = plan_report(df)
     try:
         tree = {

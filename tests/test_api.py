@@ -146,3 +146,37 @@ def test_run_with_metrics_single_pass_observation(spark, tables):
     assert got["n_kept"] == expect.n_kept > 0
     assert abs(got["mean_q"] - expect.mean_q) < 1e-9
     assert got["min_id"] == expect.min_id
+
+
+def test_parameterized_query_binds_typed_values(spark, tables):
+    """Named and positional SQL parameters bind as typed literals:
+    results match the spliced-literal equivalent, and a hostile string
+    value stays a VALUE (the injection attempt returns zero rows
+    instead of executing)."""
+    from distributedqueryengine_spark.api import query
+
+    named = query(
+        spark,
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > :q AND l_returnflag = :f",
+        args={"q": 45, "f": "A"},
+    )
+    spliced = query(
+        spark,
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'",
+    )
+    assert named["rows"] == spliced["rows"]
+    assert named["rows"][0]["n"] > 0
+
+    pos = query(
+        spark,
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > ?",
+        args=[100000],
+    )
+    assert pos["rows"][0]["n"] > 0
+
+    hostile = query(
+        spark,
+        "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = :f",
+        args={"f": "A' OR '1'='1"},
+    )
+    assert hostile["rows"][0]["n"] == 0  # bound as a value, not parsed
