@@ -101,12 +101,12 @@ def _make_handler(spark: SparkSession):
             self.end_headers()
             self.wfile.write(body)
 
-        def _run(self, sql: str, limit: int) -> None:
+        def _run(self, sql: str, limit: int, args=None) -> None:
             if not sql:
                 self._send(400, {"error": "missing sql"})
                 return
             try:
-                self._send(200, api.query(spark, sql, collect_limit=limit))
+                self._send(200, api.query(spark, sql, collect_limit=limit, args=args))
             except Exception as e:  # surface analysis errors as 400s
                 self._send(400, {"error": str(e)})
 
@@ -141,7 +141,11 @@ def _make_handler(spark: SparkSession):
             except json.JSONDecodeError:
                 self._send(400, {"error": "invalid JSON body"})
                 return
-            self._run(payload.get("sql", ""), int(payload.get("limit", 10_000)))
+            self._run(
+                payload.get("sql", ""),
+                int(payload.get("limit", 10_000)),
+                args=payload.get("args"),
+            )
 
         def log_message(self, fmt: str, *args) -> None:  # quiet test runs
             pass

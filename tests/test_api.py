@@ -180,3 +180,36 @@ def test_parameterized_query_binds_typed_values(spark, tables):
         args={"f": "A' OR '1'='1"},
     )
     assert hostile["rows"][0]["n"] == 0  # bound as a value, not parsed
+
+
+def test_service_accepts_bound_parameters(spark, tables):
+    """The HTTP /query endpoint passes `args` through to the
+    parameterized-SQL path."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from distributedqueryengine_spark.service import serve
+
+    httpd = serve(spark, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = _json.dumps(
+            {
+                "sql": "SELECT count(*) AS n FROM orders WHERE o_totalprice > :p",
+                "args": {"p": 100000},
+                "limit": 10,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            payload = _json.loads(resp.read())
+        assert payload["rows"][0]["n"] > 0
+    finally:
+        httpd.shutdown()
