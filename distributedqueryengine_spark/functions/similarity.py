@@ -1261,3 +1261,35 @@ def probe_ivf_index(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def mean_embedding(
+    df: DataFrame, keys: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean embedding per group: (keys..., centroid
+    array<double>, n_members) — the cluster-representative step after
+    near-dup clustering (keep one vector per connected component) or
+    per-source corpus profiling.
+
+    Distributed shape: posexplode each vector to (keys, pos, value),
+    partial+final avg per (keys, pos) — the shuffle carries one row per
+    (group, dimension), never whole vectors — then reassemble the
+    centroid with array_sort(collect_list(struct(pos, avg))). Both
+    aggregations are plain hash aggregates; no Python, no driver
+    materialization, group count unbounded. (A zip_with fold over
+    collect_list(vectors) would buffer every member vector per group —
+    the formulation that OOMs on a mega-cluster.)
+    """
+    exploded = df.select(
+        *keys, F.posexplode(F.col(vec_col)).alias("__pos", "__v")
+    )
+    per_dim = exploded.groupBy(*keys, "__pos").agg(
+        F.avg("__v").alias("__m"), F.count(F.lit(1)).alias("__n")
+    )
+    return per_dim.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+            lambda s: s["__m"],
+        ).alias("centroid"),
+        F.max("__n").alias("n_members"),
+    )

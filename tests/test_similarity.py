@@ -412,3 +412,31 @@ def test_quantized_multi_ann_recall(spark, tables):
         recall = len(fset & qset) / len(fset)
         assert recall >= 0.85, f"{branch}: quantized ANN recall {recall}"
     q.unpersist()
+
+
+def test_mean_embedding_matches_numpy(spark):
+    """Element-wise group centroids == numpy mean, dimension order
+    preserved, singleton groups pass through."""
+    import numpy as np
+
+    from distributedqueryengine_spark.functions.similarity import mean_embedding
+    from distributedqueryengine_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "grp", (F.col("vec_id") % 7).cast("int")
+    )
+    got = {
+        r.grp: (np.array(r.centroid), r.n_members)
+        for r in mean_embedding(emb, ["grp"], "embedding").collect()
+    }
+    rows = emb.select("grp", "embedding").collect()
+    by_grp: dict[int, list] = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(np.array(r.embedding))
+    assert set(got) == set(by_grp)
+    for g, vecs in by_grp.items():
+        expect = np.mean(vecs, axis=0)
+        cent, n = got[g]
+        assert n == len(vecs)
+        assert cent.shape == expect.shape
+        np.testing.assert_allclose(cent, expect, rtol=1e-9, atol=1e-12)
