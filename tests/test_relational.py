@@ -311,3 +311,21 @@ def test_hll_sketch_rollup_merges_without_rescan(spark, tables):
     assert merged == direct
     assert abs(merged - true_global) <= 0.1 * true_global + 5
     per_status.unpersist()
+
+
+def test_freq_items_contains_all_true_heavy_hitters(spark, tables):
+    """DataFrame.freqItems (Karp-Shenker-Papadimitriou): one-sided
+    guarantee — every item with true frequency above the support
+    threshold MUST appear (false positives allowed, false negatives
+    not). Pinned per column at two supports."""
+    li = tables["lineitem"]
+    n = li.count()
+    for col, support in (("l_returnflag", 0.2), ("l_linestatus", 0.3)):
+        found = set(li.freqItems([col], support=support).first()[0])
+        true_heavy = {
+            r[col]
+            for r in li.groupBy(col).count().collect()
+            if r["count"] > support * n
+        }
+        assert true_heavy, f"fixture has no heavy hitters for {col}"
+        assert true_heavy <= found, f"{col}: missing {true_heavy - found}"
