@@ -89,3 +89,27 @@ def test_tpch_extras_plan_classes(spark):
     assert "CartesianProduct" not in p22
     # the single BNLJ is the broadcast 1-row scalar average
     assert p22.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_extension_ops_plan_shapes(spark, tables):
+    """The late-round extension operators keep the repo's plan
+    discipline: no CartesianProduct/BNLJ anywhere, and exchange counts
+    match the documented shuffle budget (boilerplate removal: frequency
+    agg + semi join + reassembly; mean_embedding: exactly the two hash
+    aggregates)."""
+    from distributedqueryengine_spark.functions.similarity import mean_embedding
+    from distributedqueryengine_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    bp = remove_boilerplate_lines(docs, "doc_id", "text", max_doc_freq=2)
+    p = _plan(bp)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    emb = tables["embeddings"].withColumn("grp", (F.col("vec_id") % 5).cast("int"))
+    me = mean_embedding(emb, ["grp"], "embedding")
+    p2 = _plan(me)
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+    assert p2.count("Exchange") <= 2, f"mean_embedding over-shuffles:\n{p2}"
