@@ -282,3 +282,27 @@ def test_decimal_sum_exactness_matches_duckdb(spark, tables, duck, col, scale, p
         return rf, s, n
 
     assert [norm(t) for t in got] == [norm(t) for t in expect], sql
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dcol=st.sampled_from(["l_suppkey", "l_partkey", "l_quantity"]),
+    having=st.integers(min_value=1, max_value=3000),
+    p1=pred,
+)
+def test_distinct_agg_having_matches_duckdb(spark, tables, duck, dcol, having, p1):
+    """COUNT(DISTINCT) beside plain aggregates under a HAVING filter:
+    Spark's expand-based distinct rewrite must agree with DuckDB's
+    hash-distinct, including groups dropped by HAVING."""
+    c1 = f"{p1[0]} {p1[1]} {p1[2]}"
+    sql = (
+        f"SELECT l_returnflag, count(DISTINCT {dcol}) AS d, "
+        f"count(*) AS n, round(sum(l_quantity), 2) AS s "
+        f"FROM lineitem WHERE {c1} "
+        f"GROUP BY l_returnflag HAVING count(*) > {having}"
+    )
+    _both(spark, duck, sql)
