@@ -132,3 +132,62 @@ def test_correlated_scalar_subquery_matches_duckdb(spark, tables, duck, frac):
         f"WHERE l2.l_partkey = l1.l_partkey)"
     )
     _both(spark, duck, sql)
+
+
+as_of_pairs = st.sampled_from(
+    [("click", "purchase"), ("view", "click"), ("purchase", "view"),
+     ("error", "signup")]
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pair=as_of_pairs, k=st.sampled_from([2, 3, 5]), r=st.integers(min_value=0, max_value=4))
+def test_random_asof_join_matches_duckdb_asof(spark, tables, duck, pair, k, r):
+    """The custom union-sort-window as-of join vs DuckDB's native ASOF
+    LEFT JOIN over random event-type pairs and random user subsets —
+    the operator-level differential the fixed oracle row samples once.
+    (user_id, ts) is unique in the fixture, so backward-asof has no tie
+    ambiguity."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.asof import asof_join
+    from distributedqueryengine_spark.session import load_table
+
+    lt, rt = pair
+    r = r % k
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id") % k == r)
+    left = ev.filter(F.col("event_type") == lt).select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == rt).select("user_id", "ts", "value")
+    out = asof_join(left, right, on="ts", by=["user_id"], right_cols=["ts", "value"])
+    got = {
+        (x.event_id, x.user_id, x.le, x.re, x.v)
+        for x in out.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("le"),
+            F.unix_timestamp("ts_r").alias("re"),
+            F.round("value_r", 4).alias("v"),
+        ).collect()
+    }
+    try:
+        duck.execute("SELECT 1 FROM events LIMIT 1")
+    except duckdb.CatalogException:
+        duck.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_DIR}/events.parquet')"
+        )
+    sql = f"""
+        SELECT l.event_id, l.user_id,
+               CAST(floor(epoch(l.ts)) AS BIGINT) AS le,
+               CAST(floor(epoch(r.ts)) AS BIGINT) AS re,
+               round(r.value, 4) AS v
+        FROM (SELECT * FROM events WHERE event_type = '{lt}' AND user_id % {k} = {r}) l
+        ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = '{rt}' AND user_id % {k} = {r}) r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+    expect = {tuple(x) for x in duck.execute(sql).fetchall()}
+    assert got == expect, f"asof mismatch for pair={pair} k={k} r={r}"
