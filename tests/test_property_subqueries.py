@@ -191,3 +191,49 @@ def test_random_asof_join_matches_duckdb_asof(spark, tables, duck, pair, k, r):
     """
     expect = {tuple(x) for x in duck.execute(sql).fetchall()}
     assert got == expect, f"asof mismatch for pair={pair} k={k} r={r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    width=st.sampled_from([50.0, 137.0, 250.0, 500.0, 1000.0]),
+    ival=st.integers(min_value=100, max_value=2000),
+)
+def test_random_range_join_matches_duckdb(spark, tables, duck, width, ival):
+    """The bucketed range join vs DuckDB's direct inequality join, over
+    random interval sizes AND random bucket widths — bucket-boundary
+    handling (floor arithmetic, the -1e-9 upper-edge nudge) is the part
+    a fixed-width test cannot falsify. Every (width, interval)
+    combination must produce the identical match multiset."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.asof import range_join
+    from distributedqueryengine_spark.session import load_table
+
+    sup = load_table(spark, SF_DIR, "supplier").select("s_suppkey", "s_acctbal")
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_acctbal")
+    right = sup.select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + ival).alias("hi"),
+    )
+    out = range_join(cust, right, "c_acctbal", "lo", "hi", bucket_width=width)
+    got = sorted((r.c_custkey, r.s_suppkey) for r in out.collect())
+    for t in ("supplier", "customer"):
+        try:
+            duck.execute(f"SELECT 1 FROM {t} LIMIT 1")
+        except duckdb.CatalogException:
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT c_custkey, s_suppkey FROM customer JOIN supplier "
+            f"ON c_acctbal >= s_acctbal AND c_acctbal < s_acctbal + {ival}"
+        ).fetchall()
+    )
+    assert got == expect, f"range mismatch at width={width} interval={ival}"
