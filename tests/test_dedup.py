@@ -283,3 +283,34 @@ def test_portable_mode_matches_default_semantics(spark, tables):
     assert shared, "no overlapping pairs between hash modes"
     for k in shared:
         assert a[k] == b[k]
+
+
+def test_winnow_random_params_match_reference(spark, tables):
+    """Winnowing over randomized (k, w): the window math (full-window
+    slide, short-doc global min, the pos ≤ n−w ∨ pos = 0 filter) must
+    match the driver-side reference for every parameterization, not
+    just the default (3, 4)."""
+    from distributedqueryengine_spark.functions.dedup import (
+        positional_ngram_hashes,
+        winnow_fingerprints,
+    )
+
+    docs = tables["documents"].limit(25)
+    for k, w in [(2, 2), (2, 7), (4, 3), (5, 8), (3, 5)]:
+        ph = positional_ngram_hashes(docs, "doc_id", "text", k).collect()
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for r in ph:
+            by_doc.setdefault(r.id, []).append((r.pos, r.h))
+        expected: set[tuple[int, int]] = set()
+        for doc, rows in by_doc.items():
+            hs = [h for _, h in sorted(rows)]
+            if len(hs) <= w:
+                expected.add((doc, min(hs)))
+            else:
+                for i in range(len(hs) - w + 1):
+                    expected.add((doc, min(hs[i : i + w])))
+        got = {
+            (r.id, r.fp)
+            for r in winnow_fingerprints(docs, "doc_id", "text", k, w).collect()
+        }
+        assert got == expected, f"winnow mismatch at k={k} w={w}"
