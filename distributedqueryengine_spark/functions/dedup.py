@@ -335,17 +335,27 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: split the fingerprint into 4 bands (16 bits
-    each, or 15 in 60-bit portable mode); distance ≤ 3 implies ≥ 1 band
-    matches exactly, so candidates come from an equi-join on
-    (band_idx, band_value) — shuffle-partitionable — then the exact
-    hamming filter (bit_count, JVM) keeps true pairs."""
-    band_bits = 15 if portable else 16
-    band_mask = (1 << band_bits) - 1
+    Pigeonhole banding: split the fingerprint into max_hamming+1 bands
+    (the minimum that makes the guarantee hold — distance ≤ d over d+1
+    bands forces ≥ 1 band to match exactly, so candidates come from an
+    equi-join on (band_idx, band_value), shuffle-partitionable), then
+    the exact hamming filter (bit_count, JVM) keeps true pairs. The
+    default d=3 gives the classic 4×16-bit layout (4×15 portable);
+    other d values split the bit-width as evenly as possible — a
+    hardcoded band count would silently LOSE RECALL for d > 3.
+    Larger d ⇒ fewer bits per band ⇒ denser buckets: the standard
+    recall/candidate-volume trade."""
+    n_bits = 60 if portable else 64
+    n_bands = max_hamming + 1
+    if n_bands > n_bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more bands than bits")
+    base, rem = divmod(n_bits, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     sh = simhash(df, id_col, text_col, portable=portable)
     # persist (lazy): self-joined below — without it the token-explode +
     # 60-bit-sum fingerprint aggregation runs once PER JOIN SIDE
-    # (measured 2× the branch's cost at sf0.1). |docs|×4 rows.
+    # (measured 2× the branch's cost at sf0.1). |docs|×n_bands rows.
     banded = sh.select(
         "id",
         "simhash",
@@ -354,11 +364,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit(band_mask))
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("bv"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

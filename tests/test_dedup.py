@@ -314,3 +314,32 @@ def test_winnow_random_params_match_reference(spark, tables):
             for r in winnow_fingerprints(docs, "doc_id", "text", k, w).collect()
         }
         assert got == expected, f"winnow mismatch at k={k} w={w}"
+
+
+def test_simhash_banding_recall_at_higher_hamming(spark, tables):
+    """The pigeonhole guarantee must hold for EVERY max_hamming, not
+    just the default 3: candidates at d=5 (6 bands) must contain every
+    pair a brute-force hamming scan finds, and the default d=3 layout
+    stays byte-identical to the classic 4-band split."""
+    from itertools import combinations
+
+    from distributedqueryengine_spark.functions.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    docs = tables["documents"].limit(120)
+    for d in (3, 5):
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_duplicates(
+                docs, "doc_id", "text", max_hamming=d, portable=True
+            ).collect()
+        }
+        fps = {r.id: r.simhash for r in simhash(docs, "doc_id", "text", portable=True).collect()}
+        brute = {
+            (a, b)
+            for a, b in combinations(sorted(fps), 2)
+            if bin(fps[a] ^ fps[b]).count("1") <= d
+        }
+        assert got == brute, f"d={d}: {got ^ brute}"
