@@ -156,6 +156,14 @@ def band_buckets(
     self-join below and the streaming stream-static candidate join
     (streaming/dedup.py); also the thing you persist as a bucketed
     table to amortize the index at scale."""
+    if bands <= 0 or num_perm % bands != 0:
+        # a silent num_perm//bands here would drop the remainder
+        # permutations from every band (quietly weaker S-curve), and
+        # bands > num_perm would hash an EMPTY row-slice — every doc
+        # lands in one bucket and the self-join goes quadratic.
+        raise ValueError(
+            f"bands={bands} must evenly divide num_perm={num_perm}"
+        )
     r = num_perm // bands
     band_hash = portable_hash64 if portable else F.xxhash64
     return sigs.select(

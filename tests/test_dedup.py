@@ -343,3 +343,29 @@ def test_simhash_banding_recall_at_higher_hamming(spark, tables):
             if bin(fps[a] ^ fps[b]).count("1") <= d
         }
         assert got == brute, f"d={d}: {got ^ brute}"
+
+
+def test_band_layout_guards_reject_bad_params(spark, tables):
+    """bands must evenly divide num_perm: a silent remainder would
+    weaken the S-curve, and bands > num_perm would hash empty slices
+    (one global bucket → quadratic self-join). Both formulations —
+    batch and streaming — must raise, with the dividing case green."""
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.functions.dedup import (
+        band_buckets,
+        minhash_signatures,
+        shingles,
+    )
+    from distributedqueryengine_spark.streaming.dedup import (
+        narrow_minhash_band_buckets,
+    )
+
+    docs = tables["documents"].limit(10)
+    sigs = minhash_signatures(shingles(docs, "doc_id", "text"), 32)
+    for bad in (5, 48, 0):
+        with _pytest.raises(ValueError, match="evenly divide"):
+            band_buckets(sigs, 32, bad)
+        with _pytest.raises(ValueError, match="evenly divide"):
+            narrow_minhash_band_buckets(docs, "doc_id", "text", 3, 32, bad)
+    assert band_buckets(sigs, 32, 16).count() > 0
