@@ -156,7 +156,7 @@ def band_buckets(
     self-join below and the streaming stream-static candidate join
     (streaming/dedup.py); also the thing you persist as a bucketed
     table to amortize the index at scale."""
-    if bands <= 0 or num_perm % bands != 0:
+    if num_perm <= 0 or bands <= 0 or num_perm % bands != 0:
         # a silent num_perm//bands here would drop the remainder
         # permutations from every band (quietly weaker S-curve), and
         # bands > num_perm would hash an EMPTY row-slice — every doc
@@ -448,6 +448,8 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window
 
+    if k <= 0 or w <= 0:
+        raise ValueError(f"winnowing needs k>0 and w>0, got k={k} w={w}")
     ph = positional_ngram_hashes(df, id_col, text_col, k, portable=portable)
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     cnt = Window.partitionBy("id")

@@ -90,6 +90,10 @@ def range_join(
     filter. With numeric or epoch-cast timestamp columns this is fully
     shuffle-partitionable (no broadcast-nested-loop cliff at scale).
     """
+    if bucket_width <= 0:
+        # floor(x / w) with w <= 0 flips or collapses buckets — the
+        # join would silently return wrong matches, not error.
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     lb = left.withColumn("__bucket", F.floor(F.col(left_val) / F.lit(bucket_width)))
     rb = right.withColumn(
         "__bucket",

@@ -105,7 +105,7 @@ def narrow_minhash_band_buckets(
             for i in range(num_perm)
         ]
     sig = src.select("id", F.array(*mins).alias("sig"))
-    if bands <= 0 or num_perm % bands != 0:
+    if num_perm <= 0 or bands <= 0 or num_perm % bands != 0:
         # mirror functions.dedup.band_buckets: a remainder would change
         # the band layout vs the batch index this stream joins against
         raise ValueError(f"bands={bands} must evenly divide num_perm={num_perm}")
