@@ -97,6 +97,8 @@ def concat_pack_layout(
     """
     from distributedqueryengine_spark.session import ensure_parallelism
 
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
     # The prefix sum runs three jobs (corpus stats, bucket totals, the
     # laid-out result); persist the 16-byte (id, t) projection so the
     # token-count scan — the only per-document work — runs once, wide.
@@ -135,6 +137,11 @@ def greedy_pack(
     """
     from distributedqueryengine_spark.functions.dedup import portable_hash64
 
+    if budget <= 0 or n_groups <= 0:
+        # pmod by 0 yields null groups (rows silently dropped by the
+        # grouped applyInPandas); budget <= 0 degenerates every doc to
+        # its own bin while looking like a packing.
+        raise ValueError(f"need budget>0 and n_groups>0, got {budget}/{n_groups}")
     grp_hash = (
         portable_hash64(F.col(id_col).cast("string"))
         if portable

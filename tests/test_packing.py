@@ -128,3 +128,22 @@ def test_greedy_pack_deterministic_and_matches_reference(spark):
             else:
                 caps[placed] -= t
             assert bin_ == placed
+
+
+def test_packing_parameter_guards(spark, tables):
+    """Degenerate parameters raise instead of silently mis-packing:
+    pmod-by-zero groups drop rows, non-positive budgets fake a packing,
+    non-positive seq_len breaks the layout arithmetic."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions import packing
+    from distributedqueryengine_spark.functions.text import token_count
+
+    docs = tables["documents"].limit(5)
+    with _pytest.raises(ValueError, match="budget"):
+        packing.greedy_pack(docs, tokens=token_count("text"), budget=0)
+    with _pytest.raises(ValueError, match="n_groups"):
+        packing.greedy_pack(docs, tokens=token_count("text"), budget=8, n_groups=0)
+    with _pytest.raises(ValueError, match="seq_len"):
+        packing.concat_pack_layout(docs, tokens=token_count("text"), seq_len=0)
