@@ -39,6 +39,8 @@ def doc_ngram_fingerprints(
     documents shorter than n tokens yield no rows."""
     from distributedqueryengine_spark.session import ensure_parallelism
 
+    if n <= 0:
+        raise ValueError(f"n-gram size must be positive, got {n}")
     toks = F.split(normalize_text(text_col), " ")
     n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
     zipped = F.arrays_zip(

@@ -107,6 +107,8 @@ def shingles(
     """
     from distributedqueryengine_spark.session import ensure_parallelism
 
+    if n <= 0:
+        raise ValueError(f"shingle size must be positive, got {n}")
     toks = F.split(normalize_text(text_col), " ")
     n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
     zipped = F.arrays_zip(
@@ -415,6 +417,8 @@ def positional_ngram_hashes(
     keep the position."""
     from distributedqueryengine_spark.session import ensure_parallelism
 
+    if k <= 0:
+        raise ValueError(f"k-gram size must be positive, got {k}")
     toks = F.split(normalize_text(text_col), " ")
     n_grams = F.greatest(F.size(toks) - k + 1, F.lit(0))
     zipped = F.arrays_zip(
