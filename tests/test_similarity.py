@@ -440,3 +440,25 @@ def test_mean_embedding_matches_numpy(spark):
         assert n == len(vecs)
         assert cent.shape == expect.shape
         np.testing.assert_allclose(cent, expect, rtol=1e-9, atol=1e-12)
+
+
+def test_zero_vector_does_not_poison_topk(spark):
+    """A zero embedding in corpus or queries must not inject NaN into
+    the top-k (eps-floored normalization): scores stay finite, the zero
+    corpus vector scores ~0 against everything, and a zero query still
+    returns k well-defined neighbors."""
+    import math
+
+    from distributedqueryengine_spark.functions.similarity import brute_force_topk
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.0, float(i % 3)]) for i in range(1, 12)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(corpus.limit(3), corpus, k=4).collect()
+    assert out, "top-k must return rows"
+    for r in out:
+        assert r.cos is not None and math.isfinite(r.cos), r
+    zero_q = [r for r in out if r.query_id == 0]
+    assert len(zero_q) == 4  # zero query still yields k finite results
+    assert all(abs(r.cos) < 1e-6 for r in zero_q)
