@@ -142,3 +142,31 @@ def test_full_training_pipeline_e2e(spark, tmp_path):
     write_files(final, out, partition_by=["lang"])
     back = spark.read.parquet(out)
     assert {r.doc_id for r in back.select("doc_id").collect()} == final_ids
+
+
+def test_operators_handle_empty_inputs(spark, tables):
+    """Every pipeline tier must degrade cleanly on an empty input —
+    0 rows out, schema intact, no crash (the subtle failure mode is an
+    operator that works on data but throws on the empty frame a
+    filter-heavy upstream can legitimately produce)."""
+    docs = tables["documents"]
+    empty = docs.filter(F.lit(False))
+
+    assert D.dedup_exact(empty, "doc_id", "text").count() == 0
+    pairs = D.minhash_near_duplicates(empty, "doc_id", "text")
+    assert pairs.count() == 0
+    cc = D.connected_components(pairs)
+    assert cc.count() == 0
+    assert set(cc.columns) == {"id", "component"}
+    assert DC.decontaminate(empty, docs.limit(3), "doc_id", "text", n=3).count() == 0
+    # decontam with an EMPTY eval set keeps the whole corpus
+    kept = DC.decontaminate(docs.limit(7), empty, "doc_id", "text", n=3)
+    assert kept.count() == 7
+    packed = packing.greedy_pack(empty, tokens=T.token_count("text"), budget=64)
+    assert packed.count() == 0
+    assert set(packed.columns) == {"doc_id", "n_tokens", "grp", "bin"}
+    from distributedqueryengine_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    assert remove_boilerplate_lines(empty, "doc_id", "text").count() == 0
