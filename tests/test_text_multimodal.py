@@ -287,3 +287,41 @@ def test_python_udtfs_register_and_match_codegen_path(spark):
         by_doc.setdefault(r.doc_id, []).append(r.piece)
     assert " ".join(by_doc[1]) == "The quick brown fox jumps"
     assert by_doc[2] == ["tiny"]
+
+
+def test_unicode_fingerprints_agree_with_duckdb(spark):
+    """Content fingerprints on non-ASCII text: md5 over UTF-8 bytes
+    must agree byte-for-byte with DuckDB (and hashlib) for CJK,
+    accents, emoji, and mixed scripts — the fixed corpus is ASCII-only
+    so nothing else pins this. Also: the 60-bit portable hash derived
+    from it stays non-negative and engine-portable."""
+    import duckdb
+
+    from distributedqueryengine_spark.functions.dedup import portable_hash64
+    from distributedqueryengine_spark.functions.text import fingerprint
+
+    texts = [
+        "数据 去重 流水线",
+        "déjà vu naïve café",
+        "смесь scripts 混合 text",
+        "🚀 emoji in corpus 🚀",
+        "tab\tand  double space",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r.id: (r.fp, r.ph)
+        for r in df.select(
+            "id",
+            fingerprint("text").alias("fp"),
+            portable_hash64(F.lower(F.trim("text"))).alias("ph"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        norm = " ".join(t.lower().strip().split())
+        exp_fp, exp_ph = con.execute(
+            "SELECT md5(?), CAST(('0x' || substr(md5(?), 1, 15)) AS BIGINT)",
+            [norm, t.lower().strip()],
+        ).fetchone()
+        assert got[i][0] == exp_fp, f"md5 mismatch on {t!r}"
+        assert got[i][1] == exp_ph >= 0, f"portable hash mismatch on {t!r}"
