@@ -213,3 +213,52 @@ def test_service_accepts_bound_parameters(spark, tables):
         assert payload["rows"][0]["n"] > 0
     finally:
         httpd.shutdown()
+
+
+def test_service_handles_concurrent_queries(spark, tables):
+    """ThreadingHTTPServer + a shared SparkSession: four concurrent
+    /query POSTs must all succeed with correct, independent results
+    (SparkSession is thread-safe; this pins that the service layer
+    doesn't serialize or cross wires)."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from distributedqueryengine_spark.service import serve
+
+    httpd = serve(spark, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    results: dict[int, int] = {}
+    errors: list[Exception] = []
+
+    def hit(qty: int) -> None:
+        try:
+            body = _json.dumps(
+                {
+                    "sql": "SELECT count(*) AS n FROM lineitem WHERE l_quantity <= :q",
+                    "args": {"q": qty},
+                }
+            ).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query",
+                data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                results[qty] = _json.loads(resp.read())["rows"][0]["n"]
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=hit, args=(q,)) for q in (10, 20, 30, 40)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert set(results) == {10, 20, 30, 40}
+        # monotone thresholds ⇒ monotone counts: results are independent
+        assert results[10] < results[20] < results[30] < results[40]
+    finally:
+        httpd.shutdown()
