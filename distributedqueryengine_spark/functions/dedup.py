@@ -363,6 +363,16 @@ def simhash_near_duplicates(
     widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
     offsets = [sum(widths[:b]) for b in range(n_bands)]
     sh = simhash(df, id_col, text_col, portable=portable)
+
+    def _band_value(b: int):
+        v = F.shiftright(F.col("simhash"), offsets[b])
+        # width == 64 (only max_hamming=0 in 64-bit mode): the mask
+        # (1<<64)-1 overflows LongType, and masking is a no-op anyway —
+        # skip it instead of passing an unrepresentable literal.
+        if widths[b] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[b]) - 1))
+        return v
+
     # persist (lazy): self-joined below — without it the token-explode +
     # 60-bit-sum fingerprint aggregation runs once PER JOIN SIDE
     # (measured 2× the branch's cost at sf0.1). |docs|×n_bands rows.
@@ -374,9 +384,7 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), offsets[b])
-                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
-                        .alias("bv"),
+                        _band_value(b).alias("bv"),
                     )
                     for b in range(n_bands)
                 ]

@@ -14,6 +14,8 @@ select/filter.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -259,10 +261,14 @@ def line_doc_frequency(
     corpus-wide shuffle carries fingerprints, never line bodies. One
     explode + one hash aggregate; countDistinct(id) is the same
     partial-aggregatable expand Spark uses for any distinct-agg.
+
+    `sep` is treated as a LITERAL separator (escaped before F.split,
+    whose pattern argument is a Java regex) so '|' or '.' split on the
+    character, not on every position.
     """
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), sep)).alias("line"),
+        F.explode(F.split(F.col(text_col), re.escape(sep))).alias("line"),
     ).filter(F.length(F.trim("line")) > 0)
     return (
         lines.select("id", F.md5(F.trim("line")).alias("lf"))
@@ -281,9 +287,12 @@ def remove_boilerplate_lines(
     """Rewrite each document with its boilerplate lines removed: a line
     is boilerplate when it appears (trimmed-identical) in MORE than
     `max_doc_freq` distinct documents. Returns the input schema with
-    `text_col` rewritten (line order preserved; documents whose every
-    line is boilerplate keep an empty string — filter them with
-    token_count downstream).
+    `text_col` rewritten (line order preserved; blank/whitespace-only
+    lines are NEVER boilerplate and pass through untouched, so
+    paragraph structure survives; documents whose every line is
+    boilerplate keep an empty string — filter them with token_count
+    downstream). `sep` is a literal separator (regex-escaped for
+    F.split), matching line_doc_frequency.
 
     Distributed shape: explode lines with their position → left-semi
     join against the <=max_doc_freq fingerprints (16-byte keys; the
@@ -298,16 +307,26 @@ def remove_boilerplate_lines(
     """
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).filter(F.length(F.trim("line")) > 0)
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "line"
+        ),
+    )
     keep_lf = (
         line_doc_frequency(df, id_col, text_col, sep)
         .filter(F.col("n_docs") <= max_doc_freq)
         .select("lf")
     )
-    kept = lines.withColumn("lf", F.md5(F.trim("line"))).join(
-        keep_lf, "lf", "left_semi"
+    # Blank lines bypass the frequency check entirely (they are
+    # structure, not boilerplate) — only non-blank lines face the
+    # semi-join; the union restores the blanks before reassembly.
+    blank = lines.filter(F.length(F.trim("line")) == 0)
+    nonblank = (
+        lines.filter(F.length(F.trim("line")) > 0)
+        .withColumn("lf", F.md5(F.trim("line")))
+        .join(keep_lf, "lf", "left_semi")
+        .drop("lf")
     )
+    kept = nonblank.unionByName(blank)
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(
             F.transform(

@@ -345,6 +345,38 @@ def test_simhash_banding_recall_at_higher_hamming(spark, tables):
         assert got == brute, f"d={d}: {got ^ brute}"
 
 
+def test_simhash_exact_match_d0_64bit(spark, tables):
+    """max_hamming=0 in default 64-bit mode makes ONE band of width 64;
+    the old (1<<64)-1 LongType mask overflowed F.lit (ADVICE r6) — the
+    full-width band must now skip masking and return exactly the
+    fingerprint-identical pairs."""
+    from itertools import combinations
+
+    from distributedqueryengine_spark.functions.dedup import (
+        simhash,
+        simhash_near_duplicates,
+    )
+
+    base = tables["documents"].limit(60).select("doc_id", "text")
+    # plant exact simhash collisions: duplicate texts under shifted ids
+    from pyspark.sql import functions as F
+
+    dup = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    docs = base.unionByName(dup)
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=0
+        ).collect()
+    }
+    fps = {r.id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b) for a, b in combinations(sorted(fps), 2) if fps[a] == fps[b]
+    }
+    assert got == brute
+    assert len(got) >= 60  # every planted duplicate pair found
+
+
 def test_band_layout_guards_reject_bad_params(spark, tables):
     """bands must evenly divide num_perm: a silent remainder would
     weaken the S-curve, and bands > num_perm would hash empty slices

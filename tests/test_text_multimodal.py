@@ -147,7 +147,7 @@ def _ref_remove_boilerplate(rows, max_df, sep="\n"):
         kept = [
             ln
             for ln in text.split(sep)
-            if ln.strip() and df_count[ln.strip()] <= max_df
+            if not ln.strip() or df_count[ln.strip()] <= max_df
         ]
         out[_id] = sep.join(kept)
     return out
@@ -196,6 +196,61 @@ def test_remove_boilerplate_lines_matches_reference(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_remove_boilerplate_preserves_blank_lines(spark):
+    """Blank/whitespace-only lines are paragraph structure, not
+    boilerplate: the rewrite must keep them in place even when every
+    surrounding non-blank line survives or is removed (ADVICE r6)."""
+    from distributedqueryengine_spark.functions.text import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "accept cookies"
+    rows = [
+        (1, f"{banner}\n\npara one\n\npara two"),
+        (2, f"{banner}\nother text"),
+        (3, f"{banner}\nmore text"),
+        (4, f"{banner}\n\n{banner}"),  # boilerplate split by a blank
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", max_doc_freq=2
+        ).collect()
+    }
+    expect = _ref_remove_boilerplate(rows, max_df=2)
+    assert got == expect, f"{got} != {expect}"
+    assert got[1] == "\npara one\n\npara two"  # blanks survive in place
+    assert got[4] == ""  # single surviving blank joins to empty
+
+
+def test_remove_boilerplate_regex_metachar_separator(spark):
+    """`sep` is a literal, not a Java regex: '|' must split on the pipe
+    character, not on every position (ADVICE r6)."""
+    from distributedqueryengine_spark.functions.text import (
+        line_doc_frequency,
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "repeated chrome|unique alpha text"),
+        (2, "repeated chrome|unique beta text"),
+        (3, "repeated chrome|unique gamma text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    freq = line_doc_frequency(df, "doc_id", "text", sep="|")
+    assert freq.count() == 4  # chrome + 3 unique lines, NOT per-char
+    got = {
+        r.doc_id: r.text
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", max_doc_freq=2, sep="|"
+        ).collect()
+    }
+    expect = _ref_remove_boilerplate(rows, max_df=2, sep="|")
+    assert got == expect, f"{got} != {expect}"
+    assert got[1] == "unique alpha text"
 
 
 def test_repetition_ratio_matches_reference(spark):
