@@ -329,3 +329,35 @@ def test_freq_items_contains_all_true_heavy_hitters(spark, tables):
         }
         assert true_heavy, f"fixture has no heavy hitters for {col}"
         assert true_heavy <= found, f"{col}: missing {true_heavy - found}"
+
+
+def test_json_extraction_paths_agree(tables):
+    """The three JSON extraction APIs — get_json_object (string path),
+    from_json (schema-full), and parse_json+try_variant_get (VARIANT) —
+    must agree row-for-row on real data. This agreement check lived in
+    the oracled fn_json_variant plan through r6; the 3x parse cost
+    dominated that suite, so the oracled plan now pays one parse and
+    this test carries the cross-API property instead."""
+    ev = tables["events"].select("event_id", "props")
+    # plant absent-key / empty-object / nested rows the fixture lacks
+    spark = ev.sparkSession
+    planted = spark.createDataFrame(
+        [
+            (-1, '{"other": 1}'),
+            (-2, "{}"),
+            (-3, '{"k": 42, "nested": {"k": 7}}'),
+        ],
+        "event_id long, props string",
+    )
+    ev = ev.unionByName(planted)
+    kj = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ks = F.from_json(F.col("props"), "k INT").getField("k")
+    kv = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    rows = ev.select(
+        "event_id", kj.alias("kj"), ks.alias("ks"), kv.alias("kv")
+    ).collect()
+    assert rows, "events fixture is empty"
+    assert any(r.kj is not None for r in rows)  # fixture has real keys
+    assert any(r.kj is None for r in rows)      # ... and absent keys
+    for r in rows:
+        assert r.kj == r.ks == r.kv, f"event {r.event_id}: {r.kj}/{r.ks}/{r.kv}"
