@@ -134,11 +134,18 @@ def test_transform_with_state_matches_batch(spark):
     """transformWithState (Spark 4 named-state API) running totals ==
     batch groupBy over the same bounded input — and therefore == the
     applyInPandasWithState implementation above. Skipped where the
-    runtime lacks protobuf (state-server protocol dependency)."""
+    runtime lacks protobuf (state-server protocol dependency).
+
+    PERMANENT in this container (pinned r7, alongside the multimodal
+    codec stubs): google.protobuf is absent and package installation is
+    not available, so the Python-side state server cannot start. The
+    code path ships and the skip self-heals the moment protobuf exists
+    on a real cluster; the applyInPandasWithState equivalence above
+    covers the same semantics continuously."""
     import pytest
 
     if not stateful.transform_with_state_available():
-        pytest.skip("google.protobuf unavailable: transformWithState state server cannot start")
+        pytest.skip("google.protobuf unavailable: transformWithState state server cannot start (permanent container limitation, see COVERAGE.md)")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
