@@ -36,7 +36,7 @@ def test_stream_ann_probe_matches_batch(spark, built, tmp_path):
     )
 
     corpus, idx = built
-    queries = corpus.filter(F.col("vec_id") % 37 == 0).persist()
+    queries = corpus.filter(F.col("vec_id") % 11 == 0).persist()
     n_queries = queries.count()
     assert n_queries >= 20
 
