@@ -89,3 +89,87 @@ def decontaminate(
     runtime when it actually is small."""
     bad = contaminated_ids(train, eval_df, id_col, text_col, n)
     return train.join(bad, id_col, "left_anti")
+
+
+# --------------------------------------------- semantic decontamination
+
+def semantic_contaminated_ids(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_limit: int = 100_000,
+) -> DataFrame:
+    """(id, max_cos): corpus rows whose embedding is within cosine
+    `tau` of ANY eval embedding — the semantic complement of the
+    n-gram protocol above (catches paraphrased/translated eval leakage
+    that shares no exact n-gram; the n-gram pass catches verbatim
+    overlap below embedding-model resolution — production pipelines
+    run BOTH).
+
+    Scale shape mirrors `contaminated_ids`: the eval side is
+    broadcast-small BY CONTRACT (collected once, L2-normalized into a
+    single (n_eval, dim) matrix riding the closure), and the corpus
+    side streams through ONE mapInPandas pass — per Arrow batch a
+    single BLAS matmul against the eval matrix, max over the eval
+    axis, emit only rows >= tau. Zero shuffles, zero corpus-side
+    state; O(corpus x eval x dim) FLOPS, the unavoidable cost of exact
+    semantic screening. `eval_limit` guards the collect the same way
+    jaccard_on_pairs guards its broadcast: exceeding it raises rather
+    than silently OOM-ing the driver.
+
+    Pandas-UDF justification (repo rule: UDFs are the slow path): the
+    per-row work is a dense dot product against EVERY eval vector —
+    as a Column tree that is n_eval aggregate expressions per row,
+    which loses to one vectorized matmul by orders of magnitude; same
+    reasoning as brute_force_topk (similarity.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_emb.select(vec_col).limit(eval_limit + 1).collect()
+    if len(rows) > eval_limit:
+        raise ValueError(
+            f"eval set exceeds eval_limit={eval_limit} embeddings; "
+            "semantic decontamination broadcasts the eval side by "
+            "contract — raise the limit only with driver memory to match"
+        )
+    if not rows:
+        return corpus_emb.select(
+            F.col(id_col).alias("id"), F.lit(0.0).alias("max_cos")
+        ).limit(0)
+    E = np.array([r[0] for r in rows], dtype=np.float64)
+    E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+
+    out_schema = f"id long, max_cos double"
+
+    def screen(batches):
+        for pdf in batches:
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            mc = (M @ E.T).max(axis=1)
+            keep = mc >= tau
+            if keep.any():
+                yield pd.DataFrame(
+                    {"id": pdf[id_col].values[keep], "max_cos": np.round(mc[keep], 6)}
+                )
+
+    return corpus_emb.select(id_col, vec_col).mapInPandas(screen, out_schema)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus rows whose embedding is NOT within `tau` of any eval
+    embedding: broadcast anti-join on the (small by construction)
+    contaminated-id set — same final stage as `decontaminate`."""
+    bad = semantic_contaminated_ids(
+        corpus_emb, eval_emb, tau, id_col=id_col, vec_col=vec_col
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")

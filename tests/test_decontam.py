@@ -93,3 +93,88 @@ def test_suite_matches_bruteforce(spark):
         r.doc_id for r in DC.contaminated_ids(train, ev, n=3).collect()
     )
     assert got == expect
+
+
+def test_semantic_contaminated_ids_matches_exact_crossjoin(spark, tables):
+    """mapInPandas BLAS screening == an exact JVM cross-join cosine
+    computation on a fixture-sized slice, at two thresholds; planted
+    exact copies of eval vectors must always flag with max_cos ~ 1."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions.decontam import (
+        semantic_contaminated_ids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(300)
+    ev = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") % 29 == 0
+    ).limit(20)
+    planted = {r.vec_id for r in ev.select("vec_id").collect()} & {
+        r.vec_id for r in emb.select("vec_id").collect()
+    }
+    assert planted, "fixture slice must contain eval copies"
+
+    v = F.col("embedding").cast("array<double>")
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    a = emb.select(F.col("vec_id").alias("id"), v.alias("va"))
+    b = ev.select(v.alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    exact = (
+        a.crossJoin(b)
+        .select("id", cos.alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("max_cos"))
+    )
+    for tau in (0.99, 0.8):
+        expect = {
+            r.id: round(r.max_cos, 4)
+            for r in exact.filter(F.col("max_cos") >= tau).collect()
+        }
+        got = {
+            r.id: round(r.max_cos, 4)
+            for r in semantic_contaminated_ids(
+                emb, ev, tau=tau, id_col="vec_id"
+            ).collect()
+        }
+        assert got == expect, f"tau={tau}: {got.keys() ^ expect.keys()}"
+        assert planted <= set(got), "exact eval copies must flag"
+
+
+def test_semantic_decontaminate_drops_only_flagged(spark, tables):
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions.decontam import (
+        semantic_contaminated_ids,
+        semantic_decontaminate,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(300)
+    ev = emb.filter(F.col("vec_id") % 41 == 0).limit(10)
+    flagged = {
+        r.id
+        for r in semantic_contaminated_ids(emb, ev, 0.99, id_col="vec_id").collect()
+    }
+    kept = {
+        r.vec_id
+        for r in semantic_decontaminate(
+            emb, emb, ev, 0.99, id_col="vec_id"
+        ).collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - flagged
+    assert flagged, "eval copies must be flagged"
+
+
+def test_semantic_contaminated_empty_eval_flags_nothing(spark, tables):
+    from distributedqueryengine_spark.functions.decontam import (
+        semantic_contaminated_ids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(50)
+    empty = emb.limit(0)
+    assert semantic_contaminated_ids(emb, empty, 0.5, id_col="vec_id").count() == 0
