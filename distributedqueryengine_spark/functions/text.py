@@ -367,3 +367,59 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
         F.lit(1.0)
         - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
     )
+
+
+def gopher_quality_flags(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+) -> Column:
+    """Struct of the Gopher repetition-free quality rules (Rae et al.
+    2021, table A1) as boolean flags plus an overall `passes` — the
+    document-level filter battery large web-corpus cleans run before
+    any model-based scoring. All pure JVM expressions over one pass of
+    the text (no UDFs): per-rule regexp_count/split arithmetic, so the
+    battery composes into a cleaning pipeline's single corpus scan.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; hash/ellipsis symbol-to-word ratio <= 0.1; < 90% of lines
+    start with a bullet; < 30% of lines end with an ellipsis; >= 80%
+    of words contain an alphabetic character. (The companion
+    repetition gates live in `repetition_ratio`; stopword presence in
+    `stopword_ratio` — compose as needed.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_words = F.size(toks).cast("double")
+    mwl = mean_word_len(c)
+    n_sym = (F.regexp_count(c, F.lit(r"#")) + F.regexp_count(c, F.lit(r"\.\.\.|…"))).cast("double")
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•‣▪]|\d+[.)])\s"))
+    ).cast("double")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ÿ]"))
+    ).cast("double")
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_word_len_ok": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "symbol_ratio_ok": n_sym / F.greatest(n_words, F.lit(1.0)) <= max_symbol_word_ratio,
+        "bullet_lines_ok": n_bullet / n_lines < max_bullet_line_frac,
+        "ellipsis_lines_ok": n_ellipsis / n_lines < max_ellipsis_line_frac,
+        "alpha_words_ok": n_alpha / F.greatest(n_words, F.lit(1.0)) >= min_alpha_word_frac,
+    }
+    passes = F.lit(True)
+    for v in flags.values():
+        passes = passes & v
+    return F.struct(
+        *[v.alias(k) for k, v in flags.items()], passes.alias("passes")
+    )

@@ -380,3 +380,67 @@ def test_unicode_fingerprints_agree_with_duckdb(spark):
         ).fetchone()
         assert got[i][0] == exp_fp, f"md5 mismatch on {t!r}"
         assert got[i][1] == exp_ph >= 0, f"portable hash mismatch on {t!r}"
+
+
+def test_gopher_quality_flags_match_reference(spark, tables):
+    """The Gopher rule battery vs a driver-side Python reference over
+    planted pathological docs + real corpus docs; `passes` is the AND
+    of every flag."""
+    import re as _re
+
+    from distributedqueryengine_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    prose = " ".join(
+        "the quick brown fox jumps over a lazy dog near the old river bank".split()
+        * 8
+    )  # 96 words of stopword-rich prose
+    planted = [
+        (9001, prose),                                    # clean: passes
+        (9002, "short text only"),                        # too few words
+        (9003, " ".join(["###"] * 60)),                   # symbols, no alpha
+        (9004, "\n".join(f"- bullet {i} item here" for i in range(10))),  # all bullets
+        (9005, "\n".join(f"line {i} trailing off..." for i in range(10))),  # ellipsis
+        (9006, " ".join(["a"] * 60)),                     # mean word len 1
+    ]
+    df = tables["documents"].select("doc_id", "text").limit(40).unionByName(
+        spark.createDataFrame(planted, "doc_id long, text string")
+    )
+    got = {
+        r.doc_id: r.q.asDict()
+        for r in df.select(
+            "doc_id", gopher_quality_flags("text").alias("q")
+        ).collect()
+    }
+
+    def ref(text):
+        toks = _re.split(r"\s+", text.strip().lower()) if text.strip() else [""]
+        n_words = len(toks)
+        mwl = sum(len(t) for t in toks) / max(n_words, 1)
+        n_sym = text.count("#") + len(_re.findall(r"\.\.\.|…", text))
+        lines = text.split("\n")
+        n_bullet = sum(
+            1 for ln in lines
+            if _re.match(r"^([-*•‣▪]|\d+[.)])\s", ln.strip())
+        )
+        n_ellipsis = sum(
+            1 for ln in lines if _re.search(r"(\.\.\.|…)$", ln.rstrip())
+        )
+        n_alpha = sum(1 for t in toks if _re.search(r"[A-Za-zÀ-ÿ]", t))
+        f = {
+            "word_count_ok": 50 <= n_words <= 100_000,
+            "mean_word_len_ok": 3.0 <= mwl <= 10.0,
+            "symbol_ratio_ok": n_sym / max(n_words, 1) <= 0.1,
+            "bullet_lines_ok": n_bullet / max(len(lines), 1) < 0.9,
+            "ellipsis_lines_ok": n_ellipsis / max(len(lines), 1) < 0.3,
+            "alpha_words_ok": n_alpha / max(n_words, 1) >= 0.8,
+        }
+        f["passes"] = all(f.values())
+        return f
+
+    for r in df.collect():
+        assert got[r.doc_id] == ref(r.text), f"doc {r.doc_id}"
+    assert got[9001]["passes"]
+    for bad in (9002, 9003, 9004, 9005, 9006):
+        assert not got[bad]["passes"], bad
