@@ -423,3 +423,104 @@ def gopher_quality_flags(
     return F.struct(
         *[v.alias(k) for k, v in flags.items()], passes.alias("passes")
     )
+
+
+# ------------------------------------------------- URL / domain analysis
+
+#: Public-suffix heuristic: common two-level suffixes where the
+#: registered domain is the THIRD label from the right. A production
+#: pipeline swaps in the full Mozilla public-suffix list (broadcast
+#: lookup table, same expression shape); this closed subset keeps the
+#: operator dependency-free and deterministic.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "co.za", "com.tr", "com.ar", "com.sg",
+)
+
+_URL_RE = r"https?://[^\s/$.?#].[^\s]*"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """array<string> of http(s) URLs appearing in the text (JVM
+    regexp_extract_all; same pattern family as PII_PATTERNS['url'])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_URL_RE), F.lit(0))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased hostname of a URL (port and credentials stripped);
+    NULL if the value does not parse as an http(s) URL."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.lower(
+        F.regexp_extract(c, r"^https?://(?:[^@/]+@)?([^:/?#]+)", 1)
+    )
+    return F.when(F.length(h) > 0, h)
+
+
+def registered_domain(col: Column | str) -> Column:
+    """eTLD+1 of a hostname column: last two labels, or last THREE when
+    the two-label tail is a known two-level public suffix (co.uk etc.).
+    The C4/RefinedWeb grouping key for per-site quotas and blocklists —
+    grouping by raw host over-splits (www./cdn./m. subdomains), by bare
+    TLD under-splits."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    parts = F.split(c, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    return (
+        F.when(n <= 2, c)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def domain_frequency(
+    df: DataFrame, url_col: str, weight_col: str | None = None
+) -> DataFrame:
+    """(domain, n_docs): registered-domain histogram over a URL column
+    — the substrate for per-site quotas (cap any one domain's share of
+    the corpus) and blocklist auditing. One hash aggregate on the
+    short domain string; rows with unparseable URLs are dropped."""
+    d = registered_domain(url_host(F.col(url_col)))
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(d.alias("domain"), w.alias("w"))
+        .filter(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.sum("w").cast("long").alias("n_docs"))
+    )
+
+
+def cap_domain_share(
+    df: DataFrame,
+    url_col: str,
+    max_docs_per_domain: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep at most `max_docs_per_domain` rows per registered domain —
+    deterministic (hash-ranked within domain, tiebroken by
+    `tiebreak_col` when given) so reruns select identical survivors.
+    One window shuffle on the (short) domain key; rows without a
+    parseable URL are kept unconditionally (no domain to cap)."""
+    from pyspark.sql.window import Window
+
+    if max_docs_per_domain <= 0:
+        raise ValueError(f"max_docs_per_domain must be positive, got {max_docs_per_domain}")
+    d = registered_domain(url_host(F.col(url_col)))
+    order = (
+        [F.xxhash64(F.col(url_col)).asc()]
+        + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    )
+    w = Window.partitionBy("__dom").orderBy(*order)
+    tagged = df.withColumn("__dom", d)
+    capped = (
+        tagged.filter(F.col("__dom").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_docs_per_domain)
+        .drop("__rn")
+    )
+    return capped.unionByName(tagged.filter(F.col("__dom").isNull())).drop("__dom")

@@ -444,3 +444,69 @@ def test_gopher_quality_flags_match_reference(spark, tables):
     assert got[9001]["passes"]
     for bad in (9002, 9003, 9004, 9005, 9006):
         assert not got[bad]["passes"], bad
+
+
+def test_url_domain_extraction_and_caps(spark):
+    """URL → host → registered-domain chain on planted fixtures
+    (credentials, ports, two-level public suffixes, bare hosts), the
+    domain histogram, and the deterministic per-domain cap."""
+    from distributedqueryengine_spark.functions.text import (
+        cap_domain_share,
+        domain_frequency,
+        extract_urls,
+        registered_domain,
+        url_host,
+    )
+
+    rows = [
+        (1, "https://www.Example.com/path?q=1"),
+        (2, "http://user:pw@sub.example.com:8080/x"),
+        (3, "https://news.bbc.co.uk/story"),
+        (4, "https://cdn.example.com/asset.js"),
+        (5, "not a url at all"),
+        (6, "https://example.com/"),
+        (7, "https://m.example.com/page"),
+        (8, "http://localhost/dev"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    hosts = {
+        r.id: r.h for r in df.select("id", url_host("url").alias("h")).collect()
+    }
+    assert hosts[1] == "www.example.com"
+    assert hosts[2] == "sub.example.com"  # credentials + port stripped
+    assert hosts[5] is None
+    assert hosts[8] == "localhost"
+
+    doms = {
+        r.id: r.d
+        for r in df.select(
+            "id", registered_domain(url_host("url")).alias("d")
+        ).collect()
+    }
+    assert doms[1] == doms[2] == doms[4] == doms[6] == doms[7] == "example.com"
+    assert doms[3] == "bbc.co.uk"  # two-level public suffix
+    assert doms[8] == "localhost"  # single label kept whole
+
+    freq = {r.domain: r.n_docs for r in domain_frequency(df, "url").collect()}
+    assert freq["example.com"] == 5 and freq["bbc.co.uk"] == 1
+
+    capped = cap_domain_share(df, "url", 2, tiebreak_col="id")
+    kept = {r.id for r in capped.collect()}
+    assert 5 in kept  # unparseable rows always survive
+    by_dom = {}
+    for r in capped.filter("url like 'http%'").select(
+        registered_domain(url_host("url")).alias("d")
+    ).collect():
+        by_dom[r.d] = by_dom.get(r.d, 0) + 1
+    assert by_dom["example.com"] == 2 and by_dom["bbc.co.uk"] == 1
+    # deterministic: same survivors on rerun
+    again = {r.id for r in cap_domain_share(df, "url", 2, tiebreak_col="id").collect()}
+    assert again == kept
+
+    # extract_urls finds embedded links
+    txt = spark.createDataFrame(
+        [(1, "see https://a.io/x and http://b.co.uk/y?z=1 end")],
+        "id long, text string",
+    )
+    urls = txt.select(extract_urls("text").alias("u")).first().u
+    assert urls == ["https://a.io/x", "http://b.co.uk/y?z=1"]
