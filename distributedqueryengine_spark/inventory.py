@@ -1079,7 +1079,23 @@ SUITE_ORACLES["text_doc_profile"] = r"""
                     THEN 'en' ELSE 'other' END AS lang_pred,
                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
-               round(CAST(n_bpe AS DOUBLE) / greatest(len(toks), 1), 4) AS fertility
+               round(CAST(n_bpe AS DOUBLE) / greatest(len(toks), 1), 4) AS fertility,
+               (
+                 (len(toks) BETWEEN 50 AND 100000)
+                 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                      / len(toks) BETWEEN 3.0 AND 10.0)
+                 AND (CAST(len(regexp_extract_all(text, '#'))
+                           + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+                      / greatest(len(toks), 1) <= 0.1)
+                 AND (CAST(len(list_filter(string_split(text, chr(10)),
+                          ln -> regexp_matches(trim(ln), '^([-*•‣▪]|[0-9]+[.)])\s'))) AS DOUBLE)
+                      / greatest(len(string_split(text, chr(10))), 1) < 0.9)
+                 AND (CAST(len(list_filter(string_split(text, chr(10)),
+                          ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$'))) AS DOUBLE)
+                      / greatest(len(string_split(text, chr(10))), 1) < 0.3)
+                 AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) AS DOUBLE)
+                      / greatest(len(toks), 1) >= 0.8)
+               ) AS gopher_passes
         FROM t
     """
 

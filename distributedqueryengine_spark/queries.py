@@ -2234,9 +2234,10 @@ def q_fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile in ONE scan: whitespace + BPE
     token counts, char count, stopword ratio, mean word length,
-    language ID, content fingerprint, tokenizer fertility. The
-    single-scan form is the point at 100 TB — four separate profile
-    queries would read the corpus four times."""
+    language ID, content fingerprint, tokenizer fertility, and the
+    Gopher quality-rule verdict (r7). The single-scan form is the point
+    at 100 TB — separate profile queries would read the corpus once
+    per signal."""
     from distributedqueryengine_spark.functions import text as T
 
     d = _t(spark, sf_dir, "documents")
@@ -2254,6 +2255,7 @@ def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(T.token_count("text"), F.lit(1)).cast("double"),
             4,
         ).alias("fertility"),
+        T.gopher_quality_flags("text")["passes"].alias("gopher_passes"),
     )
 
 
