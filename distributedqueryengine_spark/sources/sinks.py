@@ -59,3 +59,78 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+) -> dict:
+    """Rewrite a (possibly partitioned) file dataset into ~target-sized
+    files — the small-files maintenance op every long-lived lake needs:
+    streaming sinks and per-batch ingests leave thousands of KB-sized
+    files whose open/footer overhead dominates scans and whose count
+    explodes driver listing time.
+
+    Sizing reads the actual on-disk bytes via the Hadoop FileSystem
+    (not a row-count guess, so compression ratio is accounted for),
+    targets ceil(bytes / target_file_mb) output files, and rewrites
+    with coalesce when shrinking (narrow, no shuffle) or repartition
+    when growing. The rewrite is staged next to the source and moved in
+    with two renames, so a concurrent reader sees either the old or the
+    new layout, never a partial directory. Returns
+    {files_before, files_after, bytes}.
+
+    At cluster scale this runs per partition-directory (pass the
+    partition path) on a maintenance schedule; compaction of a live
+    table with readers mid-rename needs a table format's commit
+    protocol (Delta/Iceberg) — out of scope here, as is concurrent
+    writer coordination.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hconf = jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+
+    def data_files(p) -> int:
+        # count data files only: _SUCCESS/.crc markers are bookkeeping
+        n, it = 0, fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    files_before = data_files(hpath)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(path)
+    cur_parts = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
+
+    staging = path.rstrip("/") + "__compacting"
+    writer = sized.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(staging)
+
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    fs.rename(hpath, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+    fs.delete(backup, True)
+
+    return {
+        "files_before": int(files_before),
+        "files_after": data_files(hpath),
+        "bytes": int(total_bytes),
+    }

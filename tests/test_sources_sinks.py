@@ -210,3 +210,37 @@ def test_dynamic_partition_pruning_engages(spark, tables, tmp_path):
     n = joined.count()
     expect = tables["lineitem"].filter(F.col("l_returnflag") == "A").count()
     assert n == expect > 0
+
+
+def test_compact_files_merges_small_files(spark, tables, tmp_path):
+    """A fragmented write (64 tiny files) compacts to the byte-sized
+    target count with identical data; the original is swapped out
+    atomically (no __compacting/__precompact residue)."""
+    import os
+
+    from distributedqueryengine_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "frag")
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.repartition(64).write.parquet(path)
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files == 64
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    stats = compact_files(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1  # fixture ≪ 128 MB → one file
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "__compacting")
+    assert not os.path.exists(path + "__precompact")
+
+
+def test_compact_files_missing_path_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources.sinks import compact_files
+
+    with _pytest.raises(FileNotFoundError):
+        compact_files(spark, str(tmp_path / "nope"))
