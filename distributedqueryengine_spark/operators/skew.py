@@ -83,3 +83,39 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 20
+) -> DataFrame:
+    """Pre-join/agg skew diagnostic: per-key row counts for the top_n
+    heaviest keys, each with its share of the table and its skew factor
+    (count / mean-count-per-key). A factor ≫ partition count means one
+    task will own that key's entire hash bucket — the signal to reach
+    for salted_join/salted_agg above or AQE skew handling.
+
+    Two aggregations over one scan (key counts, then global stats
+    joined in as a 1-row broadcast); top_n via TakeOrderedAndProject,
+    never a full sort. Run it on the JOIN KEY of both sides before
+    sizing a big join.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.avg("n_rows").alias("__mean"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("__mean"), 2).alias("skew_factor"),
+            F.col("__n_keys").alias("n_distinct_keys"),
+        )
+        .orderBy(F.col("n_rows").desc(), *key_cols)
+        .limit(top_n)
+    )

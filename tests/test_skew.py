@@ -108,3 +108,25 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_key_skew_report_finds_planted_hot_key(spark, tables):
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.skew import key_skew_report
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    hot = li.limit(4000).withColumn("l_orderkey", F.lit(999_999_999))
+    df = li.unionByName(hot)
+    rep = key_skew_report(df, ["l_orderkey"], top_n=5).collect()
+    assert rep[0].l_orderkey == 999_999_999
+    assert rep[0].n_rows == 4000
+    total = df.count()
+    assert abs(rep[0].share - 4000 / total) < 1e-6
+    # skew factor = count / mean rows-per-key, cross-checked exactly
+    n_keys = df.select("l_orderkey").distinct().count()
+    assert rep[0].n_distinct_keys == n_keys
+    assert abs(rep[0].skew_factor - round(4000 / (total / n_keys), 2)) < 0.011
+    # descending and top_n-limited
+    assert len(rep) == 5
+    assert all(rep[i].n_rows >= rep[i + 1].n_rows for i in range(4))
