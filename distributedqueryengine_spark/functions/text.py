@@ -524,3 +524,83 @@ def cap_domain_share(
         .drop("__rn")
     )
     return capped.unionByName(tagged.filter(F.col("__dom").isNull())).drop("__dom")
+
+
+# -------------------------------------------------- vocabulary building
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str,
+    top_k: int | None = None,
+    min_count: int = 1,
+    use_bpe_pretokens: bool = True,
+) -> DataFrame:
+    """(token, count, rank): corpus token vocabulary by descending
+    frequency (ties broken by token text, so ranks are deterministic) —
+    the substrate for tokenizer training, frequency-based filtering,
+    and OOV auditing.
+
+    One explode + one map-side-combinable count; `top_k` truncates via
+    TakeOrderedAndProject (never a full global sort of the vocabulary),
+    and ranking happens on the already-truncated (driver-bounded)
+    result. With top_k=None the rank window runs over the full distinct
+    vocabulary — fine for word-level vocabs (≤ millions of rows), which
+    is one partition-sized table, not corpus-sized."""
+    from pyspark.sql.window import Window
+
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    tok = regex_tokens(text_col) if use_bpe_pretokens else tokens(text_col)
+    counts = (
+        ensure_parallelism(df)
+        .select(F.explode(tok).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    if top_k is not None:
+        if top_k <= 0:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        counts = counts.orderBy(F.col("count").desc(), F.col("token").asc()).limit(top_k)
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return counts.select(
+        "token", "count", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str,
+    vocab: DataFrame,
+    use_bpe_pretokens: bool = True,
+) -> DataFrame:
+    """1-row (total_tokens, oov_tokens, oov_rate): what fraction of the
+    corpus' token OCCURRENCES fall outside `vocab` (a frame with a
+    `token` column, e.g. build_vocabulary of another corpus) — the
+    domain-shift / tokenizer-coverage audit. The corpus aggregates to
+    per-token counts FIRST, so the vocab join touches distinct tokens
+    (vocabulary-sized), not token occurrences (corpus-sized)."""
+    tok = regex_tokens(text_col) if use_bpe_pretokens else tokens(text_col)
+    counts = (
+        df.select(F.explode(tok).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    flagged = counts.join(
+        vocab.select("token").withColumn("__in", F.lit(1)), "token", "left"
+    )
+    return flagged.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), F.col("n")).otherwise(0))
+            / F.greatest(F.sum("n"), F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

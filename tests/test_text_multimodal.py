@@ -510,3 +510,47 @@ def test_url_domain_extraction_and_caps(spark):
     )
     urls = txt.select(extract_urls("text").alias("u")).first().u
     assert urls == ["https://a.io/x", "http://b.co.uk/y?z=1"]
+
+
+def test_build_vocabulary_matches_counter(spark, tables):
+    """Vocabulary counts/ranks vs a driver-side Counter over the same
+    BPE pre-tokenization; top_k truncation keeps exactly the heaviest
+    (deterministically tie-broken) tokens."""
+    from collections import Counter
+    import re as _re
+
+    from distributedqueryengine_spark.functions.text import (
+        BPE_TOKEN_PATTERN,
+        build_vocabulary,
+        oov_stats,
+    )
+
+    docs = tables["documents"].select("text").limit(100)
+    ref = Counter()
+    for r in docs.collect():
+        ref.update(t for t in _re.findall(BPE_TOKEN_PATTERN, r.text.lower()) if t)
+
+    vocab = build_vocabulary(docs, "text").collect()
+    got = {r.token: r["count"] for r in vocab}
+    assert got == dict(ref)
+    # ranks: descending count, ties by token text
+    ordered = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.token, r.rank) for r in sorted(vocab, key=lambda r: r.rank)] == [
+        (t, i + 1) for i, (t, _) in enumerate(ordered)
+    ]
+
+    top = build_vocabulary(docs, "text", top_k=10).collect()
+    assert [(r.token, r["count"]) for r in sorted(top, key=lambda r: r.rank)] == ordered[:10]
+
+    # OOV against the top-10 vocab: exact occurrence accounting
+    vocab10 = build_vocabulary(docs, "text", top_k=10)
+    s = oov_stats(docs, "text", vocab10).first()
+    total = sum(ref.values())
+    in_vocab = sum(c for t, c in ordered[:10])
+    assert s.total_tokens == total
+    assert s.oov_tokens == total - in_vocab
+    assert abs(s.oov_rate - round((total - in_vocab) / total, 6)) < 1e-9
+
+    # full-vocab OOV is zero
+    s2 = oov_stats(docs, "text", build_vocabulary(docs, "text")).first()
+    assert s2.oov_tokens == 0 and s2.oov_rate == 0.0
