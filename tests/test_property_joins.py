@@ -164,3 +164,32 @@ def test_composite_key_join_with_partial_nulls(spark, tables, duck, jt, nk):
         f"GROUP BY a.k2"
     )
     _both(spark, duck, sql)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    jt=st.sampled_from(("INNER", "LEFT")),
+    k=st.integers(min_value=1, max_value=5),
+    threshold=st.integers(min_value=100_000, max_value=400_000),
+)
+def test_window_over_outer_join_composition(spark, tables, duck, jt, k, threshold):
+    """Ranking window OVER an outer-join result: padded NULL rows
+    participate in the partition and must rank identically (NULLS LAST
+    pinned explicitly — the portable spelling). Catches composition
+    drift that single-operator differentials can't."""
+    sql = (
+        f"SELECT c_mktsegment, o_orderkey, rn FROM ("
+        f"  SELECT c_mktsegment, o_orderkey,"
+        f"         row_number() OVER ("
+        f"           PARTITION BY c_mktsegment"
+        f"           ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS LAST,"
+        f"                    c_custkey) AS rn"
+        f"  FROM customer {jt} JOIN orders"
+        f"    ON c_custkey = o_custkey AND o_totalprice > {threshold}"
+        f") t WHERE rn <= {k}"
+    )
+    _both(spark, duck, sql)
