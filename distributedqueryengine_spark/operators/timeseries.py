@@ -103,3 +103,52 @@ def resample_fill(
     return joined.select(
         *keys, F.col("__bucket").alias("bucket_ts"), *names, "observed"
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign a session id to EVERY event row: a new session starts
+    when the gap to the key's previous event exceeds `gap_seconds`.
+    The batch, row-level complement of streaming session_window (which
+    emits per-session AGGREGATES): downstream joins can attach
+    session_id to raw events for funnel/attribution work.
+
+    session_id = (key, epoch of the session's first event) — stable
+    across recomputation and naturally unique per key without any
+    global counter. Classic lag + conditional cumulative-sum over ONE
+    window shuffle on the key; `tiebreak` columns order simultaneous
+    events deterministically. Output: input columns + session_id
+    (string) + session_start (long epoch seconds) + event_seq (1-based
+    position within the session)."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    new_session = (
+        F.when(F.lag(epoch).over(w).isNull(), 1)
+        .when(epoch - F.lag(epoch).over(w) > gap_seconds, 1)
+        .otherwise(0)
+    )
+    run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_run = df.withColumn("__sess_n", F.sum(new_session).over(run))
+    sess_w = Window.partitionBy(*keys, "__sess_n")
+    start = F.min(epoch).over(sess_w)
+    seq_w = Window.partitionBy(*keys, "__sess_n").orderBy(*order)
+    return (
+        with_run.withColumn("session_start", start.cast("long"))
+        .withColumn(
+            "session_id",
+            F.concat_ws("|", *[F.col(k).cast("string") for k in keys], F.col("session_start")),
+        )
+        .withColumn("event_seq", F.row_number().over(seq_w).cast("int"))
+        .drop("__sess_n")
+    )

@@ -98,3 +98,85 @@ def test_resample_guards(spark):
         resample_fill(
             df, ["k"], "ts", 1, {"s": F.sum("v")}, max_buckets_per_key=100
         )
+
+
+def test_sessionize_matches_duckdb(spark, tables):
+    """Row-level sessionization over real events vs the equivalent
+    DuckDB window SQL (lag + conditional cumsum), 30-min gap."""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.timeseries import sessionize
+
+    ev = tables["events"].select("user_id", "event_id", "ts")
+    got = sorted(
+        (r.user_id, r.event_id, r.session_start, r.event_seq)
+        for r in sessionize(
+            ev, ["user_id"], "ts", 1800, tiebreak=["event_id"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH e AS (
+              SELECT user_id, event_id,
+                     epoch_us(ts)//1000000 AS sec
+              FROM events
+            ), m AS (
+              SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                              OR sec - lag(sec) OVER w > 1800
+                         THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+            ), r AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sn
+              FROM m
+            )
+            SELECT user_id, event_id,
+                   min(sec) OVER (PARTITION BY user_id, sn) AS session_start,
+                   CAST(row_number() OVER (PARTITION BY user_id, sn
+                                           ORDER BY sec, event_id) AS INTEGER) AS event_seq
+            FROM r
+            """
+        ).fetchall()
+    )
+    assert got == expect
+
+
+def test_sessionize_invariants(spark):
+    from distributedqueryengine_spark.operators.timeseries import sessionize
+
+    base = 1_700_000_000
+    rows = [
+        ("u", base), ("u", base + 100), ("u", base + 100),  # dup ts
+        ("u", base + 2000),                                  # > gap → new
+        ("u", base + 2100), ("u", base + 5000),              # > gap → new
+        ("v", base + 50),
+    ]
+    df = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(rows)], "k string, i long, ep long"
+    ).select("k", "i", F.timestamp_seconds("ep").alias("ts"))
+    out = sessionize(df, ["k"], "ts", 1000, tiebreak=["i"]).collect()
+    sessions = {}
+    for r in out:
+        sessions.setdefault(r.session_id, []).append(r)
+    # u splits into 3 sessions; v has 1
+    assert len([s for s in sessions if s.startswith("u|")]) == 3
+    assert len([s for s in sessions if s.startswith("v|")]) == 1
+    for sid, members in sessions.items():
+        eps = sorted(F and m.session_start for m in members)
+        secs = sorted(
+            int(m.ts.timestamp()) for m in members
+        )
+        assert min(secs) == members[0].session_start
+        # intra-session gaps <= gap
+        assert all(b - a <= 1000 for a, b in zip(secs, secs[1:]))
+        # event_seq is 1..n
+        assert sorted(m.event_seq for m in members) == list(
+            range(1, len(members) + 1)
+        )
