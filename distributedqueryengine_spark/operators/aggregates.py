@@ -95,3 +95,54 @@ def hll_reaggregate(
     hierarchies stay consistent."""
     agg = F.hll_sketch_estimate(F.hll_union_agg(F.col(sk_col))).alias("est")
     return sketches.groupBy(*keys).agg(agg) if keys else sketches.agg(agg)
+
+
+def winsorize(
+    df,
+    value_cols,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by=(),
+):
+    """Clip each value column to its [lower, upper] EXACT interpolated
+    percentiles, optionally per group — the standard outlier guard
+    before sums/means/regressions on heavy-tailed measures (and before
+    feature normalization in a training pipeline).
+
+    Shape: one aggregate computes both bounds for every column
+    (percentile() is exact-interpolated, matching ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont, so the op is
+    differential-testable), then the bounds — one row per group, tiny
+    by construction — broadcast-join back and clip with
+    least/greatest. Two passes over the data, zero UDFs; the exact
+    percentile does buffer each group's column in the aggregate, so at
+    extreme group cardinality swap in approx_percentile with the same
+    plan shape (the trade is documented, not silent).
+
+    Returns the input frame with value columns clipped in place.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}/{upper}")
+    keys = list(by)
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.percentile(c, F.lit(lower)).alias(f"__lo_{c}"))
+        aggs.append(F.percentile(c, F.lit(upper)).alias(f"__hi_{c}"))
+    bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    joined = (
+        df.join(F.broadcast(bounds), keys, "left")
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    out_cols = []
+    for c in df.columns:
+        if c in value_cols:
+            clipped = F.least(
+                F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+            ).alias(c)
+            out_cols.append(clipped)
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

@@ -361,3 +361,69 @@ def test_json_extraction_paths_agree(tables):
     assert any(r.kj is None for r in rows)      # ... and absent keys
     for r in rows:
         assert r.kj == r.ks == r.kv, f"event {r.event_id}: {r.kj}/{r.ks}/{r.kv}"
+
+
+def test_winsorize_matches_duckdb_quantiles(spark, tables):
+    """winsorize clips to exact interpolated percentiles: per-group
+    bounds and clipped sums must match DuckDB's quantile_cont over the
+    same data (lineitem quantities/prices per returnflag)."""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.aggregates import winsorize
+
+    li = tables["lineitem"].select("l_returnflag", "l_quantity", "l_extendedprice")
+    out = winsorize(
+        li, ["l_quantity", "l_extendedprice"], 0.05, 0.95, by=["l_returnflag"]
+    )
+    got = {
+        r.l_returnflag: (round(r.q, 4), round(r.p, 2), r.n)
+        for r in out.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            F.sum("l_extendedprice").alias("p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    expect = {
+        r[0]: (round(r[1], 4), round(r[2], 2), r[3])
+        for r in con.execute(
+            """
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.05) AS qlo,
+                     quantile_cont(l_quantity, 0.95) AS qhi,
+                     quantile_cont(l_extendedprice, 0.05) AS plo,
+                     quantile_cont(l_extendedprice, 0.95) AS phi
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag,
+                   sum(least(greatest(l_quantity, qlo), qhi)) AS q,
+                   sum(least(greatest(l_extendedprice, plo), phi)) AS p,
+                   count(*) AS n
+            FROM lineitem l JOIN b USING (l_returnflag)
+            GROUP BY l.l_returnflag
+            """
+        ).fetchall()
+    }
+    assert got == expect
+
+    # bounds actually bite: max of clipped < max of raw per group
+    raw_max = {
+        r.l_returnflag: r.m
+        for r in li.groupBy("l_returnflag").agg(F.max("l_extendedprice").alias("m")).collect()
+    }
+    clip_max = {
+        r.l_returnflag: r.m
+        for r in out.groupBy("l_returnflag").agg(F.max("l_extendedprice").alias("m")).collect()
+    }
+    assert all(clip_max[k] < raw_max[k] for k in raw_max)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lower < upper"):
+        winsorize(li, ["l_quantity"], 0.9, 0.1)
