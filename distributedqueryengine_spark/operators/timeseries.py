@@ -152,3 +152,56 @@ def sessionize(
         .withColumn("event_seq", F.row_number().over(seq_w).cast("int"))
         .drop("__sess_n")
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST activity
+    period (the cohort), then for each later period the count and
+    fraction of the cohort still active — the standard
+    product-analytics triangle (period_seconds = 86400*7 for weekly
+    cohorts).
+
+    Output: (cohort_period, periods_since, n_active, n_cohort,
+    retention), one row per (cohort, offset) with activity;
+    periods_since=0 rows have retention 1.0 by construction.
+
+    Shape: activity collapses to DISTINCT (user, period) first — all
+    later stages are user-period-sized, not event-sized; the cohort
+    lookup is a user-keyed equi-join (same partitioning as the
+    first-activity aggregate feeding it); the final matrix is a hash
+    aggregate on (cohort, offset). Three shuffles total, none
+    event-row-sized beyond the first distinct."""
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be positive, got {period_seconds}")
+    period = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / period_seconds)
+    ).cast("long")
+    activity = (
+        df.select(F.col(key_col).alias("u"), period.alias("p")).distinct()
+    )
+    cohorts = activity.groupBy("u").agg(F.min("p").alias("cohort_p"))
+    sizes = cohorts.groupBy("cohort_p").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    matrix = (
+        activity.join(cohorts, "u")
+        .groupBy(
+            "cohort_p", (F.col("p") - F.col("cohort_p")).alias("periods_since")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        matrix.join(sizes, "cohort_p")
+        .select(
+            (F.col("cohort_p") * period_seconds).alias("cohort_period"),
+            F.col("periods_since").cast("int"),
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+        )
+    )

@@ -180,3 +180,50 @@ def test_sessionize_invariants(spark):
         assert sorted(m.event_seq for m in members) == list(
             range(1, len(members) + 1)
         )
+
+
+def test_cohort_retention_matches_duckdb(spark, tables):
+    """Weekly cohort retention over real events vs the same logic in
+    DuckDB SQL; offset-0 retention is 1.0 for every cohort."""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.timeseries import (
+        cohort_retention,
+    )
+
+    ev = tables["events"].select("user_id", "ts")
+    week = 7 * 86400
+    got = sorted(
+        (r.cohort_period, r.periods_since, r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(ev, "user_id", "ts", week).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_us(ts)//1000000//{week} AS p
+              FROM events),
+            coh AS (SELECT u, min(p) AS cp FROM act GROUP BY u),
+            sizes AS (SELECT cp, count(*) AS n_cohort FROM coh GROUP BY cp),
+            m AS (
+              SELECT cp, p - cp AS ps, count(*) AS n_active
+              FROM act JOIN coh USING (u) GROUP BY cp, p - cp)
+            SELECT cp * {week} AS cohort_period,
+                   CAST(ps AS INTEGER) AS periods_since,
+                   n_active, n_cohort,
+                   round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+            FROM m JOIN sizes USING (cp)
+            """
+        ).fetchall()
+    )
+    assert got == expect
+    zero = [r for r in got if r[1] == 0]
+    assert zero and all(r[4] == 1.0 for r in zero)
+    assert {r[0] for r in got}  # at least one cohort
