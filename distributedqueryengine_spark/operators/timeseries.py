@@ -205,3 +205,110 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
         )
     )
+
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered funnel per key: the earliest chronological completion of
+    steps[0] → steps[1] → ... (each step at-or-after the previous;
+    optionally the whole funnel within `within_seconds` of step 0).
+    Output: (key, step_times array<long> — epoch of each step reached,
+    NULL from the first miss on — and max_step, how many steps were
+    completed).
+
+    Spark-first shape: NO k-way self-join (the naive funnel plan —
+    k joins on the event table — shuffles the events k times).
+    Instead: filter to funnel events, collect each key's (ts, step)
+    pairs sorted, and FOLD over them once with a higher-order
+    aggregate whose accumulator is the step-time array. One shuffle
+    (the groupBy key); per-key state is its funnel-event count —
+    bounded by user activity, the same contract as any
+    sessionization. The fold is a greedy earliest-match scan: without
+    a window this provably yields the maximal completed prefix
+    (earliest feasible step times only widen later feasibility); WITH
+    `within_seconds` the funnel is anchored at the key's FIRST step-0
+    event (first-touch attribution, the common dashboard definition) —
+    a later step-0 occurrence that would complete inside a fresher
+    window is deliberately not searched (any-touch anchoring is a
+    different, quadratic-leaning semantics)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(f"within_seconds must be positive, got {within_seconds}")
+    k = len(steps)
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(step_col).isin(*steps)).select(
+        F.col(key_col).alias("u"),
+        F.struct(
+            F.unix_timestamp(F.col(ts_col)).alias("t"),
+            F.col(step_col).alias("s"),
+        ).alias("e"),
+    )
+    per_key = ev.groupBy("u").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def fold(acc, e):
+        def set_i(v, i):
+            # i is 0-based; element_at is 1-based → element_at(acc, i)
+            # reads slot i-1. Slot fills when: empty, step matches,
+            # previous slot filled (or first), and the window holds.
+            prev_ok = F.when(i == 0, F.lit(True)).otherwise(
+                F.element_at(acc, i).isNotNull() & (e["t"] >= F.element_at(acc, i))
+            )
+            window_ok = (
+                F.lit(True)
+                if within_seconds is None
+                else F.when(i == 0, F.lit(True)).otherwise(
+                    F.element_at(acc, 1).isNotNull()
+                    & (e["t"] - F.element_at(acc, 1) <= F.lit(within_seconds))
+                )
+            )
+            fill = (
+                v.isNull()
+                & (e["s"] == F.element_at(steps_lit, i + 1))
+                & prev_ok
+                & window_ok
+            )
+            return F.when(fill, e["t"]).otherwise(v)
+
+        return F.transform(acc, lambda v, i: set_i(v, i))
+
+    out = per_key.select(
+        F.col("u").alias(key_col),
+        F.aggregate("evs", init, fold).alias("step_times"),
+    )
+    return out.withColumn(
+        "max_step",
+        F.size(F.filter("step_times", lambda t: t.isNotNull())).cast("int"),
+    )
+
+
+def funnel_counts(funnel_df: DataFrame, n_steps: int) -> DataFrame:
+    """(step, n_keys, conversion): how many keys completed AT LEAST
+    each step, from a `funnel` result — the summary the dashboard
+    plots. conversion is vs step 1's population."""
+    per_step = funnel_df.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_steps))).alias("step"),
+        F.col("max_step"),
+    )
+    counts = (
+        per_step.groupBy("step")
+        .agg(F.count_if(F.col("max_step") >= F.col("step")).alias("n_keys"))
+        .orderBy("step")
+    )
+    from pyspark.sql.window import Window
+
+    first = F.first("n_keys").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.withColumn(
+        "conversion", F.round(F.col("n_keys") / F.greatest(first, F.lit(1)), 6)
+    )

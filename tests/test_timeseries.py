@@ -227,3 +227,70 @@ def test_cohort_retention_matches_duckdb(spark, tables):
     zero = [r for r in got if r[1] == 0]
     assert zero and all(r[4] == 1.0 for r in zero)
     assert {r[0] for r in got}  # at least one cohort
+
+
+def _ref_funnel(events, steps, within=None):
+    """Driver-side greedy earliest-match reference. events: sorted
+    [(t, s)]; returns step-time list (None from first miss)."""
+    times = [None] * len(steps)
+    for t, s in sorted(events):
+        for i, name in enumerate(steps):
+            if times[i] is None and s == name:
+                prev_ok = i == 0 or (times[i - 1] is not None and t >= times[i - 1])
+                win_ok = (
+                    within is None
+                    or i == 0
+                    or (times[0] is not None and t - times[0] <= within)
+                )
+                if prev_ok and win_ok:
+                    times[i] = t
+                break  # each event fills at most its own first-empty slot? no: matches its step only
+    return times
+
+
+def test_funnel_matches_reference_on_events(spark, tables):
+    """Funnel view→click→purchase-style over the real events table
+    (using its actual event_type values) vs the driver-side greedy
+    reference, with and without a time window."""
+    from distributedqueryengine_spark.operators.timeseries import (
+        funnel,
+        funnel_counts,
+    )
+
+    ev = tables["events"].select("user_id", "ts", "event_type")
+    present = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    assert len(present) >= 3
+    steps = sorted(present)[:3]
+
+    raw = ev.filter(F.col("event_type").isin(steps)).collect()
+    by_user: dict = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp()), r.event_type)
+        )
+
+    for within in (None, 6 * 3600):
+        out = funnel(
+            ev, "user_id", "ts", "event_type", steps, within_seconds=within
+        ).collect()
+        got = {r.user_id: list(r.step_times) for r in out}
+        assert set(got) == set(by_user)
+        for u, evs in by_user.items():
+            assert got[u] == _ref_funnel(evs, steps, within), (u, within)
+        # max_step == non-null prefix length
+        for r in out:
+            ts = list(r.step_times)
+            n = 0
+            for t in ts:
+                if t is None:
+                    break
+                n += 1
+            assert r.max_step == n == sum(1 for t in ts if t is not None)
+
+        fc = funnel_counts(
+            funnel(ev, "user_id", "ts", "event_type", steps, within_seconds=within),
+            len(steps),
+        ).collect()
+        ns = [r.n_keys for r in sorted(fc, key=lambda r: r.step)]
+        assert ns[0] >= ns[1] >= ns[2]  # monotone funnel
+        assert sorted(fc, key=lambda r: r.step)[0].conversion == 1.0
