@@ -170,12 +170,13 @@ def cohort_retention(
     retention), one row per (cohort, offset) with activity;
     periods_since=0 rows have retention 1.0 by construction.
 
-    Shape: activity collapses to DISTINCT (user, period) first — all
-    later stages are user-period-sized, not event-sized; the cohort
-    lookup is a user-keyed equi-join (same partitioning as the
-    first-activity aggregate feeding it); the final matrix is a hash
-    aggregate on (cohort, offset). Three shuffles total, none
-    event-row-sized beyond the first distinct."""
+    Shape: activity collapses to DISTINCT (user, period) first — every
+    later stage is user-period-sized, not event-sized; the cohort
+    lookup is a user-keyed equi-join; the final matrix is a hash
+    aggregate on (cohort, offset) joined against the BROADCAST
+    cohort-size frame (one row per cohort period — dozens, not
+    data-sized). The only event-row-sized stage is the first
+    distinct."""
     if period_seconds <= 0:
         raise ValueError(f"period_seconds must be positive, got {period_seconds}")
     period = (
@@ -196,7 +197,7 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return (
-        matrix.join(sizes, "cohort_p")
+        matrix.join(F.broadcast(sizes), "cohort_p")
         .select(
             (F.col("cohort_p") * period_seconds).alias("cohort_period"),
             F.col("periods_since").cast("int"),

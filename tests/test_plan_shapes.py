@@ -129,3 +129,41 @@ def test_multi_group_suite_shares_orders_scan(spark):
     assert p.count("InMemoryTableScan") >= 2, f"orders scan not shared:\n{p[:3000]}"
     tables = set(re.findall(r"FileScan parquet [^.\[]*\.?\[?.*?/(\w+)\.parquet", p))
     assert tables <= {"lineitem", "orders"}, tables
+
+
+def test_round7_operators_exchange_budgets(spark, tables):
+    """The r7 operators keep the repo's shuffle discipline: the
+    window-based ops (sessionize, scd2, funnel) are ONE exchange;
+    resample stays within its aggregate+grid+window budget; cohort's
+    size-frame join broadcasts; nothing degrades to a cartesian."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators import cdc
+    from distributedqueryengine_spark.operators import timeseries as TS
+
+    def ex(df):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        return p.count("Exchange")
+
+    ev = tables["events"]
+    assert ex(TS.sessionize(ev, ["user_id"], "ts", 1800, tiebreak=["event_id"])) == 1
+    assert (
+        ex(cdc.scd2_from_changes(ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]))
+        == 1
+    )
+    steps = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )[:3]
+    assert ex(TS.funnel(ev, "user_id", "ts", "event_type", steps)) == 1
+    assert (
+        ex(TS.resample_fill(ev, ["event_type"], "ts", 3600, {"s": F.sum("value")}, fill="ffill"))
+        <= 3
+    )
+    cohort = TS.cohort_retention(ev, "user_id", "ts", 7 * 86400)
+    p = _plan(cohort)
+    assert "BroadcastHashJoin" in p  # the sizes join must broadcast
+    # 7 static Exchange nodes incl. the BroadcastExchange; only the
+    # first distinct is event-row-sized, and AQE reuses/coalesces the
+    # tiny user-period-sized ones at runtime
+    assert p.count("Exchange") <= 7
