@@ -313,3 +313,41 @@ def funnel_counts(funnel_df: DataFrame, n_steps: int) -> DataFrame:
     return counts.withColumn(
         "conversion", F.round(F.col("n_keys") / F.greatest(first, F.lit(1)), 6)
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window_rows: int = 20,
+    min_points: int = 5,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-row anomaly score: (value - rolling mean) / rolling stddev
+    over the PRECEDING `window_rows` rows per key (the current row is
+    excluded from its own baseline — a spike must not mask itself).
+    NULL until `min_points` history rows exist or the window is
+    constant (stddev 0). One window shuffle on the key; output adds
+    `zscore` to the input columns."""
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    if not 2 <= min_points <= window_rows:
+        raise ValueError(
+            f"need 2 <= min_points <= window_rows, got {min_points}/{window_rows}"
+        )
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= min_points) & sd.isNotNull() & (sd > 0),
+        F.round((F.col(value_col) - mean) / sd, 6),
+    )
+    return df.withColumn("zscore", z)

@@ -294,3 +294,59 @@ def test_funnel_matches_reference_on_events(spark, tables):
         ns = [r.n_keys for r in sorted(fc, key=lambda r: r.step)]
         assert ns[0] >= ns[1] >= ns[2]  # monotone funnel
         assert sorted(fc, key=lambda r: r.step)[0].conversion == 1.0
+
+
+def test_rolling_zscore_matches_duckdb(spark, tables):
+    """Rolling z-score over real events vs the identical window SQL in
+    DuckDB (preceding-rows frame, self-excluded, min_points gate)."""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.timeseries import rolling_zscore
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "value")
+    got = sorted(
+        (r.user_id, r.event_id, r.zscore)
+        for r in rolling_zscore(
+            ev, ["user_id"], "ts", "value", window_rows=10, min_points=5,
+            tiebreak=["event_id"],
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT user_id, event_id,
+                   CASE WHEN count(value) OVER w >= 5
+                         AND stddev_samp(value) OVER w > 0
+                        THEN round((value - avg(value) OVER w)
+                                   / stddev_samp(value) OVER w, 6)
+                   END AS z
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+            """
+        ).fetchall()
+    )
+    assert len(got) == len(expect)
+    for (gu, ge, gz), (eu, ee, ez) in zip(got, expect):
+        assert (gu, ge) == (eu, ee)
+        if gz is None or ez is None:
+            assert gz == ez, (gu, ge, gz, ez)
+        else:
+            assert abs(gz - ez) < 1e-6, (gu, ge, gz, ez)
+    # a planted spike scores extremely
+    base = [("s", i, 1_700_000_000 + i * 60, 10.0 + (i % 3) * 0.1) for i in range(20)]
+    spike = [("s", 99, 1_700_000_000 + 20 * 60, 1000.0)]
+    df = spark.createDataFrame(
+        base + spike, "k string, i long, ep long, v double"
+    ).select("k", "i", F.timestamp_seconds("ep").alias("ts"), "v")
+    out = {
+        r.i: r.zscore
+        for r in rolling_zscore(df, ["k"], "ts", "v", 10, 5, tiebreak=["i"]).collect()
+    }
+    assert out[99] is not None and out[99] > 100
