@@ -48,10 +48,14 @@ def resample_fill(
 
     'ffill' carries the last observed value forward (gaps before a
     key's first observation stay NULL — there is nothing to carry);
-    'zero' fills numeric gaps with 0; 'null' leaves them NULL.
+    'zero' fills numeric gaps with 0; 'null' leaves them NULL;
+    'interp' linearly interpolates between the surrounding observed
+    buckets (Timescale's interpolate(); strictly-outside-the-observed-
+    range rows stay NULL — there is no second anchor to draw a line
+    to). 'interp' requires numeric aggregates.
     """
-    if fill not in ("null", "zero", "ffill"):
-        raise ValueError(f"fill must be null|zero|ffill, got {fill!r}")
+    if fill not in ("null", "zero", "ffill", "interp"):
+        raise ValueError(f"fill must be null|zero|ffill|interp, got {fill!r}")
     if interval_seconds <= 0:
         raise ValueError(f"interval_seconds must be positive, got {interval_seconds}")
     keys = list(key_cols)
@@ -99,6 +103,31 @@ def resample_fill(
         for n in names:
             joined = joined.withColumn(
                 n, F.last(n, ignorenulls=True).over(w)
+            )
+    elif fill == "interp":
+        back = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fwd = (
+            Window.partitionBy(*keys)
+            .orderBy("__bucket")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_bucket = F.when(F.col("observed"), F.col("__bucket"))
+        pb = F.last(obs_bucket, ignorenulls=True).over(back)
+        nb = F.first(obs_bucket, ignorenulls=True).over(fwd)
+        for n in names:
+            pv = F.last(n, ignorenulls=True).over(back)
+            nv = F.first(n, ignorenulls=True).over(fwd)
+            frac = (F.col("__bucket") - pb) / (nb - pb)
+            line = pv + (nv - pv) * frac
+            joined = joined.withColumn(
+                n,
+                F.when(F.col("observed"), F.col(n)).otherwise(
+                    F.when(pb.isNotNull() & nb.isNotNull(), line)
+                ),
             )
     return joined.select(
         *keys, F.col("__bucket").alias("bucket_ts"), *names, "observed"

@@ -350,3 +350,19 @@ def test_rolling_zscore_matches_duckdb(spark, tables):
         for r in rolling_zscore(df, ["k"], "ts", "v", 10, 5, tiebreak=["i"]).collect()
     }
     assert out[99] is not None and out[99] > 100
+
+
+def test_resample_interp_policy(spark):
+    from distributedqueryengine_spark.operators.timeseries import resample_fill
+
+    df = _mk(spark)
+    base = 1_700_000_040
+    out = resample_fill(df, ["k"], "ts", 60, {"s": F.sum("v")}, fill="interp")
+    a = {r.bucket_ts: r.s for r in out.collect() if r.k == "A"}
+    # observed anchors unchanged
+    assert a[base] == 30.0 and a[base + 120] == 7.0 and a[base + 360] == 1.0
+    # linear between anchors: 30→7 over 120s, 7→1 over 240s
+    assert abs(a[base + 60] - 18.5) < 1e-9
+    assert abs(a[base + 180] - 5.5) < 1e-9
+    assert abs(a[base + 240] - 4.0) < 1e-9
+    assert abs(a[base + 300] - 2.5) < 1e-9
