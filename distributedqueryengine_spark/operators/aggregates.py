@@ -146,3 +146,87 @@ def winsorize(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+# -------------------------------------- incremental aggregate maintenance
+
+#: kind -> (state columns built from the value, merge op per state col)
+_MERGEABLE_KINDS = ("sum", "count", "min", "max", "avg")
+
+
+def _state_cols(name: str, kind: str):
+    """State column names backing one logical aggregate. avg keeps
+    (sum, count) so it stays algebraic — never a stored ratio."""
+    if kind == "avg":
+        return [f"{name}__sum", f"{name}__cnt"]
+    return [f"{name}__{kind}"]
+
+
+def build_agg_state(df, keys, specs):
+    """Partial-aggregate state table for `specs` (name -> (value_col,
+    kind), kind in sum|count|min|max|avg): one row per key holding
+    mergeable state columns — the materialized-view pattern for append-
+    only data at 100 TB: aggregate each arriving increment alone, merge
+    states, and NEVER rescan history. count counts non-null values of
+    the column (SQL COUNT(col) semantics), matching what a direct
+    groupBy would produce."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for name, (col, kind) in specs.items():
+        if kind not in _MERGEABLE_KINDS:
+            raise ValueError(f"{name}: kind must be one of {_MERGEABLE_KINDS}")
+        if kind == "sum":
+            aggs.append(F.sum(col).alias(f"{name}__sum"))
+        elif kind == "count":
+            aggs.append(F.count(col).alias(f"{name}__count"))
+        elif kind == "min":
+            aggs.append(F.min(col).alias(f"{name}__min"))
+        elif kind == "max":
+            aggs.append(F.max(col).alias(f"{name}__max"))
+        else:  # avg
+            aggs.append(F.sum(col).alias(f"{name}__sum"))
+            aggs.append(F.count(col).alias(f"{name}__cnt"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_states(states, keys, specs):
+    """Combine any number of build_agg_state results: union + one hash
+    aggregate with each state column's own merge op (sum-of-sums,
+    min-of-mins, ...). Associative and commutative, so increments can
+    merge in any order or hierarchy (per-hour -> per-day -> total)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    unioned = reduce(lambda a, b: a.unionByName(b), states)
+    merges = []
+    for name, (_, kind) in specs.items():
+        if kind == "min":
+            merges.append(F.min(f"{name}__min").alias(f"{name}__min"))
+        elif kind == "max":
+            merges.append(F.max(f"{name}__max").alias(f"{name}__max"))
+        elif kind == "count":
+            merges.append(F.sum(f"{name}__count").alias(f"{name}__count"))
+        elif kind == "sum":
+            merges.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+        else:  # avg
+            merges.append(F.sum(f"{name}__sum").alias(f"{name}__sum"))
+            merges.append(F.sum(f"{name}__cnt").alias(f"{name}__cnt"))
+    return unioned.groupBy(*keys).agg(*merges)
+
+
+def finalize_agg_state(state, keys, specs):
+    """Render state to the user-facing aggregate columns (avg becomes
+    sum/count; everything else passes through under its logical name)."""
+    from pyspark.sql import functions as F
+
+    out = [F.col(k) for k in keys]
+    for name, (_, kind) in specs.items():
+        if kind == "avg":
+            out.append(
+                (F.col(f"{name}__sum") / F.col(f"{name}__cnt")).alias(name)
+            )
+        else:
+            out.append(F.col(f"{name}__{kind}").alias(name))
+    return state.select(*out)

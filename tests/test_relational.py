@@ -462,3 +462,71 @@ def test_profile_table_matches_exact_stats(spark, tables):
     # string column gets avg_len; numeric does not
     assert prof["o_orderpriority"].avg_len is not None
     assert prof["o_orderkey"].avg_len is None
+
+
+def test_incremental_agg_state_equals_full_recompute(spark, tables):
+    """Three order 'increments' aggregated separately and state-merged
+    (in two different merge orders) must equal a direct groupBy over
+    the full data, for sum/count/min/max/avg — and a planted all-NULL
+    increment must not poison counts or averages."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        build_agg_state,
+        finalize_agg_state,
+        merge_agg_states,
+    )
+
+    o = tables["orders"].select("o_orderstatus", "o_custkey", "o_totalprice")
+    nulls = o.limit(20).withColumn("o_totalprice", F.lit(None).cast("double"))
+    full = o.unionByName(nulls)
+    incs = [
+        full.filter(F.col("o_custkey") % 3 == 0),
+        full.filter(F.col("o_custkey") % 3 == 1),
+        full.filter(F.col("o_custkey") % 3 == 2),
+    ]
+    specs = {
+        "total": ("o_totalprice", "sum"),
+        "n_priced": ("o_totalprice", "count"),
+        "lo": ("o_totalprice", "min"),
+        "hi": ("o_totalprice", "max"),
+        "mean": ("o_totalprice", "avg"),
+    }
+    keys = ["o_orderstatus"]
+    states = [build_agg_state(i, keys, specs) for i in incs]
+    merged_flat = merge_agg_states(states, keys, specs)
+    # hierarchical merge: (s0+s1) + s2
+    merged_hier = merge_agg_states(
+        [merge_agg_states(states[:2], keys, specs), states[2]], keys, specs
+    )
+
+    def render(state):
+        return {
+            r.o_orderstatus: (
+                round(r.total, 2),
+                r.n_priced,
+                round(r.lo, 2),
+                round(r.hi, 2),
+                round(r.mean, 6),
+            )
+            for r in finalize_agg_state(state, keys, specs).collect()
+        }
+
+    direct = {
+        r.o_orderstatus: (
+            round(r.total, 2),
+            r.n_priced,
+            round(r.lo, 2),
+            round(r.hi, 2),
+            round(r.mean, 6),
+        )
+        for r in full.groupBy("o_orderstatus")
+        .agg(
+            F.sum("o_totalprice").alias("total"),
+            F.count("o_totalprice").alias("n_priced"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.avg("o_totalprice").alias("mean"),
+        )
+        .collect()
+    }
+    assert render(merged_flat) == direct
+    assert render(merged_hier) == direct
