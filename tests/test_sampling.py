@@ -1,0 +1,49 @@
+"""Weighted-sampling tests (functions/sampling.py): determinism, exact
+size, weight-proportional inclusion, and degenerate-weight handling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.sampling import weighted_sample_n
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # 2000 light rows (w=1) and 2000 heavy rows (w=9)
+    rows = [(i, 1.0 if i < 2000 else 9.0) for i in range(4000)]
+    return spark.createDataFrame(rows, "id long, w double").persist()
+
+
+def test_weighted_sample_deterministic_exact_size(weighted):
+    s1 = {r.id for r in weighted_sample_n(weighted, "w", 400, ["id"]).collect()}
+    s2 = {r.id for r in weighted_sample_n(weighted, "w", 400, ["id"]).collect()}
+    assert s1 == s2 and len(s1) == 400
+    s3 = {r.id for r in weighted_sample_n(weighted, "w", 400, ["id"], seed=7).collect()}
+    assert s3 != s1  # a different seed draws a different sample
+
+
+def test_weighted_sample_overrepresents_heavy(weighted):
+    got = weighted_sample_n(weighted, "w", 400, ["id"]).collect()
+    heavy = sum(1 for r in got if r.w == 9.0)
+    light = len(got) - heavy
+    # equal populations, 9x weight: heavy inclusion must dominate hard
+    # (ES inclusion odds ratio ~ w ratio at small sampling fractions)
+    assert heavy > 4 * light, (heavy, light)
+    assert light > 0  # ...but light rows are not excluded outright
+
+
+def test_weighted_sample_ignores_nonpositive_and_null(spark):
+    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 5.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r.id for r in weighted_sample_n(df, "w", 10, ["id"]).collect()}
+    assert got == {1, 5}  # only positive-weight rows, even when n > |eligible|
+
+
+def test_weighted_sample_guards(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+    with pytest.raises(ValueError, match="positive"):
+        weighted_sample_n(df, "w", 0, ["id"])
+    with pytest.raises(ValueError, match="key_cols"):
+        weighted_sample_n(df, "w", 1, [])
