@@ -187,22 +187,30 @@ GROUP_KEYS_SPARK = {
 )
 def test_random_groupby_keys_matches_duckdb(spark, duck, keys, agg_fn, agg_col):
     """Random grouping-key SETS (including computed keys) must agree —
-    exercises partial+final agg under arbitrary key combinations."""
+    exercises partial+final agg under arbitrary key combinations.
+    Aggregate values compare UNROUNDED within 1e-9 relative tolerance:
+    float sums are order-dependent across engines (~1e-15 relative),
+    and a round(2) equality flips a whole cent when a group's avg lands
+    exactly on a .xx5 boundary (seen in the wild: avg=0.025 over 4
+    rows → 0.02 vs 0.03). Keys and counts still compare exactly."""
     key_sql = ", ".join(f"{GROUP_KEYS[k]} AS {k}" for k in keys)
     sql = (
-        f"SELECT {key_sql}, count(*) AS n, round({agg_fn}({agg_col}), 2) AS a "
+        f"SELECT {key_sql}, count(*) AS n, {agg_fn}({agg_col}) AS a "
         f"FROM lineitem GROUP BY {', '.join(GROUP_KEYS[k] for k in keys)}"
     )
     agg_expr = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg}[agg_fn](agg_col)
     got = {
-        tuple(r)
+        tuple(r)[:-1]: r[-1]
         for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
         .groupBy(*[GROUP_KEYS_SPARK[k]().alias(k) for k in keys])
-        .agg(F.count(F.lit(1)).alias("n"), F.round(agg_expr, 2).alias("a"))
+        .agg(F.count(F.lit(1)).alias("n"), agg_expr.alias("a"))
         .collect()
     }
-    expect = {tuple(r) for r in duck.execute(sql).fetchall()}
-    assert got == expect
+    expect = {tuple(r)[:-1]: r[-1] for r in duck.execute(sql).fetchall()}
+    assert got.keys() == expect.keys()
+    for k, g in got.items():
+        e = expect[k]
+        assert abs(g - e) <= 1e-9 * max(abs(g), abs(e), 1.0), (k, g, e)
 
 
 @settings(
