@@ -102,3 +102,52 @@ def snapshot_at(
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change feed between two snapshots of the same table: one row per
+    differing key with op ∈ {insert, delete, update} — the reverse of
+    scd2_from_changes (which consumes a change feed), and the tool for
+    regression-diffing pipeline outputs ('what changed between
+    yesterday's build and today's?').
+
+    Full outer join on the keys; `compare_cols` (default: every
+    non-key column present in BOTH frames) decide update-ness with
+    NULL-safe equality. Unchanged keys are dropped — the diff is
+    |changes|-sized, not table-sized. Output: key_cols + op + two
+    structs (before, after; NULL on insert/delete respectively)."""
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    cmp_cols = list(compare_cols)
+    o = old.select(*keys, F.struct(*cmp_cols).alias("before")).alias("o")
+    n = new.select(*keys, F.struct(*cmp_cols).alias("after")).alias("n")
+    cond = None
+    for k in keys:
+        e = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = e if cond is None else (cond & e)
+    joined = o.join(n, cond, "full")
+    in_old = F.col("o.before").isNotNull() | F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col("n.after").isNotNull() | F.col(f"n.{keys[0]}").isNotNull()
+    op = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(~F.col("o.before").eqNullSafe(F.col("n.after")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys],
+            "op",
+            F.when(in_old, F.col("o.before")).alias("before"),
+            F.when(in_new, F.col("n.after")).alias("after"),
+        )
+    )

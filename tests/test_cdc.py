@@ -128,3 +128,33 @@ def test_scd2_snapshot_point_in_time(spark):
     cur = {r.cust: r.tier for r in dim.filter("is_current").collect()}
     assert cur == {1: "gold", 2: "bronze"}
     dim.unpersist()
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40), (5, "e", None)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 99), (6, "f", 60)],
+        "k int, s string, v int",
+    )
+    from distributedqueryengine_spark.operators.cdc import snapshot_diff
+
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=1 unchanged → absent; k=4 NULL==NULL unchanged → absent
+    assert set(got) == {2, 3, 5, 6}
+    assert got[2].op == "update" and got[2].before.s == "b" and got[2].after.s == "B"
+    assert got[3].op == "delete" and got[3].after is None
+    assert got[5].op == "update" and got[5].before.v is None and got[5].after.v == 99
+    assert got[6].op == "insert" and got[6].before is None
+
+    # compare_cols restriction: only `s` matters → k=5's v change invisible
+    got_s = {
+        r.k: r.op
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    }
+    assert got_s == {2: "update", 3: "delete", 6: "insert"}
+
+    # round-trip sanity on a real table: diff(x, x) is empty
+    assert snapshot_diff(new, new, ["k"]).count() == 0
