@@ -244,3 +244,57 @@ def test_compact_files_missing_path_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         compact_files(spark, str(tmp_path / "nope"))
+
+
+def test_parquet_compression_codecs_roundtrip(spark, tables, tmp_path):
+    """Codec passthrough via write_files options: zstd/snappy/gzip all
+    round-trip identical rows, file extensions carry the codec, and
+    uncompressed output is measurably larger."""
+    import os
+
+    from distributedqueryengine_spark.sources.sinks import write_files
+
+    li = tables["lineitem"].select("l_orderkey", "l_returnflag", "l_shipdate").coalesce(1)
+    before = sorted(tuple(r) for r in li.collect())
+    sizes = {}
+    for codec in ("zstd", "snappy", "gzip", "uncompressed"):
+        path = str(tmp_path / codec)
+        write_files(li, path, compression=codec)
+        back = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+        assert back == before, codec
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if codec != "uncompressed":
+            assert all(f".{codec[:2]}" in f or codec in f for f in files), files
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(path, f)) for f in files
+        )
+    assert sizes["uncompressed"] > 1.2 * sizes["zstd"]
+    assert sizes["uncompressed"] > 1.2 * sizes["gzip"]
+
+
+def test_parquet_schema_evolution_merge(spark, tables, tmp_path):
+    """Schema evolution pin: a dataset whose later files add a column
+    reads with mergeSchema=true (old rows NULL-padded), while the
+    default read resolves whichever file schema it samples — the
+    documented reason production tables declare schemas explicitly."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    v1 = tables["nation"].select("n_nationkey", "n_name")
+    v2 = tables["nation"].select(
+        "n_nationkey", "n_name", F.lit("amer").alias("region_code")
+    )
+    v1.write.parquet(base)
+    v2.write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "region_code"}
+    n = v1.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("region_code").isNull()).count() == n
+    assert merged.filter(F.col("region_code") == "amer").count() == n
+
+    # explicit schema read: stable regardless of file sampling order
+    fixed = spark.read.schema(merged.schema).parquet(base)
+    assert fixed.count() == 2 * n
+    assert set(fixed.columns) == set(merged.columns)
