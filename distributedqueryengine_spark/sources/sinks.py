@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_files(
@@ -133,4 +134,63 @@ def compact_files(
         "files_before": int(files_before),
         "files_after": data_files(hpath),
         "bytes": int(total_bytes),
+    }
+
+
+def merge_upsert_files(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+    fmt: str = "parquet",
+) -> dict:
+    """MERGE INTO for plain files: upsert `updates` into the dataset at
+    `path` by key — matched keys take the update row, unmatched keys
+    insert, and rows whose `delete_col` is true delete their key. The
+    poor-man's transaction that raw parquet allows: the merged result
+    writes to a staging dir and swaps in with two renames (readers see
+    old-or-new, same contract as compact_files); full MVCC with
+    concurrent writers needs a table format's commit protocol, which
+    this deliberately does not fake.
+
+    Plan shape: target LEFT ANTI updates on the keys (drop rows being
+    replaced or deleted) UNION the surviving updates — one shuffle on
+    the key, no driver materialization. Returns {rows_before,
+    rows_after, n_updates}.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name the merge key")
+    target = spark.read.format(fmt).load(path)
+    rows_before = target.count()
+    n_updates = updates.count()
+
+    keys = list(key_cols)
+    survivors = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    incoming = (
+        updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+        if delete_col
+        else updates
+    )
+    merged = survivors.unionByName(incoming.select(*target.columns))
+
+    staging = path.rstrip("/") + "__merging"
+    merged.write.format(fmt).mode("overwrite").save(staging)
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(hconf)
+    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__premerge")
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    fs.rename(hpath, backup)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
+    fs.delete(backup, True)
+
+    rows_after = spark.read.format(fmt).load(path).count()
+    return {
+        "rows_before": int(rows_before),
+        "rows_after": int(rows_after),
+        "n_updates": int(n_updates),
     }

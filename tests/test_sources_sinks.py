@@ -298,3 +298,51 @@ def test_parquet_schema_evolution_merge(spark, tables, tmp_path):
     fixed = spark.read.schema(merged.schema).parquet(base)
     assert fixed.count() == 2 * n
     assert set(fixed.columns) == set(merged.columns)
+
+
+def test_merge_upsert_files(spark, tables, tmp_path):
+    """MERGE semantics on plain parquet: update-by-key, insert-new,
+    delete-flagged, untouched-rows preserved, no staging residue, and
+    idempotent re-merge."""
+    import os
+
+    from distributedqueryengine_spark.sources.sinks import merge_upsert_files
+
+    path = str(tmp_path / "target")
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.parquet(path)
+    n0 = nation.count()
+
+    updates = spark.createDataFrame(
+        [
+            (0, "RENAMED ZERO", 9, False),    # update existing key
+            (998, "NEWLAND", 4, False),       # insert
+            (1, "whatever", 0, True),         # delete key 1
+        ],
+        "n_nationkey long, n_name string, n_regionkey long, is_deleted boolean",
+    )
+    stats = merge_upsert_files(
+        spark, path, updates, ["n_nationkey"], delete_col="is_deleted"
+    )
+    assert stats == {"rows_before": n0, "rows_after": n0 + 1 - 1, "n_updates": 3}
+
+    after = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in spark.read.parquet(path).collect()}
+    assert after[0] == ("RENAMED ZERO", 9)
+    assert after[998] == ("NEWLAND", 4)
+    assert 1 not in after
+    before = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in nation.collect()}
+    for k, v in before.items():
+        if k not in (0, 1):
+            assert after[k] == v  # untouched rows preserved
+    assert not os.path.exists(path + "__merging")
+    assert not os.path.exists(path + "__premerge")
+
+    # idempotent: re-applying the same merge changes nothing
+    again = merge_upsert_files(
+        spark, path, updates, ["n_nationkey"], delete_col="is_deleted"
+    )
+    assert again["rows_after"] == stats["rows_after"]
+    assert {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in spark.read.parquet(path).collect()
+    } == after
