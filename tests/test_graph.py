@@ -1,0 +1,65 @@
+"""PageRank tests: numpy power-iteration reference on graphs with
+dangling nodes, hubs, and cycles; probability-mass invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributedqueryengine_spark.functions.graph import pagerank
+
+
+def _ref_pagerank(edges, n, damping=0.85, iters=60):
+    out: dict[int, list[int]] = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        dangling = sum(r[s] for s in range(n) if s not in out)
+        nxt += damping * dangling / n
+        for s, ds in out.items():
+            share = damping * r[s] / len(ds)
+            for d in ds:
+                nxt[d] += share
+        r = nxt
+    return r
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    # hub-and-spoke + cycle + dangling sink, deterministic extras
+    edges = (
+        [(0, i) for i in range(1, 6)]            # hub fan-out
+        + [(i, 0) for i in range(1, 4)]          # back-links
+        + [(6, 7), (7, 8), (8, 6)]               # 3-cycle
+        + [(5, 9)]                               # 9 is dangling
+        + [((i * 7) % 10, (i * 3) % 10) for i in range(10)]
+    )
+    return edges, spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_numpy(spark, graph):
+    edges, df = graph
+    got = {r.id: r.rank for r in pagerank(df, max_iter=60, tol=1e-12).collect()}
+    ref = _ref_pagerank(edges, 10)
+    assert set(got) == set(range(10))
+    for i in range(10):
+        assert abs(got[i] - ref[i]) < 1e-6, (i, got[i], ref[i])
+    # ranks remain a probability distribution (dangling mass conserved)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # hub receives back-links from 3 spokes → top rank
+    assert max(got, key=got.get) == 0
+
+
+def test_pagerank_converges_early_and_guards(spark, graph):
+    _, df = graph
+    # loose tol stops well before max_iter yet lands near the fixed point
+    loose = {r.id: r.rank for r in pagerank(df, max_iter=60, tol=1e-4).collect()}
+    tight = {r.id: r.rank for r in pagerank(df, max_iter=60, tol=1e-12).collect()}
+    for i in loose:
+        assert abs(loose[i] - tight[i]) < 1e-3
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)
+    empty = df.limit(0)
+    assert pagerank(empty).count() == 0
