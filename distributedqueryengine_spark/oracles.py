@@ -569,14 +569,34 @@ ORACLES["dedup_embedding"] = r"""
 """
 ORACLES["time_rollup"] = r"""
         WITH ev AS (
-            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_bucket,
-                   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_bucket,
+            SELECT user_id, event_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
                    value
-            FROM events)
+            FROM events),
+        m AS (
+            SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                            OR sec - lag(sec) OVER w > 1800
+                       THEN 1 ELSE 0 END AS ns
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ), r AS (
+            SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sn
+            FROM m
+        ), s AS (
+            SELECT sec - sec % 3600 AS hour_bucket,
+                   sec - sec % 86400 AS day_bucket,
+                   value,
+                   CAST(user_id AS VARCHAR) || ':' ||
+                   CAST(min(sec) OVER (PARTITION BY user_id, sn) AS VARCHAR)
+                     AS session_key
+            FROM r
+        )
         SELECT hour_bucket, day_bucket,
                count(*) AS n,
-               round(sum(value), 2) AS sum_value
-        FROM ev
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT session_key) AS n_sessions
+        FROM s
         GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
 """
 

@@ -1497,19 +1497,45 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-granularity rollup: hourly AND daily event
     aggregates in ONE pass (grouping sets over derived buckets) — at
-    100 TB this halves the scan count vs two separate rollups."""
+    100 TB this halves the scan count vs two separate rollups. Since
+    r7 the rollup also counts DISTINCT active sessions per bucket,
+    folding the batch sessionization operator (operators/timeseries.
+    sessionize: 30-min gap, lag + conditional cumsum, one window
+    shuffle) into the driver-oracled plan — the DuckDB oracle runs the
+    identical window SQL."""
     ev = _t(spark, sf_dir, "events").select(
-        (F.unix_timestamp("ts").cast("bigint") - F.pmod(F.unix_timestamp("ts"), 3600)).alias("hour_bucket"),
-        (F.unix_timestamp("ts").cast("bigint") - F.pmod(F.unix_timestamp("ts"), 86400)).alias("day_bucket"),
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("sec"),
         "value",
     )
     ev.createOrReplaceTempView("events_tr")
     return spark.sql(
         """
+        WITH m AS (
+          SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                          OR sec - lag(sec) OVER w > 1800
+                     THEN 1 ELSE 0 END AS ns
+          FROM events_tr
+          WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ), r AS (
+          SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sn
+          FROM m
+        ), s AS (
+          SELECT sec - sec % 3600 AS hour_bucket,
+                 sec - sec % 86400 AS day_bucket,
+                 value,
+                 CAST(user_id AS STRING) || ':' ||
+                 CAST(min(sec) OVER (PARTITION BY user_id, sn) AS STRING)
+                   AS session_key
+          FROM r
+        )
         SELECT hour_bucket, day_bucket,
                count(*) AS n,
-               round(sum(value), 2) AS sum_value
-        FROM events_tr
+               round(sum(value), 2) AS sum_value,
+               count(DISTINCT session_key) AS n_sessions
+        FROM s
         GROUP BY GROUPING SETS ((hour_bucket), (day_bucket))
         """
     )
