@@ -534,6 +534,7 @@ def build_vocabulary(
     top_k: int | None = None,
     min_count: int = 1,
     use_bpe_pretokens: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
     """(token, count, rank): corpus token vocabulary by descending
     frequency (ties broken by token text, so ranks are deterministic) —
@@ -545,14 +546,31 @@ def build_vocabulary(
     and ranking happens on the already-truncated (driver-bounded)
     result. With top_k=None the rank window runs over the full distinct
     vocabulary — fine for word-level vocabs (≤ millions of rows), which
-    is one partition-sized table, not corpus-sized."""
+    is one partition-sized table, not corpus-sized. `ngram` > 1 counts
+    word n-gram PHRASES instead of unit tokens (phrase mining /
+    collocation discovery — always whitespace words, since BPE
+    pre-tokens straddling word boundaries are not phrases); the
+    n-gram arrays build with the same codegen-friendly
+    arrays_zip+slice construction as dedup.shingles."""
     from pyspark.sql.window import Window
 
     from distributedqueryengine_spark.session import ensure_parallelism
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    tok = regex_tokens(text_col) if use_bpe_pretokens else tokens(text_col)
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if ngram == 1:
+        tok = regex_tokens(text_col) if use_bpe_pretokens else tokens(text_col)
+    else:
+        toks = tokens(text_col)
+        n_grams = F.greatest(F.size(toks) - ngram + 1, F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(ngram)]
+        )
+        tok = F.transform(
+            zipped, lambda z: F.concat_ws(" ", *[z[f"t{i}"] for i in range(ngram)])
+        )
     counts = (
         ensure_parallelism(df)
         .select(F.explode(tok).alias("token"))

@@ -554,3 +554,32 @@ def test_build_vocabulary_matches_counter(spark, tables):
     # full-vocab OOV is zero
     s2 = oov_stats(docs, "text", build_vocabulary(docs, "text")).first()
     assert s2.oov_tokens == 0 and s2.oov_rate == 0.0
+
+
+def test_build_vocabulary_ngrams_match_counter(spark, tables):
+    """Phrase mining: bigram/trigram vocabularies vs a driver-side
+    Counter over the same whitespace tokenization."""
+    import re as _re
+    from collections import Counter
+
+    from distributedqueryengine_spark.functions.text import build_vocabulary
+
+    docs = tables["documents"].select("text").limit(60)
+    texts = [r.text for r in docs.collect()]
+    for n in (2, 3):
+        ref = Counter()
+        for t in texts:
+            ws = [w for w in _re.split(r"\s+", t.strip().lower()) if w]
+            ref.update(
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            )
+        got = {
+            r.token: r["count"]
+            for r in build_vocabulary(docs, "text", ngram=n).collect()
+        }
+        assert got == dict(ref), f"ngram={n}"
+        top = build_vocabulary(docs, "text", ngram=n, top_k=5).collect()
+        expect_top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert [
+            (r.token, r["count"]) for r in sorted(top, key=lambda r: r.rank)
+        ] == expect_top
