@@ -122,3 +122,108 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ------------------------------------------------------ streaming funnel
+
+def _funnel_schemas(n_steps: int):
+    from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+    # one scalar column per step (step_1_ts..step_k_ts): nested arrays
+    # in applyInPandasWithState OUTPUT rows hit Arrow decode issues on
+    # this Spark build, and scalars are the friendlier sink schema
+    # anyway. State keeps arrays (state encoding handles them fine).
+    out = StructType(
+        [StructField("key", LongType()), StructField("max_step", IntegerType())]
+        + [StructField(f"step_{i + 1}_ts", LongType()) for i in range(n_steps)]
+    )
+    state = StructType(
+        [
+            StructField("ts", ArrayType(LongType())),
+            StructField("step", ArrayType(StringType())),
+        ]
+    )
+    return out, state
+
+
+def _greedy_funnel(events, steps, within):
+    """Driver-identical greedy earliest-match fold (the exact
+    semantics of operators/timeseries.funnel, incl. first-touch window
+    anchoring); events pre-sorted by (ts, step)."""
+    times = [None] * len(steps)
+    for t, s in events:
+        for i, name in enumerate(steps):
+            if times[i] is None and s == name:
+                prev_ok = i == 0 or (
+                    times[i - 1] is not None and t >= times[i - 1]
+                )
+                win_ok = (
+                    within is None
+                    or i == 0
+                    or (times[0] is not None and t - times[0] <= within)
+                )
+                if prev_ok and win_ok:
+                    times[i] = t
+                break
+    return times
+
+
+def streaming_funnel(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Continuously-updated funnel per key: each micro-batch emits the
+    key's current (max_step, step_times) — identical semantics to the
+    batch operators/timeseries.funnel over the events seen so far.
+
+    A funnel is NOT incrementally foldable from a summary: a step-1
+    event arriving AFTER a step-2 event (cross-batch out-of-order) can
+    retroactively complete the sequence, so the state keeps the key's
+    funnel-RELEVANT events (pre-filtered to the step set — the same
+    bound the batch fold carries per group) and re-runs the greedy
+    fold per update. State size = per-key funnel-event count; keys are
+    hash-partitioned and each batch touches only arriving keys.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema, state_schema = _funnel_schemas(len(steps))
+    step_set = list(steps)
+    within = within_seconds
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts, st = state.get
+            ts, st = list(ts), list(st)
+        else:
+            ts, st = [], []
+        for pdf in pdfs:
+            ts.extend(int(x) for x in pdf["__sec"])
+            st.extend(str(x) for x in pdf["__step"])
+        state.update((ts, st))
+        times = _greedy_funnel(sorted(zip(ts, st)), step_set, within)
+        n = 0
+        for t in times:
+            if t is None:
+                break
+            n += 1
+        row = {"key": [key[0]], "max_step": [n]}
+        for i, t in enumerate(times):
+            row[f"step_{i + 1}_ts"] = [t]
+        yield pd.DataFrame(row)
+
+    filtered = events.filter(F.col(step_col).isin(step_set)).select(
+        F.col(key_col).alias("__key"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("__sec"),
+        F.col(step_col).alias("__step"),
+    )
+    return filtered.groupBy("__key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -178,3 +178,73 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_streaming_funnel_matches_batch_with_out_of_order_arrival(spark, tmp_path):
+    """The streaming funnel's buffered-recompute state must equal the
+    batch funnel over all events seen — INCLUDING a step-1 event that
+    arrives in a LATER micro-batch than the step-2 event it completes
+    (the case an incremental fold-only design gets wrong)."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.timeseries import funnel
+    from distributedqueryengine_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "cart", "buy"]
+    batch1 = [  # arrives first
+        (1, 500, "cart"),   # user 1: cart BEFORE its view arrives
+        (2, 100, "view"),
+        (2, 200, "cart"),
+        (3, 100, "buy"),    # buy with no prefix → stuck at 0
+        (1, 900, "buy"),
+    ]
+    batch2 = [  # arrives second, timestamps EARLIER than batch1's
+        (1, 300, "view"),   # retroactively completes view→cart→buy
+        (2, 950, "buy"),
+        (3, 400, "view"),
+    ]
+    schema = "u long, ep long, step string"
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "u", F.timestamp_seconds("ep").alias("ts"), "step"
+        )
+
+    src = str(tmp_path / "src")
+    to_df(batch1).coalesce(1).write.parquet(src)
+    to_df(batch2).coalesce(1).write.mode("append").parquet(src)
+    full = to_df(batch1 + batch2)
+
+    stream = (
+        spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_funnel(stream, "u", "ts", "step", steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emitted row per key is the final state
+    rows = spark.sql("SELECT * FROM sfunnel").collect()
+    final: dict = {}
+    for r in rows:  # keep the most-complete emission per key
+        cur = (r.max_step, [r.step_1_ts, r.step_2_ts, r.step_3_ts])
+        if r.key not in final or cur[0] >= final[r.key][0]:
+            final[r.key] = cur
+
+    expect = {
+        r.u: (r.max_step, list(r.step_times))
+        for r in funnel(full, "u", "ts", "step", steps).collect()
+    }
+    assert final == expect, f"{final} != {expect}"
+    assert expect[1] == (3, [300, 500, 900])  # retroactive completion
+    assert expect[3][0] == 1  # view only (buy preceded it)
