@@ -111,3 +111,105 @@ def test_rolling_zscore_any_window_matches_duckdb(
             assert g == e, (k, g, e)
         else:
             assert abs(g - e) < 1e-6, (k, g, e)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(min_value=2, max_value=4),
+    within=st.one_of(st.none(), st.integers(min_value=600, max_value=86400)),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_funnel_random_configs_match_reference(spark, tables, k, within, seed):
+    """Random step subsets/orders and windows vs the driver-side greedy
+    reference over real events."""
+    import random
+
+    from distributedqueryengine_spark.operators.timeseries import funnel
+
+    ev = tables["events"].select("user_id", "ts", "event_type")
+    present = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    rng = random.Random(seed)
+    steps = rng.sample(present, min(k, len(present)))
+
+    def ref(events):
+        times = [None] * len(steps)
+        for t, s in sorted(events):
+            for i, name in enumerate(steps):
+                if times[i] is None and s == name:
+                    prev_ok = i == 0 or (
+                        times[i - 1] is not None and t >= times[i - 1]
+                    )
+                    win_ok = (
+                        within is None
+                        or i == 0
+                        or (times[0] is not None and t - times[0] <= within)
+                    )
+                    if prev_ok and win_ok:
+                        times[i] = t
+                    break
+        return times
+
+    raw = ev.filter(F.col("event_type").isin(steps)).collect()
+    by_user: dict = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append(
+            (int(r.ts.timestamp()), r.event_type)
+        )
+    got = {
+        r.user_id: list(r.step_times)
+        for r in funnel(
+            ev, "user_id", "ts", "event_type", steps, within_seconds=within
+        ).collect()
+    }
+    assert set(got) == set(by_user)
+    for u, evs in by_user.items():
+        assert got[u] == ref(evs), (u, steps, within)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lo=st.floats(min_value=0.0, max_value=0.4),
+    hi=st.floats(min_value=0.6, max_value=1.0),
+)
+def test_winsorize_random_bounds_match_duckdb(spark, tables, duck, lo, hi):
+    from distributedqueryengine_spark.operators.aggregates import winsorize
+
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS lineitem AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    li = tables["lineitem"].select("l_returnflag", "l_extendedprice")
+    got = {
+        r.l_returnflag: round(r.s, 2)
+        for r in winsorize(li, ["l_extendedprice"], lo, hi, by=["l_returnflag"])
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .collect()
+    }
+    expect = {
+        r[0]: round(r[1], 2)
+        for r in duck.execute(
+            f"""
+            WITH b AS (
+              SELECT l_returnflag,
+                     quantile_cont(l_extendedprice, {lo}) AS plo,
+                     quantile_cont(l_extendedprice, {hi}) AS phi
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag,
+                   sum(least(greatest(l_extendedprice, plo), phi)) AS s
+            FROM lineitem l JOIN b USING (l_returnflag)
+            GROUP BY l.l_returnflag
+            """
+        ).fetchall()
+    }
+    assert got == expect, (lo, hi)
