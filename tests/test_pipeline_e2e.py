@@ -27,6 +27,7 @@ EXACT_DUP_ID = 900_001
 NEAR_DUP_ID = 900_002
 CONTAM_ID = 900_003
 SPAM_ID = 900_004
+BULLET_ID = 900_005
 
 
 def test_full_training_pipeline_e2e(spark, tmp_path):
@@ -70,6 +71,18 @@ def test_full_training_pipeline_e2e(spark, tmp_path):
                 donors[1].lang,
                 donors[1].source,
             ),
+            # every line a bullet → Gopher structural tier (r7):
+            # stopword-rich and 3-gram-distinct, so it sails through
+            # quality/lang/repetition and dies ONLY at bullet_lines_ok
+            (
+                BULLET_ID,
+                "\n".join(
+                    f"- the item {i} entry {w}"
+                    for i, w in enumerate(donors[0].text.split()[:60])
+                ),
+                donors[0].lang,
+                donors[0].source,
+            ),
         ],
         "doc_id long, text string, lang string, source string",
     ).withColumn("n_chars", F.length("text").cast("long"))
@@ -78,14 +91,23 @@ def test_full_training_pipeline_e2e(spark, tmp_path):
     # --- tier 1: quality/language cleaning (scan-fused predicates)
     cleaned_ql = corpus.filter(clean_pred)
     kept_ql = {r.doc_id for r in cleaned_ql.select("doc_id").collect()}
-    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID, SPAM_ID} <= kept_ql, (
+    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID, SPAM_ID, BULLET_ID} <= kept_ql, (
         "planted rows must survive quality/lang cleaning to reach their tiers"
     )
     # --- tier 1b: repetition filter (Gopher-style) kills ONLY the spam
-    cleaned = cleaned_ql.filter(T.repetition_ratio("text") < 0.7)
+    cleaned_rep = cleaned_ql.filter(T.repetition_ratio("text") < 0.7)
+    kept_rep = {r.doc_id for r in cleaned_rep.select("doc_id").collect()}
+    assert SPAM_ID not in kept_rep, "looped spam must fail the repetition bar"
+    assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID, BULLET_ID} <= kept_rep
+    # --- tier 1c: Gopher structural rules (r7) — the corpus-appropriate
+    # subset (bullet/symbol rules; word-count rules would cut short but
+    # legitimate synthetic docs) kills ONLY the all-bullets page
+    g = T.gopher_quality_flags("text")
+    cleaned = cleaned_rep.filter(g["bullet_lines_ok"] & g["symbol_ratio_ok"])
     kept_ids = {r.doc_id for r in cleaned.select("doc_id").collect()}
-    assert SPAM_ID not in kept_ids, "looped spam must fail the repetition bar"
+    assert BULLET_ID not in kept_ids, "bullet page must fail the Gopher tier"
     assert {EXACT_DUP_ID, NEAR_DUP_ID, CONTAM_ID} <= kept_ids
+    assert kept_ids == kept_rep - {BULLET_ID}, "Gopher tier killed a bystander"
 
     # --- tier 2: exact dedup (min-id survivor per content fingerprint)
     exact = D.dedup_exact(cleaned, "doc_id", "text")
@@ -142,6 +164,18 @@ def test_full_training_pipeline_e2e(spark, tmp_path):
     write_files(final, out, partition_by=["lang"])
     back = spark.read.parquet(out)
     assert {r.doc_id for r in back.select("doc_id").collect()} == final_ids
+
+    # --- tier 7 (r7): quality-weighted training draw — deterministic
+    # Efraimidis–Spirakis sample of the survivors, weight = quality
+    from distributedqueryengine_spark.functions.sampling import (
+        weighted_sample_n,
+    )
+
+    weighted = final.withColumn("__w", T.quality_score("text"))
+    n_draw = min(25, len(final_ids))
+    s1 = {r.doc_id for r in weighted_sample_n(weighted, "__w", n_draw, ["doc_id"]).collect()}
+    s2 = {r.doc_id for r in weighted_sample_n(weighted, "__w", n_draw, ["doc_id"]).collect()}
+    assert s1 == s2 and len(s1) == n_draw and s1 <= final_ids
 
 
 def test_operators_handle_empty_inputs(spark, tables):
