@@ -62,3 +62,53 @@ def weighted_sample_n(
         .limit(n)
         .drop("__es_score")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fractions: dict[str, float] | None = None,
+    min_jaccard: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Train/val/test split that near-duplicates CANNOT straddle: a
+    doc-id hash split leaks — a near-identical pair lands in train and
+    val and the eval silently measures memorization. Here the split
+    key is each document's near-dup CLUSTER representative (MinHash →
+    LSH → connected components, dedup.dedup_clusters), so every member
+    of a duplicate cluster draws the same split; singletons hash their
+    own id, which IS their representative.
+
+    Deterministic: split = pure function of (seed, representative id),
+    so reruns and engines agree. `fractions` maps split name → weight
+    (default 80/10/10); weights normalize. Adds a `split` column.
+
+    Scale: the cluster pass is the standard banded-LSH shape (never
+    O(n²)); the split itself is one md5 per row plus a left join of
+    the cluster map (cluster-members-sized, usually ≪ corpus — only
+    docs appearing in a near-dup pair are in it).
+    """
+    from distributedqueryengine_spark.functions.dedup import dedup_clusters
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions or any(w <= 0 for w in fractions.values()):
+        raise ValueError(f"fractions must be positive, got {fractions}")
+    total = sum(fractions.values())
+    cc = dedup_clusters(df, id_col, text_col, min_jaccard=min_jaccard).select(
+        F.col("id").alias(id_col), F.col("component").alias("__rep")
+    )
+    keyed = df.join(cc, id_col, "left").withColumn(
+        "__rep", F.coalesce("__rep", F.col(id_col))
+    )
+    u = _uniform01(F.col("__rep").cast("string"), seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name] / total
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    split = (expr.otherwise(F.lit(names[-1]))
+             if expr is not None else F.lit(names[-1]))
+    return keyed.withColumn("split", split).drop("__rep")

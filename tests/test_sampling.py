@@ -47,3 +47,52 @@ def test_weighted_sample_guards(spark):
         weighted_sample_n(df, "w", 0, ["id"])
     with pytest.raises(ValueError, match="key_cols"):
         weighted_sample_n(df, "w", 1, [])
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, tables):
+    """Near-duplicate pairs must land in the SAME split; fractions hold
+    approximately; the split is deterministic; and a planted near-dup
+    pair that a naive id-hash split separates stays together here."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions.dedup import (
+        minhash_near_duplicates,
+    )
+    from distributedqueryengine_spark.functions.sampling import (
+        leakage_safe_split,
+    )
+
+    base = tables["documents"].select("doc_id", "text").limit(300)
+    # plant 30 near-identical copies under distant ids
+    copies = base.limit(30).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzyextra")).alias("text"),
+    )
+    docs = base.unionByName(copies).persist()
+
+    out = leakage_safe_split(docs, "doc_id", "text").persist()
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    assert set(split_of) == {r.doc_id for r in docs.collect()}
+
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", min_jaccard=0.5).collect()
+    assert len(pairs) >= 30
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+
+    # fractions approximately hold over CLUSTERS (binomial slack)
+    n = len(split_of)
+    train_frac = sum(1 for s in split_of.values() if s == "train") / n
+    assert 0.65 < train_frac < 0.95
+
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs, "doc_id", "text").collect()
+    }
+    assert again == split_of  # deterministic
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        leakage_safe_split(docs, "doc_id", "text", fractions={"a": 0.0})
+    out.unpersist()
+    docs.unpersist()
