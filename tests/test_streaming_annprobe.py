@@ -73,3 +73,49 @@ def test_stream_ann_probe_matches_batch(spark, built, tmp_path):
         r.vec_id for r in queries.select("vec_id").collect()
     } & {r.query_id for r in expect}  # every query with candidates answered
     queries.unpersist()
+
+
+def test_stream_ivf_probe_matches_batch(spark, built, tmp_path):
+    """Same stream ≡ batch property for the IVF batcher."""
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+        train_ivf_centroids,
+    )
+    from distributedqueryengine_spark.streaming.annprobe import (
+        ivf_probe_batcher,
+        stream_ann_topk,
+    )
+
+    corpus, _ = built
+    centroids = train_ivf_centroids(corpus, n_cells=24, sample_per_cell=8)
+    idx = build_ivf_index(corpus, centroids).persist()
+    idx.count()
+    queries = corpus.filter(F.col("vec_id") % 13 == 0).persist()
+    assert queries.count() >= 20
+
+    qdir = str(tmp_path / "ivf_qstream")
+    queries.repartition(2).write.parquet(qdir)
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    got_rows: list = []
+    probe = ivf_probe_batcher(idx, corpus, centroids, K, n_probe=4)
+    q = stream_ann_topk(
+        stream, probe, lambda df, _e: got_rows.extend(df.collect()),
+        str(tmp_path / "ivf_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    expect = probe_ivf_index(idx, corpus, queries, centroids, K, n_probe=4).collect()
+    key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+    assert {key(r): (r.neighbor_id, r.cos) for r in got_rows} == {
+        key(r): (r.neighbor_id, r.cos) for r in expect
+    }
+    idx.unpersist()
+    queries.unpersist()
