@@ -112,3 +112,52 @@ def leakage_safe_split(
     split = (expr.otherwise(F.lit(names[-1]))
              if expr is not None else F.lit(names[-1]))
     return keyed.withColumn("split", split).drop("__rep")
+
+
+def leakage_safe_split_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tau: float = 0.95,
+    fractions: dict[str, float] | None = None,
+    seed: int = 42,
+    **pair_kwargs,
+) -> DataFrame:
+    """Embedding-space counterpart of leakage_safe_split: semantic
+    near-duplicates (cosine >= tau via the size-gated
+    similarity.cosine_pairs_above_scaled — exact small, LSH-prefiltered
+    large) are clustered with connected components and split BY
+    CLUSTER, so a paraphrase of a val document cannot sit in train.
+    Deterministic in (seed, cluster representative). Adds `split`."""
+    from distributedqueryengine_spark.functions.dedup import (
+        connected_components,
+    )
+    from distributedqueryengine_spark.functions.similarity import (
+        cosine_pairs_above_scaled,
+    )
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions or any(w <= 0 for w in fractions.values()):
+        raise ValueError(f"fractions must be positive, got {fractions}")
+    total = sum(fractions.values())
+    pairs = cosine_pairs_above_scaled(
+        df, tau, dim, id_col=id_col, vec_col=vec_col, **pair_kwargs
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("component").alias("__rep")
+    )
+    keyed = df.join(cc, id_col, "left").withColumn(
+        "__rep", F.coalesce("__rep", F.col(id_col))
+    )
+    u = _uniform01(F.col("__rep").cast("string"), seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name] / total
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    split = (expr.otherwise(F.lit(names[-1]))
+             if expr is not None else F.lit(names[-1]))
+    return keyed.withColumn("split", split).drop("__rep")

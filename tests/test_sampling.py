@@ -96,3 +96,42 @@ def test_leakage_safe_split_keeps_clusters_together(spark, tables):
         leakage_safe_split(docs, "doc_id", "text", fractions={"a": 0.0})
     out.unpersist()
     docs.unpersist()
+
+
+def test_leakage_safe_split_embeddings(spark, tables):
+    """Planted near-identical embeddings (tiny perturbations under
+    distant ids) must land in the SAME split; determinism holds."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions.sampling import (
+        leakage_safe_split_embeddings,
+    )
+    from distributedqueryengine_spark.functions.similarity import (
+        cosine_pairs_above_scaled,
+    )
+
+    base = tables["embeddings"].select("vec_id", "embedding").limit(300)
+    near = base.limit(25).select(
+        (F.col("vec_id") + 800_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.0001
+        ).cast("array<float>").alias("embedding"),
+    )
+    emb = base.unionByName(near).persist()
+
+    out = leakage_safe_split_embeddings(emb, "vec_id", "embedding", dim=64, tau=0.99)
+    split_of = {r.vec_id: r.split for r in out.collect()}
+    assert set(split_of) == {r.vec_id for r in emb.collect()}
+
+    pairs = cosine_pairs_above_scaled(emb, 0.99, 64).collect()
+    assert len(pairs) >= 25
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+    again = {
+        r.vec_id: r.split
+        for r in leakage_safe_split_embeddings(
+            emb, "vec_id", "embedding", dim=64, tau=0.99
+        ).collect()
+    }
+    assert again == split_of
+    emb.unpersist()
