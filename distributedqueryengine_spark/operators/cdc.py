@@ -122,6 +122,8 @@ def snapshot_diff(
     |changes|-sized, not table-sized. Output: key_cols + op + two
     structs (before, after; NULL on insert/delete respectively)."""
     keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must name the diff key")
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in keys

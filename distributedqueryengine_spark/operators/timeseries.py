@@ -58,6 +58,8 @@ def resample_fill(
         raise ValueError(f"fill must be null|zero|ffill|interp, got {fill!r}")
     if interval_seconds <= 0:
         raise ValueError(f"interval_seconds must be positive, got {interval_seconds}")
+    if not value_aggs:
+        raise ValueError("value_aggs must name at least one aggregate")
     keys = list(key_cols)
     bucket = (
         F.floor(F.unix_timestamp(F.col(ts_col)) / interval_seconds)

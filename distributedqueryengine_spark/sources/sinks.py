@@ -162,6 +162,14 @@ def merge_upsert_files(
     if not key_cols:
         raise ValueError("key_cols must name the merge key")
     target = spark.read.format(fmt).load(path)
+    required = set(target.columns) | set(key_cols)
+    provided = set(updates.columns) - ({delete_col} if delete_col else set())
+    missing = required - provided
+    if missing:
+        raise ValueError(
+            f"updates frame is missing target columns {sorted(missing)}; "
+            "a MERGE row must carry the full row it replaces/inserts"
+        )
     rows_before = target.count()
     n_updates = updates.count()
 

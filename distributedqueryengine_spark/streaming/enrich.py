@@ -40,6 +40,12 @@ def enrich_point_in_time(
     handled, compared in epoch seconds). Events with no valid version
     (before the key's first change, or unknown key) keep NULL dim
     columns — LEFT join, auditable downstream."""
+    missing = {key_col, "valid_from", "valid_to"} - set(dim.columns)
+    if missing:
+        raise ValueError(
+            f"dim is missing {sorted(missing)} — pass an SCD2 frame from "
+            "cdc.scd2_from_changes (key + valid_from/valid_to intervals)"
+        )
     ev_sec = F.unix_timestamp(F.col(f"e.{ts_col}"))
     d = F.broadcast(dim) if broadcast_dim else dim
     cond = (

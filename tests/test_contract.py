@@ -53,3 +53,31 @@ def test_all_oracles_execute_on_duckdb(duck):
 def test_inventory_size_floor():
     assert len(entry_mod.queries()) >= 45
     assert len(entry_mod.oracle_sql()) >= 42
+
+
+def test_round7_operator_guards(spark, tables, tmp_path):
+    """The r7 operators raise clear ValueErrors on misuse instead of
+    cryptic JVM analysis errors (the r6 hardening discipline)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.cdc import snapshot_diff
+    from distributedqueryengine_spark.operators.timeseries import resample_fill
+    from distributedqueryengine_spark.sources.sinks import merge_upsert_files
+    from distributedqueryengine_spark.streaming.enrich import (
+        enrich_point_in_time,
+    )
+
+    nation = tables["nation"]
+    with _pytest.raises(ValueError, match="diff key"):
+        snapshot_diff(nation, nation, [])
+    with _pytest.raises(ValueError, match="at least one aggregate"):
+        resample_fill(tables["events"], ["user_id"], "ts", 60, {})
+    with _pytest.raises(ValueError, match="valid_from"):
+        enrich_point_in_time(tables["events"], nation, "n_nationkey", "ts")
+
+    path = str(tmp_path / "t")
+    nation.write.parquet(path)
+    partial = nation.select("n_nationkey")  # missing the other columns
+    with _pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert_files(spark, path, partial, ["n_nationkey"])
