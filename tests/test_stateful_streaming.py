@@ -248,3 +248,80 @@ def test_streaming_funnel_matches_batch_with_out_of_order_arrival(spark, tmp_pat
     assert final == expect, f"{final} != {expect}"
     assert expect[1] == (3, [300, 500, 900])  # retroactive completion
     assert expect[3][0] == 1  # view only (buy preceded it)
+
+
+def test_streaming_funnel_state_survives_restart(spark, tmp_path):
+    """Stop the funnel query after the first file, restart from the
+    checkpoint, feed a second file whose events retroactively complete
+    the sequence: the state store must carry the buffered events across
+    the restart, and the final answer must equal the batch funnel."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.timeseries import funnel
+    from distributedqueryengine_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "cart", "buy"]
+    b1 = [(1, 500, "cart"), (1, 900, "buy")]
+    b2 = [(1, 300, "view")]  # completes retroactively AFTER restart
+    schema = "u long, ep long, step string"
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+
+    def add_file(name, rows):
+        df = spark.createDataFrame(rows, schema).select(
+            "u", F.timestamp_seconds("ep").alias("ts"), "step"
+        )
+        tmp = str(tmp_path / ("_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    add_file("b1", b1)
+    src_schema = spark.read.parquet(stage).schema
+    ckpt = str(tmp_path / "ckpt")
+    emissions: list = []
+
+    def start():
+        # foreachBatch sink: the memory sink does not support
+        # checkpoint recovery in update mode
+        stream = (
+            spark.readStream.schema(src_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        out = streaming_funnel(stream, "u", "ts", "step", steps)
+        return (
+            out.writeStream.foreachBatch(
+                lambda df, e: emissions.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert emissions and all(r.max_step == 0 for r in emissions)  # cart/buy, no view
+
+    add_file("b2", b2)  # arrives while the query is down
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    rows = emissions
+    assert len(rows) >= 2, "restart must process the new file"
+    final = max(rows, key=lambda r: r.max_step)
+    full = spark.createDataFrame(b1 + b2, schema).select(
+        "u", F.timestamp_seconds("ep").alias("ts"), "step"
+    )
+    expect = funnel(full, "u", "ts", "step", steps).collect()[0]
+    assert final.max_step == expect.max_step == 3
+    assert [final.step_1_ts, final.step_2_ts, final.step_3_ts] == list(
+        expect.step_times
+    ) == [300, 500, 900]
