@@ -12,10 +12,29 @@ results land as columnar files with layout controls that matter at
   aggs on the bucket key skip the shuffle entirely (saveAsTable path).
 - `max_records_per_file` caps file sizes so downstream scans split
   evenly.
+- `compact_files` / `merge_upsert_files`: the lake-maintenance pair.
+  Both are partition-pruned: a merge or compaction against a
+  dir-partitioned dataset rewrites ONLY the partitions it touches —
+  sibling partition directories are left byte-identical — so a 1-key
+  upsert into a 100 TB table moves one partition's bytes, not 100 TB.
+
+Swap protocol (shared by compact/merge): the rewrite is staged next to
+the live directory and moved in with two renames whose boolean results
+are CHECKED. Failure contract:
+  * rename(live→backup) fails → raise; nothing moved, live intact.
+  * rename(staging→live) fails → backup is renamed back into place and
+    the error raised; the previous data survives. Only after the new
+    live path verifiably exists is the backup deleted.
+  * a hard crash BETWEEN the two renames leaves `<path>__pre*` holding
+    the full previous dataset and no live dir; `recover_swap(path)`
+    restores it. This is the strongest contract plain files allow —
+    true MVCC with concurrent writers needs a table format's commit
+    protocol (Delta/Iceberg), which this deliberately does not fake.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -62,12 +81,168 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+# --------------------------------------------------------------------------
+# Hadoop FS helpers: checked renames, footer-only row counts, dir listing
+# --------------------------------------------------------------------------
+
+
+def _fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hconf, hpath.getFileSystem(hconf)
+
+
+def _hpath(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _data_files(fs, p) -> list:
+    """Recursively list data files (skip _SUCCESS / dotfiles / .crc)."""
+    out, it = [], fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append(st)
+    return out
+
+
+def _parquet_rows(jvm, hconf, fs, p) -> int:
+    """Row count from parquet FOOTERS only — no data pages read, no Spark
+    job. This is how merge/compact report row stats without the two
+    stats-only full scans the naive implementation pays."""
+    total = 0
+    for st in _data_files(fs, p):
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath(), hconf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            total += reader.getRecordCount()
+        finally:
+            reader.close()
+    return int(total)
+
+
+def _rename(fs, src, dst) -> bool:
+    """Hadoop rename with its two failure modes normalized: some
+    FileSystems return false, others (e.g. RawLocalFileSystem on a
+    missing source) raise — both become False here."""
+    try:
+        return bool(fs.rename(src, dst))
+    except Exception:
+        return False
+
+
+def _checked_rename(fs, src, dst, what: str) -> None:
+    if not _rename(fs, src, dst):
+        raise IOError(f"rename failed ({what}): {src} -> {dst}")
+
+
+def _swap_in(jvm, fs, live, staging, backup) -> None:
+    """Move `staging` into place at `live`, retiring the previous dir via
+    `backup`. Every rename's boolean result is checked; on a failed
+    second rename the backup is restored before raising, and the backup
+    is deleted only after the new live dir verifiably exists."""
+    if fs.exists(backup):
+        fs.delete(backup, True)
+    live_existed = fs.exists(live)
+    if live_existed:
+        _checked_rename(fs, live, backup, "live -> backup")
+    parent = live.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not _rename(fs, staging, live):
+        if live_existed and _rename(fs, backup, live):
+            raise IOError(
+                f"rename failed (staging -> live): {staging} -> {live}; "
+                "previous data restored from backup"
+            )
+        raise IOError(
+            f"rename failed (staging -> live): {staging} -> {live}; "
+            f"previous data is at {backup} — run recover_swap()"
+        )
+    if live_existed:
+        if not fs.exists(live):  # paranoia: never delete the only copy
+            raise IOError(f"post-swap verification failed: {live} missing")
+        fs.delete(backup, True)
+
+
+def recover_swap(spark, path: str) -> str | None:
+    """Recover from a crash mid-swap: if `<path>__precompact` or
+    `<path>__premerge` exists and `path` does not, rename the backup
+    back into place. Returns the suffix recovered from, or None if no
+    recovery was needed. Safe to call unconditionally at startup."""
+    jvm, _, fs = _fs(spark, path)
+    live = _hpath(jvm, path)
+    for suffix in ("__precompact", "__premerge"):
+        backup = _hpath(jvm, path.rstrip("/") + suffix)
+        if fs.exists(backup) and not fs.exists(live):
+            _checked_rename(fs, backup, live, "recover backup -> live")
+            return suffix
+    return None
+
+
+def _leaf_partition_dirs(jvm, fs, root, depth: int) -> list[str]:
+    """Relative paths of partition leaf dirs exactly `depth` levels below
+    `root` (e.g. depth=2 → 'p1=a/p2=b'). Driver-side listing of
+    partition DIRECTORIES only — O(#partitions), not O(#files)."""
+    rels = [""]
+    for _ in range(depth):
+        nxt = []
+        for rel in rels:
+            p = _hpath(jvm, str(root) + ("/" + rel if rel else ""))
+            for st in fs.listStatus(p):
+                if st.isDirectory() and not st.getPath().getName().startswith(
+                    ("_", ".")
+                ):
+                    nxt.append(
+                        (rel + "/" if rel else "") + st.getPath().getName()
+                    )
+        rels = nxt
+    return rels
+
+
+# --------------------------------------------------------------------------
+# Compaction
+# --------------------------------------------------------------------------
+
+
+def _compact_one_dir(spark, jvm, hconf, fs, dirpath: str, target_file_mb: int, fmt: str) -> dict:
+    hdir = _hpath(jvm, dirpath)
+    files = _data_files(fs, hdir)
+    total_bytes = sum(st.getLen() for st in files)
+    files_before = len(files)
+    n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.format(fmt).load(dirpath)
+    cur_parts = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
+
+    staging = dirpath.rstrip("/") + "__compacting"
+    sized.write.format(fmt).mode("overwrite").save(staging)
+    _swap_in(
+        jvm,
+        fs,
+        hdir,
+        _hpath(jvm, staging),
+        _hpath(jvm, dirpath.rstrip("/") + "__precompact"),
+    )
+    return {
+        "files_before": files_before,
+        "files_after": len(_data_files(fs, hdir)),
+        "bytes": int(total_bytes),
+    }
+
+
 def compact_files(
     spark,
     path: str,
     target_file_mb: int = 128,
     fmt: str = "parquet",
     partition_by: Sequence[str] = (),
+    incremental: bool = False,
 ) -> dict:
     """Rewrite a (possibly partitioned) file dataset into ~target-sized
     files — the small-files maintenance op every long-lived lake needs:
@@ -75,42 +250,61 @@ def compact_files(
     files whose open/footer overhead dominates scans and whose count
     explodes driver listing time.
 
-    Sizing reads the actual on-disk bytes via the Hadoop FileSystem
-    (not a row-count guess, so compression ratio is accounted for),
-    targets ceil(bytes / target_file_mb) output files, and rewrites
-    with coalesce when shrinking (narrow, no shuffle) or repartition
-    when growing. The rewrite is staged next to the source and moved in
-    with two renames, so a concurrent reader sees either the old or the
-    new layout, never a partial directory. Returns
-    {files_before, files_after, bytes}.
+    Two modes:
 
-    At cluster scale this runs per partition-directory (pass the
-    partition path) on a maintenance schedule; compaction of a live
-    table with readers mid-rename needs a table format's commit
-    protocol (Delta/Iceberg) — out of scope here, as is concurrent
-    writer coordination.
+    * full (default): size the whole dataset from on-disk bytes (not a
+      row-count guess, so compression ratio is accounted for), target
+      ceil(bytes / target_file_mb) files, coalesce when shrinking
+      (narrow, no shuffle) / repartition when growing, stage + swap.
+    * incremental (requires `partition_by`): the 100 TB maintenance
+      shape. Each leaf partition directory is examined from its LISTING
+      only (file count + bytes — no data read); a partition is rewritten
+      only when it holds more files than its byte size needs. Cold,
+      already-compact partitions are never touched — their files and
+      mtimes stay byte-identical — so a nightly compaction of a
+      petabyte table costs only the fragmented partitions' bytes.
+
+    Swap safety: see the module docstring — checked renames, backup
+    restored on failure, `recover_swap()` for mid-swap crashes.
+    Returns {files_before, files_after, bytes[, partitions_total,
+    partitions_compacted]}.
     """
-    import math
-
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hconf = jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
+    jvm, hconf, fs = _fs(spark, path)
+    hpath = _hpath(jvm, path)
     if not fs.exists(hpath):
         raise FileNotFoundError(path)
 
-    def data_files(p) -> int:
-        # count data files only: _SUCCESS/.crc markers are bookkeeping
-        n, it = 0, fs.listFiles(p, True)
-        while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith(("_", ".")):
-                n += 1
-        return n
+    if incremental:
+        if not partition_by:
+            raise ValueError("incremental compaction requires partition_by")
+        rels = _leaf_partition_dirs(jvm, fs, hpath, len(partition_by))
+        stats = {
+            "files_before": 0,
+            "files_after": 0,
+            "bytes": 0,
+            "partitions_total": len(rels),
+            "partitions_compacted": 0,
+        }
+        for rel in rels:
+            dirpath = path.rstrip("/") + "/" + rel
+            files = _data_files(fs, _hpath(jvm, dirpath))
+            nbytes = sum(st.getLen() for st in files)
+            needed = max(1, math.ceil(nbytes / (target_file_mb * 1024 * 1024)))
+            stats["files_before"] += len(files)
+            stats["bytes"] += int(nbytes)
+            if len(files) > needed:
+                one = _compact_one_dir(
+                    spark, jvm, hconf, fs, dirpath, target_file_mb, fmt
+                )
+                stats["partitions_compacted"] += 1
+                stats["files_after"] += one["files_after"]
+            else:
+                stats["files_after"] += len(files)
+        return stats
 
-    total_bytes = fs.getContentSummary(hpath).getLength()
-    files_before = data_files(hpath)
+    files = _data_files(fs, hpath)
+    total_bytes = sum(st.getLen() for st in files)
+    files_before = len(files)
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.format(fmt).load(path)
@@ -123,18 +317,23 @@ def compact_files(
         writer = writer.partitionBy(*partition_by)
     writer.save(staging)
 
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__precompact")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    fs.rename(hpath, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
-    fs.delete(backup, True)
-
+    _swap_in(
+        jvm,
+        fs,
+        hpath,
+        _hpath(jvm, staging),
+        _hpath(jvm, path.rstrip("/") + "__precompact"),
+    )
     return {
         "files_before": int(files_before),
-        "files_after": data_files(hpath),
+        "files_after": len(_data_files(fs, hpath)),
         "bytes": int(total_bytes),
     }
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO emulation
+# --------------------------------------------------------------------------
 
 
 def merge_upsert_files(
@@ -144,23 +343,48 @@ def merge_upsert_files(
     key_cols: Sequence[str],
     delete_col: str | None = None,
     fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
 ) -> dict:
     """MERGE INTO for plain files: upsert `updates` into the dataset at
     `path` by key — matched keys take the update row, unmatched keys
-    insert, and rows whose `delete_col` is true delete their key. The
-    poor-man's transaction that raw parquet allows: the merged result
-    writes to a staging dir and swaps in with two renames (readers see
-    old-or-new, same contract as compact_files); full MVCC with
-    concurrent writers needs a table format's commit protocol, which
-    this deliberately does not fake.
+    insert, and rows whose `delete_col` is true delete their key.
 
-    Plan shape: target LEFT ANTI updates on the keys (drop rows being
-    replaced or deleted) UNION the surviving updates — one shuffle on
-    the key, no driver materialization. Returns {rows_before,
-    rows_after, n_updates}.
+    Scale shape — partition-pruned merge: when `partition_by` names the
+    dataset's directory-partition columns (which must also be present
+    in `updates`), ONLY the partitions containing touched keys are
+    rewritten. The affected-partition set is computed from `updates`
+    (bounded by the number of touched partitions, not by target size),
+    the target read is statically pruned to those partitions, and the
+    swap happens per partition directory — untouched sibling partitions
+    keep their exact files and mtimes. A 1-row upsert into a 100 TB
+    table therefore rewrites one partition, not 100 TB. Contract: a
+    key's partition value must be stable between target and updates
+    (the universal lake-MERGE pruning precondition — a key that "moves"
+    partitions would leave its old copy behind; use the unpartitioned
+    path for that). A partition whose every row is deleted has its
+    directory removed.
+
+    Without `partition_by` the whole dataset is rewritten (the only
+    correct shape when no pruning structure exists).
+
+    Plan shape: target(affected) LEFT ANTI update-keys UNION surviving
+    updates — one shuffle on the key, no driver materialization of
+    data rows. Row stats come from parquet FOOTERS (metadata-only; for
+    non-parquet formats they are None rather than paid for with full
+    scans). Swap safety: checked renames, backup restore on failure,
+    `recover_swap()` for mid-swap crashes (module docstring).
+
+    Returns {rows_before, rows_after, n_updates, partitions_rewritten}
+    — rows_before/rows_after scoped to the affected partitions when
+    pruning (sibling partitions are untouched by construction).
     """
     if not key_cols:
         raise ValueError("key_cols must name the merge key")
+    jvm, hconf, fs = _fs(spark, path)
+    hpath = _hpath(jvm, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+
     target = spark.read.format(fmt).load(path)
     required = set(target.columns) | set(key_cols)
     provided = set(updates.columns) - ({delete_col} if delete_col else set())
@@ -170,35 +394,125 @@ def merge_upsert_files(
             f"updates frame is missing target columns {sorted(missing)}; "
             "a MERGE row must carry the full row it replaces/inserts"
         )
-    rows_before = target.count()
-    n_updates = updates.count()
-
     keys = list(key_cols)
-    survivors = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    parts = list(partition_by)
+    if parts and (set(parts) - set(updates.columns)):
+        raise ValueError(
+            f"partition-pruned merge needs partition columns {parts} in updates"
+        )
+
     incoming = (
         updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
         if delete_col
         else updates
     )
+    # Align incoming rows to the target's exact column types: a wider
+    # update schema (e.g. long vs the target's int) would otherwise write
+    # mixed-physical-type files that fail on read.
+    incoming = incoming.select(
+        [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.schema.fields]
+    )
+
+    footer_rows = (
+        (lambda p: _parquet_rows(jvm, hconf, fs, p)) if fmt == "parquet" else None
+    )
+
+    if parts:
+        # Affected partition-value tuples, collected from the SMALL side.
+        touched = [tuple(r) for r in updates.select(*parts).distinct().collect()]
+        n_updates = updates.count()
+        pred = None
+        for tup in touched:
+            clause = F.lit(True)
+            for c, v in zip(parts, tup):
+                clause = clause & (
+                    F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+                )
+            pred = clause if pred is None else (pred | clause)
+        affected = target.filter(pred) if pred is not None else target.limit(0)
+        survivors = affected.join(updates.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.unionByName(incoming.select(*target.columns))
+
+        # Let Spark's writer produce the canonical partition dir names —
+        # both for the merged data and (via a 1-row-per-partition marker
+        # write) for partitions whose rows were all deleted.
+        staging = path.rstrip("/") + "__merging"
+        merged.write.format(fmt).mode("overwrite").partitionBy(*parts).save(staging)
+        markers = path.rstrip("/") + "__touched"
+        (
+            updates.select(*parts)
+            .distinct()
+            .withColumn("__touch", F.lit(1))
+            .write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*parts)
+            .save(markers)
+        )
+        hstaging, hmarkers = _hpath(jvm, staging), _hpath(jvm, markers)
+        touched_rels = _leaf_partition_dirs(jvm, fs, hmarkers, len(parts))
+        staged_rels = set(_leaf_partition_dirs(jvm, fs, hstaging, len(parts)))
+
+        rows_before = (
+            sum(
+                footer_rows(_hpath(jvm, path.rstrip("/") + "/" + rel))
+                for rel in touched_rels
+                if fs.exists(_hpath(jvm, path.rstrip("/") + "/" + rel))
+            )
+            if footer_rows
+            else None
+        )
+        rewritten = []
+        for rel in sorted(touched_rels):
+            live = _hpath(jvm, path.rstrip("/") + "/" + rel)
+            if rel in staged_rels:
+                _swap_in(
+                    jvm,
+                    fs,
+                    live,
+                    _hpath(jvm, staging + "/" + rel),
+                    _hpath(jvm, path.rstrip("/") + "__premerge__" + rel.replace("/", "_")),
+                )
+                rewritten.append(rel)
+            elif fs.exists(live):  # every row of this partition was deleted
+                fs.delete(live, True)
+                rewritten.append(rel)
+        rows_after = (
+            sum(
+                footer_rows(_hpath(jvm, path.rstrip("/") + "/" + rel))
+                for rel in touched_rels
+                if fs.exists(_hpath(jvm, path.rstrip("/") + "/" + rel))
+            )
+            if footer_rows
+            else None
+        )
+        fs.delete(hstaging, True)
+        fs.delete(hmarkers, True)
+        return {
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "n_updates": int(n_updates),
+            "partitions_rewritten": rewritten,
+        }
+
+    # Unpartitioned fallback: whole-dataset rewrite (no pruning structure).
+    n_updates = updates.count()
+    rows_before = footer_rows(hpath) if footer_rows else None
+    survivors = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     merged = survivors.unionByName(incoming.select(*target.columns))
 
     staging = path.rstrip("/") + "__merging"
     merged.write.format(fmt).mode("overwrite").save(staging)
-
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(hconf)
-    backup = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__premerge")
-    if fs.exists(backup):
-        fs.delete(backup, True)
-    fs.rename(hpath, backup)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hpath)
-    fs.delete(backup, True)
-
-    rows_after = spark.read.format(fmt).load(path).count()
+    _swap_in(
+        jvm,
+        fs,
+        hpath,
+        _hpath(jvm, staging),
+        _hpath(jvm, path.rstrip("/") + "__premerge"),
+    )
+    rows_after = footer_rows(hpath) if footer_rows else None
     return {
-        "rows_before": int(rows_before),
-        "rows_after": int(rows_after),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
         "n_updates": int(n_updates),
+        "partitions_rewritten": [],
     }

@@ -324,7 +324,11 @@ def test_merge_upsert_files(spark, tables, tmp_path):
     stats = merge_upsert_files(
         spark, path, updates, ["n_nationkey"], delete_col="is_deleted"
     )
-    assert stats == {"rows_before": n0, "rows_after": n0 + 1 - 1, "n_updates": 3}
+    # row stats come from parquet footers (no stats-only scans)
+    assert stats["rows_before"] == n0
+    assert stats["rows_after"] == n0 + 1 - 1
+    assert stats["n_updates"] == 3
+    assert stats["partitions_rewritten"] == []
 
     after = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in spark.read.parquet(path).collect()}
     assert after[0] == ("RENAMED ZERO", 9)
@@ -346,3 +350,212 @@ def test_merge_upsert_files(spark, tables, tmp_path):
         r.n_nationkey: (r.n_name, r.n_regionkey)
         for r in spark.read.parquet(path).collect()
     } == after
+
+
+def _snapshot(root):
+    """{relpath: (size, mtime_ns)} for every file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_merge_upsert_partition_pruned(spark, tables, tmp_path):
+    """Partition-pruned MERGE: only partitions containing touched keys are
+    rewritten — untouched sibling partitions keep byte-identical files
+    and mtimes. Covers update, insert-into-existing-partition,
+    insert-into-NEW-partition, and idempotent re-merge."""
+    import os
+
+    from distributedqueryengine_spark.sources.sinks import merge_upsert_files
+
+    path = str(tmp_path / "target")
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.partitionBy("n_regionkey").parquet(path)
+
+    untouched = [
+        d for d in os.listdir(path)
+        if d.startswith("n_regionkey=") and d not in ("n_regionkey=1",)
+    ]
+    assert untouched, "fixture needs >1 region partition"
+    before_snaps = {d: _snapshot(os.path.join(path, d)) for d in untouched}
+    key_in_r1 = nation.filter(F.col("n_regionkey") == 1).first().n_nationkey
+
+    updates = spark.createDataFrame(
+        [
+            (key_in_r1, "RENAMED", 1, False),   # update inside partition 1
+            (997, "NEW-IN-1", 1, False),        # insert into partition 1
+            (998, "NEW-REGION", 77, False),     # insert into brand-new partition
+        ],
+        "n_nationkey long, n_name string, n_regionkey long, is_deleted boolean",
+    )
+    stats = merge_upsert_files(
+        spark, path, updates, ["n_nationkey"],
+        delete_col="is_deleted", partition_by=["n_regionkey"],
+    )
+    assert sorted(stats["partitions_rewritten"]) == [
+        "n_regionkey=1", "n_regionkey=77",
+    ]
+    assert stats["rows_after"] == stats["rows_before"] + 2
+
+    # untouched partitions: identical file sets, sizes, and mtimes
+    for d in untouched:
+        assert _snapshot(os.path.join(path, d)) == before_snaps[d], d
+
+    got = {
+        r.n_nationkey: (r.n_name, int(r.n_regionkey))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[key_in_r1] == ("RENAMED", 1)
+    assert got[997] == ("NEW-IN-1", 1)
+    assert got[998] == ("NEW-REGION", 77)
+    for r in nation.collect():
+        if r.n_nationkey != key_in_r1:
+            assert got[r.n_nationkey] == (r.n_name, int(r.n_regionkey))
+    assert not os.path.exists(path + "__merging")
+    assert not os.path.exists(path + "__touched")
+
+    again = merge_upsert_files(
+        spark, path, updates, ["n_nationkey"],
+        delete_col="is_deleted", partition_by=["n_regionkey"],
+    )
+    assert again["rows_after"] == stats["rows_after"]
+
+
+def test_merge_partition_pruned_delete_all(spark, tables, tmp_path):
+    """Deleting every key of a partition removes its directory; siblings
+    stay byte-identical."""
+    import os
+
+    from distributedqueryengine_spark.sources.sinks import merge_upsert_files
+
+    path = str(tmp_path / "target")
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.partitionBy("n_regionkey").parquet(path)
+    r0 = nation.filter(F.col("n_regionkey") == 0)
+    rows = r0.collect()
+    updates = spark.createDataFrame(
+        [(r.n_nationkey, r.n_name, 0, True) for r in rows],
+        "n_nationkey long, n_name string, n_regionkey long, is_deleted boolean",
+    )
+    others = [
+        d for d in os.listdir(path)
+        if d.startswith("n_regionkey=") and d != "n_regionkey=0"
+    ]
+    snaps = {d: _snapshot(os.path.join(path, d)) for d in others}
+    stats = merge_upsert_files(
+        spark, path, updates, ["n_nationkey"],
+        delete_col="is_deleted", partition_by=["n_regionkey"],
+    )
+    assert stats["partitions_rewritten"] == ["n_regionkey=0"]
+    assert not os.path.exists(os.path.join(path, "n_regionkey=0"))
+    for d in others:
+        assert _snapshot(os.path.join(path, d)) == snaps[d], d
+    assert spark.read.parquet(path).filter(F.col("n_regionkey") == 0).count() == 0
+    # row stats are scoped to the AFFECTED partitions (siblings untouched)
+    assert stats["rows_before"] == len(rows)
+    assert stats["rows_after"] == 0
+    assert spark.read.parquet(path).count() == nation.count() - len(rows)
+
+
+def test_merge_pruned_requires_partition_cols(spark, tables, tmp_path):
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources.sinks import merge_upsert_files
+
+    path = str(tmp_path / "t")
+    tables["nation"].select("n_nationkey", "n_name", "n_regionkey").write.partitionBy(
+        "n_regionkey"
+    ).parquet(path)
+    updates = spark.createDataFrame(
+        [(0, "X")], "n_nationkey long, n_name string"
+    )
+    with _pytest.raises(ValueError, match="missing target columns|partition column"):
+        merge_upsert_files(
+            spark, path, updates, ["n_nationkey"], partition_by=["n_regionkey"]
+        )
+
+
+def test_compact_files_incremental(spark, tables, tmp_path):
+    """Incremental compaction rewrites ONLY fragmented partitions; the
+    already-compact partition's files and mtimes are untouched."""
+    import os
+
+    from distributedqueryengine_spark.sources.sinks import compact_files
+
+    path = str(tmp_path / "part")
+    orders = tables["orders"].select("o_orderkey", "o_totalprice", "o_orderpriority")
+    orders.coalesce(1).write.partitionBy("o_orderpriority").parquet(path)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("o_orderpriority="))
+    assert len(parts) >= 2
+    frag, *clean = parts
+    # fragment one partition into 16 tiny files
+    fdir = os.path.join(path, frag)
+    fval = frag.split("=", 1)[1].replace("%20", " ")
+    (
+        orders.filter(F.col("o_orderpriority") == fval)
+        .drop("o_orderpriority")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(fdir)
+    )
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    clean_snaps = {d: _snapshot(os.path.join(path, d)) for d in clean}
+
+    stats = compact_files(
+        spark, path, target_file_mb=128,
+        partition_by=["o_orderpriority"], incremental=True,
+    )
+    assert stats["partitions_total"] == len(parts)
+    assert stats["partitions_compacted"] == 1
+    for d in clean:
+        assert _snapshot(os.path.join(path, d)) == clean_snaps[d], d
+    frag_files = [f for f in os.listdir(fdir) if f.endswith(".parquet")]
+    assert len(frag_files) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # second run: nothing left to compact, zero rewrites
+    again = compact_files(
+        spark, path, target_file_mb=128,
+        partition_by=["o_orderpriority"], incremental=True,
+    )
+    assert again["partitions_compacted"] == 0
+
+
+def test_swap_crash_recovery(spark, tables, tmp_path):
+    """Failure contract of the rename-swap: a crash between the two
+    renames leaves the backup dir and no live dir — recover_swap()
+    restores it; with a live dir present it is a no-op; a missing
+    staging dir raises and leaves the previous data in place."""
+    import os
+
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources import sinks
+
+    path = str(tmp_path / "ds")
+    tables["nation"].write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    # simulate crash between rename(live->backup) and rename(staging->live)
+    os.rename(path, path + "__premerge")
+    assert sinks.recover_swap(spark, path) == "__premerge"
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert sinks.recover_swap(spark, path) is None  # idempotent no-op
+
+    # failed staging->live rename: backup restored, error raised
+    jvm, _, fs = sinks._fs(spark, path)
+    with _pytest.raises(IOError):
+        sinks._swap_in(
+            jvm, fs,
+            sinks._hpath(jvm, path),
+            sinks._hpath(jvm, str(tmp_path / "no_such_staging")),
+            sinks._hpath(jvm, path + "__precompact"),
+        )
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "__precompact")
