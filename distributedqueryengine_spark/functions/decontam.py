@@ -142,7 +142,16 @@ def semantic_contaminated_ids(
     E = np.array([r[0] for r in rows], dtype=np.float64)
     E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
 
-    out_schema = f"id long, max_cos double"
+    # output id type follows the corpus id column (string doc ids must
+    # not be forced through a hardcoded long in the Arrow conversion)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", corpus_emb.schema[id_col].dataType),
+            StructField("max_cos", DoubleType()),
+        ]
+    )
 
     def screen(batches):
         for pdf in batches:

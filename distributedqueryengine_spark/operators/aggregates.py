@@ -131,11 +131,22 @@ def winsorize(
         aggs.append(F.percentile(c, F.lit(lower)).alias(f"__lo_{c}"))
         aggs.append(F.percentile(c, F.lit(upper)).alias(f"__hi_{c}"))
     bounds = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-    joined = (
-        df.join(F.broadcast(bounds), keys, "left")
-        if keys
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    if keys:
+        # eqNullSafe join back: groupBy computes bounds for the NULL-key
+        # group, and a plain equi-join would silently leave NULL-key rows
+        # unclipped (NULL = NULL is never true in SQL join conditions).
+        renamed = bounds
+        for k in keys:
+            renamed = renamed.withColumnRenamed(k, f"__bk_{k}")
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__bk_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__bk_{k}" for k in keys]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
     out_cols = []
     for c in df.columns:
         if c in value_cols:

@@ -49,10 +49,14 @@ def resample_fill(
     'ffill' carries the last observed value forward (gaps before a
     key's first observation stay NULL — there is nothing to carry);
     'zero' fills numeric gaps with 0; 'null' leaves them NULL;
-    'interp' linearly interpolates between the surrounding observed
-    buckets (Timescale's interpolate(); strictly-outside-the-observed-
-    range rows stay NULL — there is no second anchor to draw a line
-    to). 'interp' requires numeric aggregates.
+    'interp' linearly interpolates between the surrounding buckets
+    where the VALUE is non-NULL (Timescale's interpolate();
+    strictly-outside-the-observed-range rows stay NULL — there is no
+    second anchor to draw a line to). Anchors are per value column: an
+    observed bucket whose aggregate is NULL (e.g. sum over all-NULL
+    rows) is itself interpolated and never serves as an anchor, so it
+    cannot skew the slope of neighboring gaps. 'interp' requires
+    numeric aggregates.
     """
     if fill not in ("null", "zero", "ffill", "interp"):
         raise ValueError(f"fill must be null|zero|ffill|interp, got {fill!r}")
@@ -74,20 +78,24 @@ def resample_fill(
     spans = observed.groupBy(*keys).agg(
         F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
     )
-    # grid-size guard: raise rather than silently exploding the grid
-    too_big = spans.filter(
-        (F.col("__hi") - F.col("__lo")) / interval_seconds >= max_buckets_per_key
-    ).limit(1).count()
-    if too_big:
-        raise ValueError(
-            f"a key spans >= {max_buckets_per_key} buckets at "
-            f"interval={interval_seconds}s; coarsen the interval or raise "
-            "max_buckets_per_key"
-        )
+    # grid-size guard, IN-PLAN: raise_error fires inside the sequence
+    # expression the moment an oversized key is evaluated — rather than
+    # silently exploding the grid — and costs zero extra jobs (the old
+    # shape paid an eager count() per call; this stays lazy).
+    guarded_lo = F.when(
+        (F.col("__hi") - F.col("__lo")) / interval_seconds >= max_buckets_per_key,
+        F.raise_error(
+            F.lit(
+                f"a key spans >= {max_buckets_per_key} buckets at "
+                f"interval={interval_seconds}s; coarsen the interval or "
+                "raise max_buckets_per_key"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__lo"))
     grid = spans.select(
         *keys,
         F.explode(
-            F.sequence("__lo", "__hi", F.lit(interval_seconds).cast("long"))
+            F.sequence(guarded_lo, F.col("__hi"), F.lit(interval_seconds).cast("long"))
         ).alias("__bucket"),
     )
     joined = grid.join(observed, [*keys, "__bucket"], "left").withColumn(
@@ -117,18 +125,25 @@ def resample_fill(
             .orderBy("__bucket")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        obs_bucket = F.when(F.col("observed"), F.col("__bucket"))
-        pb = F.last(obs_bucket, ignorenulls=True).over(back)
-        nb = F.first(obs_bucket, ignorenulls=True).over(fwd)
         for n in names:
+            # Anchor the TIME on buckets where THIS value is non-NULL —
+            # not merely observed: an observed bucket whose aggregate is
+            # NULL (e.g. sum of all-NULL rows) must not desynchronize
+            # the time anchor from the value anchor, or the slope for
+            # neighboring gaps comes out wrong.
+            val_bucket = F.when(F.col(n).isNotNull(), F.col("__bucket"))
+            pb = F.last(val_bucket, ignorenulls=True).over(back)
+            nb = F.first(val_bucket, ignorenulls=True).over(fwd)
             pv = F.last(n, ignorenulls=True).over(back)
             nv = F.first(n, ignorenulls=True).over(fwd)
             frac = (F.col("__bucket") - pb) / (nb - pb)
             line = pv + (nv - pv) * frac
             joined = joined.withColumn(
                 n,
-                F.when(F.col("observed"), F.col(n)).otherwise(
-                    F.when(pb.isNotNull() & nb.isNotNull(), line)
+                F.when(F.col("observed") & F.col(n).isNotNull(), F.col(n)).otherwise(
+                    F.when(
+                        pb.isNotNull() & nb.isNotNull() & (nb != pb), line
+                    ).otherwise(F.when(F.col("observed"), F.col(n))),
                 ),
             )
     return joined.select(
@@ -246,6 +261,7 @@ def funnel(
     step_col: str,
     steps: Sequence[str],
     within_seconds: int | None = None,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered funnel per key: the earliest chronological completion of
     steps[0] → steps[1] → ... (each step at-or-after the previous;
@@ -268,11 +284,28 @@ def funnel(
     event (first-touch attribution, the common dashboard definition) —
     a later step-0 occurrence that would complete inside a fresher
     window is deliberately not searched (any-touch anchoring is a
-    different, quadratic-leaning semantics)."""
+    different, quadratic-leaning semantics).
+
+    Hot-key guard: per-key state is bounded by user activity, which is
+    fine for human keys but unguarded against adversarial ones (a bot
+    key with 10M step events would accumulate them all into one
+    aggregation buffer — and unlike window operators, hash-aggregate
+    buffers don't spill per-group). With `max_events_per_key` set, each
+    key folds over only its EARLIEST `max_events_per_key` events by
+    (ts, step) — a deterministic capped prefix — and the output gains
+    `n_events` (the key's true funnel-event count) and `truncated`
+    (whether the cap dropped anything). The capping row_number window
+    spills to disk per partition, and the subsequent groupBy reuses its
+    hash partitioning, so the plan stays at one exchange."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     if within_seconds is not None and within_seconds <= 0:
         raise ValueError(f"within_seconds must be positive, got {within_seconds}")
+    if max_events_per_key is not None and max_events_per_key < len(steps):
+        raise ValueError(
+            f"max_events_per_key={max_events_per_key} cannot hold a "
+            f"{len(steps)}-step funnel"
+        )
     k = len(steps)
     steps_lit = F.array(*[F.lit(s) for s in steps])
     ev = df.filter(F.col(step_col).isin(*steps)).select(
@@ -282,9 +315,21 @@ def funnel(
             F.col(step_col).alias("s"),
         ).alias("e"),
     )
-    per_key = ev.groupBy("u").agg(
-        F.array_sort(F.collect_list("e")).alias("evs")
-    )
+    if max_events_per_key is not None:
+        rn_w = Window.partitionBy("u").orderBy(F.col("e.t").asc(), F.col("e.s").asc())
+        capped = ev.withColumn("__rn", F.row_number().over(rn_w))
+        per_key = capped.groupBy("u").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_events_per_key, F.col("e"))
+                )
+            ).alias("evs"),
+            F.max("__rn").alias("n_events"),
+        )
+    else:
+        per_key = ev.groupBy("u").agg(
+            F.array_sort(F.collect_list("e")).alias("evs")
+        )
     init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
 
     def fold(acc, e):
@@ -313,9 +358,18 @@ def funnel(
 
         return F.transform(acc, lambda v, i: set_i(v, i))
 
+    extra = (
+        [
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("n_events") > F.lit(max_events_per_key)).alias("truncated"),
+        ]
+        if max_events_per_key is not None
+        else []
+    )
     out = per_key.select(
         F.col("u").alias(key_col),
         F.aggregate("evs", init, fold).alias("step_times"),
+        *extra,
     )
     return out.withColumn(
         "max_step",

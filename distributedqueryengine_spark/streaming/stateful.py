@@ -126,21 +126,29 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------ streaming funnel
 
-def _funnel_schemas(n_steps: int):
-    from pyspark.sql.types import ArrayType, IntegerType, StringType
+def _funnel_schemas(n_steps: int, key_type):
+    from pyspark.sql.types import ArrayType, BooleanType, IntegerType, StringType
 
     # one scalar column per step (step_1_ts..step_k_ts): nested arrays
     # in applyInPandasWithState OUTPUT rows hit Arrow decode issues on
     # this Spark build, and scalars are the friendlier sink schema
     # anyway. State keeps arrays (state encoding handles them fine).
+    # The key field's type is derived from the input (a string key must
+    # not be forced through a hardcoded LongType state encoding).
     out = StructType(
-        [StructField("key", LongType()), StructField("max_step", IntegerType())]
+        [
+            StructField("key", key_type),
+            StructField("max_step", IntegerType()),
+            StructField("n_state_events", LongType()),
+            StructField("truncated", BooleanType()),
+        ]
         + [StructField(f"step_{i + 1}_ts", LongType()) for i in range(n_steps)]
     )
     state = StructType(
         [
             StructField("ts", ArrayType(LongType())),
             StructField("step", ArrayType(StringType())),
+            StructField("n_dropped", LongType()),
         ]
     )
     return out, state
@@ -175,6 +183,7 @@ def streaming_funnel(
     step_col: str,
     steps: list[str],
     within_seconds: int | None = None,
+    max_events_per_key: int = 10_000,
 ) -> DataFrame:
     """Continuously-updated funnel per key: each micro-batch emits the
     key's current (max_step, step_times) — identical semantics to the
@@ -183,34 +192,71 @@ def streaming_funnel(
     A funnel is NOT incrementally foldable from a summary: a step-1
     event arriving AFTER a step-2 event (cross-batch out-of-order) can
     retroactively complete the sequence, so the state keeps the key's
-    funnel-RELEVANT events (pre-filtered to the step set — the same
-    bound the batch fold carries per group) and re-runs the greedy
-    fold per update. State size = per-key funnel-event count; keys are
-    hash-partitioned and each batch touches only arriving keys.
+    funnel-RELEVANT events (pre-filtered to the step set) and re-runs
+    the greedy fold per update. State is BOUNDED two ways:
+
+    * within-window trim (lossless): with `within_seconds` set, any
+      event later than `min(step0 time) + within_seconds` can never
+      fill a slot — the anchor is the minimum step-0 time, which only
+      moves EARLIER as late data arrives, so the window end only moves
+      earlier too; events beyond it are provably irrelevant forever and
+      are dropped from state without changing any future answer.
+    * per-key event cap (guarded truncation): at most
+      `max_events_per_key` events are retained per key — the EARLIEST
+      by (ts, step), matching the batch operator's capped-prefix
+      semantics — so one bot key cannot grow a state row without
+      bound. Dropped-event counts accumulate in state and surface as
+      `n_state_events` / `truncated` output columns rather than
+      failing silently.
+
+    Keys are hash-partitioned and each batch touches only arriving
+    keys. The output key column's type follows the input key column.
     """
     from pyspark.sql import functions as F
 
-    out_schema, state_schema = _funnel_schemas(len(steps))
+    key_type = events.schema[key_col].dataType
+    out_schema, state_schema = _funnel_schemas(len(steps), key_type)
     step_set = list(steps)
     within = within_seconds
+    cap = int(max_events_per_key)
+    if cap < len(steps):
+        raise ValueError(
+            f"max_events_per_key={cap} cannot hold a {len(steps)}-step funnel"
+        )
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
-            ts, st = state.get
-            ts, st = list(ts), list(st)
+            ts, st, dropped = state.get
+            evs = sorted(zip(ts, st))
+            dropped = int(dropped or 0)
         else:
-            ts, st = [], []
+            evs, dropped = [], 0
         for pdf in pdfs:
-            ts.extend(int(x) for x in pdf["__sec"])
-            st.extend(str(x) for x in pdf["__step"])
-        state.update((ts, st))
-        times = _greedy_funnel(sorted(zip(ts, st)), step_set, within)
+            evs.extend(
+                zip((int(x) for x in pdf["__sec"]), (str(x) for x in pdf["__step"]))
+            )
+        evs.sort()
+        if within is not None:
+            anchor = next((t for t, s in evs if s == step_set[0]), None)
+            if anchor is not None:
+                # lossless: beyond anchor+within no event can ever match
+                evs = [e for e in evs if e[0] <= anchor + within]
+        if len(evs) > cap:
+            dropped += len(evs) - cap
+            evs = evs[:cap]
+        state.update(([t for t, _ in evs], [s for _, s in evs], dropped))
+        times = _greedy_funnel(evs, step_set, within)
         n = 0
         for t in times:
             if t is None:
                 break
             n += 1
-        row = {"key": [key[0]], "max_step": [n]}
+        row = {
+            "key": [key[0]],
+            "max_step": [n],
+            "n_state_events": [len(evs)],
+            "truncated": [dropped > 0],
+        }
         for i, t in enumerate(times):
             row[f"step_{i + 1}_ts"] = [t]
         yield pd.DataFrame(row)

@@ -178,3 +178,22 @@ def test_semantic_contaminated_empty_eval_flags_nothing(spark, tables):
     emb = tables["embeddings"].select("vec_id", "embedding").limit(50)
     empty = emb.limit(0)
     assert semantic_contaminated_ids(emb, empty, 0.5, id_col="vec_id").count() == 0
+
+
+def test_semantic_contaminated_ids_string_ids(spark):
+    """The output id column follows the corpus id type: string doc ids
+    pass through the Arrow conversion unchanged."""
+    from distributedqueryengine_spark.functions.decontam import (
+        semantic_contaminated_ids,
+    )
+
+    corpus = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0]), ("doc-c", [0.9, 0.1])],
+        "doc_id string, embedding array<double>",
+    )
+    evals = spark.createDataFrame(
+        [("e1", [1.0, 0.0])], "doc_id string, embedding array<double>"
+    )
+    got = {r.id: r.max_cos for r in semantic_contaminated_ids(corpus, evals, tau=0.9).collect()}
+    assert set(got) == {"doc-a", "doc-c"}
+    assert got["doc-a"] == 1.0

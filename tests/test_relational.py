@@ -530,3 +530,24 @@ def test_incremental_agg_state_equals_full_recompute(spark, tables):
     }
     assert render(merged_flat) == direct
     assert render(merged_hier) == direct
+
+
+def test_winsorize_null_group_keys_are_clipped(spark):
+    """Rows whose grouping key is NULL form their own group (SQL GROUP BY
+    semantics) and must be clipped against THAT group's bounds — the
+    join back is null-safe, not a silent pass-through."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.aggregates import winsorize
+
+    rows = [(None, float(v)) for v in range(1, 101)] + [
+        ("g", float(v)) for v in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = winsorize(df, ["v"], 0.10, 0.90, by=["k"])
+    nulls = [r.v for r in out.filter(F.col("k").isNull()).collect()]
+    assert nulls, "NULL-key rows must survive"
+    # clipped to that group's [p10, p90] = [10.9, 90.1]
+    assert abs(min(nulls) - 10.9) < 1e-9 and abs(max(nulls) - 90.1) < 1e-9
+    named = [r.v for r in out.filter(F.col("k") == "g").collect()]
+    assert abs(min(named) - 10.9) < 1e-9 and abs(max(named) - 90.1) < 1e-9

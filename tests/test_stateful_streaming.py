@@ -325,3 +325,137 @@ def test_streaming_funnel_state_survives_restart(spark, tmp_path):
     assert [final.step_1_ts, final.step_2_ts, final.step_3_ts] == list(
         expect.step_times
     ) == [300, 500, 900]
+
+
+def _funnel_files(spark, tmp_path, batches, schema="u long, ep long, step string"):
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema).select(
+            "u", F.timestamp_seconds("ep").alias("ts"), "step"
+        )
+        tmp = str(tmp_path / f"_b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/b{i}.parquet")
+        shutil.rmtree(tmp)
+    return stage, spark.read.parquet(stage).schema
+
+
+def test_streaming_funnel_state_capped_under_hot_key(spark, tmp_path):
+    """A planted hot key feeding hundreds of events across micro-batches
+    never holds more than max_events_per_key events in state; the
+    overflow is flagged, not silent."""
+    from distributedqueryengine_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "cart", "buy"]
+    b1 = [(1, 1000 + i, "view") for i in range(120)]
+    b2 = [(1, 2000 + i, "cart") for i in range(120)] + [(2, 10, "view"), (2, 20, "cart")]
+    stage, schema = _funnel_files(spark, tmp_path, [b1, b2])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    out = streaming_funnel(stream, "u", "ts", "step", steps, max_events_per_key=50)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel_cap")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sfunnel_cap").collect()
+    assert rows
+    for r in rows:
+        assert r.n_state_events <= 50, r
+    hot_final = max((r for r in rows if r.key == 1), key=lambda r: r.n_state_events)
+    assert hot_final.truncated is True
+    assert hot_final.n_state_events == 50
+    # capped-prefix semantics: earliest 50 events are all 'view' → max_step 1
+    assert hot_final.max_step == 1
+    normal = max((r for r in rows if r.key == 2), key=lambda r: r.max_step)
+    assert normal.truncated is False and normal.max_step == 2
+
+
+def test_streaming_funnel_within_window_trims_state(spark, tmp_path):
+    """With within_seconds set, events beyond first(step0)+within are
+    provably irrelevant and leave state — the lossless bound — while
+    the funnel answer still matches the batch operator."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.timeseries import funnel
+    from distributedqueryengine_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "cart", "buy"]
+    b1 = [(1, 100, "view"), (1, 120, "cart")]
+    # junk far outside the 50s window: can never fill a slot
+    b2 = [(1, 10_000 + i, "cart") for i in range(80)] + [(1, 140, "buy")]
+    stage, schema = _funnel_files(spark, tmp_path, [b1, b2])
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    out = streaming_funnel(stream, "u", "ts", "step", steps, within_seconds=50)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel_trim")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sfunnel_trim").collect()
+    final = max(rows, key=lambda r: r.max_step)
+    assert final.max_step == 3
+    # state kept only the in-window events (view/cart/buy), not the junk
+    assert final.n_state_events == 3
+    assert final.truncated is False  # trim is lossless, not truncation
+    full = spark.createDataFrame(b1 + b2, "u long, ep long, step string").select(
+        "u", F.timestamp_seconds("ep").alias("ts"), "step"
+    )
+    expect = funnel(full, "u", "ts", "step", steps, within_seconds=50).collect()[0]
+    assert final.max_step == expect.max_step
+    assert [final.step_1_ts, final.step_2_ts, final.step_3_ts] == list(
+        expect.step_times
+    )
+
+
+def test_streaming_funnel_string_key(spark, tmp_path):
+    """The output/state key type follows the input key column — a string
+    key must not be forced through a hardcoded LongType encoding."""
+    from distributedqueryengine_spark.streaming.stateful import streaming_funnel
+
+    steps = ["view", "buy"]
+    b1 = [("alice", 10, "view"), ("alice", 20, "buy"), ("bob", 5, "buy")]
+    stage, schema = _funnel_files(
+        spark, tmp_path, [b1], schema="u string, ep long, step string"
+    )
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = streaming_funnel(stream, "u", "ts", "step", steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sfunnel_str")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.key: r for r in spark.sql("SELECT * FROM sfunnel_str").collect()}
+    assert rows["alice"].max_step == 2
+    assert rows["bob"].max_step == 0

@@ -94,10 +94,17 @@ def test_resample_guards(spark):
         resample_fill(df, ["k"], "ts", 60, {"s": F.sum("v")}, fill="bogus")
     with pytest.raises(ValueError, match="positive"):
         resample_fill(df, ["k"], "ts", 0, {"s": F.sum("v")})
-    with pytest.raises(ValueError, match="buckets"):
-        resample_fill(
-            df, ["k"], "ts", 1, {"s": F.sum("v")}, max_buckets_per_key=100
-        )
+    # the grid-size guard is IN-PLAN (raise_error): construction is lazy
+    # and runs ZERO jobs; the error fires on materialization.
+    sc = spark.sparkContext
+    sc.setJobGroup("resample_guard_probe", "probe construction laziness")
+    lazy = resample_fill(
+        df, ["k"], "ts", 1, {"s": F.sum("v")}, max_buckets_per_key=100
+    )
+    assert list(sc.statusTracker().getJobIdsForGroup("resample_guard_probe")) == []
+    sc.setJobGroup("resample_guard_fire", "materialize")
+    with pytest.raises(Exception, match="buckets"):
+        lazy.collect()
 
 
 def test_sessionize_matches_duckdb(spark, tables):
@@ -366,3 +373,70 @@ def test_resample_interp_policy(spark):
     assert abs(a[base + 180] - 5.5) < 1e-9
     assert abs(a[base + 240] - 4.0) < 1e-9
     assert abs(a[base + 300] - 2.5) < 1e-9
+
+
+def test_resample_interp_null_valued_observed_bucket(spark):
+    """An OBSERVED bucket whose aggregate is NULL (sum over all-NULL
+    rows) must not serve as a time anchor: the slope is drawn between
+    the surrounding non-NULL values, and the NULL-valued bucket itself
+    interpolates on that same line."""
+    from distributedqueryengine_spark.operators.timeseries import resample_fill
+
+    base = 1_700_000_040
+    rows = [
+        ("A", base, 10.0),
+        ("A", base + 60, None),  # observed, but sum(v) IS NULL
+        ("A", base + 180, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ep long, v double").select(
+        "k", F.timestamp_seconds("ep").alias("ts"), "v"
+    )
+    out = resample_fill(df, ["k"], "ts", 60, {"s": F.sum("v")}, fill="interp")
+    a = {r.bucket_ts: r.s for r in out.collect()}
+    # anchors: 10.0 @ base, 40.0 @ base+180 → slope 10 per bucket
+    assert a[base] == 10.0 and a[base + 180] == 40.0
+    assert abs(a[base + 60] - 20.0) < 1e-9   # NULL-valued observed bucket
+    assert abs(a[base + 120] - 30.0) < 1e-9  # the gap next to it: correct slope
+
+
+def test_funnel_hot_key_cap(spark):
+    """Hot-key guard: a planted 10^6-event bot key completes under the
+    cap with its overflow flagged, folding only the earliest
+    max_events_per_key events; normal keys match the uncapped result."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.timeseries import funnel
+
+    steps = ["view", "cart", "buy"]
+    bot = spark.range(1_000_000).select(
+        F.lit(999).alias("u"),
+        F.timestamp_seconds(F.col("id") + 10).alias("ts"),
+        F.lit("view").alias("step"),
+    )
+    # bot's cart/buy land AFTER the capped prefix → unreachable under cap
+    tail = spark.createDataFrame(
+        [(999, 2_000_000, "cart"), (999, 2_000_100, "buy"),
+         (7, 100, "view"), (7, 200, "cart"), (7, 300, "buy")],
+        "u long, ep long, step string",
+    ).select("u", F.timestamp_seconds("ep").alias("ts"), "step")
+    ev = bot.unionByName(tail)
+
+    out = {
+        r.u: r
+        for r in funnel(
+            ev, "u", "ts", "step", steps, max_events_per_key=1000
+        ).collect()
+    }
+    assert out[999].n_events == 1_000_002
+    assert out[999].truncated is True
+    assert out[999].max_step == 1  # cart/buy beyond the capped prefix
+    assert out[7].truncated is False and out[7].n_events == 3
+    assert out[7].max_step == 3 and list(out[7].step_times) == [100, 200, 300]
+
+    # uncapped ground truth for the normal key is unchanged by the cap
+    base = {
+        r.u: (r.max_step, list(r.step_times))
+        for r in funnel(ev, "u", "ts", "step", steps).collect()
+    }
+    assert base[7] == (out[7].max_step, list(out[7].step_times))
+    assert base[999] == (3, [10, 2_000_000, 2_000_100])  # bot completes uncapped
