@@ -7,8 +7,11 @@ every iteration is (join + aggregate) on the edge relation partitioned
 by key, the lineage is cut with localCheckpoint each round (20
 iterations of uncheckpointed joins would nest 20 plans deep and
 re-execute the whole chain per action), and the ONLY driver-side data
-movement is a 1-row convergence aggregate per iteration (the same
-bounded contract as CC's convergence check).
+movement is a 1-row convergence aggregate every `check_every` rounds
+(the same bounded contract as CC's convergence check). The per-round
+driver-barrier budget is exactly ONE job: the dangling-mass sum rides
+the update plan as a broadcast 1-row cross join instead of its own
+collect.
 
 Dangling nodes (no out-edges) follow the standard treatment: their
 rank mass redistributes uniformly, keeping the ranks a probability
@@ -29,15 +32,25 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1.0e-6,
+    check_every: int = 5,
 ) -> DataFrame:
     """(id, rank) over the directed edge list, ranks summing to 1.
 
     Stops at `max_iter` or when the L1 delta between iterations drops
-    below `tol`. Self-loops count as ordinary edges; duplicate edges
-    add proportional weight (multigraph semantics — dedupe upstream if
-    unwanted)."""
+    below `tol` (tested every `check_every` rounds). Self-loops count
+    as ordinary edges; duplicate edges add proportional weight
+    (multigraph semantics — dedupe upstream if unwanted).
+
+    Driver-barrier budget: ONE action per iteration (the eager
+    localCheckpoint that cuts the lineage), plus one convergence
+    aggregate every `check_every` rounds. The dangling-node mass is NOT
+    collected per round — it rides the same plan as the contribution
+    aggregate via a broadcast 1-row cross join, so both aggregates
+    execute inside the checkpoint's single job."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).persist()
@@ -50,18 +63,18 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
-    for _ in range(max_iter):
-        with_deg = ranks.join(out_deg, ranks["id"] == out_deg["src"], "left")
-        # dangling mass: ranks of nodes with no out-edges (1-row agg)
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+    for it in range(max_iter):
+        # dangling mass as a 1-row FRAME folded into the update plan —
+        # no .first() barrier; the filter side reuses the ranks⋈out_deg
+        # join the contribs side also needs.
+        dangling_df = (
+            ranks.join(out_deg, ranks["id"] == out_deg["src"], "left")
+            .filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contribs = (
             e.join(ranks, e["src"] == ranks["id"])
@@ -72,25 +85,33 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "id",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("__dang") / n
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
         )
-        delta = (
-            new_ranks.alias("a")
-            .join(ranks.alias("b"), "id")
-            .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
-            .first()[0]
-        )
+        converged = False
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "id")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .first()[0]
+            )
+            converged = delta is not None and delta < tol
         ranks = new_ranks
-        if delta is not None and delta < tol:
+        if converged:
             break
     e.unpersist()
     nodes.unpersist()
+    out_deg.unpersist()
     return ranks

@@ -63,3 +63,42 @@ def test_pagerank_converges_early_and_guards(spark, graph):
         pagerank(df, damping=1.5)
     empty = df.limit(0)
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_driver_barrier_budget(spark, graph):
+    """Job budget per iteration, pinned via the status tracker (AQE off
+    for the probe — AQE splits one action into per-stage jobs and
+    would obscure the count): the batched shape costs 4 jobs/iter —
+    ONE blocking action (the eager localCheckpoint) + 3 broadcast-
+    exchange jobs — with NO dangling-mass collect; a per-round
+    convergence check (check_every=1) adds exactly one more. The old
+    shape's two per-round collects would trip the <=4 bound. Fixed
+    overhead (setup + final state) cancels by differencing two run
+    lengths."""
+    edges, df = graph
+
+    sc = spark.sparkContext
+
+    def jobs_for(n_iter, check_every):
+        group = f"pr_budget_{n_iter}_{check_every}"
+        sc.setJobGroup(group, "pagerank job-count probe")
+        try:
+            pagerank(df, max_iter=n_iter, tol=0.0, check_every=check_every).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        per_iter = (jobs_for(8, 10**9) - jobs_for(4, 10**9)) / 4
+        per_iter_chk = (jobs_for(8, 1) - jobs_for(4, 1)) / 4
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert per_iter <= 4.0, per_iter
+    assert per_iter_chk - per_iter == 1.0, (per_iter, per_iter_chk)
+
+    # and the numeric answer is unchanged by the folding (vs numpy ref)
+    got = {r.id: r.rank for r in pagerank(df, max_iter=60, tol=1e-12).collect()}
+    ref = _ref_pagerank(edges, 10)
+    assert all(abs(got[i] - ref[i]) < 1e-6 for i in range(10))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
