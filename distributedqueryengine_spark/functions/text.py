@@ -15,6 +15,7 @@ select/filter.
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -458,34 +459,71 @@ def url_host(col: Column | str) -> Column:
     return F.when(F.length(h) > 0, h)
 
 
-def registered_domain(col: Column | str) -> Column:
-    """eTLD+1 of a hostname column: last two labels, or last THREE when
-    the two-label tail is a known two-level public suffix (co.uk etc.).
-    The C4/RefinedWeb grouping key for per-site quotas and blocklists —
-    grouping by raw host over-splits (www./cdn./m. subdomains), by bare
-    TLD under-splits."""
+def registered_domain(
+    col: Column | str, suffixes: "Sequence[str] | None" = None
+) -> Column:
+    """eTLD+1 of a hostname column. The C4/RefinedWeb grouping key for
+    per-site quotas and blocklists — grouping by raw host over-splits
+    (www./cdn./m. subdomains), by bare TLD under-splits.
+
+    `suffixes` is an optional user-supplied public-suffix list (plain
+    suffix strings of any label depth — 'co.uk', 'github.io',
+    'pref.aichi.jp'); pass the full Mozilla PSL for completeness. The
+    longest matching suffix wins (the PSL algorithm) and the
+    registered domain is that suffix plus one more label; a host with
+    no matching suffix falls back to its last two labels (the PSL's
+    implicit '*' default rule). The list rides the expression as a
+    literal lookup per label depth — one isin() per distinct depth, no
+    join, no UDF — so it broadcasts with the plan closure.
+
+    The default (suffixes=None) is the built-in TWO_LEVEL_SUFFIXES
+    subset: dependency-free and deterministic, but knowingly incomplete
+    (github.io, com.hk, multi-level suffixes) — supply a real list when
+    grouping the open web."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     parts = F.split(c, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    return (
-        F.when(n <= 2, c)
-        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
-        .otherwise(last2)
-    )
+
+    def last_k(k: int) -> Column:
+        # try_element_at: AND conditions don't short-circuit per-operand,
+        # so a 1-label host must not throw under ANSI when probing -k.
+        return F.concat_ws(
+            ".", *[F.try_element_at(parts, F.lit(-i)) for i in range(k, 0, -1)]
+        )
+
+    if suffixes is None:
+        return (
+            F.when(n <= 2, c)
+            .when(last_k(2).isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last_k(3))
+            .otherwise(last_k(2))
+        )
+    by_depth: dict[int, list[str]] = {}
+    for s in suffixes:
+        s = s.strip().lower().lstrip(".")
+        if s:
+            by_depth.setdefault(s.count(".") + 1, []).append(s)
+    expr = None
+    for k in sorted(by_depth, reverse=True):  # longest suffix wins
+        cond = (n >= k + 1) & last_k(k).isin(*by_depth[k])
+        expr = F.when(cond, last_k(k + 1)) if expr is None else expr.when(
+            cond, last_k(k + 1)
+        )
+    fallback = F.when(n <= 2, c).otherwise(last_k(2))
+    return fallback if expr is None else expr.otherwise(fallback)
 
 
 def domain_frequency(
-    df: DataFrame, url_col: str, weight_col: str | None = None
+    df: DataFrame,
+    url_col: str,
+    weight_col: str | None = None,
+    suffixes: Sequence[str] | None = None,
 ) -> DataFrame:
     """(domain, n_docs): registered-domain histogram over a URL column
     — the substrate for per-site quotas (cap any one domain's share of
     the corpus) and blocklist auditing. One hash aggregate on the
-    short domain string; rows with unparseable URLs are dropped."""
-    d = registered_domain(url_host(F.col(url_col)))
+    short domain string; rows with unparseable URLs are dropped.
+    `suffixes` forwards to registered_domain."""
+    d = registered_domain(url_host(F.col(url_col)), suffixes=suffixes)
     w = F.col(weight_col) if weight_col else F.lit(1)
     return (
         df.select(d.alias("domain"), w.alias("w"))
@@ -500,17 +538,19 @@ def cap_domain_share(
     url_col: str,
     max_docs_per_domain: int,
     tiebreak_col: str | None = None,
+    suffixes: Sequence[str] | None = None,
 ) -> DataFrame:
     """Keep at most `max_docs_per_domain` rows per registered domain —
     deterministic (hash-ranked within domain, tiebroken by
     `tiebreak_col` when given) so reruns select identical survivors.
     One window shuffle on the (short) domain key; rows without a
-    parseable URL are kept unconditionally (no domain to cap)."""
+    parseable URL are kept unconditionally (no domain to cap).
+    `suffixes` forwards to registered_domain."""
     from pyspark.sql.window import Window
 
     if max_docs_per_domain <= 0:
         raise ValueError(f"max_docs_per_domain must be positive, got {max_docs_per_domain}")
-    d = registered_domain(url_host(F.col(url_col)))
+    d = registered_domain(url_host(F.col(url_col)), suffixes=suffixes)
     order = (
         [F.xxhash64(F.col(url_col)).asc()]
         + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])

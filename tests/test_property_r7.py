@@ -134,6 +134,9 @@ def test_funnel_random_configs_match_reference(spark, tables, k, within, seed):
     present = sorted(
         r.event_type for r in ev.select("event_type").distinct().collect()
     )
+    def nsort(ts):
+        return sorted(ts, key=lambda t: tuple((v is None, v) for v in t))
+
     rng = random.Random(seed)
     steps = rng.sample(present, min(k, len(present)))
 
@@ -213,3 +216,125 @@ def test_winsorize_random_bounds_match_duckdb(spark, tables, duck, lo, hi):
         ).fetchall()
     }
     assert got == expect, (lo, hi)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_keys=st.integers(min_value=1, max_value=12),
+    rows_per_key=st.integers(min_value=1, max_value=20),
+    ts_range=st.integers(min_value=1, max_value=15),  # small → tie collisions
+    attr_alphabet=st.integers(min_value=1, max_value=3),  # small → no-op density
+    null_pct=st.integers(min_value=0, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_scd2_random_changelog_matches_duckdb(
+    spark, duck, n_keys, rows_per_key, ts_range, attr_alphabet, null_pct, seed
+):
+    """Random change-log shapes (key cardinality, timestamp-tie
+    collisions, no-op density, NULL attributes) through
+    scd2_from_changes vs the identical DuckDB window SQL — compaction
+    (NULL-safe attr comparison) + [valid_from, valid_to) + version."""
+    import random
+
+    from distributedqueryengine_spark.operators.cdc import scd2_from_changes
+
+    def nsort(ts):
+        return sorted(ts, key=lambda t: tuple((v is None, v) for v in t))
+
+    rng = random.Random(seed)
+    rows = []
+    rid = 0
+    for k in range(n_keys):
+        for _ in range(rows_per_key):
+            rid += 1
+            a = (
+                None
+                if rng.randrange(100) < null_pct
+                else f"v{rng.randrange(attr_alphabet)}"
+            )
+            b = rng.randrange(attr_alphabet)
+            rows.append((k, rng.randrange(ts_range), rid, a, b))
+    df = spark.createDataFrame(
+        rows, "k long, ts long, rid long, a string, b long"
+    )
+    got = nsort(
+        (r.k, r.a, r.b, r.valid_from, r.valid_to, r.is_current, r.version)
+        for r in scd2_from_changes(
+            df, ["k"], "ts", ["a", "b"], tiebreak=["rid"]
+        ).collect()
+    )
+    duck.register("chg_prop", df.toPandas())
+    try:
+        expect = nsort(
+            tuple(r)
+            for r in duck.execute(
+                """
+                WITH o AS (
+                  SELECT *, row_number() OVER w AS rn,
+                         lag(a) OVER w AS pa, lag(b) OVER w AS pb
+                  FROM chg_prop WINDOW w AS (PARTITION BY k ORDER BY ts, rid)
+                ), kept AS (
+                  SELECT k, ts, rid, a, b FROM o
+                  WHERE rn = 1 OR (a IS DISTINCT FROM pa) OR (b IS DISTINCT FROM pb)
+                )
+                SELECT k, a, b, ts AS valid_from,
+                       lead(ts) OVER w AS valid_to,
+                       lead(ts) OVER w IS NULL AS is_current,
+                       CAST(row_number() OVER w AS INTEGER) AS version
+                FROM kept WINDOW w AS (PARTITION BY k ORDER BY ts, rid)
+                """
+            ).fetchall()
+        )
+    finally:
+        duck.unregister("chg_prop")
+    assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(period=st.integers(min_value=600, max_value=30 * 86400))
+def test_cohort_retention_random_period_matches_duckdb(spark, tables, duck, period):
+    """Random cohort period sizes through cohort_retention over the real
+    events table vs the DuckDB mirror (distinct activity → min-period
+    cohort → offset matrix → retention ratio)."""
+    from distributedqueryengine_spark.operators.timeseries import cohort_retention
+
+    ev = tables["events"].select("user_id", "ts")
+    got = sorted(
+        (r.cohort_period, r.periods_since, r.n_active, r.n_cohort, r.retention)
+        for r in cohort_retention(ev, "user_id", "ts", period).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH activity AS (
+              SELECT DISTINCT user_id AS u,
+                     (epoch_us(ts)//1000000) // {period} AS p
+              FROM events
+            ), cohorts AS (
+              SELECT u, min(p) AS cp FROM activity GROUP BY u
+            ), sizes AS (
+              SELECT cp, count(*) AS n_cohort FROM cohorts GROUP BY cp
+            ), m AS (
+              SELECT c.cp, a.p - c.cp AS ps, count(*) AS n_active
+              FROM activity a JOIN cohorts c ON a.u = c.u
+              GROUP BY 1, 2
+            )
+            SELECT m.cp * {period} AS cohort_period,
+                   CAST(m.ps AS INTEGER) AS periods_since,
+                   m.n_active, s.n_cohort,
+                   round(m.n_active / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+            FROM m JOIN sizes s ON m.cp = s.cp
+            """
+        ).fetchall()
+    )
+    assert [g[:4] for g in got] == [e[:4] for e in expect]
+    assert all(abs(g[4] - e[4]) <= 1e-6 for g, e in zip(got, expect))

@@ -583,3 +583,46 @@ def test_build_vocabulary_ngrams_match_counter(spark, tables):
         assert [
             (r.token, r["count"]) for r in sorted(top, key=lambda r: r.rank)
         ] == expect_top
+
+
+def test_registered_domain_custom_suffix_list(spark):
+    """A user-supplied public-suffix list (any label depth) drives the
+    grouping: longest suffix wins, unmatched hosts fall back to the
+    last-two-labels default rule — the cases the built-in closed
+    heuristic knowingly gets wrong (github.io, com.hk, multi-level)."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions.text import registered_domain
+
+    psl = ["github.io", "com.hk", "co.uk", "aichi.jp", "pref.aichi.jp"]
+    hosts = [
+        ("user.github.io", "user.github.io"),        # suffix + 1 label
+        ("cdn.user.github.io", "user.github.io"),    # deep subdomain
+        ("www.example.com.hk", "example.com.hk"),
+        ("foo.pref.aichi.jp", "foo.pref.aichi.jp"),  # 3-level beats 2-level
+        ("bar.aichi.jp", "bar.aichi.jp"),
+        ("www.example.org", "example.org"),          # fallback: last 2
+        ("deep.sub.example.org", "example.org"),
+        ("localhost", "localhost"),                  # single label passthrough
+        ("WWW.Example.CO.UK", "example.co.uk"),      # case-folded
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain(F.col("host"), suffixes=psl).alias("d")
+        ).collect()
+    }
+    for h, want in hosts:
+        assert got[h] == want, (h, got[h], want)
+
+    # default heuristic still behaves identically to before
+    base = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert base["www.example.org"] == "example.org"
+    assert base["WWW.Example.CO.UK"] == "example.co.uk"
+    assert base["user.github.io"] == "github.io"  # the documented gap
