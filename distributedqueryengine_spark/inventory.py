@@ -464,6 +464,35 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.unionByName(gk)
 
 
+def approx_sketches_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch branches of q_approx_sketches WITHOUT the exact
+    verification side — the shape actually run at 100 TB (bounded-state
+    partial-aggregatable sketches; the exact count_distinct /
+    percentile in the oracled row are verification machinery whose
+    cost dominates it). bench.py times this separately and publishes
+    both numbers as `approx_sketches_split`, so the oracled row's
+    headline ratio vs DuckDB no longer needs a footnote. NOT in the
+    oracled inventory: raw sketch estimates are engine-specific and
+    cannot hash-match a DuckDB oracle."""
+    orders = Q._t(spark, sf_dir, "orders")
+    li = Q._t(spark, sf_dir, "lineitem")
+    hll = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.05).alias("approx")
+    ).select(
+        F.lit("hll_distinct").alias("variant"),
+        F.col("o_orderstatus").cast("string").alias("key"),
+        F.col("approx").cast("double").alias("estimate"),
+    )
+    gk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("ap")
+    ).select(
+        F.lit("gk_percentiles").alias("variant"),
+        F.col("l_returnflag").cast("string").alias("key"),
+        F.col("ap")[0].cast("double").alias("estimate"),
+    )
+    return hll.unionByName(gk)
+
+
 _ANN_S = [("query_id", "bigint"), ("neighbor_id", "bigint"), ("cos", "double"), ("rnk", "int")]
 
 
