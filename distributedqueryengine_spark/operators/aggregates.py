@@ -241,3 +241,72 @@ def finalize_agg_state(state, keys, specs):
         else:
             out.append(F.col(f"{name}__{kind}").alias(name))
     return state.select(*out)
+
+
+def rfm_segments(
+    df,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+    as_of=None,
+):
+    """RFM customer segmentation: per key, recency (seconds since the
+    key's latest event, relative to `as_of` — default: the dataset's
+    max timestamp, so the result is reproducible from the data alone),
+    frequency (event count) and monetary (amount sum), each scored
+    into `n_bins` quantile bins via ntile, plus the concatenated
+    'r-f-m' segment label. Higher score = better (more recent / more
+    frequent / higher spend) — the marketing-analytics convention.
+
+    Determinism: ntile over ties is order-dependent, so every ranking
+    orders by (metric, key) — reruns and engines agree exactly (the
+    DuckDB differential in tests/test_property_r8.py pins this).
+
+    Shape: one hash aggregate to key granularity (the only
+    event-row-sized stage), then three ntile windows over the
+    key-sized frame — each a single global sort of customer rows, the
+    same contract as any ranked report. `as_of` default folds in as a
+    broadcast 1-row aggregate, no driver collect."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.unix_timestamp(F.col(ts_col))).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col)).alias("monetary"),
+    )
+    if as_of is None:
+        anchor = per_key.agg(F.max("__last").alias("__asof"))
+        per_key = per_key.crossJoin(F.broadcast(anchor))
+    else:
+        t = F.lit(as_of)
+        per_key = per_key.withColumn(
+            "__asof", F.unix_timestamp(t.cast("timestamp"))
+        )
+    per_key = per_key.withColumn(
+        "recency_seconds", (F.col("__asof") - F.col("__last")).cast("long")
+    ).drop("__last", "__asof")
+    # recency: SMALLER is better → rank ascending so bin n = most recent
+    r_w = Window.orderBy(F.col("recency_seconds").desc(), F.col("key").asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("key").asc())
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("key").asc())
+    return (
+        per_key.withColumn("r_score", F.ntile(n_bins).over(r_w).cast("int"))
+        .withColumn("f_score", F.ntile(n_bins).over(f_w).cast("int"))
+        .withColumn("m_score", F.ntile(n_bins).over(m_w).cast("int"))
+        .select(
+            F.col("key").alias(key_col),
+            "recency_seconds",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+        )
+    )

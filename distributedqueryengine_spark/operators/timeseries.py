@@ -436,3 +436,44 @@ def rolling_zscore(
         F.round((F.col(value_col) - mean) / sd, 6),
     )
     return df.withColumn("zscore", z)
+
+
+def event_transitions(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    event_col: str,
+    tiebreak: Sequence[str] = (),
+    include_terminal: bool = False,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: (from_event, to_event, n, p) where n counts adjacent
+    pairs across all keys and p = P(to | from) — the user-journey /
+    next-action summary every product-analytics stack derives from the
+    same event tables the funnel and sessionization operators consume.
+
+    `include_terminal=True` adds (last_event → NULL) rows so each
+    from_event's outgoing p sums to 1 INCLUDING sequence ends;
+    otherwise terminal events simply contribute no pair.
+
+    Shape: one lag window per key (the same single shuffle contract as
+    sessionize — ordered by ts + tiebreak for determinism under
+    simultaneous events), then a hash aggregate on the (from, to) pair
+    — output is alphabet²-sized, not event-sized. p is computed with a
+    window over from_event on the already-tiny matrix."""
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    paired = df.select(
+        F.col(event_col).alias("from_event"),
+        F.lead(event_col).over(w).alias("to_event"),
+    )
+    if not include_terminal:
+        paired = paired.filter(F.col("to_event").isNotNull())
+    counts = paired.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total_w = Window.partitionBy("from_event")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(total_w), 6)
+    )
