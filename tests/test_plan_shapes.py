@@ -167,3 +167,62 @@ def test_round7_operators_exchange_budgets(spark, tables):
     # first distinct is event-row-sized, and AQE reuses/coalesces the
     # tiny user-period-sized ones at runtime
     assert p.count("Exchange") <= 7
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tables):
+    """Runtime Bloom-filter semi-join reduction: when a selective filter
+    sits on the build side of a SHUFFLE join, Catalyst injects a
+    bloom_filter_agg subquery and a might_contain() filter on the probe
+    side — at 100 TB this prunes most of the fact scan's shuffle input
+    before the exchange, the scalable cousin of broadcast-DPP (which
+    needs a partition column; the Bloom path prunes on ANY join key).
+    Thresholds are lowered to engage at fixture scale; results must be
+    identical with the feature off."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+
+    def build():
+        return (
+            tables["lineitem"]
+            .join(
+                tables["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_extendedprice", "o_orderdate")
+        )
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        with_bloom = build()
+        plan = with_bloom._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        assert "bloom_filter_agg" in plan, plan[:3000]
+        n_bloom = with_bloom.count()
+
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = build()
+        assert "might_contain" not in without._jdf.queryExecution().executedPlan().toString()
+        assert without.count() == n_bloom > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
