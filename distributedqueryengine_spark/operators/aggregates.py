@@ -310,3 +310,107 @@ def rfm_segments(
             ).alias("segment"),
         )
     )
+
+
+def histogram_fixed_width(
+    df,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+):
+    """(bin, lo_edge, hi_edge, n): equal-width histogram of a numeric
+    column — the profiling / distribution-drift primitive. With lo/hi
+    omitted the range comes from a 1-row min/max aggregate folded in
+    via broadcast cross join (no driver collect — the same pattern as
+    zorder's stats and pagerank's dangling mass). Values at the top
+    edge land in the last bin (right-closed there, half-open
+    elsewhere); out-of-range values with explicit lo/hi are clamped
+    into the edge bins rather than dropped (drift monitoring wants to
+    SEE mass piling at the edges). NULLs are excluded.
+
+    Shape: one pass + one bin-keyed hash aggregate (map-side combined;
+    output is n_bins rows). Empty bins are absent — left-join a
+    sequence() grid if a dense histogram is needed."""
+    from pyspark.sql import functions as F
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    x = df.select(F.col(value_col).cast("double").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    if lo is None:
+        rng = x.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
+        x = x.crossJoin(F.broadcast(rng))
+    else:
+        if not hi > lo:
+            raise ValueError(f"need hi > lo, got {lo}/{hi}")
+        x = x.withColumn("__lo", F.lit(float(lo))).withColumn(
+            "__hi", F.lit(float(hi))
+        )
+    width = (F.col("__hi") - F.col("__lo")) / n_bins
+    raw = F.floor((F.col("x") - F.col("__lo")) / width)
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    # degenerate all-equal range: everything in bin 0
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(bin_)
+    return (
+        x.select(bin_.alias("bin"), "__lo", "__hi")
+        .groupBy("bin", "__lo", "__hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("__lo") + F.col("bin") * (F.col("__hi") - F.col("__lo")) / n_bins, 6).alias("lo_edge"),
+            F.round(F.col("__lo") + (F.col("bin") + 1) * (F.col("__hi") - F.col("__lo")) / n_bins, 6).alias("hi_edge"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+def quantile_discretize(
+    df,
+    value_col: str,
+    n_bins: int = 10,
+    out_col: str | None = None,
+):
+    """Add a quantile-bin column (1..n_bins) to every row: edges are the
+    EXACT interpolated percentiles at i/n_bins (matching ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont, so the op is
+    differential-testable), and a row's bin is 1 + the number of
+    INTERIOR edges strictly below-or-equal... precisely:
+    bin = 1 + count(edges e where x > e) over the n_bins-1 interior
+    edges — ties at an edge fall in the lower bin, NULLs stay NULL.
+
+    Unlike ntile (which balances COUNTS by row order and gives
+    non-reproducible bins for tied values across engines), this is a
+    pure function of the VALUE — the feature-discretization contract a
+    training pipeline needs (the same row always lands in the same
+    bin, and new data can be bucketed against frozen edges).
+
+    Shape: one aggregate computes all interior edges (exact percentile
+    buffers the column once — swap approx_percentile in at extreme
+    scale, same plan), broadcast 1-row cross join, then a pure
+    JVM-side aggregate over the tiny edge array per row."""
+    from pyspark.sql import functions as F
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    out_col = out_col or f"{value_col}_bin"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    edges = df.agg(
+        F.percentile(
+            F.col(value_col).cast("double"), F.array(*[F.lit(p) for p in ps])
+        ).alias("__edges")
+    )
+    x = F.col(value_col).cast("double")
+    bin_ = (
+        F.lit(1)
+        + F.size(F.filter("__edges", lambda e: x > e))
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .withColumn(out_col, F.when(x.isNotNull(), bin_))
+        .drop("__edges")
+    )

@@ -177,3 +177,99 @@ def test_rfm_segments_matches_duckdb(spark, tables, duck, n_bins):
         ).fetchall()
     )
     assert got == expect
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n_bins=st.integers(min_value=1, max_value=24))
+def test_histogram_fixed_width_matches_duckdb(spark, tables, duck, n_bins):
+    """Equal-width histogram over l_extendedprice (auto min/max range)
+    vs the identical DuckDB arithmetic, at random bin counts."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        histogram_fixed_width,
+    )
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = [
+        (r.bin, r.lo_edge, r.hi_edge, r.n)
+        for r in histogram_fixed_width(li, "l_extendedprice", n_bins).collect()
+    ]
+    expect = [
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH x AS (
+              SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+            ), rng AS (
+              SELECT min(x) AS lo, max(x) AS hi FROM x
+            ), binned AS (
+              SELECT CASE WHEN hi = lo THEN 0 ELSE CAST(least(greatest(
+                         floor((x - lo) / ((hi - lo) / {n_bins})), 0), {n_bins} - 1) AS INTEGER)
+                     END AS bin, lo, hi
+              FROM x, rng
+            )
+            SELECT bin,
+                   round(lo + bin * (hi - lo) / {n_bins}, 6) AS lo_edge,
+                   round(lo + (bin + 1) * (hi - lo) / {n_bins}, 6) AS hi_edge,
+                   count(*) AS n
+            FROM binned GROUP BY bin, lo, hi ORDER BY bin
+            """
+        ).fetchall()
+    ]
+    assert [(g[0], g[3]) for g in got] == [(e[0], e[3]) for e in expect]
+    assert all(
+        abs(g[1] - e[1]) <= 1e-6 and abs(g[2] - e[2]) <= 1e-6
+        for g, e in zip(got, expect)
+    )
+    assert sum(g[3] for g in got) == li.filter(F.col("l_extendedprice").isNotNull()).count()
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n_bins=st.integers(min_value=2, max_value=12))
+def test_quantile_discretize_matches_duckdb(spark, tables, duck, n_bins):
+    """Value-deterministic quantile binning over o_totalprice vs the
+    DuckDB quantile_cont mirror — per-ROW bin equality (the
+    reproducible-feature contract ntile cannot give)."""
+    from distributedqueryengine_spark.operators.aggregates import quantile_discretize
+
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    got = sorted(
+        (r.o_orderkey, r.o_totalprice_bin)
+        for r in quantile_discretize(orders, "o_totalprice", n_bins).collect()
+    )
+    ps = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH edges AS (
+              SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [{ps}]) AS es
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice IS NULL THEN NULL
+                        ELSE CAST(1 + len(list_filter(es,
+                                 e -> CAST(o_totalprice AS DOUBLE) > e)) AS INTEGER)
+                   END AS bin
+            FROM orders, edges
+            """
+        ).fetchall()
+    )
+    assert got == expect
+    # bins are balanced to within interpolation ties
+    from collections import Counter
+
+    c = Counter(b for _, b in got)
+    assert set(c) <= set(range(1, n_bins + 1))
