@@ -414,3 +414,89 @@ def quantile_discretize(
         .withColumn(out_col, F.when(x.isNotNull(), bin_))
         .drop("__edges")
     )
+
+
+def heavy_hitters(
+    df,
+    value_col: str,
+    k: int = 100,
+    top: int | None = None,
+):
+    """Misra-Gries frequent items with BOUNDED memory: every item whose
+    true count exceeds n/(k+1) is guaranteed present, with
+    (count_lo, count_hi) bracketing its true count. The answer to "top
+    domains / tokens / user-agents over 100 TB" when the exact
+    vocabulary is too wide to shuffle: state per task is k counters —
+    not distinct-values — and the summaries merge losslessly by
+    summation (merged MG keeps the n/(k+1) bound).
+
+    Phases: (1) mapInPandas runs the classic k-counter decrement
+    summary per PARTITION over Arrow batches (pure Python dict of at
+    most k entries — this is the rare case where a Python kernel is
+    the right call: the algorithm is data-dependent branching on a
+    tiny dict, not a vectorizable expression, and it touches each row
+    once); each partition also emits its total decrement mass under
+    the reserved NULL item. (2) one k·partitions-sized hash aggregate
+    sums per-item counters (count_lo) and the global decrement mass;
+    count_hi = count_lo + sum(decrements) is the upper bound. `top`
+    truncates via TakeOrderedAndProject on count_lo.
+
+    Output: (item string, count_lo, count_hi) — count_lo <= true <=
+    count_hi always; NULL input values are ignored."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def summarize(batches):
+        counters: dict = {}
+        decremented = 0
+        for pdf in batches:
+            for v in pdf["__v"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all: each round removes one occurrence of
+                    # k+1 distinct items (this one + k counters)
+                    decremented += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        out = {
+            "item": list(counters.keys()) + [None],
+            "c": list(counters.values()) + [decremented],
+        }
+        yield pd.DataFrame(out)
+
+    summaries = df.select(
+        F.col(value_col).cast("string").alias("__v")
+    ).mapInPandas(summarize, "item string, c long")
+    merged = summaries.groupBy("item").agg(F.sum("c").alias("c"))
+    err = merged.filter(F.col("item").isNull()).select(
+        # total decrement mass across partitions: each decrement round
+        # absorbed (k+1) occurrences, of which up to 1 per surviving item
+        # may have been this item's — the classic MG error term
+        F.coalesce(F.sum("c"), F.lit(0)).alias("__err")
+    )
+    out = (
+        merged.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(err))
+        .select(
+            "item",
+            F.col("c").alias("count_lo"),
+            (F.col("c") + F.col("__err")).alias("count_hi"),
+        )
+    )
+    if top is not None:
+        out = out.orderBy(F.col("count_lo").desc(), F.col("item").asc()).limit(top)
+    return out

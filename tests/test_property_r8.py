@@ -273,3 +273,51 @@ def test_quantile_discretize_matches_duckdb(spark, tables, duck, n_bins):
 
     c = Counter(b for _, b in got)
     assert set(c) <= set(range(1, n_bins + 1))
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(k=st.integers(min_value=3, max_value=200))
+def test_heavy_hitters_guarantees(spark, tables, duck, k):
+    """Misra-Gries invariants against DuckDB exact counts at random k:
+    every item with true count > n/(k+1) is present, and
+    count_lo <= true <= count_hi for every reported item."""
+    from distributedqueryengine_spark.operators.aggregates import heavy_hitters
+
+    ev = tables["events"].select("event_type")
+    n = ev.count()
+    got = {
+        r.item: (r.count_lo, r.count_hi)
+        for r in heavy_hitters(ev, "event_type", k=k).collect()
+    }
+    truth = dict(
+        duck.execute(
+            "SELECT event_type, count(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    threshold = n / (k + 1)
+    for item, true_n in truth.items():
+        if true_n > threshold:
+            assert item in got, (item, true_n, threshold)
+    for item, (lo, hi) in got.items():
+        assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
+
+
+def test_heavy_hitters_skewed_and_top(spark):
+    """A planted 80%-mass hot item dominates; `top` truncation keeps it
+    first; memory stays k counters per partition by construction."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.operators.aggregates import heavy_hitters
+
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 997).cast("string")))
+        .alias("v")
+    )
+    out = heavy_hitters(df, "v", k=10, top=3).collect()
+    assert out[0].item == "hot"
+    assert out[0].count_lo <= 80_000 <= out[0].count_hi
