@@ -1,0 +1,107 @@
+"""PSI drift monitoring: reference-vs-identical ≈ 0, planted shift
+crosses the action threshold, streaming monitor ≡ batch scoring."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.drift import (
+    fit_reference_histogram,
+    psi_score,
+    stream_drift_monitor,
+)
+
+
+def test_psi_identical_and_shifted(spark, tables):
+    ref = tables["lineitem"].select("l_extendedprice")
+    frozen = fit_reference_histogram(ref, "l_extendedprice", n_bins=10)
+    assert abs(sum(frozen["shares"]) - 1.0) < 1e-9
+
+    same = psi_score(ref, "l_extendedprice", frozen)
+    assert same["psi"] < 1e-9  # identical data scores ~0
+
+    # planted shift: +40% price level moves mass across bins
+    shifted = ref.select((F.col("l_extendedprice") * 1.4).alias("l_extendedprice"))
+    drift = psi_score(shifted, "l_extendedprice", frozen)
+    assert drift["psi"] > 0.25, drift  # industry action threshold
+
+    # mild noise stays under the action threshold
+    mild = ref.select((F.col("l_extendedprice") * 1.01).alias("l_extendedprice"))
+    assert psi_score(mild, "l_extendedprice", frozen)["psi"] < 0.25
+
+
+def test_psi_reference_hist_matches_duckdb(spark, tables):
+    """The frozen reference shares equal DuckDB's fixed-edge histogram."""
+    import duckdb
+
+    ref = tables["lineitem"].select("l_extendedprice")
+    frozen = fit_reference_histogram(ref, "l_extendedprice", n_bins=8)
+    con = duckdb.connect()
+    rows = con.execute(
+        """
+        WITH x AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS x
+          FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+          WHERE l_extendedprice IS NOT NULL
+        )
+        SELECT CAST(least(greatest(floor((x - ?) / ((? - ?) / 8)), 0), 7) AS INTEGER) AS bin,
+               count(*) AS n
+        FROM x GROUP BY 1 ORDER BY 1
+        """,
+        [frozen["lo"], frozen["hi"], frozen["lo"]],
+    ).fetchall()
+    n = sum(r[1] for r in rows)
+    expect = {b: c / n for b, c in rows}
+    for i, s in enumerate(frozen["shares"]):
+        assert abs(s - expect.get(i, 0.0)) < 1e-12, i
+
+
+def test_stream_drift_monitor_matches_batch(spark, tmp_path, tables):
+    """Per-micro-batch PSI from the streaming monitor equals batch
+    psi_score over the same file; the drifted batch is flagged."""
+    ref = tables["lineitem"].select("l_extendedprice")
+    frozen = fit_reference_histogram(ref, "l_extendedprice", n_bins=10)
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+
+    def add_file(name, df):
+        tmp = str(tmp_path / ("_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    normal = ref.limit(2000)
+    drifted = ref.limit(2000).select(
+        (F.col("l_extendedprice") * 1.5).alias("l_extendedprice")
+    )
+    add_file("b0_normal", normal)
+    add_file("b1_drifted", drifted)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    sink: list = []
+    q = stream_drift_monitor(
+        stream, "l_extendedprice", frozen,
+        sink=sink, checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sink) == 2
+    scores = sorted(sink, key=lambda r: r["batch_id"])
+    # stream ≡ batch on each file's content
+    b_normal = psi_score(normal, "l_extendedprice", frozen)["psi"]
+    b_drift = psi_score(drifted, "l_extendedprice", frozen)["psi"]
+    got = sorted(round(s["psi"], 6) for s in scores)
+    assert got == sorted(round(x, 6) for x in (b_normal, b_drift))
+    assert max(got) > 0.25 and min(got) < 0.25
