@@ -115,3 +115,70 @@ def pagerank(
     nodes.unpersist()
     out_deg.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    per_vertex: bool = False,
+) -> DataFrame:
+    """Exact triangle counting over an undirected simple graph
+    (self-loops dropped, duplicate/reversed edges collapsed). Returns a
+    1-row (n_triangles) frame, or per-vertex (id, n_triangles) with
+    `per_vertex=True` — the substrate for clustering coefficients and
+    community/spam signals on link graphs.
+
+    Scale shape — DEGREE ORIENTATION, the standard trick that makes
+    triangle enumeration tractable on skewed graphs: each undirected
+    edge is directed from its lower-(degree, id) endpoint to the
+    higher one, so every triangle is enumerated exactly once from its
+    smallest vertex, and the wedge join fans out from LOW-degree
+    vertices only — a celebrity node with 10M followers contributes
+    wedges bounded by its FOLLOWERS' (small) out-degrees, never
+    10M². Plan: two self-joins of the oriented edge list (wedge
+    build + closure check), both shuffle-partitioned on their join
+    keys; output of the wedge stage is Σ out_deg(v)² with out-degrees
+    capped at O(√m) by orientation — the textbook m^{3/2} bound."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): u -> v iff (deg(u), u) < (deg(v), v)
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    keyed = e.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges u->v, u->w (v before w in orientation order) closed by v->w
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.u") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    closer = oriented.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tris = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
+    if per_vertex:
+        return (
+            tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
