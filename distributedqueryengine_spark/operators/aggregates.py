@@ -416,11 +416,10 @@ def quantile_discretize(
     )
 
 
-def heavy_hitters(
+def mg_summary(
     df,
     value_col: str,
     k: int = 100,
-    top: int | None = None,
 ):
     """Misra-Gries frequent items with BOUNDED memory: every item whose
     true count exceeds n/(k+1) is guaranteed present, with
@@ -441,8 +440,12 @@ def heavy_hitters(
     count_hi = count_lo + sum(decrements) is the upper bound. `top`
     truncates via TakeOrderedAndProject on count_lo.
 
-    Output: (item string, count_lo, count_hi) — count_lo <= true <=
-    count_hi always; NULL input values are ignored."""
+    Output: the MERGED summary (item string nullable, c long) — one row
+    per surviving counter plus a NULL-item row carrying the total
+    decrement-round mass (the error term). Summaries from disjoint data
+    merge by summation + re-truncation (streaming/sketches.py); NULL
+    input values are ignored. heavy_hitters() below converts a summary
+    to (item, count_lo, count_hi)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -481,11 +484,24 @@ def heavy_hitters(
     summaries = df.select(
         F.col(value_col).cast("string").alias("__v")
     ).mapInPandas(summarize, "item string, c long")
-    merged = summaries.groupBy("item").agg(F.sum("c").alias("c"))
+    return summaries.groupBy("item").agg(F.sum("c").alias("c"))
+
+
+def heavy_hitters(
+    df,
+    value_col: str,
+    k: int = 100,
+    top: int | None = None,
+):
+    """(item, count_lo, count_hi): see mg_summary for the algorithm and
+    guarantees. count_lo <= true <= count_hi for every reported item;
+    `top` truncates via a sort of the k-bounded result."""
+    from pyspark.sql import functions as F
+
+    merged = mg_summary(df, value_col, k)
     err = merged.filter(F.col("item").isNull()).select(
-        # total decrement mass across partitions: each decrement round
-        # absorbed (k+1) occurrences, of which up to 1 per surviving item
-        # may have been this item's — the classic MG error term
+        # total decrement rounds across partitions: each round reduces
+        # any single item's counter by at most 1 — the classic MG bound
         F.coalesce(F.sum("c"), F.lit(0)).alias("__err")
     )
     out = (

@@ -1,0 +1,61 @@
+"""Continuous heavy hitters over a stream: per-batch MG summaries merge
+into k-bounded monitor state whose estimates bracket exact counts."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_stream_heavy_hitters_brackets_truth(spark, tables, tmp_path):
+    from distributedqueryengine_spark.streaming.sketches import (
+        stream_heavy_hitters,
+    )
+
+    ev = tables["events"].select("event_type")
+    n = ev.count()
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    # three disjoint micro-batches covering the whole table
+    chunks = ev.randomSplit([1.0, 1.0, 1.0], seed=7)
+    for i, chunk in enumerate(chunks):
+        tmp = str(tmp_path / f"_b{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/b{i}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q, mon = stream_heavy_hitters(
+        stream, "event_type", k=8, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    est = dict((i, (lo, hi)) for i, lo, hi in mon.estimates())
+    assert est, "monitor saw no data"
+    threshold = n / (8 + 1)
+    for item, true_n in truth.items():
+        if true_n > threshold:
+            assert item in est, (item, true_n, threshold)
+    for item, (lo, hi) in est.items():
+        assert lo <= truth[item] <= hi, (item, lo, truth[item], hi)
+    # monitor state is k-bounded
+    assert len(mon.counters) <= 8
+    # top-1 is the true mode
+    top1 = mon.estimates(top=1)[0][0]
+    assert truth[top1] == max(truth.values())
