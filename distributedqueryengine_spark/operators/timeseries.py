@@ -477,3 +477,60 @@ def event_transitions(
     return counts.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(total_w), 6)
     )
+
+
+def seasonal_deviation(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_seconds: int = 7 * 86400,
+    bucket_seconds: int = 3600,
+    min_history: int = 3,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Per-row anomaly score against the key's SEASONAL baseline: each
+    row is compared to the history of its own phase — same
+    hour-of-week for the defaults — rather than its immediate
+    neighbors, which is what separates "traffic is down because it's
+    Sunday 3am" from "traffic is down" (rolling_zscore flags the
+    former; this doesn't).
+
+    phase = (epoch // bucket_seconds) mod (season_seconds /
+    bucket_seconds). Baseline mean/stddev run over the row's STRICTLY
+    PRECEDING same-phase occurrences (expanding window, current row
+    excluded — a spike must not mask itself, same contract as
+    rolling_zscore); `seasonal_z` is NULL until `min_history` prior
+    occurrences exist or when the baseline is constant. Output adds
+    (phase, seasonal_z) to the input columns.
+
+    One window shuffle on (key, phase) — the same single-exchange
+    contract as sessionize; at 100 TB the partition count multiplies
+    by phases-per-season, which only helps balance."""
+    if season_seconds <= 0 or bucket_seconds <= 0:
+        raise ValueError("season_seconds and bucket_seconds must be positive")
+    if season_seconds % bucket_seconds != 0:
+        raise ValueError(
+            f"bucket_seconds must divide season_seconds "
+            f"({bucket_seconds} / {season_seconds})"
+        )
+    if min_history < 2:
+        raise ValueError(f"min_history must be >= 2, got {min_history}")
+    keys = list(key_cols)
+    n_phases = season_seconds // bucket_seconds
+    epoch = F.unix_timestamp(F.col(ts_col))
+    phase = (F.floor(epoch / bucket_seconds) % n_phases).cast("int")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = (
+        Window.partitionBy(*keys, "phase")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when(
+        (n >= min_history) & sd.isNotNull() & (sd > 0),
+        F.round((F.col(value_col) - mean) / sd, 6),
+    )
+    return df.withColumn("phase", phase).withColumn("seasonal_z", z)

@@ -321,3 +321,60 @@ def test_heavy_hitters_skewed_and_top(spark):
     out = heavy_hitters(df, "v", k=10, top=3).collect()
     assert out[0].item == "hot"
     assert out[0].count_lo <= 80_000 <= out[0].count_hi
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    bucket=st.sampled_from([900, 3600, 7200, 21600]),
+    min_history=st.integers(min_value=2, max_value=6),
+)
+def test_seasonal_deviation_matches_duckdb(spark, tables, duck, bucket, min_history):
+    """Random (bucket, min_history) through seasonal_deviation over real
+    events vs the identical same-phase expanding-window SQL in DuckDB."""
+    from distributedqueryengine_spark.operators.timeseries import seasonal_deviation
+
+    season = 7 * 86400
+    n_phases = season // bucket
+    ev = tables["events"].select("user_id", "event_id", "ts", "value")
+    got = sorted(
+        (r.user_id, r.event_id, r.phase, r.seasonal_z)
+        for r in seasonal_deviation(
+            ev, ["user_id"], "ts", "value",
+            season_seconds=season, bucket_seconds=bucket,
+            min_history=min_history, tiebreak=["event_id"],
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH e AS (
+              SELECT user_id, event_id, value,
+                     epoch_us(ts)//1000000 AS sec
+              FROM events
+            ), p AS (
+              SELECT *, CAST((sec // {bucket}) % {n_phases} AS INTEGER) AS phase
+              FROM e
+            )
+            SELECT user_id, event_id, phase,
+                   CASE WHEN count(value) OVER w >= {min_history}
+                             AND stddev_samp(value) OVER w > 0
+                        THEN round((value - avg(value) OVER w)
+                                   / stddev_samp(value) OVER w, 6)
+                   END AS z
+            FROM p
+            WINDOW w AS (PARTITION BY user_id, phase ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            """
+        ).fetchall()
+    )
+    assert [g[:3] for g in got] == [e[:3] for e in expect]
+    for g, e in zip(got, expect):
+        if g[3] is None or e[3] is None:
+            assert g[3] == e[3], (g, e)
+        else:
+            assert abs(g[3] - e[3]) <= 1e-6, (g, e)
