@@ -114,3 +114,59 @@ def stream_drift_monitor(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# ------------------------------------------------- categorical drift
+
+OTHER = "<other>"
+
+
+def fit_reference_categories(
+    ref: DataFrame, value_col: str, top_n: int = 50
+) -> dict:
+    """Freeze a categorical distribution: {'categories': [...],
+    'shares': {cat: share}} over the top_n categories by count
+    (deterministic tiebreak by value) with everything else pooled into
+    '<other>' — the pooling is what keeps scoring aligned when new
+    categories appear in production (they land in OTHER instead of
+    breaking the score). Driver data is top_n+1 scalars."""
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    x = ref.select(F.col(value_col).cast("string").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    counts = x.groupBy("x").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("x").asc()).limit(top_n).collect()
+    total = x.count()
+    if not total:
+        raise ValueError("reference has no non-NULL values to profile")
+    cats = [r.x for r in top]
+    shares = {r.x: r.n / total for r in top}
+    shares[OTHER] = max(0.0, 1.0 - sum(shares.values()))
+    return {"categories": cats, "shares": shares, "n": int(total)}
+
+
+def categorical_psi_score(
+    current: DataFrame, value_col: str, reference: dict
+) -> dict:
+    """PSI over the frozen category set (+ OTHER): {'psi', 'n',
+    'shares'}. One pass + one (top_n+1)-row aggregate; unseen
+    categories pool into OTHER rather than erroring."""
+    cats = set(reference["categories"])
+    x = current.select(F.col(value_col).cast("string").alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    mapped = x.select(
+        F.when(F.col("x").isin(*cats), F.col("x")).otherwise(F.lit(OTHER)).alias("c")
+        if cats
+        else F.lit(OTHER).alias("c")
+    )
+    rows = mapped.groupBy("c").agg(F.count(F.lit(1)).alias("n")).collect()
+    n = sum(r.n for r in rows)
+    cur = {r.c: r.n / n for r in rows} if n else {}
+    psi = 0.0
+    for cat in list(reference["shares"]):
+        e = max(reference["shares"][cat], _EPS)
+        a = max(cur.get(cat, 0.0), _EPS)
+        psi += (a - e) * math.log(a / e)
+    return {"psi": round(psi, 6), "n": n, "shares": cur}

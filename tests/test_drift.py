@@ -105,3 +105,34 @@ def test_stream_drift_monitor_matches_batch(spark, tmp_path, tables):
     got = sorted(round(s["psi"], 6) for s in scores)
     assert got == sorted(round(x, 6) for x in (b_normal, b_drift))
     assert max(got) > 0.25 and min(got) < 0.25
+
+
+def test_categorical_psi(spark, tables):
+    """Identical categorical data scores ~0; collapsing the dominant
+    category into another crosses the action threshold; novel unseen
+    categories pool into <other> instead of erroring."""
+    from distributedqueryengine_spark.functions.drift import (
+        categorical_psi_score,
+        fit_reference_categories,
+    )
+
+    ev = tables["events"].select("event_type")
+    frozen = fit_reference_categories(ev, "event_type", top_n=10)
+    assert abs(sum(frozen["shares"].values()) - 1.0) < 1e-9
+
+    same = categorical_psi_score(ev, "event_type", frozen)
+    assert same["psi"] < 1e-6
+
+    # planted shift: rename the modal category (its mass moves to <other>)
+    top_cat = frozen["categories"][0]
+    shifted = ev.select(
+        F.when(F.col("event_type") == top_cat, F.lit("BRAND_NEW_TYPE"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    drift = categorical_psi_score(shifted, "event_type", frozen)
+    assert drift["psi"] > 0.25, drift
+    # the novel category pooled into <other>
+    from distributedqueryengine_spark.functions.drift import OTHER
+
+    assert drift["shares"].get(OTHER, 0) > 0
