@@ -734,3 +734,38 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+# -------------------------------------------- dataset content fingerprint
+
+def dataset_fingerprint(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """1-row (n_rows, fingerprint): an ORDER-INVARIANT content checksum
+    of the selected columns — bit_xor of a per-row 60-bit md5-derived
+    integer. The reproducibility primitive: 'did this pipeline produce
+    byte-for-byte the same logical output as yesterday' becomes one
+    cheap aggregate instead of a full sort-and-diff, and it holds
+    across row order, partitioning, and file layout (none of which are
+    stable on a cluster).
+
+    Engine-portable BY CONSTRUCTION for string/int/date/decimal
+    columns (md5 + hex→int + xor are identical in DuckDB — pinned in
+    tests); float columns should be rounded/cast to decimal first
+    (binary-to-string formatting differs across engines, which is a
+    fact about floats, not the checksum). Row encoding: columns cast
+    to string, NULL → a reserved sentinel, joined on an unprintable
+    separator so ('ab','c') never collides with ('a','bc').
+
+    XOR caveat (documented, inherent): a row appearing an EVEN number
+    of times cancels out — n_rows is part of the fingerprint precisely
+    to catch the whole-multiset size, and duplicate-sensitive auditing
+    should fingerprint (row, count) aggregates instead."""
+    use = list(cols) if cols else list(df.columns)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00")) for c in use
+    ]
+    row_hex = F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 15)
+    row_int = F.conv(row_hex, 16, 10).cast("bigint")
+    return df.select(row_int.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.bit_xor(F.col("h")), F.lit(0)).alias("fingerprint"),
+    )

@@ -626,3 +626,49 @@ def test_registered_domain_custom_suffix_list(spark):
     assert base["www.example.org"] == "example.org"
     assert base["WWW.Example.CO.UK"] == "example.co.uk"
     assert base["user.github.io"] == "github.io"  # the documented gap
+
+
+def test_dataset_fingerprint_portable_and_invariant(spark, tables):
+    """Order/partitioning-invariant, value-sensitive, and byte-identical
+    to the DuckDB mirror of the same md5/xor arithmetic."""
+    import duckdb
+
+    from distributedqueryengine_spark.functions.text import dataset_fingerprint
+
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    base = dataset_fingerprint(nation).first()
+
+    # invariant to row order and partitioning
+    shuffled = nation.orderBy(F.rand(7)).repartition(13)
+    again = dataset_fingerprint(shuffled).first()
+    assert (base.n_rows, base.fingerprint) == (again.n_rows, again.fingerprint)
+
+    # sensitive to any single value change
+    mutated = nation.withColumn(
+        "n_name",
+        F.when(F.col("n_nationkey") == 3, F.lit("MUTATED")).otherwise(F.col("n_name")),
+    )
+    assert dataset_fingerprint(mutated).first().fingerprint != base.fingerprint
+
+    # NULL vs the string 'NULL' do not collide
+    a = spark.createDataFrame([(1, None)], "i long, s string")
+    b = spark.createDataFrame([(1, "NULL")], "i long, s string")
+    assert (
+        dataset_fingerprint(a).first().fingerprint
+        != dataset_fingerprint(b).first().fingerprint
+    )
+
+    # engine-portable: DuckDB computes the identical checksum
+    got = duckdb.sql(
+        """
+        SELECT count(*) AS n,
+               bit_xor(('0x' || substr(md5(
+                   concat_ws(chr(31),
+                       coalesce(CAST(n_nationkey AS VARCHAR), chr(0)||'NULL'||chr(0)),
+                       coalesce(n_name, chr(0)||'NULL'||chr(0)),
+                       coalesce(CAST(n_regionkey AS VARCHAR), chr(0)||'NULL'||chr(0))
+                   )), 1, 15))::BIGINT) AS fp
+        FROM read_parquet('/root/testdata/sf0.001/nation.parquet')
+        """
+    ).fetchone()
+    assert (base.n_rows, base.fingerprint) == got
