@@ -534,3 +534,91 @@ def seasonal_deviation(
         F.round((F.col(value_col) - mean) / sd, 6),
     )
     return df.withColumn("phase", phase).withColumn("seasonal_z", z)
+
+
+def item_cooccurrence(
+    df: DataFrame,
+    session_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_items_per_session: int | None = None,
+) -> DataFrame:
+    """Item-to-item co-occurrence over sessions: (item_a, item_b,
+    n_both, n_a, n_b, n_sessions, lift, pmi) for unordered pairs
+    a < b — the 'frequently bought/viewed together' substrate.
+    lift = P(a,b) / (P(a)·P(b)) over sessions; pmi = ln(lift).
+
+    Shape: collapse to DISTINCT (session, item) first — everything
+    after is basket-sized, not event-sized; the pair build is ONE
+    self-join on the session key whose fan-out is Σ basket_size² —
+    bounded by real basket sizes, and GUARDED: with
+    `max_items_per_session` set, oversized baskets (bots, crawlers)
+    contribute only their first N items by item order (deterministic)
+    instead of a quadratic blow-up. Marginals and the session total
+    ride broadcast joins of item-sized / 1-row aggregates."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    baskets = df.select(
+        F.col(session_col).alias("s"), F.col(item_col).alias("i")
+    ).distinct()
+    if max_items_per_session is not None:
+        if max_items_per_session < 2:
+            raise ValueError("max_items_per_session must be >= 2")
+        w = Window.partitionBy("s").orderBy(F.col("i").asc())
+        baskets = (
+            baskets.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_items_per_session)
+            .drop("__rn")
+        )
+    n_sessions = baskets.select(F.count_distinct("s").alias("__ns"))
+    marg = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    a = baskets.select(F.col("s"), F.col("i").alias("item_a"))
+    b = baskets.select(F.col("s"), F.col("i").alias("item_b"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("i").alias("item_a"), F.col("n_i").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("i").alias("item_b"), F.col("n_i").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+    )
+    lift = (F.col("n_both") * F.col("__ns")) / (F.col("n_a") * F.col("n_b"))
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.col("__ns").alias("n_sessions"),
+        F.round(lift, 6).alias("lift"),
+        F.round(F.log(lift), 6).alias("pmi"),
+    )
+
+
+def session_cooccurrence(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    item_col: str,
+    gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+    min_count: int = 1,
+    max_items_per_session: int | None = None,
+) -> DataFrame:
+    """Convenience composition: sessionize (gap-based) then
+    item_cooccurrence over the derived session ids."""
+    sess = sessionize(df, key_cols, ts_col, gap_seconds, tiebreak=tiebreak)
+    return item_cooccurrence(
+        sess, "session_id", item_col,
+        min_count=min_count, max_items_per_session=max_items_per_session,
+    )

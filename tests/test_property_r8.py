@@ -378,3 +378,72 @@ def test_seasonal_deviation_matches_duckdb(spark, tables, duck, bucket, min_hist
             assert g[3] == e[3], (g, e)
         else:
             assert abs(g[3] - e[3]) <= 1e-6, (g, e)
+
+
+def test_item_cooccurrence_matches_duckdb(spark, tables, duck):
+    """Pair counts, marginals, lift, and PMI over sessionized real
+    events vs the DuckDB mirror (sessions precomputed identically by
+    the already-differentialed sessionize operator)."""
+    from distributedqueryengine_spark.operators.timeseries import (
+        item_cooccurrence,
+        sessionize,
+    )
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "event_type")
+    sess = sessionize(ev, ["user_id"], "ts", 1800, tiebreak=["event_id"])
+    got = sorted(
+        (r.item_a, r.item_b, r.n_both, r.n_a, r.n_b, r.n_sessions, r.lift, r.pmi)
+        for r in item_cooccurrence(sess, "session_id", "event_type").collect()
+    )
+    duck.register("sess_r8", sess.select("session_id", "event_type").toPandas())
+    try:
+        expect = sorted(
+            tuple(r)
+            for r in duck.execute(
+                """
+                WITH baskets AS (
+                  SELECT DISTINCT session_id AS s, event_type AS i FROM sess_r8
+                ), ns AS (
+                  SELECT count(DISTINCT s) AS n_sessions FROM baskets
+                ), marg AS (
+                  SELECT i, count(*) AS n_i FROM baskets GROUP BY 1
+                ), pairs AS (
+                  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+                  FROM baskets a JOIN baskets b ON a.s = b.s AND a.i < b.i
+                  GROUP BY 1, 2
+                )
+                SELECT p.item_a, p.item_b, p.n_both, ma.n_i AS n_a,
+                       mb.n_i AS n_b, ns.n_sessions,
+                       round((p.n_both * ns.n_sessions) /
+                             CAST(ma.n_i * mb.n_i AS DOUBLE), 6) AS lift,
+                       round(ln((p.n_both * ns.n_sessions) /
+                             CAST(ma.n_i * mb.n_i AS DOUBLE)), 6) AS pmi
+                FROM pairs p
+                JOIN marg ma ON p.item_a = ma.i
+                JOIN marg mb ON p.item_b = mb.i, ns
+                """
+            ).fetchall()
+        )
+    finally:
+        duck.unregister("sess_r8")
+    assert [g[:6] for g in got] == [e[:6] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[6] - e[6]) <= 1e-6 and abs(g[7] - e[7]) <= 1e-6
+
+
+def test_item_cooccurrence_basket_cap(spark):
+    """A bot session with hundreds of distinct items contributes only
+    its first N items — the quadratic pair fan-out is guarded."""
+    from distributedqueryengine_spark.operators.timeseries import item_cooccurrence
+
+    rows = [("bot", f"item_{i:04d}") for i in range(300)] + [
+        ("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"),
+    ]
+    df = spark.createDataFrame(rows, "session_id string, item string")
+    out = item_cooccurrence(
+        df, "session_id", "item", max_items_per_session=10
+    ).collect()
+    bot_pairs = [r for r in out if r.item_a.startswith("item_")]
+    assert len(bot_pairs) == 10 * 9 // 2  # capped prefix only
+    ab = [r for r in out if (r.item_a, r.item_b) == ("a", "b")][0]
+    assert ab.n_both == 2 and ab.n_a == 2 and ab.n_b == 2
