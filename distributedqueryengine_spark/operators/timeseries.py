@@ -622,3 +622,67 @@ def session_cooccurrence(
         sess, "session_id", item_col,
         min_count=min_count, max_items_per_session=max_items_per_session,
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    threshold_sigmas: float = 5.0,
+    drift_sigmas: float = 0.5,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Tabular CUSUM level-shift detection per key: maintains the
+    classic one-sided cumulative sums
+        S⁺ᵢ = max(0, S⁺ᵢ₋₁ + zᵢ − k)   S⁻ᵢ = max(0, S⁻ᵢ₋₁ − zᵢ − k)
+    (z standardized against the KEY's global mean/stddev, k =
+    `drift_sigmas` the slack) and flags rows where either sum crosses
+    `threshold_sigmas` — the standard 'did the level shift' monitor
+    that catches slow drifts a pointwise z-score never trips. Output
+    adds (cusum_pos, cusum_neg, changepoint boolean).
+
+    The max(0, …) recurrence is not a prefix sum, but it has a closed
+    scan form: S⁺ᵢ = Pᵢ − min(P₀..Pᵢ, 0) where Pᵢ = Σ(z−k) — a running
+    sum minus a running min, BOTH plain window aggregates. So the
+    whole detector is two cumulative windows per side over ONE
+    (key)-shuffle — no UDF, no iteration, no state; the same
+    single-exchange contract as sessionize. Baseline mean/stddev ride
+    a broadcast join of the key-sized aggregate (for a frozen external
+    baseline, standardize upstream and pass z directly with
+    threshold/drift in z units)."""
+    if threshold_sigmas <= 0 or drift_sigmas < 0:
+        raise ValueError("need threshold_sigmas > 0 and drift_sigmas >= 0")
+    keys = list(key_cols)
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd").isNotNull() & (F.col("__sd") > 0),
+        (F.col(value_col) - F.col("__mu")) / F.col("__sd"),
+    ).otherwise(F.lit(0.0))
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.join(F.broadcast(stats), keys).withColumn("__z", z)
+    # S+ via running-sum-minus-running-min of P = cumsum(z - k)
+    p_pos = F.sum(F.col("__z") - F.lit(drift_sigmas)).over(run)
+    p_neg = F.sum(-F.col("__z") - F.lit(drift_sigmas)).over(run)
+    base = base.withColumn("__pp", p_pos).withColumn("__pn", p_neg)
+    m_pos = F.min(F.least(F.col("__pp"), F.lit(0.0))).over(run)
+    m_neg = F.min(F.least(F.col("__pn"), F.lit(0.0))).over(run)
+    out = (
+        base.withColumn("cusum_pos", F.round(F.col("__pp") - m_pos, 6))
+        .withColumn("cusum_neg", F.round(F.col("__pn") - m_neg, 6))
+        .withColumn(
+            "changepoint",
+            (F.col("cusum_pos") > threshold_sigmas)
+            | (F.col("cusum_neg") > threshold_sigmas),
+        )
+        .drop("__mu", "__sd", "__z", "__pp", "__pn")
+    )
+    return out

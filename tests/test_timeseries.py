@@ -440,3 +440,57 @@ def test_funnel_hot_key_cap(spark):
     }
     assert base[7] == (out[7].max_step, list(out[7].step_times))
     assert base[999] == (3, [10, 2_000_000, 2_000_100])  # bot completes uncapped
+
+
+def test_cusum_changepoints_matches_reference_and_detects_shift(spark):
+    """The scan-form CUSUM equals the textbook per-row recurrence
+    (driver loop) on real-ish noisy data, flags a planted level shift,
+    and stays quiet on pure noise."""
+    import random
+
+    from distributedqueryengine_spark.operators.timeseries import cusum_changepoints
+
+    rng = random.Random(11)
+    rows = []
+    # key 'shift': mean 0 for 60 points, then mean +2 for 40
+    for i in range(100):
+        mu = 0.0 if i < 60 else 2.0
+        rows.append(("shift", i, rng.gauss(mu, 1.0)))
+    # key 'flat': pure noise
+    for i in range(100):
+        rows.append(("flat", i, rng.gauss(0.0, 1.0)))
+    df = spark.createDataFrame(rows, "k string, ep long, v double").select(
+        "k", F.timestamp_seconds("ep").alias("ts"), "v"
+    )
+    out = cusum_changepoints(df, ["k"], "ts", "v", threshold_sigmas=5.0)
+    got = {
+        (r.k, int(r.ts.timestamp())): (r.cusum_pos, r.cusum_neg, r.changepoint)
+        for r in out.collect()
+    }
+
+    # driver reference: textbook recurrence on the same standardization
+    import statistics
+
+    for key in ("shift", "flat"):
+        vals = [(ep, v) for kk, ep, v in rows if kk == key]
+        mu = statistics.mean(v for _, v in vals)
+        sd = statistics.stdev(v for _, v in vals)
+        sp = sn = 0.0
+        for ep, v in sorted(vals):
+            z = (v - mu) / sd
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn - z - 0.5)
+            gp, gn, flag = got[(key, ep)]
+            assert abs(gp - sp) < 1e-6 and abs(gn - sn) < 1e-6, (key, ep)
+            assert flag == (sp > 5.0 or sn > 5.0)
+
+    # a changepoint fires on the shifted key, never on pure noise; the
+    # POSITIVE side (upward shift) fires only after the break (the
+    # negative side may fire earlier: pre-shift data sits below the
+    # pooled baseline — correct CUSUM-with-global-mean behavior)
+    assert any(f for (k, _), (_, _, f) in got.items() if k == "shift")
+    pos_hits = [
+        ep for (k, ep), (cp, _, _) in got.items() if k == "shift" and cp > 5.0
+    ]
+    assert pos_hits and min(pos_hits) >= 60
+    assert not any(f for (k, _), (_, _, f) in got.items() if k == "flat")
