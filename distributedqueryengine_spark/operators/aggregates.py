@@ -250,6 +250,7 @@ def rfm_segments(
     amount_col: str,
     n_bins: int = 5,
     as_of=None,
+    method: str = "ntile",
 ):
     """RFM customer segmentation: per key, recency (seconds since the
     key's latest event, relative to `as_of` — default: the dataset's
@@ -264,15 +265,24 @@ def rfm_segments(
     DuckDB differential in tests/test_property_r8.py pins this).
 
     Shape: one hash aggregate to key granularity (the only
-    event-row-sized stage), then three ntile windows over the
-    key-sized frame — each a single global sort of customer rows, the
-    same contract as any ranked report. `as_of` default folds in as a
-    broadcast 1-row aggregate, no driver collect."""
+    event-row-sized stage), then scoring over the key-sized frame.
+    method='ntile' (default) is the exact marketing convention —
+    count-balanced bins — but each ntile is a GLOBAL window (Spark
+    moves the key-sized frame to one task for the sort): fine up to
+    tens of millions of customers, a bottleneck beyond. method=
+    'percentile' is the 100x-scale path: bin edges from one exact
+    percentile aggregate, broadcast, per-row bin as a pure function of
+    the value (quantile_discretize) — fully parallel, differing from
+    ntile only in how ties straddling a boundary split. `as_of`
+    default folds in as a broadcast 1-row aggregate, no driver
+    collect."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if method not in ("ntile", "percentile"):
+        raise ValueError(f"method must be ntile|percentile, got {method!r}")
     per_key = df.groupBy(F.col(key_col).alias("key")).agg(
         F.max(F.unix_timestamp(F.col(ts_col))).alias("__last"),
         F.count(F.lit(1)).alias("frequency"),
@@ -289,6 +299,34 @@ def rfm_segments(
     per_key = per_key.withColumn(
         "recency_seconds", (F.col("__asof") - F.col("__last")).cast("long")
     ).drop("__last", "__asof")
+    if method == "percentile":
+        scored = per_key
+        for col, asc in (
+            ("recency_seconds", False),  # smaller recency = better = high bin
+            ("frequency", True),
+            ("monetary", True),
+        ):
+            name = {"recency_seconds": "r", "frequency": "f", "monetary": "m"}[col]
+            tmp = quantile_discretize(scored, col, n_bins, out_col=f"__{name}")
+            if asc:
+                scored = tmp.withColumn(f"{name}_score", F.col(f"__{name}"))
+            else:  # invert: most recent (small value) gets the top bin
+                scored = tmp.withColumn(
+                    f"{name}_score", (F.lit(n_bins + 1) - F.col(f"__{name}")).cast("int")
+                )
+            scored = scored.drop(f"__{name}")
+        return scored.select(
+            F.col("key").alias(key_col),
+            "recency_seconds",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+        )
     # recency: SMALLER is better → rank ascending so bin n = most recent
     r_w = Window.orderBy(F.col("recency_seconds").desc(), F.col("key").asc())
     f_w = Window.orderBy(F.col("frequency").asc(), F.col("key").asc())

@@ -447,3 +447,38 @@ def test_item_cooccurrence_basket_cap(spark):
     assert len(bot_pairs) == 10 * 9 // 2  # capped prefix only
     ab = [r for r in out if (r.item_a, r.item_b) == ("a", "b")][0]
     assert ab.n_both == 2 and ab.n_a == 2 and ab.n_b == 2
+
+
+def test_rfm_percentile_method_scale_path(spark, tables):
+    """The fully-parallel percentile method: no single-partition window
+    in the plan, scores within ±1 bin of ntile on real orders (they
+    differ only where ties straddle a count-balanced boundary), and
+    monotone in the underlying metric."""
+    from distributedqueryengine_spark.operators.aggregates import rfm_segments
+
+    orders = tables["orders"].select("o_custkey", "o_orderdate", "o_totalprice")
+    ntile = {
+        r.o_custkey: (r.r_score, r.f_score, r.m_score)
+        for r in rfm_segments(
+            orders, "o_custkey", "o_orderdate", "o_totalprice", n_bins=5
+        ).collect()
+    }
+    pct_df = rfm_segments(
+        orders, "o_custkey", "o_orderdate", "o_totalprice",
+        n_bins=5, method="percentile",
+    )
+    # plan: no global-sort window (the ntile path's scale smell)
+    plan = pct_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window [ntile" not in plan
+    pct = {
+        r.o_custkey: (r.r_score, r.f_score, r.m_score, r.monetary)
+        for r in pct_df.collect()
+    }
+    assert set(pct) == set(ntile)
+    for k in ntile:
+        for i in range(3):
+            assert abs(ntile[k][i] - pct[k][i]) <= 1, (k, ntile[k], pct[k])
+    # monotone: higher monetary never gets a lower m_score
+    by_m = sorted((v[3], v[2]) for v in pct.values())
+    scores = [s for _, s in by_m]
+    assert all(a <= b for a, b in zip(scores, scores[1:]))
