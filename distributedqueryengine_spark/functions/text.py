@@ -769,3 +769,88 @@ def dataset_fingerprint(df: DataFrame, cols: Sequence[str] | None = None) -> Dat
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.bit_xor(F.col("h")), F.lit(0)).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------- BM25 ranking
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    text_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_bpe_pretokens: bool = False,
+) -> DataFrame:
+    """Okapi BM25 document ranking for a term query: (id, score, rnk)
+    for the top `k` documents — the lexical-retrieval standard that
+    TF-IDF approximates, with saturation (k1) and length
+    normalization (b):
+
+        score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+                         (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+    (the Lucene-style +1 keeps idf positive for very common terms).
+
+    Scale shape: ONE tokenize pass — per-doc (term, tf) counts
+    restricted to the query's terms via an isin filter pushed before
+    the aggregate (a q-term query touches q-term rows per doc, not the
+    vocabulary); doc lengths come from the same pass; N/avgdl are a
+    broadcast 1-row aggregate and df(t) a broadcast q-row aggregate;
+    top-k is TakeOrdered-shaped via row_number + filter. Everything
+    JVM-side. The query side is a LITERAL list by contract (ad-hoc
+    search); for query BATCHES, join a query-term table instead."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted({t.lower() for t in query_terms if t and t.strip()})
+    if not terms:
+        raise ValueError("query_terms must contain at least one non-empty term")
+    toks = regex_tokens(text_col) if use_bpe_pretokens else tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(toks, lambda t: F.length(t) > 0).alias("toks"),
+    ).select("id", "toks", F.size("toks").cast("double").alias("dl"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    hits = (
+        base.select(
+            "id", "dl", F.explode("toks").alias("t")
+        )
+        .filter(F.col("t").isin(*terms))
+        .groupBy("id", "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "score", "rnk")
+    )

@@ -482,3 +482,67 @@ def test_rfm_percentile_method_scale_path(spark, tables):
     by_m = sorted((v[3], v[2]) for v in pct.values())
     scores = [s for _, s in by_m]
     assert all(a <= b for a, b in zip(scores, scores[1:]))
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k1=st.floats(min_value=0.5, max_value=2.0),
+    b=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_bm25_topk_matches_duckdb(spark, tables, duck, k1, b):
+    """Random (k1, b) through bm25_topk over the documents table vs the
+    identical Okapi math in DuckDB — scores and the tie-broken ranking."""
+    from distributedqueryengine_spark.functions.text import bm25_topk
+
+    terms = ["the", "data", "first", "zzzzunseen"]
+    got = sorted(
+        (r.doc_id, r.score, r.rnk)
+        for r in bm25_topk(
+            tables["documents"].select("doc_id", "text"),
+            terms, "text", k=15, k1=k1, b=b,
+        ).collect()
+    )
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH base AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> length(t) > 0) AS toks
+              FROM documents
+            ), lens AS (
+              SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+            ), stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+            ), hits AS (
+              SELECT b.id, l.dl, t.t, count(*) AS tf
+              FROM base b JOIN lens l ON b.id = l.id,
+                   unnest(b.toks) AS t(t)
+              WHERE t.t IN ({tlist})
+              GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT t, count(*) AS df FROM hits GROUP BY 1
+            ), scored AS (
+              SELECT h.id,
+                     round(sum(
+                       ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (h.tf * ({k1} + 1))
+                       / (h.tf + {k1} * (1.0 - {b} + {b} * h.dl / s.avgdl))
+                     ), 6) AS score
+              FROM hits h JOIN dfreq d ON h.t = d.t, stats s
+              GROUP BY h.id
+            )
+            SELECT id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INTEGER) AS rnk
+            FROM scored QUALIFY rnk <= 15
+            """
+        ).fetchall()
+    )
+    assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in expect]
+    assert all(abs(g[1] - e[1]) <= 1e-6 for g, e in zip(got, expect))
