@@ -1,0 +1,107 @@
+"""Geospatial primitives: haversine distance and a grid-pruned radius
+join.
+
+The spatial sibling of the LSH band join (functions/dedup.py): an
+all-pairs "what's within R km" query is O(n·m) as a cross join; the
+scalable shape buckets both sides into a lat/lng grid whose cells are
+at least R wide, joins on cell ids (one side exploded to its 3×3
+neighborhood), and verifies the exact haversine distance on the
+candidates only — candidates are bounded by local point density, never
+|left|×|right|.
+
+Grid sizing: cell height is R in latitude degrees; cell WIDTH uses the
+longitude shrink at the dataset's highest |latitude| (1° lng =
+111.32·cos(lat) km), i.e. the widest degree-radius any row needs, so
+the 3×3 neighborhood is sufficient everywhere in the data. That
+max-|lat| is a 1-row aggregate over both sides folded in via broadcast
+cross join — no driver collect, and the cell ids stay a pure column
+function shared by both sides. Latitudes beyond ±85° and antimeridian
+wraparound are out of scope (documented; polar/dateline data needs a
+proper spherical index such as S2/H3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088
+_KM_PER_DEG_LAT = 110.574
+_KM_PER_DEG_LNG_EQ = 111.32
+
+
+def haversine_km(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Column:
+    """Great-circle distance in km (pure JVM expression)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlng = F.radians(lng2 - lng1) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(
+        dlng
+    ) * F.sin(dlng)
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """All (left, right) pairs within `radius_km` great-circle km, with
+    a `distance_km` column. Columns from each side are suffixed.
+
+    Plan: grid-cell equi-join (left exploded to its 3×3 neighborhood)
+    + exact haversine filter — one shuffle on the cell id per side, no
+    cross join (pinned in tests). See module docstring for sizing."""
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    for side, name in ((left, "left"), (right, "right")):
+        if lat_col not in side.columns or lng_col not in side.columns:
+            raise ValueError(f"{name} side is missing {lat_col}/{lng_col}")
+
+    # widest longitude degree-radius over BOTH sides (85° cap)
+    both_lats = left.select(F.abs(F.col(lat_col)).alias("al")).unionByName(
+        right.select(F.abs(F.col(lat_col)).alias("al"))
+    )
+    stats = both_lats.agg(
+        F.least(F.coalesce(F.max("al"), F.lit(0.0)), F.lit(85.0)).alias("__maxlat")
+    )
+    d_lat = radius_km / _KM_PER_DEG_LAT
+    d_lng_expr = radius_km / (
+        _KM_PER_DEG_LNG_EQ * F.cos(F.radians(F.col("__maxlat")))
+    )
+
+    def cells(df: DataFrame, suffix: str, explode_neighbors: bool) -> DataFrame:
+        renamed = df.select([F.col(c).alias(c + suffix) for c in df.columns])
+        withs = renamed.crossJoin(F.broadcast(stats))
+        cy = F.floor(F.col(lat_col + suffix) / d_lat)
+        cx = F.floor(F.col(lng_col + suffix) / d_lng_expr)
+        if explode_neighbors:
+            withs = (
+                withs.withColumn("__dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+                .withColumn("__dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+            )
+            return withs.select(
+                *[c for c in renamed.columns],
+                (cy + F.col("__dy")).alias("__cy"),
+                (cx + F.col("__dx")).alias("__cx"),
+            )
+        return withs.select(
+            *[c for c in renamed.columns], cy.alias("__cy"), cx.alias("__cx")
+        )
+
+    sl, sr = suffixes
+    lcells = cells(left, sl, explode_neighbors=True)
+    rcells = cells(right, sr, explode_neighbors=False)
+    dist = haversine_km(
+        F.col(lat_col + sl), F.col(lng_col + sl),
+        F.col(lat_col + sr), F.col(lng_col + sr),
+    )
+    return (
+        lcells.join(rcells, ["__cy", "__cx"])
+        .withColumn("distance_km", F.round(dist, 6))
+        .filter(F.col("distance_km") <= radius_km)
+        .drop("__cy", "__cx")
+    )

@@ -686,3 +686,46 @@ def cusum_changepoints(
         .drop("__mu", "__sd", "__z", "__pp", "__pn")
     )
     return out
+
+
+def condition_streaks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    condition: Column,
+    tiebreak: Sequence[str] = (),
+    min_length: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands over a BOOLEAN condition: per key, the maximal
+    consecutive runs of rows where `condition` holds, as
+    (key..., streak_start, streak_end, length) — 'how many consecutive
+    days over SLA', 'longest winning streak', the value-driven sibling
+    of sessionize's time-driven islands.
+
+    Classic two-row_number difference: rows are numbered per key and
+    per (key, condition); their difference is constant within an
+    island, so one groupBy on (key, diff) finishes the job. ONE window
+    shuffle on the key + one same-key aggregate (no second exchange —
+    the aggregate reuses the window's hash partitioning)."""
+    if min_length < 1:
+        raise ValueError(f"min_length must be >= 1, got {min_length}")
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w_all = Window.partitionBy(*keys).orderBy(*order)
+    w_cond = Window.partitionBy(*keys, "__c").orderBy(*order)
+    marked = df.withColumn("__c", condition)
+    runs = (
+        marked.withColumn(
+            "__grp", F.row_number().over(w_all) - F.row_number().over(w_cond)
+        )
+        .filter(F.col("__c"))
+        .groupBy(*keys, "__grp")
+        .agg(
+            F.min(ts_col).alias("streak_start"),
+            F.max(ts_col).alias("streak_end"),
+            F.count(F.lit(1)).cast("int").alias("length"),
+        )
+        .filter(F.col("length") >= min_length)
+        .drop("__grp")
+    )
+    return runs

@@ -1,0 +1,87 @@
+"""Geo radius join: exact-set equivalence with the brute-force cross
+join + haversine on random points (boundary-straddling pairs included),
+no-cartesian plan pin, and known-distance sanity."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.operators.geo import (
+    geo_radius_join,
+    haversine_km,
+)
+
+
+def _hav(lat1, lng1, lat2, lng2):
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2
+    dl = math.radians(lng2 - lng1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def test_haversine_known_distances(spark):
+    # Paris (48.8566, 2.3522) — London (51.5074, -0.1278) ≈ 343.5 km
+    row = spark.range(1).select(
+        haversine_km(
+            F.lit(48.8566), F.lit(2.3522), F.lit(51.5074), F.lit(-0.1278)
+        ).alias("d")
+    ).first()
+    assert abs(row.d - 343.5) < 1.5
+    # zero distance
+    z = spark.range(1).select(
+        haversine_km(F.lit(10.0), F.lit(20.0), F.lit(10.0), F.lit(20.0)).alias("d")
+    ).first()
+    assert z.d == 0.0
+
+
+def test_geo_radius_join_matches_bruteforce(spark):
+    """Random clustered points at mid/high latitude: the grid-pruned
+    join returns EXACTLY the brute-force pair set at several radii."""
+    rng = random.Random(21)
+    # cluster around Oslo-ish (60N) where longitude shrink matters
+    pts_l = [
+        (i, 59.5 + rng.random(), 10.0 + 2 * rng.random()) for i in range(120)
+    ]
+    pts_r = [
+        (j, 59.5 + rng.random(), 10.0 + 2 * rng.random()) for j in range(100)
+    ]
+    left = spark.createDataFrame(pts_l, "lid long, lat double, lng double")
+    right = spark.createDataFrame(pts_r, "rid long, lat double, lng double")
+
+    for radius in (3.0, 12.0, 40.0):
+        got = sorted(
+            (r.lid_l, r.rid_r)
+            for r in geo_radius_join(left, right, radius).collect()
+        )
+        expect = sorted(
+            (i, j)
+            for i, la, lo in pts_l
+            for j, ra, ro in pts_r
+            if _hav(la, lo, ra, ro) <= radius
+        )
+        assert got == expect, radius
+        assert expect, f"radius {radius} should match something"
+
+    # distances agree with the python reference
+    sample = geo_radius_join(left, right, 12.0).limit(20).collect()
+    for r in sample:
+        assert abs(r.distance_km - _hav(r.lat_l, r.lng_l, r.lat_r, r.lng_r)) < 1e-6
+
+
+def test_geo_radius_join_plan_has_no_cartesian(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, 10.0)], "lid long, lat double, lng double"
+    )
+    right = spark.createDataFrame(
+        [(2, 10.01, 10.01)], "rid long, lat double, lng double"
+    )
+    j = geo_radius_join(left, right, 5.0)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the only nested-loop allowed is the broadcast of the 1-row stats
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert j.count() == 1

@@ -546,3 +546,43 @@ def test_bm25_topk_matches_duckdb(spark, tables, duck, k1, b):
     )
     assert [(g[0], g[2]) for g in got] == [(e[0], e[2]) for e in expect]
     assert all(abs(g[1] - e[1]) <= 1e-6 for g, e in zip(got, expect))
+
+
+def test_condition_streaks_matches_duckdb(spark, tables, duck):
+    """Value-driven islands over real events (condition: value > its
+    key's median-ish threshold) vs the identical two-row_number SQL."""
+    from distributedqueryengine_spark.operators.timeseries import condition_streaks
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "value")
+    got = sorted(
+        (r.user_id, int(r.streak_start.timestamp()), int(r.streak_end.timestamp()), r.length)
+        for r in condition_streaks(
+            ev, ["user_id"], "ts", F.col("value") > 50.0,
+            tiebreak=["event_id"], min_length=2,
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts)//1000000 AS sec,
+                     value > 50.0 AS c
+              FROM events
+            ), m AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY sec, event_id)
+                   - row_number() OVER (PARTITION BY user_id, c
+                                        ORDER BY sec, event_id) AS grp
+              FROM e
+            )
+            SELECT user_id, min(sec) AS s, max(sec) AS t,
+                   CAST(count(*) AS INTEGER) AS len
+            FROM m WHERE c GROUP BY user_id, grp
+            HAVING count(*) >= 2
+            """
+        ).fetchall()
+    )
+    assert got == expect
+    assert got, "fixture should produce streaks"
