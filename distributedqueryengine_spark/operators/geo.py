@@ -105,3 +105,44 @@ def geo_radius_join(
         .filter(F.col("distance_km") <= radius_km)
         .drop("__cy", "__cx")
     )
+
+
+def geo_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    max_radius_km: float,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+    left_id_col: str | None = None,
+) -> DataFrame:
+    """k nearest right-side points for each left row WITHIN
+    `max_radius_km` (rnk 1..k by distance; ties by right row order
+    columns are not assumed — supply distinct coordinates or accept
+    arbitrary tie order among exactly-equal distances). The bounded
+    radius is what keeps this scalable: unbounded kNN degenerates to
+    all-pairs for isolated points, while a radius cap reuses the
+    grid-pruned candidate set — the standard production contract
+    ('nearest stores within 50 km').
+
+    One window per left row over its candidate set on top of
+    geo_radius_join's plan."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sl, _sr = suffixes
+    pairs = geo_radius_join(
+        left, right, max_radius_km, lat_col=lat_col, lng_col=lng_col, suffixes=suffixes
+    )
+    part_cols = (
+        [left_id_col + sl]
+        if left_id_col
+        else [c + sl for c in left.columns]
+    )
+    w = Window.partitionBy(*part_cols).orderBy(F.col("distance_km").asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -85,3 +85,27 @@ def test_geo_radius_join_plan_has_no_cartesian(spark):
     # the only nested-loop allowed is the broadcast of the 1-row stats
     assert "CartesianProduct" not in plan, plan[:2000]
     assert j.count() == 1
+
+
+def test_geo_knn_join_matches_bruteforce(spark):
+    rng = random.Random(5)
+    pts_l = [(i, 40.0 + rng.random(), -3.0 + rng.random()) for i in range(40)]
+    pts_r = [(j, 40.0 + rng.random(), -3.0 + rng.random()) for j in range(60)]
+    left = spark.createDataFrame(pts_l, "lid long, lat double, lng double")
+    right = spark.createDataFrame(pts_r, "rid long, lat double, lng double")
+
+    from distributedqueryengine_spark.operators.geo import geo_knn_join
+
+    got = {}
+    for r in geo_knn_join(left, right, k=3, max_radius_km=30.0, left_id_col="lid").collect():
+        got.setdefault(r.lid_l, []).append((r.rnk, r.rid_r, r.distance_km))
+    for lid, la, lo in pts_l:
+        cands = sorted(
+            (round(_hav(la, lo, ra, ro), 6), j)
+            for j, ra, ro in pts_r
+            if _hav(la, lo, ra, ro) <= 30.0
+        )[:3]
+        mine = sorted(got.get(lid, []))
+        assert len(mine) == len(cands), lid
+        for (rnk, rid, d), (ed, ej) in zip(mine, cands):
+            assert abs(d - ed) < 1e-6 and rid == ej, (lid, rnk)
