@@ -1,0 +1,112 @@
+"""Experiment analysis: Welch's t-test over grouped metrics.
+
+The A/B-testing readout every product-analytics warehouse runs daily:
+compare a metric between variants without assuming equal variances.
+Everything is derived from ONE hash aggregate per (experiment, group)
+— n, mean, variance are algebraic, so the operator is a single
+map-side-combinable pass over event rows regardless of group sizes —
+and the test statistics are computed on the groups-sized result:
+
+    t  = (m₁ − m₂) / √(v₁/n₁ + v₂/n₂)
+    df = (v₁/n₁ + v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1))
+         (Welch–Satterthwaite)
+    p  ≈ 2·(1 − Φ(|t|))  — the NORMAL approximation, accurate to the
+         third decimal for df ≳ 30 (the regime every real experiment
+         lives in) and implemented via the Abramowitz–Stegun 7.1.26
+         erf polynomial (|ε| < 1.5e-7) as a pure JVM expression.
+         Small-df experiments should read t and df against a t-table;
+         both are emitted, nothing is hidden behind the approximation.
+
+Two-variant experiments only by design (multi-arm testing needs
+ANOVA + multiple-comparison control — a different contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def erf_approx(x: Column) -> Column:
+    """Abramowitz–Stegun 7.1.26 polynomial erf, |error| < 1.5e-7 —
+    Spark has no built-in erf; this keeps p-values JVM-side."""
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return sign * (1.0 - poly * F.exp(-ax * ax))
+
+
+def normal_sf2(x: Column) -> Column:
+    """Two-sided normal tail: 2·(1 − Φ(|x|)) = erfc(|x|/√2)."""
+    return 1.0 - erf_approx(F.abs(x) / F.lit(2.0**0.5))
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    by: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Per `by`-cell Welch's t-test of `metric_col` between the
+    `treatment` and `control` values of `group_col`. Output: by-cols +
+    (n_control, mean_control, n_treatment, mean_treatment, diff,
+    rel_diff, t_stat, df, p_value_normal). Cells missing either
+    variant, or with n < 2 on either side, are dropped (no statistic
+    exists). Positive t / diff means treatment > control."""
+    keys = list(by)
+    per_group = (
+        df.filter(F.col(group_col).isin(control, treatment))
+        .groupBy(*keys, group_col)
+        .agg(
+            F.count(metric_col).alias("n"),
+            F.avg(metric_col).alias("m"),
+            F.var_samp(metric_col).alias("v"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    c = per_group.filter(F.col(group_col) == control).select(
+        *keys,
+        F.col("n").alias("n_control"),
+        F.col("m").alias("mean_control"),
+        F.col("v").alias("__vc"),
+    )
+    t_ = per_group.filter(F.col(group_col) == treatment).select(
+        *keys,
+        F.col("n").alias("n_treatment"),
+        F.col("m").alias("mean_treatment"),
+        F.col("v").alias("__vt"),
+    )
+    joined = c.join(t_, keys) if keys else c.crossJoin(t_)
+    se_c = F.col("__vc") / F.col("n_control")
+    se_t = F.col("__vt") / F.col("n_treatment")
+    se2 = se_c + se_t
+    tstat = (F.col("mean_treatment") - F.col("mean_control")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (se_c * se_c) / (F.col("n_control") - 1)
+        + (se_t * se_t) / (F.col("n_treatment") - 1)
+    )
+    return joined.select(
+        *keys,
+        "n_control",
+        F.round("mean_control", 6).alias("mean_control"),
+        "n_treatment",
+        F.round("mean_treatment", 6).alias("mean_treatment"),
+        F.round(F.col("mean_treatment") - F.col("mean_control"), 6).alias("diff"),
+        F.round(
+            (F.col("mean_treatment") - F.col("mean_control"))
+            / F.abs(F.col("mean_control")),
+            6,
+        ).alias("rel_diff"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("df"),
+        F.round(normal_sf2(tstat), 6).alias("p_value_normal"),
+    )

@@ -1,0 +1,80 @@
+"""Welch t-test: statistics vs a pure-python reference (math.erf for
+the normal tail), a planted true effect detected, A/A silent, and the
+erf polynomial accuracy pin."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def _welch_ref(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (mb - ma) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    p = 2 * (1 - 0.5 * (1 + math.erf(abs(t) / math.sqrt(2))))
+    return t, dof, p
+
+
+def test_erf_polynomial_accuracy(spark):
+    from distributedqueryengine_spark.operators.abtest import erf_approx
+
+    xs = [x / 10 for x in range(-40, 41)]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = {r.x: r.e for r in df.select("x", erf_approx(F.col("x")).alias("e")).collect()}
+    for x in xs:
+        assert abs(got[x] - math.erf(x)) < 1.5e-7, x
+
+
+def test_welch_ttest_matches_reference(spark):
+    from distributedqueryengine_spark.operators.abtest import welch_ttest
+
+    rng = random.Random(3)
+    control = [rng.gauss(10.0, 2.0) for _ in range(400)]
+    treat = [rng.gauss(10.4, 3.0) for _ in range(350)]  # true effect +0.4
+    rows = [("c", v) for v in control] + [("t", v) for v in treat]
+    df = spark.createDataFrame(rows, "grp string, metric double")
+
+    out = welch_ttest(df, "grp", "metric", control="c", treatment="t").first()
+    t_ref, df_ref, p_ref = _welch_ref(control, treat)
+    assert out.n_control == 400 and out.n_treatment == 350
+    assert abs(out.t_stat - t_ref) < 1e-5
+    assert abs(out.df - df_ref) < 1e-3
+    assert abs(out.p_value_normal - p_ref) < 1e-5
+    assert out.p_value_normal < 0.1  # the planted effect is visible
+
+    # A/A: same distribution split at random → no significant effect
+    aa = [("c" if rng.random() < 0.5 else "t", rng.gauss(5.0, 1.0)) for _ in range(2000)]
+    aa_df = spark.createDataFrame(aa, "grp string, metric double")
+    aa_out = welch_ttest(aa_df, "grp", "metric", control="c", treatment="t").first()
+    assert aa_out.p_value_normal > 0.01  # not spuriously significant
+
+
+def test_welch_ttest_by_cells_and_guards(spark):
+    from distributedqueryengine_spark.operators.abtest import welch_ttest
+
+    rng = random.Random(9)
+    rows = []
+    for seg, lift in (("mobile", 1.0), ("web", 0.0)):
+        for _ in range(300):
+            rows.append((seg, "c", rng.gauss(10, 2)))
+            rows.append((seg, "t", rng.gauss(10 + lift, 2)))
+    # a segment with a missing variant must be dropped, not error
+    rows += [("empty_seg", "c", 1.0), ("empty_seg", "c", 2.0)]
+    df = spark.createDataFrame(rows, "seg string, grp string, metric double")
+    out = {
+        r.seg: r
+        for r in welch_ttest(
+            df, "grp", "metric", control="c", treatment="t", by=["seg"]
+        ).collect()
+    }
+    assert set(out) == {"mobile", "web"}
+    assert out["mobile"].p_value_normal < 0.001  # 0.5σ lift at n=300
+    assert out["mobile"].diff > 0.5
+    assert out["web"].p_value_normal > 0.001 or abs(out["web"].diff) < 0.5
