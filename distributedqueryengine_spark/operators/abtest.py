@@ -110,3 +110,124 @@ def welch_ttest(
         F.round(dof, 6).alias("df"),
         F.round(normal_sf2(tstat), 6).alias("p_value_normal"),
     )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    by: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-proportion z-test for CONVERSION metrics (success_col is
+    boolean/0-1): the binary companion to welch_ttest. Pooled-variance
+    z under H0, two-sided normal p — exact for proportions at any
+    realistic n. Output: by-cols + (n_control, rate_control,
+    n_treatment, rate_treatment, diff, rel_diff, z_stat, p_value)."""
+    keys = list(by)
+    s = F.col(success_col).cast("double")
+    per_group = (
+        df.filter(F.col(group_col).isin(control, treatment))
+        .groupBy(*keys, group_col)
+        .agg(F.count(s).alias("n"), F.sum(s).alias("x"))
+        .filter(F.col("n") >= 1)
+    )
+    c = per_group.filter(F.col(group_col) == control).select(
+        *keys, F.col("n").alias("n_control"), F.col("x").alias("__xc")
+    )
+    t_ = per_group.filter(F.col(group_col) == treatment).select(
+        *keys, F.col("n").alias("n_treatment"), F.col("x").alias("__xt")
+    )
+    joined = c.join(t_, keys) if keys else c.crossJoin(t_)
+    pc = F.col("__xc") / F.col("n_control")
+    pt = F.col("__xt") / F.col("n_treatment")
+    pooled = (F.col("__xc") + F.col("__xt")) / (
+        F.col("n_control") + F.col("n_treatment")
+    )
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_control") + 1 / F.col("n_treatment"))
+    )
+    z = F.when(se > 0, (pt - pc) / se).otherwise(F.lit(0.0))
+    return joined.select(
+        *keys,
+        "n_control",
+        F.round(pc, 6).alias("rate_control"),
+        "n_treatment",
+        F.round(pt, 6).alias("rate_treatment"),
+        F.round(pt - pc, 6).alias("diff"),
+        F.round(F.when(pc > 0, (pt - pc) / pc), 6).alias("rel_diff"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(normal_sf2(z), 6).alias("p_value"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected_ratios: dict,
+    by: list[str] | tuple[str, ...] = (),
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-Ratio-Mismatch check — the experiment health gate run
+    BEFORE reading any metric: chi-square goodness of fit of observed
+    assignment counts against `expected_ratios` (e.g. {'c': 0.5,
+    't': 0.5}). A failing SRM means the randomization or logging is
+    broken and every downstream p-value is garbage.
+
+    Output: by-cols + (n_total, chi2, df, p_value, srm — true when
+    p < alpha). p uses the Wilson–Hilferty cube-root normal
+    approximation of the chi-square tail (JVM-side, accurate to ~1e-3
+    in the decision region for df ≥ 1; the statistic and df are
+    emitted for exact lookups). Groups outside `expected_ratios` raise
+    — an unexpected variant IS an SRM-class bug, loudly."""
+    total_ratio = sum(expected_ratios.values())
+    if abs(total_ratio - 1.0) > 1e-9:
+        raise ValueError(f"expected_ratios must sum to 1, got {total_ratio}")
+    keys = list(by)
+    counts = df.groupBy(*keys, group_col).agg(F.count(F.lit(1)).alias("n"))
+    # loud guard: any unexpected variant fails the whole check in-plan
+    counts = counts.withColumn(
+        "n",
+        F.when(
+            F.col(group_col).isin(*expected_ratios.keys()), F.col("n")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unexpected variant in SRM check: "), F.col(group_col)
+                )
+            ).cast("long")
+        ),
+    )
+    ratio = F.create_map(
+        *[
+            x
+            for kv in expected_ratios.items()
+            for x in (F.lit(kv[0]), F.lit(float(kv[1])))
+        ]
+    )
+    totals = counts.groupBy(*keys).agg(F.sum("n").alias("n_total"))
+    joined = (
+        counts.join(F.broadcast(totals), keys)
+        if keys
+        else counts.crossJoin(F.broadcast(totals))
+    )
+    expected = F.col("n_total") * ratio[F.col(group_col)]
+    chi = joined.groupBy(*keys, "n_total").agg(
+        F.sum(F.pow(F.col("n") - expected, 2) / expected).alias("chi2"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    dof = (F.col("__k") - 1).cast("int")
+    # Wilson–Hilferty: (chi2/df)^(1/3) ~ N(1 - 2/(9df), 2/(9df))
+    wh_z = (
+        F.pow(F.col("chi2") / dof, 1.0 / 3.0) - (1 - 2 / (9 * dof))
+    ) / F.sqrt(2 / (9 * dof))
+    p = 1 - 0.5 * (1 + erf_approx(wh_z / F.lit(2.0**0.5)))  # one-sided upper
+    return chi.select(
+        *keys,
+        "n_total",
+        F.round("chi2", 6).alias("chi2"),
+        dof.alias("df"),
+        F.round(p, 6).alias("p_value"),
+        (p < alpha).alias("srm"),
+    )

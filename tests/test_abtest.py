@@ -78,3 +78,51 @@ def test_welch_ttest_by_cells_and_guards(spark):
     assert out["mobile"].p_value_normal < 0.001  # 0.5σ lift at n=300
     assert out["mobile"].diff > 0.5
     assert out["web"].p_value_normal > 0.001 or abs(out["web"].diff) < 0.5
+
+
+def test_proportion_ztest_matches_reference(spark):
+    from distributedqueryengine_spark.operators.abtest import proportion_ztest
+
+    # control: 120/1000, treatment: 150/1000
+    rows = [("c", 1)] * 120 + [("c", 0)] * 880 + [("t", 1)] * 150 + [("t", 0)] * 850
+    df = spark.createDataFrame(rows, "grp string, conv int")
+    out = proportion_ztest(df, "grp", "conv", control="c", treatment="t").first()
+
+    pc, pt = 0.12, 0.15
+    pooled = (120 + 150) / 2000
+    se = math.sqrt(pooled * (1 - pooled) * (1 / 1000 + 1 / 1000))
+    z_ref = (pt - pc) / se
+    p_ref = 2 * (1 - 0.5 * (1 + math.erf(abs(z_ref) / math.sqrt(2))))
+    assert out.rate_control == 0.12 and out.rate_treatment == 0.15
+    assert abs(out.z_stat - z_ref) < 1e-5
+    assert abs(out.p_value - p_ref) < 1e-5
+    assert out.p_value < 0.06  # a real lift at this n
+
+
+def test_srm_check_detects_mismatch(spark):
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.operators.abtest import srm_check
+
+    # healthy 50/50
+    ok_rows = [("c",)] * 5000 + [("t",)] * 5010
+    ok = srm_check(
+        spark.createDataFrame(ok_rows, "grp string"), "grp", {"c": 0.5, "t": 0.5}
+    ).first()
+    assert not ok.srm and ok.p_value > 0.5
+
+    # broken: 10% of treatment traffic lost
+    bad_rows = [("c",)] * 5000 + [("t",)] * 4500
+    bad = srm_check(
+        spark.createDataFrame(bad_rows, "grp string"), "grp", {"c": 0.5, "t": 0.5}
+    ).first()
+    assert bad.srm and bad.p_value < 0.001
+    # Wilson-Hilferty p within tolerance of the exact df=1 tail:
+    # P(chi2_1 > x) = 2*(1 - Phi(sqrt(x)))
+    exact = 2 * (1 - 0.5 * (1 + math.erf(math.sqrt(bad.chi2) / math.sqrt(2))))
+    assert abs(bad.p_value - exact) < 2e-3
+
+    # unexpected variant raises loudly at materialization
+    weird = spark.createDataFrame([("c",), ("t",), ("mystery",)], "grp string")
+    with _pytest.raises(Exception, match="unexpected variant"):
+        srm_check(weird, "grp", {"c": 0.5, "t": 0.5}).collect()
