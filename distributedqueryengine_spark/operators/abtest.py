@@ -231,3 +231,49 @@ def srm_check(
         F.round(p, 6).alias("p_value"),
         (p < alpha).alias("srm"),
     )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    by: list[str] | tuple[str, ...] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) variance
+    reduction: Y' = Y − θ·(X − E[X]) with θ = cov(X, Y)/var(X), X a
+    pre-experiment covariate (e.g. the user's pre-period value of the
+    same metric). Y' has the same expectation per variant — so every
+    test above stays valid — but its variance shrinks by the squared
+    X–Y correlation, the cheapest sensitivity win in experimentation.
+
+    θ and E[X] are computed over ALL rows (variant-blind — computing θ
+    per variant would bias the adjustment), per `by` cell when given:
+    one algebraic aggregate (covar_samp/var_samp/avg), broadcast back.
+    Rows with NULL covariate pass through unadjusted (Y' = Y), the
+    standard treatment for users with no pre-period. Appends
+    `out_col` (default '<metric>_cuped') plus a `__theta`-free frame —
+    run welch_ttest on the adjusted column afterwards."""
+    keys = list(by)
+    out_col = out_col or f"{metric_col}_cuped"
+    x = F.col(covariate_col).cast("double")
+    y = F.col(metric_col).cast("double")
+    stats_agg = [
+        F.covar_samp(x, y).alias("__cxy"),
+        F.var_samp(x).alias("__vx"),
+        F.avg(x).alias("__mx"),
+    ]
+    stats = df.groupBy(*keys).agg(*stats_agg) if keys else df.agg(*stats_agg)
+    joined = (
+        df.join(F.broadcast(stats), keys) if keys else df.crossJoin(F.broadcast(stats))
+    )
+    theta = F.when(
+        F.col("__vx").isNotNull() & (F.col("__vx") > 0),
+        F.col("__cxy") / F.col("__vx"),
+    ).otherwise(F.lit(0.0))
+    adjusted = F.when(
+        x.isNotNull(), y - theta * (x - F.col("__mx"))
+    ).otherwise(y)
+    return joined.withColumn(out_col, F.round(adjusted, 6)).drop(
+        "__cxy", "__vx", "__mx"
+    )
