@@ -112,3 +112,69 @@ def set_op(left: DataFrame, right: DataFrame, op: str) -> DataFrame:
     if op not in ops:
         raise ValueError(f"set op {op!r} not in {sorted(ops)}")
     return ops[op]()
+
+
+def assign_dense_ids(
+    df,
+    order_col: str,
+    tiebreak=(),
+    start: int = 0,
+    rows_per_bucket: int = 1 << 20,
+):
+    """Append a gap-free `dense_id` column (`start`, `start`+1, …) in
+    ascending (`order_col`, tiebreak...) order — the surrogate-key
+    assignment a dimension build needs, where
+    monotonically_increasing_id's partition-gapped ids don't do.
+
+    Scale shape: NO global single-partition sort (the naive
+    row_number() over a global Window). The numeric `order_col` is cut
+    into fixed-width buckets (deterministic, unlike
+    repartitionByRange's sampled boundaries), per-bucket counts make a
+    driver-side exclusive cumsum (G scalars, never data), and each
+    bucket numbers its rows independently with a PARTITIONED window —
+    the same two-phase prefix-sum discipline as packing's layout.
+    `order_col` must be numeric; rows tie-broken by `tiebreak` (make
+    (order, tiebreak) unique for fully deterministic ids)."""
+    import math as _math
+
+    from pyspark.sql.window import Window as _W
+
+    dt = dict(df.dtypes)[order_col]
+    if dt in ("string", "binary", "boolean"):
+        raise ValueError(
+            f"order_col must be numeric/temporal for deterministic "
+            f"bucketing, got {dt}; derive a numeric sort key first"
+        )
+    key = F.col(order_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).collect()[0]
+    if not stats["n"]:
+        return df.withColumn("dense_id", F.lit(None).cast("long"))
+    n_buckets = max(1, _math.ceil(stats["n"] / rows_per_bucket))
+    width = max((stats["hi"] - stats["lo"]) / n_buckets, 1e-12)
+    bkt = F.least(
+        F.floor((key - F.lit(stats["lo"])) / F.lit(width)),
+        F.lit(n_buckets - 1),  # hi endpoint closes into the last bucket
+    ).cast("long")
+    b = df.withColumn("__bkt", bkt)
+    totals = {
+        r["__bkt"]: r["c"]
+        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base, acc = {}, start
+    for k in sorted(totals):
+        base[k] = acc
+        acc += totals[k]
+    bases = df.sparkSession.createDataFrame(
+        [(k, v) for k, v in base.items()], "__bkt long, __base long"
+    )
+    order = [F.col(order_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = _W.partitionBy("__bkt").orderBy(*order)
+    return (
+        b.join(F.broadcast(bases), "__bkt")
+        .withColumn(
+            "dense_id", (F.col("__base") + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__bkt", "__base")
+    )

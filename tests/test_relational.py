@@ -551,3 +551,47 @@ def test_winsorize_null_group_keys_are_clipped(spark):
     assert abs(min(nulls) - 10.9) < 1e-9 and abs(max(nulls) - 90.1) < 1e-9
     named = [r.v for r in out.filter(F.col("k") == "g").collect()]
     assert abs(min(named) - 10.9) < 1e-9 and abs(max(named) - 90.1) < 1e-9
+
+
+def test_assign_dense_ids(spark, tables):
+    """Gap-free 0..n-1 ids in sort order, deterministic across reruns
+    and repartitioning, no global single-partition window; string
+    order keys rejected."""
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.operators.relational import assign_dense_ids
+
+    orders = tables["orders"].select("o_orderkey", "o_totalprice")
+    n = orders.count()
+    out = assign_dense_ids(
+        orders, "o_totalprice", tiebreak=["o_orderkey"], rows_per_bucket=500
+    )
+    rows = out.collect()
+    ids = sorted(r.dense_id for r in rows)
+    assert ids == list(range(n))  # gap-free, 0-based
+    # id order == (price, key) order
+    by_id = sorted(rows, key=lambda r: r.dense_id)
+    keys = [(r.o_totalprice, r.o_orderkey) for r in by_id]
+    assert keys == sorted(keys)
+    # deterministic under repartitioning
+    again = assign_dense_ids(
+        orders.repartition(17), "o_totalprice",
+        tiebreak=["o_orderkey"], rows_per_bucket=500,
+    )
+    assert {(r.o_orderkey, r.dense_id) for r in again.collect()} == {
+        (r.o_orderkey, r.dense_id) for r in rows
+    }
+    # the numbering window is bucket-partitioned, not global
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs and all("__bkt" in w for w in win_specs), win_specs
+    # start offset honored
+    offset = assign_dense_ids(
+        orders.limit(10), "o_totalprice", tiebreak=["o_orderkey"], start=1000
+    )
+    got = sorted(r.dense_id for r in offset.collect())
+    assert got == list(range(1000, 1010))
+    with _pytest.raises(ValueError, match="numeric"):
+        assign_dense_ids(tables["nation"], "n_name")
