@@ -1,0 +1,184 @@
+"""Model-evaluation operators: exact ROC AUC, threshold reports,
+calibration.
+
+Scoring a classifier over billions of rows is a warehouse job, not a
+scikit-learn job — but the textbook implementations don't distribute:
+AUC-by-ranks needs a GLOBAL sort of the scores, and a reliability
+diagram needs quantile cuts. The shapes here:
+
+- `roc_auc`: exact (ties-averaged, Mann–Whitney) AUC with NO global
+  sort. Scores collapse to per-distinct-value (n_pos, n_neg) counts;
+  the cumulative negatives-below-each-score come from the same
+  two-phase prefix-sum discipline as packing/dense-ids (deterministic
+  fixed-width score buckets, driver-side exclusive cumsum over G
+  bucket totals — G scalars, never data); AUC is then one aggregate:
+  Σ n_pos·(cum_neg_below + n_neg/2) / (N⁺·N⁻).
+- `threshold_report`: TP/FP/FN/TN + precision/recall/F1 for a literal
+  threshold list — ONE conditional-sum aggregate pass over the rows,
+  k thresholds = k expressions, not k scans.
+- `calibration_table`: equal-width score bins → (n, mean_score,
+  positive_rate) + the |confidence − accuracy| gap, and `ece` folds
+  the table into the Expected Calibration Error scalar. One bin-keyed
+  aggregate.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame, score_col: str, label_col: str, score_buckets: int = 4096
+) -> float:
+    """Exact ROC AUC (probability a random positive outscores a random
+    negative, ties counting half). Distributed shape per module
+    docstring; the driver sees G bucket totals + the final scalar.
+    Raises when either class is absent (AUC undefined)."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    per_score = (
+        df.select(s.alias("s"), y.alias("y"))
+        .filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("np"),
+            F.sum(1 - F.col("y")).cast("long").alias("nn"),
+        )
+    )
+    rng = per_score.agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi"), F.count(F.lit(1)).alias("k")
+    ).collect()[0]
+    if rng["k"] == 0:
+        raise ValueError("no scored rows")
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    width = max((hi - lo) / score_buckets, 1e-300)
+    bkt = F.least(
+        F.floor((F.col("s") - F.lit(lo)) / F.lit(width)),
+        F.lit(score_buckets - 1),
+    ).cast("long")
+    b = per_score.withColumn("__bkt", bkt)
+    totals = {
+        r["__bkt"]: r["nn"]
+        for r in b.groupBy("__bkt").agg(F.sum("nn").alias("nn")).collect()
+    }
+    base, acc = {}, 0
+    for k in sorted(totals):
+        base[k] = acc
+        acc += totals[k]
+    bases = df.sparkSession.createDataFrame(
+        [(k, v) for k, v in base.items()], "__bkt long, __base long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__bkt").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    contrib = (
+        b.join(F.broadcast(bases), "__bkt")
+        .withColumn(
+            "__cum_nn_below",
+            F.col("__base") + F.coalesce(F.sum("nn").over(w), F.lit(0)),
+        )
+        .agg(
+            F.sum(F.col("np") * (F.col("__cum_nn_below") + F.col("nn") / 2.0)).alias(
+                "u"
+            ),
+            F.sum("np").alias("tp"),
+            F.sum("nn").alias("tn"),
+        )
+        .collect()[0]
+    )
+    if not contrib["tp"] or not contrib["tn"]:
+        raise ValueError("AUC undefined: one class is absent")
+    return float(contrib["u"]) / (contrib["tp"] * contrib["tn"])
+
+
+def threshold_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """(threshold, tp, fp, fn, tn, precision, recall, f1) for each
+    literal threshold (predict positive when score >= t) — ONE
+    aggregate pass regardless of how many thresholds."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = (s >= F.lit(float(t))).cast("int")
+        aggs += [
+            F.sum(pred * y).cast("long").alias(f"tp_{i}"),
+            F.sum(pred * (1 - y)).cast("long").alias(f"fp_{i}"),
+            F.sum((1 - pred) * y).cast("long").alias(f"fn_{i}"),
+            F.sum((1 - pred) * (1 - y)).cast("long").alias(f"tn_{i}"),
+        ]
+    row = df.filter(s.isNotNull() & y.isNotNull()).agg(*aggs).collect()[0]
+    out = []
+    for i, t in enumerate(thresholds):
+        tp, fp, fn, tn = (row[f"{m}_{i}"] for m in ("tp", "fp", "fn", "tn"))
+        prec = tp / (tp + fp) if tp + fp else None
+        rec = tp / (tp + fn) if tp + fn else None
+        f1 = (
+            2 * prec * rec / (prec + rec)
+            if prec is not None and rec is not None and (prec + rec)
+            else None
+        )
+        out.append(
+            (
+                float(t), tp, fp, fn, tn,
+                round(prec, 6) if prec is not None else None,
+                round(rec, 6) if rec is not None else None,
+                round(f1, 6) if f1 is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "threshold double, tp long, fp long, fn long, tn long, "
+        "precision double, recall double, f1 double",
+    )
+
+
+def calibration_table(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """(bin, n, mean_score, positive_rate, gap) over equal-width score
+    bins in [0, 1] — the reliability-diagram substrate. Scores outside
+    [0, 1] are clamped into the edge bins (they are already a
+    calibration bug worth seeing)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor(s * n_bins), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("mean_score"),
+            F.round(F.avg(y), 6).alias("positive_rate"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("mean_score") - F.col("positive_rate")), 6)
+        )
+        .orderBy("bin")
+    )
+
+
+def ece(df: DataFrame, score_col: str, label_col: str, n_bins: int = 10) -> float:
+    """Expected Calibration Error: Σ (n_b/N)·|conf_b − acc_b| over the
+    calibration table's bins."""
+    rows = calibration_table(df, score_col, label_col, n_bins).collect()
+    total = sum(r.n for r in rows)
+    if not total:
+        raise ValueError("no scored rows")
+    return round(sum(r.n / total * r.gap for r in rows), 6)
