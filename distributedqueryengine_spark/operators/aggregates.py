@@ -554,3 +554,97 @@ def heavy_hitters(
     if top is not None:
         out = out.orderBy(F.col("count_lo").desc(), F.col("item").asc()).limit(top)
     return out
+
+
+def mutual_information(df, col_a: str, col_b: str, base: float = 2.718281828459045):
+    """Mutual information I(A;B) between two categorical columns (nats
+    by default; pass base=2 for bits) — the feature-association
+    primitive that catches non-linear dependence chi-square ranks
+    miss. Returns a float.
+
+    One joint-count aggregate (|A|x|B| rows) + two marginal aggregates
+    derived FROM it (never a second data pass); the Σ p·ln(p/(pa·pb))
+    fold runs on the contingency-sized frame. NULLs form their own
+    category (they carry information too)."""
+    from pyspark.sql import functions as F
+
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00NULL"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00NULL"))
+    joint = df.groupBy(a.alias("a"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    n_tot = F.sum("n").over(Window.partitionBy())
+    pa = F.sum("n").over(Window.partitionBy("a"))
+    pb = F.sum("n").over(Window.partitionBy("b"))
+    mi_row = (
+        joint.withColumn("__p", F.col("n") / n_tot)
+        .withColumn("__pa", pa / n_tot)
+        .withColumn("__pb", pb / n_tot)
+        .agg(
+            F.sum(
+                F.col("__p")
+                * F.log(float(base), F.col("__p") / (F.col("__pa") * F.col("__pb")))
+            ).alias("mi")
+        )
+        .collect()[0]
+    )
+    return float(mi_row["mi"] or 0.0)
+
+
+def target_encode(
+    df,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    leave_one_out: bool = False,
+    out_col: str | None = None,
+):
+    """Smoothed target (mean) encoding of a categorical column — the
+    high-cardinality-feature workhorse:
+
+        enc(c) = (sum_c + m·global_mean) / (n_c + m)
+
+    with `smoothing` m pulling rare categories toward the global mean.
+    `leave_one_out=True` excludes the ROW'S OWN target from its
+    category statistics ((sum_c − y)/(n_c − 1), smoothed the same way)
+    — the standard guard against target leakage when encoding the
+    training split itself; categories of size 1 fall back to the
+    global mean (their LOO statistic does not exist).
+
+    One category-keyed aggregate + a broadcast join back (category
+    table is vocabulary-sized); the global mean rides a broadcast
+    1-row aggregate. NULL categories encode as their own group; NULL
+    targets are excluded from statistics but still receive an
+    encoding. Appends `out_col` (default '<cat>_te')."""
+    from pyspark.sql import functions as F
+
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    out_col = out_col or f"{cat_col}_te"
+    y = F.col(target_col).cast("double")
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("\x00NULL"))
+    per_cat = df.groupBy(cat.alias("__cat")).agg(
+        F.sum(y).alias("__sum"), F.count(y).alias("__cnt")
+    )
+    glob = df.agg(
+        F.avg(y).alias("__gmean")
+    )
+    joined = (
+        df.withColumn("__cat", cat)
+        .join(F.broadcast(per_cat), "__cat")
+        .crossJoin(F.broadcast(glob))
+    )
+    m = float(smoothing)
+    if leave_one_out:
+        s = F.when(y.isNotNull(), F.col("__sum") - y).otherwise(F.col("__sum"))
+        c = F.when(y.isNotNull(), F.col("__cnt") - 1).otherwise(F.col("__cnt"))
+        enc = F.when(
+            c > 0, (s + m * F.col("__gmean")) / (c + m)
+        ).otherwise(F.col("__gmean"))
+    else:
+        enc = (F.col("__sum") + m * F.col("__gmean")) / (F.col("__cnt") + m)
+    return joined.withColumn(out_col, F.round(enc, 6)).drop(
+        "__cat", "__sum", "__cnt", "__gmean"
+    )

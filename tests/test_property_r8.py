@@ -586,3 +586,90 @@ def test_condition_streaks_matches_duckdb(spark, tables, duck):
     )
     assert got == expect
     assert got, "fixture should produce streaks"
+
+
+def test_mutual_information_semantics(spark, tables):
+    """MI ≡ python reference on real columns; ~0 for independent
+    columns; equals the entropy for a deterministic function."""
+    import math
+    from collections import Counter
+
+    from distributedqueryengine_spark.operators.aggregates import mutual_information
+
+    ev = tables["events"].select("event_type", "user_id").limit(3000)
+    rows = [(r.event_type, r.user_id % 7) for r in ev.collect()]
+    df = spark.createDataFrame(rows, "a string, b long")
+    got = mutual_information(df, "a", "b")
+
+    joint = Counter(rows)
+    n = len(rows)
+    ca, cb = Counter(a for a, _ in rows), Counter(b for _, b in rows)
+    ref = sum(
+        (c / n) * math.log((c / n) / ((ca[a] / n) * (cb[b] / n)))
+        for (a, b), c in joint.items()
+    )
+    assert abs(got - ref) < 1e-9
+    assert got < 0.05  # user_id%7 is independent of event_type
+
+    # deterministic function: I(A; f(A)) = H(A)
+    fdf = spark.createDataFrame(
+        [(a, a.upper()) for a, _ in rows], "a string, b string"
+    )
+    h_a = -sum((c / n) * math.log(c / n) for c in ca.values())
+    assert abs(mutual_information(fdf, "a", "b") - h_a) < 1e-9
+
+
+def test_target_encode_matches_reference(spark, tables):
+    """Smoothed and leave-one-out encodings vs a python reference over
+    orders (priority → totalprice), incl. the size-1-category LOO
+    fallback and NULL-category handling."""
+    from collections import defaultdict
+
+    from distributedqueryengine_spark.operators.aggregates import target_encode
+
+    orders = tables["orders"].select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    rows = [(r.o_orderkey, r.o_orderpriority, r.o_totalprice) for r in orders.collect()]
+    m = 20.0
+    sums, cnts = defaultdict(float), defaultdict(int)
+    for _, c, v in rows:
+        sums[c] += v
+        cnts[c] += 1
+    gmean = sum(v for _, _, v in rows) / len(rows)
+
+    got = {
+        r.o_orderkey: r.o_orderpriority_te
+        for r in target_encode(
+            orders, "o_orderpriority", "o_totalprice", smoothing=m
+        ).collect()
+    }
+    for k, c, v in rows[:300]:
+        ref = (sums[c] + m * gmean) / (cnts[c] + m)
+        assert abs(got[k] - ref) < 1e-4, k
+
+    loo = {
+        r.o_orderkey: r.o_orderpriority_te
+        for r in target_encode(
+            orders, "o_orderpriority", "o_totalprice",
+            smoothing=m, leave_one_out=True,
+        ).collect()
+    }
+    for k, c, v in rows[:300]:
+        ref = (sums[c] - v + m * gmean) / (cnts[c] - 1 + m)
+        assert abs(loo[k] - ref) < 1e-4, k
+
+    # size-1 category with LOO and zero smoothing → global mean fallback
+    tiny = spark.createDataFrame(
+        [(1, "solo", 10.0), (2, "pair", 4.0), (3, "pair", 6.0), (4, None, 8.0)],
+        "id long, cat string, y double",
+    )
+    out = {
+        r.id: r.cat_te
+        for r in target_encode(
+            tiny, "cat", "y", smoothing=0.0, leave_one_out=True
+        ).collect()
+    }
+    assert out[1] == 7.0       # global mean (LOO undefined for n=1)
+    assert out[2] == 6.0 and out[3] == 4.0  # each other's value
+    assert out[4] == 7.0       # NULL category, single member → global mean
