@@ -122,3 +122,79 @@ def holt_winters_forecast(
         return pd.DataFrame(out)
 
     return base.groupBy(*keys).applyInPandas(fc, out_fields)
+
+
+def groupwise_ols(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    y_col: str,
+    x_cols: Sequence[str],
+    fit_intercept: bool = True,
+) -> DataFrame:
+    """Per-key ordinary least squares with MULTIPLE features — the
+    million-small-regressions warehouse shape (per-SKU price
+    elasticity, per-segment trend fits) that Spark's single-feature
+    regr_slope/regr_intercept aggregates can't express. Output:
+    key_cols + n (rows used) + intercept + one `beta_<x>` per feature
+    + r2.
+
+    applyInPandas per key (justified kernel: the normal-equations
+    solve is a per-group numpy lstsq, not a Column expression); rows
+    with any NULL in y/x are dropped per group; groups with fewer rows
+    than unknowns, or a singular design, emit NULL coefficients with
+    their n (visible, not silently absent). Same bounded-by-key-
+    activity state contract as the other grouped kernels."""
+    import numpy as np
+    import pandas as pd
+
+    keys = list(key_cols)
+    xs = list(x_cols)
+    if not xs:
+        raise ValueError("x_cols must name at least one feature")
+    base = df.select(
+        *keys,
+        F.col(y_col).cast("double").alias("__y"),
+        *[F.col(c).cast("double").alias(f"__x_{c}") for c in xs],
+    )
+    out_fields = ", ".join(
+        [f"`{k}` {t}" for k, t in base.select(*keys).dtypes]
+        + ["n long", "intercept double"]
+        + [f"`beta_{c}` double" for c in xs]
+        + ["r2 double"]
+    )
+    p = len(xs) + (1 if fit_intercept else 0)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["__y"] + [f"__x_{c}" for c in xs]
+        clean = pdf.dropna(subset=cols)
+        head = {k: [pdf.iloc[0][k]] for k in keys}
+        n = len(clean)
+        if n < p:
+            return pd.DataFrame(
+                {**head, "n": [n], "intercept": [None],
+                 **{f"beta_{c}": [None] for c in xs}, "r2": [None]}
+            )
+        X = clean[[f"__x_{c}" for c in xs]].to_numpy(dtype=np.float64)
+        if fit_intercept:
+            X = np.hstack([np.ones((n, 1)), X])
+        yv = clean["__y"].to_numpy(dtype=np.float64)
+        beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+        resid = yv - X @ beta
+        ss_res = float(resid @ resid)
+        ss_tot = float(((yv - yv.mean()) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else None
+        off = 1 if fit_intercept else 0
+        return pd.DataFrame(
+            {
+                **head,
+                "n": [n],
+                "intercept": [round(float(beta[0]), 6) if fit_intercept else 0.0],
+                **{
+                    f"beta_{c}": [round(float(beta[off + i]), 6)]
+                    for i, c in enumerate(xs)
+                },
+                "r2": [round(r2, 6) if r2 is not None else None],
+            }
+        )
+
+    return base.groupBy(*keys).applyInPandas(fit, out_fields)

@@ -113,3 +113,45 @@ def test_forecast_composes_with_resample(spark, tables):
     }
     for r in rows:
         assert r.forecast_ts == last[r.event_type] + 3600 * r.step
+
+
+def test_groupwise_ols_matches_numpy(spark):
+    """Per-key multi-feature OLS ≡ numpy lstsq; known coefficients
+    recovered on clean data; NULL rows dropped; under-determined and
+    constant-y groups degrade visibly."""
+    import random
+
+    import numpy as np
+
+    from distributedqueryengine_spark.operators.forecast import groupwise_ols
+
+    rng = random.Random(4)
+    rows = []
+    # key 'a': y = 3 + 2*x1 - 0.5*x2 + noise
+    for _ in range(200):
+        x1, x2 = rng.gauss(0, 2), rng.gauss(5, 3)
+        rows.append(("a", 3 + 2 * x1 - 0.5 * x2 + rng.gauss(0, 0.01), x1, x2))
+    # key 'b': different coefs + a NULL row
+    for _ in range(100):
+        x1, x2 = rng.gauss(0, 1), rng.gauss(0, 1)
+        rows.append(("b", -1 + 0.7 * x1 + 1.5 * x2 + rng.gauss(0, 0.01), x1, x2))
+    rows.append(("b", None, 1.0, 1.0))
+    rows.append(("tiny", 5.0, 1.0, 2.0))  # n < p → NULL coefs
+    df = spark.createDataFrame(rows, "k string, y double, x1 double, x2 double")
+
+    out = {r.k: r for r in groupwise_ols(df, ["k"], "y", ["x1", "x2"]).collect()}
+    assert abs(out["a"].intercept - 3) < 0.01
+    assert abs(out["a"].beta_x1 - 2) < 0.01
+    assert abs(out["a"].beta_x2 + 0.5) < 0.01
+    assert out["a"].r2 > 0.999
+    assert out["b"].n == 100  # NULL row dropped
+    assert abs(out["b"].beta_x2 - 1.5) < 0.01
+    assert out["tiny"].n == 1 and out["tiny"].intercept is None
+
+    # exact numpy agreement on a group
+    sub = [(y, x1, x2) for k, y, x1, x2 in rows if k == "a"]
+    X = np.hstack([np.ones((len(sub), 1)), np.array([[x1, x2] for _, x1, x2 in sub])])
+    yv = np.array([y for y, _, _ in sub])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    assert abs(out["a"].intercept - round(float(beta[0]), 6)) < 1e-9
+    assert abs(out["a"].beta_x1 - round(float(beta[1]), 6)) < 1e-9
