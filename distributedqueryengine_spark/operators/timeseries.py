@@ -729,3 +729,65 @@ def condition_streaks(
         .drop("__grp")
     )
     return runs
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Median/MAD outlier score: 0.6745·(x − median) / MAD — the robust
+    sibling of the mean/stddev z-score, immune to the outliers it is
+    hunting (a single 10^9 reading inflates a stddev enough to hide
+    itself; it moves a median not at all). The 0.6745 factor makes the
+    score sigma-comparable under normality (MAD = 0.6745σ).
+
+    One aggregate computes median and MAD per group — MAD needs the
+    median first, so it is TWO exact-percentile aggregates (group-
+    sized frames, broadcast back with the same null-safe join contract
+    as winsorize); a constant group (MAD 0) scores NULL rather than
+    ±inf. percentile() is exact-interpolated → DuckDB-differentiable."""
+    from pyspark.sql import functions as F
+
+    keys = list(by)
+    x = F.col(value_col).cast("double")
+    med_agg = F.percentile(x, F.lit(0.5)).alias("__med")
+    med = df.groupBy(*keys).agg(med_agg) if keys else df.agg(med_agg)
+    if keys:
+        renamed = med
+        for k in keys:
+            renamed = renamed.withColumnRenamed(k, f"__mk_{k}")
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__mk_{k}"))
+            cond = c if cond is None else (cond & c)
+        with_med = df.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__mk_{k}" for k in keys]
+        )
+    else:
+        with_med = df.crossJoin(F.broadcast(med))
+    mad_agg = F.percentile(F.abs(x - F.col("__med")), F.lit(0.5)).alias("__mad")
+    mad = (
+        with_med.groupBy(*keys).agg(F.first("__med").alias("__med"), mad_agg)
+        if keys
+        else with_med.agg(F.first("__med").alias("__med"), mad_agg)
+    )
+    if keys:
+        renamed = mad
+        for k in keys:
+            renamed = renamed.withColumnRenamed(k, f"__mk_{k}")
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__mk_{k}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(renamed), cond, "left").drop(
+            *[f"__mk_{k}" for k in keys]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(mad))
+    z = F.when(
+        F.col("__mad") > 0,
+        F.round(0.6745 * (x - F.col("__med")) / F.col("__mad"), 6),
+    )
+    return joined.withColumn(out_col, z).drop("__med", "__mad")

@@ -673,3 +673,52 @@ def test_target_encode_matches_reference(spark, tables):
     assert out[1] == 7.0       # global mean (LOO undefined for n=1)
     assert out[2] == 6.0 and out[3] == 4.0  # each other's value
     assert out[4] == 7.0       # NULL category, single member → global mean
+
+
+def test_robust_zscore_matches_duckdb_and_resists_outliers(spark, tables, duck):
+    """Median/MAD scores ≡ the DuckDB mirror per group; a planted
+    extreme outlier scores huge robustly while barely moving other
+    rows' scores (the property the mean/stddev z-score lacks)."""
+    from distributedqueryengine_spark.operators.timeseries import robust_zscore
+
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    duck.execute(
+        "CREATE OR REPLACE VIEW li_r8 AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.robust_z)
+        for r in robust_zscore(li, "l_extendedprice", by=["l_returnflag"]).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            """
+            WITH med AS (
+              SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+              FROM li_r8 GROUP BY 1
+            ), mad AS (
+              SELECT l.l_returnflag,
+                     quantile_cont(abs(l.l_extendedprice - med.m), 0.5) AS d
+              FROM li_r8 l JOIN med USING (l_returnflag) GROUP BY 1
+            )
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CASE WHEN mad.d > 0 THEN
+                     round(0.6745 * (l.l_extendedprice - med.m) / mad.d, 6)
+                   END AS z
+            FROM li_r8 l JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)
+            """
+        ).fetchall()
+    )
+    assert [g[:2] for g in got] == [e[:2] for e in expect]
+    for g, e in zip(got, expect):
+        assert (g[2] is None) == (e[2] is None) and (
+            g[2] is None or abs(g[2] - e[2]) <= 1e-6
+        ), (g, e)
+
+    # robustness: one 10^9 outlier among 100 normal points
+    rows = [(i, float(100 + (i % 7))) for i in range(100)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    rz = {r.i: r.robust_z for r in robust_zscore(df, "v").collect()}
+    assert rz[999] > 1e6            # the outlier screams
+    assert all(abs(rz[i]) < 3 for i in range(100))  # everyone else calm
