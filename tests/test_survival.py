@@ -1,0 +1,132 @@
+"""Kaplan-Meier: the textbook worked example, a python reference over
+random censored data, the everyone-dies zero tail, per-group curves,
+and the DuckDB mirror."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.operators.survival import (
+    kaplan_meier,
+    median_survival,
+)
+
+
+def _km_ref(pairs):
+    """{t: (n_risk, d, c, S)} textbook product-limit fold."""
+    times = sorted({t for t, _ in pairs})
+    n = len(pairs)
+    out, s, consumed = {}, 1.0, 0
+    for t in times:
+        d = sum(1 for u, e in pairs if u == t and e)
+        c = sum(1 for u, e in pairs if u == t and not e)
+        n_risk = n - consumed
+        if d:
+            s *= 1 - d / n_risk
+        out[t] = (n_risk, d, c, s)
+        consumed += d + c
+    return out
+
+
+def test_km_textbook_example(spark):
+    # classic small cohort: events at 6,7,10,15; censored at 9,11
+    pairs = [(6, 1), (7, 1), (9, 0), (10, 1), (11, 0), (15, 1)]
+    df = spark.createDataFrame(pairs, "dur int, ev int")
+    got = {
+        r.t: (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in kaplan_meier(df, "dur", "ev").collect()
+    }
+    ref = _km_ref(pairs)
+    for t, (n_risk, d, c, s) in ref.items():
+        gr = got[float(t)]
+        assert gr[:3] == (n_risk, d, c), t
+        assert abs(gr[3] - s) < 1e-6, t
+    # hand value: S(10) = (5/6)(4/5)(2/3) = 4/9
+    assert abs(got[10.0][3] - 4 / 9) < 1e-6
+    # everyone-dies tail reaches exactly 0
+    assert got[15.0][3] == 0.0
+
+    med = median_survival(kaplan_meier(df, "dur", "ev")).first()
+    assert med.median_t == 10.0  # first time S <= 0.5
+
+
+def test_km_random_and_groups_match_reference(spark):
+    rng = random.Random(6)
+    rows = []
+    for g in ("a", "b"):
+        scale = 10 if g == "a" else 25
+        for _ in range(300):
+            t = round(rng.expovariate(1 / scale), 1) + 0.1
+            censored = rng.random() < 0.3
+            rows.append((g, t, 0 if censored else 1))
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    km = kaplan_meier(df, "dur", "ev", by=["g"])
+    got = {
+        (r.g, r.t): (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in km.collect()
+    }
+    for g in ("a", "b"):
+        ref = _km_ref([(t, e) for gg, t, e in rows if gg == g])
+        for t, (n_risk, d, c, s) in ref.items():
+            gr = got[(g, t)]
+            assert gr[:3] == (n_risk, d, c), (g, t)
+            assert abs(gr[3] - s) < 1e-6, (g, t)  # 6-dp rounding
+    # the longer-lived group's median is larger
+    med = {r.g: r.median_t for r in median_survival(km, by=["g"]).collect()}
+    assert med["b"] > med["a"]
+
+    # survival is monotone non-increasing per group
+    for g in ("a", "b"):
+        curve = sorted((t, s[3]) for (gg, t), s in got.items() if gg == g)
+        vals = [s for _, s in curve]
+        assert all(x >= y - 1e-9 for x, y in zip(vals, vals[1:]))
+
+
+def test_km_matches_duckdb(spark):
+    rng = random.Random(2)
+    rows = [
+        (round(rng.expovariate(0.1), 1) + 0.1, 1 if rng.random() < 0.7 else 0)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    got = sorted(
+        (r.t, r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in kaplan_meier(df, "dur", "ev").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE subj(dur DOUBLE, ev INTEGER)")
+    con.executemany("INSERT INTO subj VALUES (?, ?)", rows)
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH per_t AS (
+              SELECT dur AS t, sum(ev) AS d, sum(1 - ev) AS c
+              FROM subj GROUP BY 1
+            ), risk AS (
+              SELECT t, d, c,
+                     (SELECT count(*) FROM subj)
+                   - coalesce(sum(d + c) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS n_risk
+              FROM per_t
+            )
+            SELECT t, n_risk, d, c,
+                   round(CASE WHEN max(CASE WHEN d > 0 AND d >= n_risk
+                                            THEN 1 ELSE 0 END)
+                              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                         THEN 0.0
+                         ELSE exp(sum(CASE WHEN d = 0 THEN 0.0
+                                           ELSE ln(1 - d / CAST(n_risk AS DOUBLE))
+                                      END)
+                              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                         END, 6) AS survival
+            FROM risk
+            """
+        ).fetchall()
+    )
+    assert [g[:4] for g in got] == [e[:4] for e in expect]
+    assert all(abs(g[4] - e[4]) <= 1e-6 for g, e in zip(got, expect))
