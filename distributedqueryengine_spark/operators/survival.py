@@ -95,3 +95,67 @@ def median_survival(km: DataFrame, by: Sequence[str] = ()) -> DataFrame:
         return agg
     groups = km.select(*keys).distinct()
     return groups.join(agg, keys, "left")
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> dict:
+    """Two-sample log-rank test: are the survival curves of `group_a`
+    and `group_b` different? The standard companion to kaplan_meier
+    (comparing median survival alone wastes the whole curve and
+    mishandles censoring). Returns {'chi2', 'p_value', 'observed_a',
+    'expected_a', 'n_a', 'n_b'} — chi2 is (Σ(O₁−E₁))²/ΣV with the
+    hypergeometric variance at each pooled event time; p is the exact
+    df=1 chi-square tail 2·(1−Φ(√chi2)) via the same JVM-portable erf
+    the A/B module uses (computed driver-side here: the curve table
+    this folds over is distinct-times-sized).
+
+    Shape: ONE per-(group, time) aggregate — the only subject-sized
+    stage; the test fold runs on the collected curve, which is
+    distinct-event-times-sized, not subjects."""
+    import math
+
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    sub = df.filter(d.isNotNull() & g.isin(group_a, group_b)).select(
+        F.when(g == group_a, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        d.alias("t"),
+        e.alias("e"),
+    )
+    per_t = sub.groupBy("g", "t").agg(
+        F.sum("e").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    rows = per_t.collect()  # curve-sized BY CONSTRUCTION
+    per_g_tm = {"a": [], "b": []}
+    for r in rows:
+        per_g_tm[r["g"]].append((r["t"], int(r["m"]), int(r["d"])))
+    times = sorted({r["t"] for r in rows if r["d"] > 0})
+    obs_a = exp_a = var_sum = 0.0
+    for t in times:
+        n1 = sum(m for tt, m, _ in per_g_tm["a"] if tt >= t)
+        n2 = sum(m for tt, m, _ in per_g_tm["b"] if tt >= t)
+        d1 = sum(dd for tt, _, dd in per_g_tm["a"] if tt == t)
+        d2 = sum(dd for tt, _, dd in per_g_tm["b"] if tt == t)
+        nt, dt = n1 + n2, d1 + d2
+        if nt < 1 or n1 == 0 and n2 == 0:
+            continue
+        obs_a += d1
+        exp_a += dt * n1 / nt
+        if nt > 1:
+            var_sum += dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - 1)
+    chi2 = (obs_a - exp_a) ** 2 / var_sum if var_sum > 0 else 0.0
+    p = 2 * (1 - 0.5 * (1 + math.erf(math.sqrt(chi2) / math.sqrt(2))))
+    return {
+        "chi2": round(chi2, 6),
+        "p_value": round(p, 6),
+        "observed_a": round(obs_a, 6),
+        "expected_a": round(exp_a, 6),
+        "n_a": sum(m for _, m, _ in per_g_tm["a"]),
+        "n_b": sum(m for _, m, _ in per_g_tm["b"]),
+    }

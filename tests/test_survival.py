@@ -130,3 +130,52 @@ def test_km_matches_duckdb(spark):
     )
     assert [g[:4] for g in got] == [e[:4] for e in expect]
     assert all(abs(g[4] - e[4]) <= 1e-6 for g, e in zip(got, expect))
+
+
+def test_logrank_test_semantics(spark):
+    """Different hazards → significant; identical distributions (A/A)
+    → not; observed/expected match a python reference fold."""
+    from distributedqueryengine_spark.operators.survival import logrank_test
+
+    rng = random.Random(12)
+    rows = []
+    for g, scale in (("x", 8.0), ("y", 20.0)):
+        for _ in range(250):
+            t = round(rng.expovariate(1 / scale), 1) + 0.1
+            rows.append((g, t, 1 if rng.random() < 0.75 else 0))
+    df = spark.createDataFrame(rows, "g string, dur double, ev int")
+    res = logrank_test(df, "dur", "ev", "g", "x", "y")
+    assert res["n_a"] == res["n_b"] == 250
+    assert res["p_value"] < 1e-6  # clearly different curves
+    # shorter-lived group observes MORE events than expected under H0
+    assert res["observed_a"] > res["expected_a"]
+
+    # python reference for observed/expected/variance
+    def ref(pairs_a, pairs_b):
+        times = sorted(
+            {t for t, e in pairs_a if e} | {t for t, e in pairs_b if e}
+        )
+        obs = exp = var = 0.0
+        for t in times:
+            n1 = sum(1 for u, _ in pairs_a if u >= t)
+            n2 = sum(1 for u, _ in pairs_b if u >= t)
+            d1 = sum(1 for u, e in pairs_a if u == t and e)
+            d2 = sum(1 for u, e in pairs_b if u == t and e)
+            nt, dt = n1 + n2, d1 + d2
+            obs += d1
+            exp += dt * n1 / nt
+            if nt > 1:
+                var += dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - 1)
+        return obs, exp, (obs - exp) ** 2 / var
+
+    pa = [(t, e) for g, t, e in rows if g == "x"]
+    pb = [(t, e) for g, t, e in rows if g == "y"]
+    o, e_, chi = ref(pa, pb)
+    assert abs(res["observed_a"] - o) < 1e-6
+    assert abs(res["expected_a"] - e_) < 1e-4
+    assert abs(res["chi2"] - chi) < 1e-3
+
+    # A/A: same distribution split randomly → not significant
+    aa = [("p" if rng.random() < 0.5 else "q", t, e) for _, t, e in rows]
+    aadf = spark.createDataFrame(aa, "g string, dur double, ev int")
+    assert logrank_test(aadf, "dur", "ev", "g", "p", "q")["p_value"] > 0.01
