@@ -791,3 +791,39 @@ def robust_zscore(
         F.round(0.6745 * (x - F.col("__med")) / F.col("__mad"), 6),
     )
     return joined.withColumn(out_col, z).drop("__med", "__mad")
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 20,
+    min_points: int = 5,
+    tiebreak: Sequence[str] = (),
+    out_col: str = "rolling_corr",
+) -> DataFrame:
+    """Per-row rolling Pearson correlation between two series over the
+    PRECEDING `window_rows` rows per key (current row excluded, same
+    leakage contract as rolling_zscore) — co-movement / rolling-beta
+    features for pairs of metrics. NULL until `min_points` complete
+    (x, y) pairs exist or either side is constant in the window. One
+    window shuffle on the key; corr() is an algebraic window aggregate
+    so the frame never buffers beyond Spark's own window machinery."""
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    if not 2 <= min_points <= window_rows:
+        raise ValueError(
+            f"need 2 <= min_points <= window_rows, got {min_points}/{window_rows}"
+        )
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(-window_rows, -1)
+    both = F.when(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), F.lit(1)
+    )
+    n = F.count(both).over(w)
+    c = F.corr(x_col, y_col).over(w)
+    out = F.when((n >= min_points) & c.isNotNull(), F.round(c, 6))
+    return df.withColumn(out_col, out)

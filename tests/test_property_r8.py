@@ -722,3 +722,60 @@ def test_robust_zscore_matches_duckdb_and_resists_outliers(spark, tables, duck):
     rz = {r.i: r.robust_z for r in robust_zscore(df, "v").collect()}
     assert rz[999] > 1e6            # the outlier screams
     assert all(abs(rz[i]) < 3 for i in range(100))  # everyone else calm
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    window_rows=st.integers(min_value=3, max_value=40),
+    min_points=st.integers(min_value=2, max_value=8),
+)
+def test_rolling_corr_matches_duckdb(spark, tables, duck, window_rows, min_points):
+    """Random window sizes through rolling_corr over real events
+    (value vs epoch-seconds) vs the identical DuckDB window SQL."""
+    from distributedqueryengine_spark.operators.timeseries import rolling_corr
+
+    min_points = min(min_points, window_rows)
+    ev = tables["events"].select(
+        "user_id", "event_id", "ts", "value",
+        (F.unix_timestamp("ts") % 1000).cast("double").alias("x2"),
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.rolling_corr)
+        for r in rolling_corr(
+            ev, ["user_id"], "ts", "value", "x2",
+            window_rows=window_rows, min_points=min_points,
+            tiebreak=["event_id"],
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts)//1000000 AS sec, value,
+                     CAST((epoch_us(ts)//1000000) % 1000 AS DOUBLE) AS x2
+              FROM events
+            )
+            SELECT user_id, event_id,
+                   CASE WHEN count(CASE WHEN value IS NOT NULL
+                                        AND x2 IS NOT NULL THEN 1 END)
+                             OVER w >= {min_points}
+                             AND corr(value, x2) OVER w IS NOT NULL
+                        THEN round(corr(value, x2) OVER w, 6)
+                   END AS c
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN {window_rows} PRECEDING AND 1 PRECEDING)
+            """
+        ).fetchall()
+    )
+    assert [g[:2] for g in got] == [e[:2] for e in expect]
+    for g, e in zip(got, expect):
+        if g[2] is None or e[2] is None:
+            assert g[2] == e[2], (g, e)
+        else:
+            assert abs(g[2] - e[2]) <= 1e-6, (g, e)
