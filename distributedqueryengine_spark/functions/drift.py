@@ -170,3 +170,28 @@ def categorical_psi_score(
         a = max(cur.get(cat, 0.0), _EPS)
         psi += (a - e) * math.log(a / e)
     return {"psi": round(psi, 6), "n": n, "shares": cur}
+
+
+def stream_categorical_drift_monitor(
+    stream: DataFrame,
+    value_col: str,
+    reference: dict,
+    sink: list | None = None,
+    checkpoint: str | None = None,
+):
+    """Categorical counterpart of stream_drift_monitor: score each
+    micro-batch's category shares against a fit_reference_categories
+    result; appends {'batch_id', 'psi', 'n'} per batch. Same zero-
+    growing-state contract."""
+    out = sink if sink is not None else []
+
+    def score(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        r = categorical_psi_score(batch_df, value_col, reference)
+        out.append({"batch_id": batch_id, "psi": r["psi"], "n": r["n"]})
+
+    writer = stream.writeStream.foreachBatch(score).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

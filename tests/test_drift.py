@@ -136,3 +136,63 @@ def test_categorical_psi(spark, tables):
     from distributedqueryengine_spark.functions.drift import OTHER
 
     assert drift["shares"].get(OTHER, 0) > 0
+
+
+def test_stream_categorical_drift_monitor(spark, tmp_path, tables):
+    """Streaming categorical scores equal batch scoring per file; the
+    renamed-category batch is flagged."""
+    import glob
+    import os
+    import shutil
+
+    from distributedqueryengine_spark.functions.drift import (
+        categorical_psi_score,
+        fit_reference_categories,
+        stream_categorical_drift_monitor,
+    )
+
+    ev = tables["events"].select("event_type")
+    frozen = fit_reference_categories(ev, "event_type", top_n=10)
+    top_cat = frozen["categories"][0]
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+
+    def add_file(name, df):
+        tmp = str(tmp_path / ("_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    normal = ev.limit(3000)
+    shifted = ev.limit(3000).select(
+        F.when(F.col("event_type") == top_cat, F.lit("NEW_TYPE"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type")
+    )
+    add_file("b0", normal)
+    add_file("b1", shifted)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    sink: list = []
+    q = stream_categorical_drift_monitor(
+        stream, "event_type", frozen,
+        sink=sink, checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sink) == 2
+    got = sorted(round(s["psi"], 6) for s in sink)
+    expect = sorted(
+        round(categorical_psi_score(d, "event_type", frozen)["psi"], 6)
+        for d in (normal, shifted)
+    )
+    assert got == expect
+    assert max(got) > 0.25 and min(got) < 0.1
