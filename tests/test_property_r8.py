@@ -779,3 +779,51 @@ def test_rolling_corr_matches_duckdb(spark, tables, duck, window_rows, min_point
             assert g[2] == e[2], (g, e)
         else:
             assert abs(g[2] - e[2]) <= 1e-6, (g, e)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_steps=st.integers(min_value=2, max_value=4),
+    within=st.one_of(st.none(), st.integers(min_value=600, max_value=7 * 86400)),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_funnel_random_steps_match_reference(spark, tables, duck, n_steps, within, seed):
+    """Random step sequences (with repeats allowed) and window sizes
+    through the batch funnel over real events vs the driver-side greedy
+    reference fold — the same semantics the streaming funnel pins."""
+    import random
+
+    from distributedqueryengine_spark.operators.timeseries import funnel
+    from distributedqueryengine_spark.streaming.stateful import _greedy_funnel
+
+    rng = random.Random(seed)
+    kinds = sorted(
+        r.event_type for r in tables["events"].select("event_type").distinct().collect()
+    )
+    steps = [rng.choice(kinds) for _ in range(n_steps)]
+    ev = tables["events"].select("user_id", "ts", "event_type")
+    got = {
+        r.user_id: (r.max_step, list(r.step_times))
+        for r in funnel(
+            ev, "user_id", "ts", "event_type", steps, within_seconds=within
+        ).collect()
+    }
+    raw = duck.execute(
+        "SELECT user_id, epoch_us(ts)//1000000, event_type FROM events"
+    ).fetchall()
+    per_user: dict = {}
+    for u, t, e in raw:
+        if e in set(steps):
+            per_user.setdefault(u, []).append((t, e))
+    for u, evs in per_user.items():
+        times = _greedy_funnel(sorted(evs), steps, within)
+        n = 0
+        for t in times:
+            if t is None:
+                break
+            n += 1
+        assert got[u] == (n, times), (u, steps, within)
