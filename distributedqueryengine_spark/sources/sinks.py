@@ -140,12 +140,35 @@ def _checked_rename(fs, src, dst, what: str) -> None:
         raise IOError(f"rename failed ({what}): {src} -> {dst}")
 
 
+def _esc_rel(rel: str) -> str:
+    """Invertible escape of a partition rel-path for use in a sibling dir
+    name: '%'→'%25' first, then '/'→'%2F'. Lossless (unlike a plain
+    '/'→'_' replace), so recovery can map a backup name back to the
+    exact partition directory it protects."""
+    return rel.replace("%", "%25").replace("/", "%2F")
+
+
+def _unesc_rel(s: str) -> str:
+    return s.replace("%2F", "/").replace("%25", "%")
+
+
 def _swap_in(jvm, fs, live, staging, backup) -> None:
     """Move `staging` into place at `live`, retiring the previous dir via
     `backup`. Every rename's boolean result is checked; on a failed
     second rename the backup is restored before raising, and the backup
-    is deleted only after the new live dir verifiably exists."""
+    is deleted only after the new live dir verifiably exists.
+
+    A pre-existing `backup` is stale residue ONLY when `live` exists; a
+    backup present while `live` is missing is the sole surviving copy of
+    the previous data (crash between the two renames) and is never
+    deleted — the caller must run recover_swap() first."""
     if fs.exists(backup):
+        if not fs.exists(live):
+            raise IOError(
+                f"backup {backup} exists while live {live} is missing — "
+                "a previous swap crashed mid-rename; run recover_swap() "
+                "before retrying (refusing to delete the only copy)"
+            )
         fs.delete(backup, True)
     live_existed = fs.exists(live)
     if live_existed:
@@ -169,19 +192,72 @@ def _swap_in(jvm, fs, live, staging, backup) -> None:
         fs.delete(backup, True)
 
 
-def recover_swap(spark, path: str) -> str | None:
-    """Recover from a crash mid-swap: if `<path>__precompact` or
-    `<path>__premerge` exists and `path` does not, rename the backup
-    back into place. Returns the suffix recovered from, or None if no
-    recovery was needed. Safe to call unconditionally at startup."""
+def recover_swap(spark, path: str) -> list[str] | None:
+    """Recover from a crash mid-swap, covering BOTH swap granularities:
+
+    * whole-dataset: `<path>__precompact` / `<path>__premerge` exists and
+      `path` does not → rename the backup back into place.
+    * per-partition (pruned merge, incremental compaction):
+      `<path>__precompact__<esc-rel>` / `<path>__premerge__<esc-rel>`
+      siblings — for each, if the partition dir `<path>/<rel>` is
+      missing, the backup is restored; if the partition dir exists, the
+      swap's second rename had already succeeded, so the backup is
+      stale and is deleted to complete the swap.
+
+    Stale STAGING residue (`__compacting`, `__compacting__*`,
+    `__merging`, `__touched`) is deleted last — staging is never
+    authoritative (the backup is), so dropping it just means the
+    maintenance op is redone.
+
+    Returns the list of recovery actions taken (suffix strings, e.g.
+    ['__premerge', '__precompact__p=a']), or None if no recovery was
+    needed. Safe to call unconditionally at startup; compact_files and
+    merge_upsert_files call it automatically on entry."""
     jvm, _, fs = _fs(spark, path)
-    live = _hpath(jvm, path)
+    base = path.rstrip("/")
+    live = _hpath(jvm, base)
+    actions: list[str] = []
     for suffix in ("__precompact", "__premerge"):
-        backup = _hpath(jvm, path.rstrip("/") + suffix)
+        backup = _hpath(jvm, base + suffix)
         if fs.exists(backup) and not fs.exists(live):
             _checked_rename(fs, backup, live, "recover backup -> live")
-            return suffix
-    return None
+            actions.append(suffix)
+
+    # Per-partition backups live as suffixed SIBLINGS of the dataset root.
+    parent = live.getParent()
+    basename = live.getName()
+    staging_residue = []
+    if parent is not None and fs.exists(parent):
+        for st in fs.listStatus(parent):
+            name = st.getPath().getName()
+            if not name.startswith(basename + "__"):
+                continue
+            restored = False
+            for kind in ("__precompact__", "__premerge__"):
+                if name.startswith(basename + kind):
+                    rel = _unesc_rel(name[len(basename + kind):])
+                    part_live = _hpath(jvm, base + "/" + rel)
+                    if fs.exists(part_live):
+                        # second rename already landed: finish the swap
+                        fs.delete(st.getPath(), True)
+                        actions.append(kind.rstrip("_") + "__" + rel + " (finalized)")
+                    else:
+                        _checked_rename(
+                            fs, st.getPath(), part_live,
+                            f"recover partition backup -> {rel}",
+                        )
+                        actions.append(kind.rstrip("_") + "__" + rel)
+                    restored = True
+                    break
+            if restored:
+                continue
+            if name == basename + "__merging" or name == basename + "__touched" \
+                    or name.startswith(basename + "__compacting"):
+                staging_residue.append(st.getPath())
+    for sp in staging_residue:
+        fs.delete(sp, True)
+        actions.append(sp.getName()[len(basename):] + " (staging dropped)")
+    return actions or None
 
 
 def _leaf_partition_dirs(jvm, fs, root, depth: int) -> list[str]:
@@ -209,7 +285,16 @@ def _leaf_partition_dirs(jvm, fs, root, depth: int) -> list[str]:
 # --------------------------------------------------------------------------
 
 
-def _compact_one_dir(spark, jvm, hconf, fs, dirpath: str, target_file_mb: int, fmt: str) -> dict:
+def _compact_one_dir(
+    spark, jvm, hconf, fs, root: str, rel: str, target_file_mb: int, fmt: str
+) -> dict:
+    """Compact one leaf partition dir `<root>/<rel>`. Staging and backup
+    are suffixed SIBLINGS of the dataset root (`<root>__compacting__…`,
+    `<root>__precompact__…`), never inside the tree — a concurrent
+    reader of `root` must not see a staging dir as a bogus partition
+    value, and a crash must leave residue where recover_swap() can
+    enumerate it (root-sibling scan), not inside partition discovery."""
+    dirpath = root.rstrip("/") + "/" + rel
     hdir = _hpath(jvm, dirpath)
     files = _data_files(fs, hdir)
     total_bytes = sum(st.getLen() for st in files)
@@ -220,14 +305,14 @@ def _compact_one_dir(spark, jvm, hconf, fs, dirpath: str, target_file_mb: int, f
     cur_parts = df.rdd.getNumPartitions()
     sized = df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
 
-    staging = dirpath.rstrip("/") + "__compacting"
+    staging = root.rstrip("/") + "__compacting__" + _esc_rel(rel)
     sized.write.format(fmt).mode("overwrite").save(staging)
     _swap_in(
         jvm,
         fs,
         hdir,
         _hpath(jvm, staging),
-        _hpath(jvm, dirpath.rstrip("/") + "__precompact"),
+        _hpath(jvm, root.rstrip("/") + "__precompact__" + _esc_rel(rel)),
     )
     return {
         "files_before": files_before,
@@ -271,6 +356,7 @@ def compact_files(
     """
     jvm, hconf, fs = _fs(spark, path)
     hpath = _hpath(jvm, path)
+    recover_swap(spark, path)  # self-heal any prior mid-swap crash first
     if not fs.exists(hpath):
         raise FileNotFoundError(path)
 
@@ -294,7 +380,7 @@ def compact_files(
             stats["bytes"] += int(nbytes)
             if len(files) > needed:
                 one = _compact_one_dir(
-                    spark, jvm, hconf, fs, dirpath, target_file_mb, fmt
+                    spark, jvm, hconf, fs, path, rel, target_file_mb, fmt
                 )
                 stats["partitions_compacted"] += 1
                 stats["files_after"] += one["files_after"]
@@ -382,6 +468,7 @@ def merge_upsert_files(
         raise ValueError("key_cols must name the merge key")
     jvm, hconf, fs = _fs(spark, path)
     hpath = _hpath(jvm, path)
+    recover_swap(spark, path)  # self-heal any prior mid-swap crash first
     if not fs.exists(hpath):
         raise FileNotFoundError(path)
 
@@ -470,7 +557,7 @@ def merge_upsert_files(
                     fs,
                     live,
                     _hpath(jvm, staging + "/" + rel),
-                    _hpath(jvm, path.rstrip("/") + "__premerge__" + rel.replace("/", "_")),
+                    _hpath(jvm, path.rstrip("/") + "__premerge__" + _esc_rel(rel)),
                 )
                 rewritten.append(rel)
             elif fs.exists(live):  # every row of this partition was deleted

@@ -544,7 +544,7 @@ def test_swap_crash_recovery(spark, tables, tmp_path):
 
     # simulate crash between rename(live->backup) and rename(staging->live)
     os.rename(path, path + "__premerge")
-    assert sinks.recover_swap(spark, path) == "__premerge"
+    assert sinks.recover_swap(spark, path) == ["__premerge"]
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
     assert sinks.recover_swap(spark, path) is None  # idempotent no-op
 
@@ -559,3 +559,187 @@ def test_swap_crash_recovery(spark, tables, tmp_path):
         )
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
     assert not os.path.exists(path + "__precompact")
+
+
+def test_rel_escape_roundtrip():
+    """The partition rel-path escape used in sibling backup names is
+    lossless, including values containing '%' and '_' (the old '/'→'_'
+    replace was ambiguous)."""
+    from distributedqueryengine_spark.sources import sinks
+
+    for rel in (
+        "p=a", "p1=a/p2=b", "p=a_b/q=c", "p=100%25/q=x", "p=%2F odd/q=1",
+    ):
+        assert sinks._unesc_rel(sinks._esc_rel(rel)) == rel
+        assert "/" not in sinks._esc_rel(rel)
+
+
+def test_partition_merge_crash_recovery(spark, tables, tmp_path):
+    """Crash between the two renames of a PER-PARTITION merge swap leaves
+    '<path>__premerge__<esc-rel>' and no live partition dir. recover_swap
+    must restore it, and a re-run of the merge must self-heal rather
+    than recompute from updates only and destroy the backup (the r8
+    silent-data-loss bug)."""
+    import os
+
+    from distributedqueryengine_spark.sources import sinks
+    from distributedqueryengine_spark.sources.sinks import merge_upsert_files
+
+    path = str(tmp_path / "target")
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.partitionBy("n_regionkey").parquet(path)
+    before = {
+        r.n_nationkey: (r.n_name, int(r.n_regionkey))
+        for r in spark.read.parquet(path).collect()
+    }
+
+    # simulate the crash window: partition 1 renamed to its backup name
+    rel = "n_regionkey=1"
+    backup = path + "__premerge__" + sinks._esc_rel(rel)
+    os.rename(os.path.join(path, rel), backup)
+    assert not os.path.exists(os.path.join(path, rel))
+
+    # explicit recovery restores the partition byte-for-byte
+    actions = sinks.recover_swap(spark, path)
+    assert actions == ["__premerge__" + rel]
+    assert not os.path.exists(backup)
+    got = {
+        r.n_nationkey: (r.n_name, int(r.n_regionkey))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == before
+
+    # crash again, then go STRAIGHT to a merge: it must self-heal first,
+    # so old partition-1 rows survive alongside the merged update
+    os.rename(os.path.join(path, rel), backup)
+    key_in_r1 = nation.filter(F.col("n_regionkey") == 1).first().n_nationkey
+    updates = spark.createDataFrame(
+        [(key_in_r1, "RENAMED", 1, False)],
+        "n_nationkey long, n_name string, n_regionkey long, is_deleted boolean",
+    )
+    merge_upsert_files(
+        spark, path, updates, ["n_nationkey"],
+        delete_col="is_deleted", partition_by=["n_regionkey"],
+    )
+    got = {
+        r.n_nationkey: (r.n_name, int(r.n_regionkey))
+        for r in spark.read.parquet(path).collect()
+    }
+    expect = dict(before)
+    expect[key_in_r1] = ("RENAMED", 1)
+    assert got == expect  # nothing lost, update applied
+    assert not os.path.exists(backup)
+
+
+def test_partition_merge_finalize_after_swap(spark, tables, tmp_path):
+    """Crash AFTER the second rename but before backup deletion: live
+    partition exists AND its backup exists. recover_swap finishes the
+    swap (deletes the stale backup) and never clobbers the new data."""
+    import os
+    import shutil
+
+    from distributedqueryengine_spark.sources import sinks
+
+    path = str(tmp_path / "target")
+    nation = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.partitionBy("n_regionkey").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    rel = "n_regionkey=1"
+    backup = path + "__premerge__" + sinks._esc_rel(rel)
+    shutil.copytree(os.path.join(path, rel), backup)  # stale backup copy
+    actions = sinks.recover_swap(spark, path)
+    assert actions == ["__premerge__" + rel + " (finalized)"]
+    assert not os.path.exists(backup)
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_swap_in_refuses_to_delete_only_copy(spark, tables, tmp_path):
+    """_swap_in with a backup present and live missing must raise and
+    leave the backup intact (it is the only copy), not delete it."""
+    import os
+
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources import sinks
+
+    live = str(tmp_path / "live")
+    tables["nation"].write.parquet(live)
+    os.rename(live, live + "__bak")  # crash state: backup only
+    jvm, _, fs = sinks._fs(spark, live)
+    with _pytest.raises(IOError, match="recover_swap"):
+        sinks._swap_in(
+            jvm, fs,
+            sinks._hpath(jvm, live),
+            sinks._hpath(jvm, str(tmp_path / "staging")),
+            sinks._hpath(jvm, live + "__bak"),
+        )
+    assert os.path.exists(live + "__bak")  # backup survived
+
+
+def test_incremental_compaction_stages_outside_tree(spark, tables, tmp_path):
+    """Incremental compaction must never create staging/backup dirs
+    INSIDE the dataset root (a concurrent reader would see them as bogus
+    partition values). Verified by hooking the per-dir write and
+    listing the root mid-compaction, plus crash recovery of a
+    partition-level '__precompact__' backup."""
+    import os
+
+    from distributedqueryengine_spark.sources import sinks
+
+    path = str(tmp_path / "ds")
+    orders = tables["orders"].select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    parts = [d for d in os.listdir(path) if d.startswith("o_orderpriority=")]
+    frag = parts[0]
+    fdir = os.path.join(path, frag)
+    fval = frag.split("=", 1)[1].replace("%20", " ")
+    (
+        orders.filter(F.col("o_orderpriority") == fval)
+        .drop("o_orderpriority")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(fdir)
+    )
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    seen_inside = []
+    orig = sinks._swap_in
+
+    def spy(jvm, fs, live, staging, backup):
+        # at swap time the staging dir exists and is fully written:
+        # assert nothing staging-like is visible inside the dataset root
+        seen_inside.extend(
+            d for d in os.listdir(path)
+            if "__compacting" in d or "__precompact" in d
+        )
+        seen_inside.extend(
+            s for s in (str(staging), str(backup))
+            if s.startswith(path + "/")
+        )
+        return orig(jvm, fs, live, staging, backup)
+
+    sinks._swap_in = spy
+    try:
+        stats = sinks.compact_files(
+            spark, path, target_file_mb=128,
+            partition_by=["o_orderpriority"], incremental=True,
+        )
+    finally:
+        sinks._swap_in = orig
+    assert stats["partitions_compacted"] == 1
+    assert seen_inside == []
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # crash window for the per-partition compaction swap: backup sibling
+    # exists, partition dir missing → compact_files self-heals on entry
+    backup = path + "__precompact__" + sinks._esc_rel(frag)
+    os.rename(fdir, backup)
+    stats = sinks.compact_files(
+        spark, path, target_file_mb=128,
+        partition_by=["o_orderpriority"], incremental=True,
+    )
+    assert not os.path.exists(backup)
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
