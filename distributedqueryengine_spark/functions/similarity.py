@@ -1326,10 +1326,27 @@ def maxsim_topk(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
     from pyspark.sql.window import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # Id field types follow the INPUT schemas (string doc ids are the
+    # common corpus case) — hardcoding long here broke Arrow conversion.
+    qid_type = queries.schema[query_id_col].dataType
+    did_type = docs.schema[doc_id_col].dataType
+    local_schema = StructType(
+        [
+            StructField("qid", qid_type),
+            StructField("did", did_type),
+            StructField("score", DoubleType()),
+        ]
+    )
     qrows = queries.select(query_id_col, vecs_col).limit(query_limit + 1).collect()
     if len(qrows) > query_limit:
         raise ValueError(
@@ -1338,9 +1355,15 @@ def maxsim_topk(
             "memory to match"
         )
     if not qrows:
-        return docs.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {doc_id_col} long, score double, rnk int"
+        empty_schema = StructType(
+            [
+                StructField(query_id_col, qid_type),
+                StructField(doc_id_col, did_type),
+                StructField("score", DoubleType()),
+                StructField("rnk", IntegerType()),
+            ]
         )
+        return docs.sparkSession.createDataFrame([], empty_schema)
     q_ids, q_mats = [], []
     for r in qrows:
         m = np.asarray(list(r[1]), dtype=np.float64)
@@ -1374,9 +1397,7 @@ def maxsim_topk(
                 )
                 yield df_local
 
-    local = docs.select(doc_id_col, vecs_col).mapInPandas(
-        score, "qid long, did long, score double"
-    )
+    local = docs.select(doc_id_col, vecs_col).mapInPandas(score, local_schema)
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("did").asc())
     return (
         local.withColumn("rnk", F.row_number().over(w).cast("int"))

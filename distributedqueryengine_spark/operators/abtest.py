@@ -180,25 +180,40 @@ def srm_check(
     approximation of the chi-square tail (JVM-side, accurate to ~1e-3
     in the decision region for df ≥ 1; the statistic and df are
     emitted for exact lookups). Groups outside `expected_ratios` raise
-    — an unexpected variant IS an SRM-class bug, loudly."""
+    — an unexpected variant IS an SRM-class bug, loudly. The variant
+    list is built FROM `expected_ratios`, so an expected arm with zero
+    observed rows (the most extreme mismatch — e.g. a dead assignment
+    path) contributes (0−E)²/E and flags, rather than vanishing from
+    the statistic."""
     total_ratio = sum(expected_ratios.values())
     if abs(total_ratio - 1.0) > 1e-9:
         raise ValueError(f"expected_ratios must sum to 1, got {total_ratio}")
+    if len(expected_ratios) < 2:
+        raise ValueError("SRM check needs >= 2 expected variants")
     keys = list(by)
+    grp_type = df.schema[group_col].dataType
     counts = df.groupBy(*keys, group_col).agg(F.count(F.lit(1)).alias("n"))
-    # loud guard: any unexpected variant fails the whole check in-plan
-    counts = counts.withColumn(
-        "n",
-        F.when(
-            F.col(group_col).isin(*expected_ratios.keys()), F.col("n")
-        ).otherwise(
+    # loud guard: any unexpected variant (incl. NULL) fails the whole
+    # check in-plan. Carried on the TOTALS side so it survives the
+    # expected-variant join below.
+    is_expected = F.col(group_col).isin(*expected_ratios.keys())
+    bad = F.when(
+        ~F.coalesce(is_expected, F.lit(False)),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
+    )
+    totals = counts.groupBy(*keys).agg(
+        F.sum("n").alias("n_total"), F.max(bad).alias("__bad")
+    )
+    totals = totals.withColumn(
+        "n_total",
+        F.when(F.col("__bad").isNull(), F.col("n_total")).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("unexpected variant in SRM check: "), F.col(group_col)
+                    F.lit("unexpected variant in SRM check: "), F.col("__bad")
                 )
             ).cast("long")
         ),
-    )
+    ).drop("__bad")
     ratio = F.create_map(
         *[
             x
@@ -206,18 +221,26 @@ def srm_check(
             for x in (F.lit(kv[0]), F.lit(float(kv[1])))
         ]
     )
-    totals = counts.groupBy(*keys).agg(F.sum("n").alias("n_total"))
-    joined = (
-        counts.join(F.broadcast(totals), keys)
-        if keys
-        else counts.crossJoin(F.broadcast(totals))
+    # Enumerate the variant list from expected_ratios per by-cell and
+    # LEFT-join observed counts: a variant with ZERO observed rows (the
+    # most extreme mismatch) contributes (0-E)^2/E instead of silently
+    # vanishing, and df stays len(expected_ratios)-1.
+    variants = totals.withColumn(
+        group_col,
+        F.explode(
+            F.array(
+                *[F.lit(g).cast(grp_type) for g in expected_ratios]
+            )
+        ),
     )
+    joined = variants.join(
+        counts, keys + [group_col], "left"
+    ).withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     expected = F.col("n_total") * ratio[F.col(group_col)]
     chi = joined.groupBy(*keys, "n_total").agg(
         F.sum(F.pow(F.col("n") - expected, 2) / expected).alias("chi2"),
-        F.count(F.lit(1)).alias("__k"),
     )
-    dof = (F.col("__k") - 1).cast("int")
+    dof = F.lit(len(expected_ratios) - 1).cast("int")
     # Wilson–Hilferty: (chi2/df)^(1/3) ~ N(1 - 2/(9df), 2/(9df))
     wh_z = (
         F.pow(F.col("chi2") / dof, 1.0 / 3.0) - (1 - 2 / (9 * dof))

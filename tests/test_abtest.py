@@ -181,3 +181,45 @@ def test_cuped_reduces_variance_and_preserves_effect(spark):
     )
     out = {r.uid: r.post_cuped for r in cuped_adjust(with_null, "post", "pre").collect()}
     assert out[1] == 5.0
+
+
+def test_srm_check_flags_missing_variant(spark):
+    """An expected arm with ZERO observed rows is the most extreme
+    sample-ratio mismatch: it must contribute (0-E)^2/E and flag,
+    with df = len(expected_ratios)-1, not divide-by-zero into NULLs
+    (r8 advice)."""
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.operators.abtest import srm_check
+
+    only_c = spark.createDataFrame([("c",)] * 1000, "grp string")
+    row = srm_check(only_c, "grp", {"c": 0.5, "t": 0.5}).first()
+    assert row.df == 1
+    assert row.chi2 == 1000.0  # (1000-500)^2/500 + (0-500)^2/500
+    assert row.srm and row.p_value is not None and row.p_value < 1e-6
+
+    # three arms, one dead, per by-cell
+    rows = [("x", "c")] * 400 + [("x", "t1")] * 400 + [("y", "c")] * 300 + [
+        ("y", "t1")
+    ] * 350 + [("y", "t2")] * 310
+    df3 = spark.createDataFrame(rows, "cell string, grp string")
+    out = {
+        r.cell: r
+        for r in srm_check(
+            df3, "grp", {"c": 1 / 3, "t1": 1 / 3, "t2": 1 / 3}, by=["cell"]
+        ).collect()
+    }
+    assert out["x"].df == 2 and out["y"].df == 2
+    assert out["x"].srm  # t2 entirely missing in cell x
+    assert not out["y"].srm  # roughly balanced three arms
+
+    # NULL variant is an unexpected variant: loud in-plan failure
+    withnull = spark.createDataFrame(
+        [("c",), ("t",), (None,)], "grp string"
+    )
+    with _pytest.raises(Exception, match="unexpected variant"):
+        srm_check(withnull, "grp", {"c": 0.5, "t": 0.5}).collect()
+
+    # degenerate single-arm config is rejected up front
+    with _pytest.raises(ValueError, match=">= 2"):
+        srm_check(only_c, "grp", {"c": 1.0})

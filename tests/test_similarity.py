@@ -536,3 +536,37 @@ def test_maxsim_beats_mean_pooling_on_multi_topic_doc(spark):
     )
     out = {r.rnk: r.doc_id for r in maxsim_topk(q, docs, 3).collect()}
     assert out[1] == 0  # the multi-topic doc's exact A token wins
+
+
+def test_maxsim_topk_string_ids(spark):
+    """String query/doc ids (the common corpus case) flow through the
+    mapInPandas schema — id field types are derived from the inputs,
+    not hardcoded long (r8 advice)."""
+    import random
+
+    from distributedqueryengine_spark.functions.similarity import maxsim_topk
+
+    rng = random.Random(7)
+    dim = 4
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    docs_df = spark.createDataFrame(
+        [(f"doc-{d}", [vec() for _ in range(3)]) for d in range(12)],
+        "doc_id string, token_vecs array<array<double>>",
+    ).repartition(4)
+    qs_df = spark.createDataFrame(
+        [("q-a", [vec(), vec()]), ("q-b", [vec()])],
+        "query_id string, token_vecs array<array<double>>",
+    )
+    out = maxsim_topk(qs_df, docs_df, 3).collect()
+    assert len(out) == 6
+    assert {r.query_id for r in out} == {"q-a", "q-b"}
+    assert all(r.doc_id.startswith("doc-") for r in out)
+    assert dict(maxsim_topk(qs_df, docs_df, 3).dtypes)["doc_id"] == "string"
+
+    # empty query side: empty frame with the derived id types
+    empty = maxsim_topk(qs_df.limit(0), docs_df, 3)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["query_id"] == "string"
