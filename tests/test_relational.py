@@ -595,3 +595,104 @@ def test_assign_dense_ids(spark, tables):
     assert got == list(range(1000, 1010))
     with _pytest.raises(ValueError, match="numeric"):
         assign_dense_ids(tables["nation"], "n_name")
+
+
+def test_assign_dense_ids_skew_constant_column(spark):
+    """The r8 verdict's planted case: 90% of order values identical. The
+    fixed-width cut alone would send ~all rows into ONE bucket (a
+    single-task global sort); the skew split must bound every
+    numbering window to <= 2*rows_per_bucket via the tiebreak level."""
+    from distributedqueryengine_spark.operators.relational import assign_dense_ids
+
+    n, heavy = 6000, 5400
+    rows = [(i, 1.0 if i < heavy else 1.0 + (i - heavy) * 0.37) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(13)
+    stats = {}
+    out = assign_dense_ids(
+        df, "v", tiebreak=["id"], rows_per_bucket=200, stats_out=stats
+    )
+    got = {r.id: r.dense_id for r in out.collect()}
+    expect = {
+        rid: i
+        for i, (rid, _v) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expect  # exact (order, tiebreak) numbering
+    assert stats["max_bucket_rows"] <= 2 * 200, stats
+    assert stats["residual_saturated"] == 0, stats
+    assert stats["n_buckets"] >= n // (2 * 200)
+
+    # deterministic under repartitioning (unique (order, tiebreak))
+    again = assign_dense_ids(
+        df.repartition(7), "v", tiebreak=["id"], rows_per_bucket=200
+    )
+    assert {(r.id, r.dense_id) for r in again.collect()} == set(got.items())
+
+
+def test_assign_dense_ids_full_ties_hash_split(spark):
+    """Rows tied on EVERY sort column (no tiebreak given) fall through
+    to the whole-row-hash split: windows stay bounded and ids are still
+    gap-free — ordering among full ties is unspecified by contract."""
+    from distributedqueryengine_spark.operators.relational import assign_dense_ids
+
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(4000)], "id long, v double"
+    ).repartition(8)
+    stats = {}
+    out = assign_dense_ids(df, "v", rows_per_bucket=200, stats_out=stats)
+    ids = sorted(r.dense_id for r in out.collect())
+    assert ids == list(range(4000))
+    assert stats["max_bucket_rows"] <= 2 * 200, stats
+
+
+def test_assign_dense_ids_string_tiebreak_shared_prefix(spark):
+    """A heavy order value broken by a STRING tiebreak whose values all
+    share a long common prefix: the split must slice on the bytes AFTER
+    the per-bucket common prefix (offset proxy) and keep ids in exact
+    (order, tiebreak) order."""
+    from distributedqueryengine_spark.operators.relational import assign_dense_ids
+
+    rows = [(f"item/shared/prefix/{i:06d}", 5.0) for i in range(3000)]
+    rows += [(f"tail/{i}", 5.0 + i * 0.01) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, v double").repartition(9)
+    stats = {}
+    out = assign_dense_ids(
+        df, "v", tiebreak=["k"], rows_per_bucket=200, stats_out=stats
+    )
+    got = {r.k: r.dense_id for r in out.collect()}
+    expect = {
+        k: i for i, (k, _v) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expect
+    assert stats["max_bucket_rows"] <= 2 * 200, stats
+    assert stats["residual_saturated"] == 0, stats
+
+
+def test_assign_dense_ids_null_handling(spark):
+    """NULL order values: default raises loudly (the r8 advice crash was
+    a TypeError from sorting a None bucket key); on_null='last' routes
+    them after every non-NULL row, ordered by tiebreak."""
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.operators.relational import assign_dense_ids
+
+    rows = [(0, 3.0), (1, None), (2, 1.0), (3, None), (4, 2.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    with _pytest.raises(ValueError, match="NULL"):
+        assign_dense_ids(df, "v", tiebreak=["id"])
+    out = {
+        r.id: r.dense_id
+        for r in assign_dense_ids(
+            df, "v", tiebreak=["id"], on_null="last"
+        ).collect()
+    }
+    assert out == {2: 0, 4: 1, 0: 2, 1: 3, 3: 4}
+
+    # all-NULL frame, nulls still numbered by tiebreak
+    alln = spark.createDataFrame([(1, None), (0, None)], "id long, v double")
+    got = {
+        r.id: r.dense_id
+        for r in assign_dense_ids(
+            alln, "v", tiebreak=["id"], on_null="last"
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1}
