@@ -97,6 +97,144 @@ def median_survival(km: DataFrame, by: Sequence[str] = ()) -> DataFrame:
     return groups.join(agg, keys, "left")
 
 
+def logrank_test_df(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    time_bucket: float | None = None,
+    prefix_buckets: int = 4096,
+) -> DataFrame:
+    """Two-sample log-rank test as a ONE-ROW DataFrame — the lazy,
+    pipeline-composable variant (`logrank_test` collects it into a
+    dict). Columns: chi2, p_value, observed_a, expected_a, n_a, n_b.
+
+    Are the survival curves of `group_a` and `group_b` different? The
+    standard companion to kaplan_meier (comparing median survival
+    alone wastes the whole curve and mishandles censoring). chi2 is
+    (Σ(O₁−E₁))²/ΣV with the hypergeometric variance at each pooled
+    event time; p is the df=1 chi-square tail 2·(1−Φ(√chi2)) via the
+    same JVM-portable erf the A/B module uses.
+
+    Shape — fully in-plan, no driver fold (the r8 version collected
+    the curve and recomputed at-risk counts with a full pass per event
+    time: O(T²), and subject-sized for continuous durations): one
+    per-time conditional aggregate collapses subjects to (t, d1, d2,
+    m1, m2); at-risk counts n_g(t) = N_g − (exclusive prefix of m_g)
+    come from the same two-phase prefix-sum discipline as roc_auc
+    (deterministic fixed-width time buckets, driver-side exclusive
+    cumsum over ≤`prefix_buckets` totals — G scalars, never data; the
+    within-bucket window is bucket-partitioned, not global); the test
+    statistic is one final aggregate. The driver only ever sees G
+    bucket totals and the 1-row result.
+
+    `time_bucket` (optional) floors durations to multiples of it
+    BEFORE the per-time collapse — with continuous-valued durations
+    distinct times ≈ subjects, so discretizing is how the curve-sized
+    contract is ENFORCED rather than assumed (standard practice:
+    day/week grain). Ties created by the flooring are handled exactly
+    by the hypergeometric term."""
+    d = F.col(duration_col).cast("double")
+    e = F.col(event_col).cast("int")
+    g = F.col(group_col)
+    if time_bucket is not None:
+        if time_bucket <= 0:
+            raise ValueError(f"time_bucket must be > 0, got {time_bucket}")
+        d = F.floor(d / F.lit(float(time_bucket))) * F.lit(float(time_bucket))
+    is_a = g == F.lit(group_a)
+    per_t = (
+        df.filter(d.isNotNull() & g.isin(group_a, group_b))
+        .select(is_a.alias("__a"), d.alias("t"), e.alias("e"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("__a"), F.col("e")).otherwise(0)).alias("d1"),
+            F.sum(F.when(~F.col("__a"), F.col("e")).otherwise(0)).alias("d2"),
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("m1"),
+            F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("m2"),
+        )
+    )
+    spark = df.sparkSession
+    rng = per_t.agg(
+        F.min("t").alias("lo"),
+        F.max("t").alias("hi"),
+        F.count(F.lit(1)).alias("k"),
+    ).collect()[0]
+    if not rng["k"]:
+        return spark.createDataFrame(
+            [(0.0, 1.0, 0.0, 0.0, 0, 0)],
+            "chi2 double, p_value double, observed_a double, "
+            "expected_a double, n_a long, n_b long",
+        )
+    lo, hi = float(rng["lo"]), float(rng["hi"])
+    width = max((hi - lo) / prefix_buckets, 1e-300)
+    bkt = F.least(
+        F.floor((F.col("t") - F.lit(lo)) / F.lit(width)),
+        F.lit(prefix_buckets - 1),
+    ).cast("long")
+    b = per_t.withColumn("__bkt", bkt)
+    btot = {
+        r["__bkt"]: (int(r["s1"]), int(r["s2"]))
+        for r in b.groupBy("__bkt")
+        .agg(F.sum("m1").alias("s1"), F.sum("m2").alias("s2"))
+        .collect()
+    }
+    total_a = sum(v[0] for v in btot.values())
+    total_b = sum(v[1] for v in btot.values())
+    base, acc1, acc2 = {}, 0, 0
+    for k in sorted(btot):
+        base[k] = (acc1, acc2)
+        acc1 += btot[k][0]
+        acc2 += btot[k][1]
+    bases = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in base.items()],
+        "__bkt long, __b1 long, __b2 long",
+    )
+    w = Window.partitionBy("__bkt").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n1 = F.lit(total_a) - (F.col("__b1") + F.coalesce(F.sum("m1").over(w), F.lit(0)))
+    n2 = F.lit(total_b) - (F.col("__b2") + F.coalesce(F.sum("m2").over(w), F.lit(0)))
+    at_risk = b.join(F.broadcast(bases), "__bkt").select(
+        "t", "d1", "d2", n1.alias("n1"), n2.alias("n2")
+    )
+    dt = F.col("d1") + F.col("d2")
+    nt = F.col("n1") + F.col("n2")
+    ev = at_risk.filter(dt > 0)
+    out = ev.agg(
+        F.coalesce(F.sum("d1").cast("double"), F.lit(0.0)).alias("o"),
+        F.coalesce(F.sum(dt * F.col("n1") / nt), F.lit(0.0)).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    nt > 1,
+                    dt
+                    * (F.col("n1") / nt)
+                    * (F.col("n2") / nt)
+                    * (nt - dt)
+                    / (nt - 1),
+                ).otherwise(0.0)
+            ),
+            F.lit(0.0),
+        ).alias("v"),
+    )
+    chi2 = F.when(
+        F.col("v") > 0, F.pow(F.col("o") - F.col("x"), 2) / F.col("v")
+    ).otherwise(0.0)
+    from .abtest import erf_approx  # JVM-side erf, shared with A/B tests
+
+    p = 2 * (1 - 0.5 * (1 + erf_approx(F.sqrt(chi2) / F.lit(2.0**0.5))))
+    return out.select(
+        F.round(chi2, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        F.round(F.col("o"), 6).alias("observed_a"),
+        F.round(F.col("x"), 6).alias("expected_a"),
+        F.lit(total_a).cast("long").alias("n_a"),
+        F.lit(total_b).cast("long").alias("n_b"),
+    )
+
+
 def logrank_test(
     df: DataFrame,
     duration_col: str,
@@ -104,58 +242,26 @@ def logrank_test(
     group_col: str,
     group_a,
     group_b,
+    time_bucket: float | None = None,
 ) -> dict:
-    """Two-sample log-rank test: are the survival curves of `group_a`
-    and `group_b` different? The standard companion to kaplan_meier
-    (comparing median survival alone wastes the whole curve and
-    mishandles censoring). Returns {'chi2', 'p_value', 'observed_a',
-    'expected_a', 'n_a', 'n_b'} — chi2 is (Σ(O₁−E₁))²/ΣV with the
-    hypergeometric variance at each pooled event time; p is the exact
-    df=1 chi-square tail 2·(1−Φ(√chi2)) via the same JVM-portable erf
-    the A/B module uses (computed driver-side here: the curve table
-    this folds over is distinct-times-sized).
-
-    Shape: ONE per-(group, time) aggregate — the only subject-sized
-    stage; the test fold runs on the collected curve, which is
-    distinct-event-times-sized, not subjects."""
+    """Dict-returning convenience over `logrank_test_df` (see there for
+    the distributed shape and the `time_bucket` contract): collects
+    the single result row — a bounded driver contract — and recomputes
+    p with python's exact math.erf for full precision. Returns
+    {'chi2', 'p_value', 'observed_a', 'expected_a', 'n_a', 'n_b'}."""
     import math
 
-    d = F.col(duration_col).cast("double")
-    e = F.col(event_col).cast("int")
-    g = F.col(group_col)
-    sub = df.filter(d.isNotNull() & g.isin(group_a, group_b)).select(
-        F.when(g == group_a, F.lit("a")).otherwise(F.lit("b")).alias("g"),
-        d.alias("t"),
-        e.alias("e"),
-    )
-    per_t = sub.groupBy("g", "t").agg(
-        F.sum("e").alias("d"), F.count(F.lit(1)).alias("m")
-    )
-    rows = per_t.collect()  # curve-sized BY CONSTRUCTION
-    per_g_tm = {"a": [], "b": []}
-    for r in rows:
-        per_g_tm[r["g"]].append((r["t"], int(r["m"]), int(r["d"])))
-    times = sorted({r["t"] for r in rows if r["d"] > 0})
-    obs_a = exp_a = var_sum = 0.0
-    for t in times:
-        n1 = sum(m for tt, m, _ in per_g_tm["a"] if tt >= t)
-        n2 = sum(m for tt, m, _ in per_g_tm["b"] if tt >= t)
-        d1 = sum(dd for tt, _, dd in per_g_tm["a"] if tt == t)
-        d2 = sum(dd for tt, _, dd in per_g_tm["b"] if tt == t)
-        nt, dt = n1 + n2, d1 + d2
-        if nt < 1 or n1 == 0 and n2 == 0:
-            continue
-        obs_a += d1
-        exp_a += dt * n1 / nt
-        if nt > 1:
-            var_sum += dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - 1)
-    chi2 = (obs_a - exp_a) ** 2 / var_sum if var_sum > 0 else 0.0
+    r = logrank_test_df(
+        df, duration_col, event_col, group_col, group_a, group_b,
+        time_bucket=time_bucket,
+    ).collect()[0]
+    chi2 = float(r["chi2"])
     p = 2 * (1 - 0.5 * (1 + math.erf(math.sqrt(chi2) / math.sqrt(2))))
     return {
-        "chi2": round(chi2, 6),
+        "chi2": chi2,
         "p_value": round(p, 6),
-        "observed_a": round(obs_a, 6),
-        "expected_a": round(exp_a, 6),
-        "n_a": sum(m for _, m, _ in per_g_tm["a"]),
-        "n_b": sum(m for _, m, _ in per_g_tm["b"]),
+        "observed_a": float(r["observed_a"]),
+        "expected_a": float(r["expected_a"]),
+        "n_a": int(r["n_a"]),
+        "n_b": int(r["n_b"]),
     }

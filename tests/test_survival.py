@@ -179,3 +179,130 @@ def test_logrank_test_semantics(spark):
     aa = [("p" if rng.random() < 0.5 else "q", t, e) for _, t, e in rows]
     aadf = spark.createDataFrame(aa, "g string, dur double, ev int")
     assert logrank_test(aadf, "dur", "ev", "g", "p", "q")["p_value"] > 0.01
+
+
+def _logrank_reference(rows, ga, gb):
+    """Pure-python O(T log T) log-rank: one sort, suffix at-risk sums."""
+    import math
+    from collections import defaultdict
+
+    per_t = defaultdict(lambda: [0, 0, 0, 0])  # t -> [d1, d2, m1, m2]
+    for g, t, e in rows:
+        if t is None or g not in (ga, gb):
+            continue
+        slot = per_t[float(t)]
+        if g == ga:
+            slot[0] += e
+            slot[2] += 1
+        else:
+            slot[1] += e
+            slot[3] += 1
+    n1 = sum(v[2] for v in per_t.values())
+    n2 = sum(v[3] for v in per_t.values())
+    obs = exp = var = 0.0
+    tot1, tot2 = n1, n2
+    for t in sorted(per_t):
+        d1, d2, m1, m2 = per_t[t]
+        dt, nt = d1 + d2, tot1 + tot2
+        if dt > 0 and nt >= 1:
+            obs += d1
+            exp += dt * tot1 / nt
+            if nt > 1:
+                var += dt * (tot1 / nt) * (tot2 / nt) * (nt - dt) / (nt - 1)
+        tot1 -= m1
+        tot2 -= m2
+    chi2 = (obs - exp) ** 2 / var if var > 0 else 0.0
+    p = 2 * (1 - 0.5 * (1 + math.erf(math.sqrt(chi2) / math.sqrt(2))))
+    return chi2, p, obs, exp, n1, n2
+
+
+def test_logrank_matches_reference_random(spark):
+    """Randomized differential: the in-plan bucketed-prefix-sum log-rank
+    equals a pure-python sorted-pass reference across tie-heavy,
+    continuous, and censored shapes."""
+    import math
+    import random
+
+    from distributedqueryengine_spark.operators.survival import logrank_test
+
+    for seed, tie_grain in [(1, 1.0), (2, None), (3, 0.5)]:
+        rng = random.Random(seed)
+        rows = []
+        for i in range(800):
+            g = "x" if i % 2 else "y"
+            t = rng.expovariate(1.0 if g == "x" else 1.3) * 10
+            if tie_grain:
+                t = round(t / tie_grain) * tie_grain
+            rows.append((g, t, int(rng.random() < 0.7)))
+        df = spark.createDataFrame(rows, "g string, t double, e int").repartition(7)
+        got = logrank_test(df, "t", "e", "g", "x", "y")
+        chi2, p, obs, exp, n1, n2 = _logrank_reference(rows, "x", "y")
+        assert math.isclose(got["chi2"], chi2, rel_tol=1e-6, abs_tol=1e-6), (seed, got, chi2)
+        assert math.isclose(got["observed_a"], obs, abs_tol=1e-6)
+        assert math.isclose(got["expected_a"], exp, abs_tol=1e-6)
+        assert (got["n_a"], got["n_b"]) == (n1, n2)
+        assert math.isclose(got["p_value"], p, abs_tol=1e-6)
+
+
+def test_logrank_50k_distinct_times_fast(spark):
+    """The r8 verdict's done criterion: continuous durations (distinct
+    times ~ subjects, 50k of them) complete in seconds — the old O(T^2)
+    driver fold took minutes and collected a subject-sized curve."""
+    import time
+
+    from distributedqueryengine_spark.operators.survival import logrank_test
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("g"),
+        # continuous, effectively all-distinct durations
+        (F.abs(F.hash("id")).cast("double") / 1e6 + F.col("id") / 1e9).alias("t"),
+        (F.abs(F.hash("id", F.lit(1))) % 10 < 7).cast("int").alias("e"),
+    )
+    t0 = time.time()
+    out = logrank_test(df, "t", "e", "g", "x", "y")
+    wall = time.time() - t0
+    assert out["n_a"] + out["n_b"] == n
+    assert out["chi2"] >= 0.0 and 0.0 <= out["p_value"] <= 1.0
+    assert wall < 60, f"50k distinct times took {wall:.1f}s"
+
+
+def test_logrank_time_bucket_and_df_variant(spark):
+    """time_bucket floors durations before the collapse (enforcing the
+    curve-sized contract) and equals the reference computed on the
+    floored data; logrank_test_df returns the same numbers as a 1-row
+    frame without any driver fold."""
+    import math
+    import random
+
+    from distributedqueryengine_spark.operators.survival import (
+        logrank_test,
+        logrank_test_df,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        ("x" if i % 2 else "y", rng.expovariate(1.2) * 30, int(rng.random() < 0.8))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "g string, t double, e int")
+    got = logrank_test(df, "t", "e", "g", "x", "y", time_bucket=7.0)
+    floored = [(g, (t // 7.0) * 7.0, e) for g, t, e in rows]
+    chi2, p, obs, exp, n1, n2 = _logrank_reference(floored, "x", "y")
+    assert math.isclose(got["chi2"], chi2, rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(got["expected_a"], exp, abs_tol=1e-6)
+
+    row = logrank_test_df(df, "t", "e", "g", "x", "y", time_bucket=7.0).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert math.isclose(r["chi2"], got["chi2"], abs_tol=1e-6)
+    assert (r["n_a"], r["n_b"]) == (got["n_a"], got["n_b"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="time_bucket"):
+        logrank_test(df, "t", "e", "g", "x", "y", time_bucket=0.0)
+
+    # empty frame: defined zeros, not a crash
+    empty = logrank_test(df.limit(0), "t", "e", "g", "x", "y")
+    assert empty["chi2"] == 0.0 and empty["n_a"] == 0
