@@ -31,13 +31,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def roc_auc(
+def roc_auc_df(
     df: DataFrame, score_col: str, label_col: str, score_buckets: int = 4096
-) -> float:
+) -> DataFrame:
+    """Exact ROC AUC as a ONE-ROW DataFrame (auc, n_pos, n_neg) — the
+    lazy, pipeline-composable variant of `roc_auc`. auc is NULL when a
+    class is absent (undefined), with the class counts visible so the
+    caller can see why. Distributed shape per module docstring: the
+    only driver materialization is G bucket totals for the prefix-sum
+    bases (scalars, never data)."""
+    inner = roc_auc(df, score_col, label_col, score_buckets, _as_df=True)
+    assert isinstance(inner, DataFrame)
+    return inner
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_buckets: int = 4096,
+    _as_df: bool = False,
+) -> float | DataFrame:
     """Exact ROC AUC (probability a random positive outscores a random
     negative, ties counting half). Distributed shape per module
     docstring; the driver sees G bucket totals + the final scalar.
-    Raises when either class is absent (AUC undefined)."""
+    Raises when either class is absent (AUC undefined). Use
+    `roc_auc_df` for a frame-returning variant that composes inside
+    pipelines without breaking laziness."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     per_score = (
@@ -77,7 +97,7 @@ def roc_auc(
     w = Window.partitionBy("__bkt").orderBy("s").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    contrib = (
+    contrib_df = (
         b.join(F.broadcast(bases), "__bkt")
         .withColumn(
             "__cum_nn_below",
@@ -90,8 +110,17 @@ def roc_auc(
             F.sum("np").alias("tp"),
             F.sum("nn").alias("tn"),
         )
-        .collect()[0]
     )
+    if _as_df:
+        return contrib_df.select(
+            F.when(
+                (F.col("tp") > 0) & (F.col("tn") > 0),
+                F.col("u") / (F.col("tp") * F.col("tn")),
+            ).alias("auc"),
+            F.col("tp").cast("long").alias("n_pos"),
+            F.col("tn").cast("long").alias("n_neg"),
+        )
+    contrib = contrib_df.collect()[0]
     if not contrib["tp"] or not contrib["tn"]:
         raise ValueError("AUC undefined: one class is absent")
     return float(contrib["u"]) / (contrib["tp"] * contrib["tn"])
@@ -174,11 +203,27 @@ def calibration_table(
     )
 
 
+def ece_df(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Expected Calibration Error as a ONE-ROW DataFrame (ece, n) — the
+    lazy, pipeline-composable variant of `ece` (which raises on empty
+    input; here ece is NULL with n=0 visible). One aggregate over the
+    bin-sized calibration table, entirely in-plan."""
+    ct = calibration_table(df, score_col, label_col, n_bins)
+    return ct.agg(
+        F.round(
+            F.sum(F.col("n") * F.col("gap")) / F.sum("n"), 6
+        ).alias("ece"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"),
+    )
+
+
 def ece(df: DataFrame, score_col: str, label_col: str, n_bins: int = 10) -> float:
     """Expected Calibration Error: Σ (n_b/N)·|conf_b − acc_b| over the
-    calibration table's bins."""
-    rows = calibration_table(df, score_col, label_col, n_bins).collect()
-    total = sum(r.n for r in rows)
-    if not total:
+    calibration table's bins. Scalar convenience over `ece_df` (a
+    bounded 1-row collect); raises on empty input."""
+    row = ece_df(df, score_col, label_col, n_bins).collect()[0]
+    if not row["n"]:
         raise ValueError("no scored rows")
-    return round(sum(r.n / total * r.gap for r in rows), 6)
+    return float(row["ece"])

@@ -88,3 +88,41 @@ def test_calibration_and_ece(spark):
     oob = spark.createDataFrame([(1.7, 1), (-0.3, 0)], "score double, label int")
     t = calibration_table(oob, "score", "label", n_bins=5).collect()
     assert {r.bin for r in t} == {0, 4} and sum(r.n for r in t) == 2
+
+
+def test_roc_auc_df_and_ece_df_variants(spark):
+    """Frame-returning variants compose lazily in pipelines: same values
+    as the scalar APIs, 1-row frames, NULL (not raise) on degenerate
+    input with the counts visible."""
+    import math
+    import random
+
+    from distributedqueryengine_spark.operators.mleval import (
+        ece,
+        ece_df,
+        roc_auc,
+        roc_auc_df,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (min(1.0, max(0.0, rng.gauss(0.65 if y else 0.35, 0.2))), int(y))
+        for y in [rng.random() < 0.4 for _ in range(2000)]
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+
+    r = roc_auc_df(df, "score", "label").collect()
+    assert len(r) == 1
+    assert math.isclose(r[0]["auc"], roc_auc(df, "score", "label"), abs_tol=1e-12)
+    assert r[0]["n_pos"] + r[0]["n_neg"] == 2000
+
+    e = ece_df(df, "score", "label").collect()[0]
+    assert math.isclose(e["ece"], ece(df, "score", "label"), abs_tol=1e-6)
+    assert e["n"] == 2000
+
+    # degenerate: one class only -> NULL auc, counts visible; empty -> NULL ece
+    onec = spark.createDataFrame([(0.5, 1), (0.7, 1)], "score double, label int")
+    row = roc_auc_df(onec, "score", "label").collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 2 and row["n_neg"] == 0
+    erow = ece_df(df.limit(0), "score", "label").collect()[0]
+    assert erow["ece"] is None and erow["n"] == 0
