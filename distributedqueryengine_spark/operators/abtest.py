@@ -188,6 +188,12 @@ def srm_check(
     total_ratio = sum(expected_ratios.values())
     if abs(total_ratio - 1.0) > 1e-9:
         raise ValueError(f"expected_ratios must sum to 1, got {total_ratio}")
+    bad_ratios = {k: v for k, v in expected_ratios.items() if v <= 0}
+    if bad_ratios:
+        raise ValueError(
+            f"expected_ratios must all be > 0 (expected=0 makes chi2 "
+            f"infinite, not a valid arm): {bad_ratios}"
+        )
     if len(expected_ratios) < 2:
         raise ValueError("SRM check needs >= 2 expected variants")
     keys = list(by)

@@ -73,6 +73,12 @@ def roc_auc(
         F.min("s").alias("lo"), F.max("s").alias("hi"), F.count(F.lit(1)).alias("k")
     ).collect()[0]
     if rng["k"] == 0:
+        if _as_df:
+            # df-variant contract: auc NULL with the zero class counts
+            # VISIBLE, so the caller can see why — never a raise.
+            return df.sparkSession.createDataFrame(
+                [(None, 0, 0)], "auc double, n_pos long, n_neg long"
+            )
         raise ValueError("no scored rows")
     lo, hi = float(rng["lo"]), float(rng["hi"])
     width = max((hi - lo) / score_buckets, 1e-300)
@@ -117,8 +123,8 @@ def roc_auc(
                 (F.col("tp") > 0) & (F.col("tn") > 0),
                 F.col("u") / (F.col("tp") * F.col("tn")),
             ).alias("auc"),
-            F.col("tp").cast("long").alias("n_pos"),
-            F.col("tn").cast("long").alias("n_neg"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("n_neg"),
         )
     contrib = contrib_df.collect()[0]
     if not contrib["tp"] or not contrib["tn"]:

@@ -183,8 +183,9 @@ def assign_dense_ids(
 
     `order_col` must be numeric/temporal; rows tie-broken by
     `tiebreak` (make (order, tiebreak) unique for fully deterministic
-    ids). NULL `order_col` rows: `on_null='error'` (default) raises;
-    `on_null='last'` routes them after every non-NULL row, ordered by
+    ids). NULL (and floating-point NaN) `order_col` rows:
+    `on_null='error'` (default) raises; `on_null='last'` routes them
+    after every non-NULL row (NULLs before NaNs), ordered by
     `tiebreak`. Pass `stats_out={}` to receive
     {n_buckets, max_bucket_rows, split_rounds, residual_saturated}."""
     import math as _math
@@ -200,18 +201,29 @@ def assign_dense_ids(
     if on_null not in ("error", "last"):
         raise ValueError(f"on_null must be 'error' or 'last', got {on_null!r}")
     key = F.col(order_col).cast("double")
+    # NaN is not NULL: floor((NaN-lo)/width) would cast to a NULL bucket
+    # key and poison the driver cumsum. Route NaN with the NULL path —
+    # Spark's asc sort places NULL first and NaN last, both land in the
+    # trailing '~null' bucket under on_null='last' and the NULL/NaN
+    # boundary itself is a valid split level inside it.
+    missing = key.isNull() | F.isnan(key)
     stats = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(key.isNull().cast("long")).alias("nulls"),
-        F.min(key).alias("lo"),
-        F.max(key).alias("hi"),
+        F.sum(missing.cast("long")).alias("nulls"),
+        F.min(F.when(~missing, key)).alias("lo"),
+        F.max(F.when(~missing, key)).alias("hi"),
     ).collect()[0]
     if not stats["n"]:
+        if stats_out is not None:
+            stats_out.update(
+                n_buckets=0, max_bucket_rows=0, split_rounds=0,
+                residual_saturated=0,
+            )
         return df.withColumn("dense_id", F.lit(None).cast("long"))
     n_nulls = int(stats["nulls"] or 0)
     if n_nulls and on_null == "error":
         raise ValueError(
-            f"order_col {order_col!r} has {n_nulls} NULL rows; pass "
+            f"order_col {order_col!r} has {n_nulls} NULL/NaN rows; pass "
             "on_null='last' to place them after all non-NULL rows"
         )
     n_nonnull = int(stats["n"]) - n_nulls
@@ -255,7 +267,7 @@ def assign_dense_ids(
     else:
         root = F.lit(None).cast("string")
     if n_nulls:
-        root = F.when(key.isNull(), F.lit("~null")).otherwise(root)
+        root = F.when(missing, F.lit("~null")).otherwise(root)
     b = df.withColumn("__bkt", root)
 
     saturation = 2 * rows_per_bucket

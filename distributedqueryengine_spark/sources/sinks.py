@@ -251,8 +251,13 @@ def recover_swap(spark, path: str) -> list[str] | None:
                     break
             if restored:
                 continue
+            # Exact staging names only: '<base>__compacting' (whole-table)
+            # or '<base>__compacting__<escaped-rel>' (per-partition). A
+            # mere prefix ('<base>__compacting_old') is NOT ours — never
+            # delete a directory this protocol didn't create.
             if name == basename + "__merging" or name == basename + "__touched" \
-                    or name.startswith(basename + "__compacting"):
+                    or name == basename + "__compacting" \
+                    or name.startswith(basename + "__compacting__"):
                 staging_residue.append(st.getPath())
     for sp in staging_residue:
         fs.delete(sp, True)

@@ -223,3 +223,17 @@ def test_srm_check_flags_missing_variant(spark):
     # degenerate single-arm config is rejected up front
     with _pytest.raises(ValueError, match=">= 2"):
         srm_check(only_c, "grp", {"c": 1.0})
+
+
+def test_srm_check_rejects_nonpositive_ratio(spark):
+    """A zero/negative expected ratio would make (n-0)^2/0 an Infinity
+    chi2 with a NULL srm flag — rejected loudly instead."""
+    import pytest
+
+    from distributedqueryengine_spark.operators.abtest import srm_check
+
+    df = spark.createDataFrame([("a",), ("b",)], "grp string")
+    with pytest.raises(ValueError, match="> 0"):
+        srm_check(df, "grp", {"a": 1.0, "b": 0.0})
+    with pytest.raises(ValueError, match="> 0"):
+        srm_check(df, "grp", {"a": 1.5, "b": -0.5})

@@ -126,3 +126,14 @@ def test_roc_auc_df_and_ece_df_variants(spark):
     assert row["auc"] is None and row["n_pos"] == 2 and row["n_neg"] == 0
     erow = ece_df(df.limit(0), "score", "label").collect()[0]
     assert erow["ece"] is None and erow["n"] == 0
+
+
+def test_roc_auc_df_empty_input_counts_are_zero(spark):
+    """roc_auc_df on an empty frame reports n_pos=n_neg=0 (not NULL) so
+    the caller can see WHY auc is NULL, as the docstring promises."""
+    from distributedqueryengine_spark.operators.mleval import roc_auc_df
+
+    df = spark.createDataFrame([], "score double, label int")
+    row = roc_auc_df(df, "score", "label").collect()[0]
+    assert row["auc"] is None
+    assert row["n_pos"] == 0 and row["n_neg"] == 0

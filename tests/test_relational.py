@@ -696,3 +696,38 @@ def test_assign_dense_ids_null_handling(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 1}
+
+
+def test_assign_dense_ids_nan_routed_with_nulls(spark):
+    """Floating NaN is not NULL: it must not produce a None bucket key
+    (the old TypeError comparing None to str in the driver cumsum).
+    NaN follows the on_null routing — raise by default, after all
+    non-missing rows (NULLs before NaNs) under on_null='last'."""
+    rows = [
+        (0, 3.0), (1, float("nan")), (2, 1.0), (3, None), (4, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        relational.assign_dense_ids(df, "v", tiebreak=["id"])
+    out = {
+        r.id: r.dense_id
+        for r in relational.assign_dense_ids(
+            df, "v", tiebreak=["id"], on_null="last"
+        ).collect()
+    }
+    # non-missing (1.0, 3.0) first, then NULL, then NaNs by tiebreak
+    assert out == {2: 0, 0: 1, 3: 2, 1: 3, 4: 4}
+
+
+def test_assign_dense_ids_empty_input_stats(spark):
+    """Empty input still populates stats_out (zeros) — a caller reading
+    stats['max_bucket_rows'] must not KeyError on the empty path."""
+    df = spark.createDataFrame([], "id long, v double")
+    stats: dict = {}
+    out = relational.assign_dense_ids(df, "v", tiebreak=["id"], stats_out=stats)
+    assert out.count() == 0
+    assert "dense_id" in out.columns
+    assert stats == {
+        "n_buckets": 0, "max_bucket_rows": 0,
+        "split_rounds": 0, "residual_saturated": 0,
+    }

@@ -743,3 +743,25 @@ def test_incremental_compaction_stages_outside_tree(spark, tables, tmp_path):
     )
     assert not os.path.exists(backup)
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_recover_swap_spares_unrelated_prefix_dirs(spark, tables, tmp_path):
+    """recover_swap deletes ONLY the exact staging names the protocol
+    creates ('<base>__compacting' / '<base>__compacting__<rel>'), never
+    an unrelated sibling that merely shares the prefix."""
+    import os
+
+    from distributedqueryengine_spark.sources import sinks
+
+    path = str(tmp_path / "ds")
+    tables["nation"].write.parquet(path)
+    bystander = path + "__compacting_old"   # not a protocol name
+    os.makedirs(bystander)
+    with open(os.path.join(bystander, "keep.txt"), "w") as f:
+        f.write("precious")
+    residue = path + "__compacting"
+    os.makedirs(residue)
+    actions = sinks.recover_swap(spark, path)
+    assert actions == ["__compacting (staging dropped)"]
+    assert os.path.exists(os.path.join(bystander, "keep.txt"))
+    assert not os.path.exists(residue)
