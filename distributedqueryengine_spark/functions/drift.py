@@ -90,25 +90,49 @@ def psi_score(
     return {"psi": round(psi, 6), "n": n, "bin_shares": cur}
 
 
+def _write_scores(batch_df, batch_id, path, rows, schema):
+    """Land per-batch monitor scores in parquet via the effectively-once
+    batch-id-partition sink (streaming/sinks.py): a replayed batch
+    rewrites exactly its own `batch_id=<n>` partition, so scores never
+    duplicate across restarts."""
+    from distributedqueryengine_spark.streaming.sinks import (
+        write_batch_idempotent,
+    )
+
+    score_df = batch_df.sparkSession.createDataFrame(rows, schema)
+    write_batch_idempotent(score_df, batch_id, path)
+
+
 def stream_drift_monitor(
     stream: DataFrame,
     value_col: str,
     reference: dict,
     sink: list | None = None,
     checkpoint: str | None = None,
+    path: str | None = None,
 ):
     """Continuously score a stream's micro-batches against the frozen
     reference: each batch appends {'batch_id', 'psi', 'n'} to `sink`
-    (or your own foreachBatch wrapper around psi_score). Per-batch cost
-    is one pass over the batch + an n_bins-row aggregate — no state
-    grows with the stream. Returns the started StreamingQuery."""
+    (driver-side, for tests/ad-hoc) and/or — the production path —
+    writes one score row into the parquet directory `path`, partitioned
+    by batch_id with replay-idempotent dynamic overwrite (pass
+    `checkpoint` so the engine replays the same batch ids; a restart
+    then rewrites, never duplicates, score rows). Per-batch cost is one
+    pass over the batch + an n_bins-row aggregate — no state grows with
+    the stream. Returns the started StreamingQuery."""
     out = sink if sink is not None else []
 
     def score(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         r = psi_score(batch_df, value_col, reference)
-        out.append({"batch_id": batch_id, "psi": r["psi"], "n": r["n"]})
+        if sink is not None or path is None:
+            out.append({"batch_id": batch_id, "psi": r["psi"], "n": r["n"]})
+        if path is not None:
+            _write_scores(
+                batch_df, batch_id, path,
+                [(float(r["psi"]), int(r["n"]))], "psi double, n long",
+            )
 
     writer = stream.writeStream.foreachBatch(score).outputMode("append")
     if checkpoint:
@@ -178,18 +202,27 @@ def stream_categorical_drift_monitor(
     reference: dict,
     sink: list | None = None,
     checkpoint: str | None = None,
+    path: str | None = None,
 ):
     """Categorical counterpart of stream_drift_monitor: score each
     micro-batch's category shares against a fit_reference_categories
-    result; appends {'batch_id', 'psi', 'n'} per batch. Same zero-
-    growing-state contract."""
+    result; appends {'batch_id', 'psi', 'n'} per batch to `sink`
+    and/or writes a replay-idempotent score row per batch under
+    parquet `path` (batch_id-partitioned dynamic overwrite — restarts
+    rewrite, never duplicate). Same zero-growing-state contract."""
     out = sink if sink is not None else []
 
     def score(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         r = categorical_psi_score(batch_df, value_col, reference)
-        out.append({"batch_id": batch_id, "psi": r["psi"], "n": r["n"]})
+        if sink is not None or path is None:
+            out.append({"batch_id": batch_id, "psi": r["psi"], "n": r["n"]})
+        if path is not None:
+            _write_scores(
+                batch_df, batch_id, path,
+                [(float(r["psi"]), int(r["n"]))], "psi double, n long",
+            )
 
     writer = stream.writeStream.foreachBatch(score).outputMode("append")
     if checkpoint:

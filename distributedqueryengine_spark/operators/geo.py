@@ -15,9 +15,10 @@ longitude shrink at the dataset's highest |latitude| (1° lng =
 the 3×3 neighborhood is sufficient everywhere in the data. That
 max-|lat| is a 1-row aggregate over both sides folded in via broadcast
 cross join — no driver collect, and the cell ids stay a pure column
-function shared by both sides. Latitudes beyond ±85° and antimeridian
-wraparound are out of scope (documented; polar/dateline data needs a
-proper spherical index such as S2/H3).
+function shared by both sides. Latitudes beyond ±85° and radii that
+straddle the antimeridian RAISE in-plan (the grid would silently miss
+true neighbors there); polar/dateline data needs a proper spherical
+index such as S2/H3.
 """
 
 from __future__ import annotations
@@ -61,17 +62,57 @@ def geo_radius_join(
         if lat_col not in side.columns or lng_col not in side.columns:
             raise ValueError(f"{name} side is missing {lat_col}/{lng_col}")
 
-    # widest longitude degree-radius over BOTH sides (85° cap)
-    both_lats = left.select(F.abs(F.col(lat_col)).alias("al")).unionByName(
-        right.select(F.abs(F.col(lat_col)).alias("al"))
+    # widest longitude degree-radius over BOTH sides; domain guards are
+    # IN-PLAN (raise_error folded into the cell-width expression, same
+    # pattern as timeseries.py's grid-size guard) so construction stays
+    # lazy and no extra driver action is paid: |lat| > 85° or a radius
+    # straddling the antimeridian would make the 3×3 neighborhood
+    # silently MISS true neighbors — that must be a loud failure.
+    both = left.select(
+        F.abs(F.col(lat_col)).alias("al"), F.abs(F.col(lng_col)).alias("ag")
+    ).unionByName(
+        right.select(
+            F.abs(F.col(lat_col)).alias("al"), F.abs(F.col(lng_col)).alias("ag")
+        )
     )
-    stats = both_lats.agg(
-        F.least(F.coalesce(F.max("al"), F.lit(0.0)), F.lit(85.0)).alias("__maxlat")
+    stats = both.agg(
+        F.coalesce(F.max("al"), F.lit(0.0)).alias("__maxlat"),
+        F.coalesce(F.max("ag"), F.lit(0.0)).alias("__maxalng"),
     )
     d_lat = radius_km / _KM_PER_DEG_LAT
-    d_lng_expr = radius_km / (
-        _KM_PER_DEG_LNG_EQ * F.cos(F.radians(F.col("__maxlat")))
+    capped_lat = F.least(F.col("__maxlat"), F.lit(85.0))
+    d_lng_deg = radius_km / (_KM_PER_DEG_LNG_EQ * F.cos(F.radians(capped_lat)))
+    guard = (
+        F.when(
+            F.col("__maxlat") > 85.0,
+            F.raise_error(
+                F.concat(
+                    F.lit("geo grid join supports |lat| <= 85 deg, got max "
+                          "|lat| = "),
+                    F.col("__maxlat").cast("string"),
+                    F.lit("; polar data needs a spherical index (S2/H3)"),
+                )
+            ).cast("double"),
+        )
+        .when(
+            F.col("__maxalng") + d_lng_deg > 180.0,
+            F.raise_error(
+                F.concat(
+                    F.lit("radius straddles the antimeridian (max |lng| = "),
+                    F.col("__maxalng").cast("string"),
+                    F.lit(" deg + "),
+                    d_lng_deg.cast("string"),
+                    F.lit(" deg cell width crosses 180); the lat/lng grid "
+                          "cannot see neighbors across the dateline"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
     )
+    # guard is 0.0 on the happy path; adding it to the cell width keeps
+    # it REFERENCED (column pruning would silently drop a free-standing
+    # guard column) and fires the raise wherever cells are computed.
+    d_lng_expr = d_lng_deg + guard
 
     def cells(df: DataFrame, suffix: str, explode_neighbors: bool) -> DataFrame:
         renamed = df.select([F.col(c).alias(c + suffix) for c in df.columns])
@@ -127,22 +168,36 @@ def geo_knn_join(
     ('nearest stores within 50 km').
 
     One window per left row over its candidate set on top of
-    geo_radius_join's plan."""
+    geo_radius_join's plan. The window PARTITION KEY is always one
+    column: `left_id_col` when given (preferred — a real key makes
+    identical-id rows explicitly one logical row), else a derived
+    xxhash64 over the left row, so a wide left frame never shuffles
+    its every column as the key. Rows identical on ALL left columns
+    collapse into one kNN group either way (they have identical
+    candidate sets; this matches the previous all-columns-key
+    semantics)."""
     from pyspark.sql.window import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     sl, _sr = suffixes
+    derived = None
+    if not left_id_col:
+        hashable = [c for c, t in left.dtypes if not t.startswith("map")]
+        if not hashable:
+            raise ValueError(
+                "left side has no hashable columns to derive a row id; "
+                "pass left_id_col"
+            )
+        derived = "__knn_lid"
+        left = left.withColumn(derived, F.xxhash64(*[F.col(c) for c in hashable]))
     pairs = geo_radius_join(
         left, right, max_radius_km, lat_col=lat_col, lng_col=lng_col, suffixes=suffixes
     )
-    part_cols = (
-        [left_id_col + sl]
-        if left_id_col
-        else [c + sl for c in left.columns]
-    )
-    w = Window.partitionBy(*part_cols).orderBy(F.col("distance_km").asc())
-    return (
+    part_col = (left_id_col or derived) + sl
+    w = Window.partitionBy(part_col).orderBy(F.col("distance_km").asc())
+    out = (
         pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+    return out.drop(derived + sl) if derived else out

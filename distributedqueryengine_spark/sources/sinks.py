@@ -326,7 +326,7 @@ def _compact_one_dir(
     }
 
 
-def compact_files(
+def _compact_files_impl(
     spark,
     path: str,
     target_file_mb: int = 128,
@@ -427,7 +427,7 @@ def compact_files(
 # --------------------------------------------------------------------------
 
 
-def merge_upsert_files(
+def _merge_upsert_files_impl(
     spark,
     path: str,
     updates: DataFrame,
@@ -608,3 +608,82 @@ def merge_upsert_files(
         "n_updates": int(n_updates),
         "partitions_rewritten": [],
     }
+
+
+def _acquire_maintenance_lock(jvm, fs, path: str, force_unlock: bool):
+    """Best-effort single-writer lock for the swap protocol: an atomic
+    createNewFile on the sibling marker `<base>__maintenance_lock`.
+    The rename-swap assumes ONE maintenance writer per dataset root —
+    two concurrent compact/merge runs could interleave renames on the
+    shared staging names — so the second writer RAISES here instead of
+    corrupting. A crashed holder leaves a stale marker; after verifying
+    no writer is live, reclaim it with force_unlock=True (recover_swap
+    then heals any mid-swap residue). Readers never touch the lock."""
+    lock = _hpath(jvm, path.rstrip("/") + "__maintenance_lock")
+    if force_unlock and fs.exists(lock):
+        fs.delete(lock, True)
+    parent = lock.getParent()
+    if parent is not None and not fs.exists(parent):
+        raise FileNotFoundError(path)
+    if not fs.createNewFile(lock):
+        raise RuntimeError(
+            f"maintenance lock held for {path} "
+            f"({lock.getName()} exists): another compact/merge is running "
+            "on this dataset root, or a previous one crashed. The swap "
+            "protocol is single-writer per dataset; wait for the other "
+            "writer, or pass force_unlock=True to reclaim a stale lock "
+            "after confirming no writer is live."
+        )
+    return lock
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+    incremental: bool = False,
+    force_unlock: bool = False,
+) -> dict:
+    """Public entry for file compaction (semantics, modes, and swap
+    safety per `_compact_files_impl`'s docstring / module docstring),
+    serialized by the single-writer maintenance lock: a second
+    concurrent compact/merge on the same dataset root raises rather
+    than interleaving renames; `force_unlock=True` reclaims a stale
+    lock left by a crashed run (recover_swap then self-heals)."""
+    jvm, _hconf, fs = _fs(spark, path)
+    lock = _acquire_maintenance_lock(jvm, fs, path, force_unlock)
+    try:
+        return _compact_files_impl(
+            spark, path, target_file_mb=target_file_mb, fmt=fmt,
+            partition_by=partition_by, incremental=incremental,
+        )
+    finally:
+        fs.delete(lock, True)
+
+
+def merge_upsert_files(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] = (),
+    force_unlock: bool = False,
+) -> dict:
+    """Public entry for file MERGE (semantics, pruning contract, and
+    swap safety per `_merge_upsert_files_impl`'s docstring), serialized
+    by the same single-writer maintenance lock as `compact_files` —
+    concurrent maintenance on one dataset root raises loudly;
+    `force_unlock=True` reclaims a stale lock after a crash."""
+    jvm, _hconf, fs = _fs(spark, path)
+    lock = _acquire_maintenance_lock(jvm, fs, path, force_unlock)
+    try:
+        return _merge_upsert_files_impl(
+            spark, path, updates, key_cols, delete_col=delete_col,
+            fmt=fmt, partition_by=partition_by,
+        )
+    finally:
+        fs.delete(lock, True)

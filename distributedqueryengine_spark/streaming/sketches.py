@@ -61,18 +61,28 @@ def stream_heavy_hitters(
     k: int = 100,
     monitor: HeavyHittersMonitor | None = None,
     checkpoint: str | None = None,
+    path: str | None = None,
 ):
     """Maintain continuous heavy hitters over a stream: each micro-batch
     runs the distributed per-partition Misra-Gries summary (bounded
     memory per task) and folds the k·partitions-sized result into the
     monitor. Returns (query, monitor); read
     `monitor.estimates(top=...)` at any point for the stream-so-far
-    answer with (count_lo, count_hi) brackets."""
+    answer with (count_lo, count_hi) brackets.
+
+    Production sink: pass parquet `path` to also land each batch's
+    stream-so-far estimates as rows (item, count_lo, count_hi) in a
+    batch_id-partitioned directory via the replay-idempotent dynamic
+    overwrite of streaming/sinks.py — a restart that replays batch n
+    rewrites partition n, never duplicating summary rows. NOTE the
+    monitor itself is driver-memory state: after a process restart its
+    fold restarts from the replayed batches, so treat the LAST batch_id
+    partition as the authoritative stream-so-far summary."""
     from distributedqueryengine_spark.operators.aggregates import mg_summary
 
     mon = monitor or HeavyHittersMonitor(k)
 
-    def fold(batch_df, _batch_id):
+    def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         # the batch operator's merged summary: per-item sums + the
@@ -82,6 +92,21 @@ def stream_heavy_hitters(
             for r in mg_summary(batch_df, value_col, k=mon.k).collect()
         ]
         mon.merge_summary(rows)
+        if path is not None:
+            from distributedqueryengine_spark.streaming.sinks import (
+                write_batch_idempotent,
+            )
+
+            est = [
+                (str(i), int(lo), int(hi)) for i, lo, hi in mon.estimates()
+            ]
+            write_batch_idempotent(
+                batch_df.sparkSession.createDataFrame(
+                    est, "item string, count_lo long, count_hi long"
+                ),
+                batch_id,
+                path,
+            )
 
     writer = stream.writeStream.foreachBatch(fold).outputMode("append")
     if checkpoint:

@@ -196,3 +196,78 @@ def test_stream_categorical_drift_monitor(spark, tmp_path, tables):
     )
     assert got == expect
     assert max(got) > 0.25 and min(got) < 0.1
+
+
+def test_stream_drift_monitor_parquet_sink_replay_idempotent(
+    spark, tmp_path, tables
+):
+    """Production sink contract: scores land one row per batch in a
+    batch_id-partitioned parquet dir; a restart with the same
+    checkpoint re-emits nothing, and a simulated crash-replay of a
+    batch REWRITES its partition instead of duplicating rows."""
+    from distributedqueryengine_spark.streaming.sinks import (
+        write_batch_idempotent,
+    )
+
+    ref = tables["lineitem"].select("l_extendedprice")
+    frozen = fit_reference_histogram(ref, "l_extendedprice", n_bins=10)
+
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+
+    def add_file(name, df):
+        tmp = str(tmp_path / ("_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/{name}.parquet")
+        shutil.rmtree(tmp)
+
+    add_file("b0", ref.limit(1000))
+    add_file(
+        "b1",
+        ref.limit(1000).select(
+            (F.col("l_extendedprice") * 1.5).alias("l_extendedprice")
+        ),
+    )
+
+    schema = spark.read.parquet(stage).schema
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return stream_drift_monitor(
+            stream, "l_extendedprice", frozen, checkpoint=ckpt, path=scores
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(scores)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert sorted(r.batch_id for r in rows) == [0, 1]
+    assert all(r.n == 1000 for r in rows)
+
+    # restart from the same checkpoint, no new data -> no new rows
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(scores).count() == 2
+
+    # crash replay of batch 1: rewrite, don't duplicate
+    replay = spark.createDataFrame(
+        [(float(rows[0].psi), 1000)], "psi double, n long"
+    )
+    write_batch_idempotent(replay, 1, scores)
+    after = spark.read.parquet(scores).collect()
+    assert len(after) == 2
+    assert sorted(r.batch_id for r in after) == [0, 1]

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from distributedqueryengine_spark.operators.geo import (
@@ -109,3 +110,63 @@ def test_geo_knn_join_matches_bruteforce(spark):
         assert len(mine) == len(cands), lid
         for (rnk, rid, d), (ed, ej) in zip(mine, cands):
             assert abs(d - ed) < 1e-6 and rid == ej, (lid, rnk)
+
+
+def test_geo_join_raises_on_polar_latitude(spark):
+    """|lat| > 85° makes the lng-shrink grid wrong (cos→0): the guard
+    raises in-plan instead of silently missing neighbors."""
+    left = spark.createDataFrame(
+        [(1, 88.0, 10.0)], "lid long, lat double, lng double"
+    )
+    right = spark.createDataFrame(
+        [(2, 88.01, 10.01)], "rid long, lat double, lng double"
+    )
+    j = geo_radius_join(left, right, 5.0)  # construction stays lazy
+    with pytest.raises(Exception, match="85"):
+        j.count()
+
+
+def test_geo_join_raises_on_antimeridian_straddle(spark):
+    """Points whose radius crosses lng ±180 have grid neighbors the
+    cell ids cannot see — loud raise, not silent misses."""
+    left = spark.createDataFrame(
+        [(1, 0.0, 179.99)], "lid long, lat double, lng double"
+    )
+    right = spark.createDataFrame(
+        [(2, 0.0, -179.99)], "rid long, lat double, lng double"
+    )
+    j = geo_radius_join(left, right, 50.0)
+    with pytest.raises(Exception, match="antimeridian"):
+        j.count()
+
+
+def test_geo_knn_join_derived_id_single_column_window(spark):
+    """Without left_id_col the kNN window key is ONE derived hash
+    column (never every left column), and results still match the
+    explicit-id run."""
+    from pyspark.sql.window import Window as _W  # noqa: F401
+
+    from distributedqueryengine_spark.operators.geo import geo_knn_join
+
+    rng = random.Random(9)
+    pts_l = [
+        (i, 40.0 + rng.random(), -3.0 + rng.random(), "x" * 50, i * 2.5)
+        for i in range(25)
+    ]
+    pts_r = [(j, 40.0 + rng.random(), -3.0 + rng.random()) for j in range(40)]
+    left = spark.createDataFrame(
+        pts_l, "lid long, lat double, lng double, wide string, val double"
+    )
+    right = spark.createDataFrame(pts_r, "rid long, lat double, lng double")
+
+    with_id = geo_knn_join(left, right, k=2, max_radius_km=30.0, left_id_col="lid")
+    derived = geo_knn_join(left, right, k=2, max_radius_km=30.0)
+    assert "__knn_lid_l" not in derived.columns
+    a = sorted((r.lid_l, r.rnk, r.rid_r) for r in with_id.collect())
+    b = sorted((r.lid_l, r.rnk, r.rid_r) for r in derived.collect())
+    assert a == b
+    # plan: the window partition spec is the single derived hash column
+    plan = derived._jdf.queryExecution().optimizedPlan().toString()
+    win = [ln for ln in plan.splitlines() if "Window" in ln and "row_number" in ln]
+    assert win and "__knn_lid_l" in win[0], plan[:3000]
+    assert "wide_l" not in win[0].split("windowspecdefinition")[-1].split("]")[0]

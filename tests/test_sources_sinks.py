@@ -765,3 +765,42 @@ def test_recover_swap_spares_unrelated_prefix_dirs(spark, tables, tmp_path):
     assert actions == ["__compacting (staging dropped)"]
     assert os.path.exists(os.path.join(bystander, "keep.txt"))
     assert not os.path.exists(residue)
+
+
+def test_maintenance_lock_single_writer(spark, tables, tmp_path):
+    """Swap-protocol single-writer contract: while one maintenance op
+    holds the lock, a second compact/merge on the same dataset root
+    raises loudly and touches nothing; force_unlock reclaims a stale
+    lock; the lock is released on normal completion."""
+    import os
+
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources import sinks
+
+    path = str(tmp_path / "ds")
+    tables["nation"].write.parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    # simulate a concurrent (or crashed) writer holding the lock
+    lockfile = path + "__maintenance_lock"
+    with open(lockfile, "w"):
+        pass
+    with _pytest.raises(RuntimeError, match="maintenance lock held"):
+        sinks.compact_files(spark, path, target_file_mb=1)
+    upd = spark.read.parquet(path).limit(1)
+    with _pytest.raises(RuntimeError, match="maintenance lock held"):
+        sinks.merge_upsert_files(spark, path, upd, ["n_nationkey"])
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # stale-lock reclaim, then normal completion releases the lock
+    stats = sinks.compact_files(spark, path, target_file_mb=64, force_unlock=True)
+    assert stats["files_after"] >= 1
+    assert not os.path.exists(lockfile)
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # back-to-back runs succeed (lock released each time); re-read the
+    # update frame, compaction replaced the files it pointed at
+    upd2 = spark.read.parquet(path).limit(1)
+    sinks.merge_upsert_files(spark, path, upd2, ["n_nationkey"])
+    assert not os.path.exists(lockfile)

@@ -59,3 +59,62 @@ def test_stream_heavy_hitters_brackets_truth(spark, tables, tmp_path):
     # top-1 is the true mode
     top1 = mon.estimates(top=1)[0][0]
     assert truth[top1] == max(truth.values())
+
+
+def test_stream_heavy_hitters_parquet_sink_replay_idempotent(
+    spark, tables, tmp_path
+):
+    """Heavy-hitter summaries land per batch in batch_id-partitioned
+    parquet; the LAST partition equals the monitor's stream-so-far
+    estimates, and a simulated replayed batch write rewrites its own
+    partition without duplicating rows."""
+    from distributedqueryengine_spark.streaming.sinks import (
+        write_batch_idempotent,
+    )
+    from distributedqueryengine_spark.streaming.sketches import (
+        stream_heavy_hitters,
+    )
+
+    ev = tables["events"].select("event_type")
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    chunks = ev.randomSplit([1.0, 1.0], seed=11)
+    for i, chunk in enumerate(chunks):
+        tmp = str(tmp_path / f"_b{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/b{i}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    summaries = str(tmp_path / "hh")
+    q, mon = stream_heavy_hitters(
+        stream, "event_type", k=8,
+        checkpoint=str(tmp_path / "ckpt"), path=summaries,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(summaries)
+    batch_ids = sorted(r.batch_id for r in out.select("batch_id").distinct().collect())
+    assert batch_ids == [0, 1]
+    last = {
+        r.item: (r.count_lo, r.count_hi)
+        for r in out.filter(F.col("batch_id") == 1).collect()
+    }
+    assert last == {i: (lo, hi) for i, lo, hi in mon.estimates()}
+
+    # replayed final batch rewrites its partition, no duplicates
+    replay = spark.createDataFrame(
+        [(str(i), int(lo), int(hi)) for i, lo, hi in mon.estimates()],
+        "item string, count_lo long, count_hi long",
+    )
+    n_before = out.count()
+    write_batch_idempotent(replay, 1, summaries)
+    assert spark.read.parquet(summaries).count() == n_before
