@@ -1152,8 +1152,31 @@ SUITE_ORACLES["agg_stats_suite"] = r"""
             FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
                            ORDER BY cnt DESC, l_quantity) AS rn FROM c) r
             WHERE rn = 1)
-        SELECT s.*, m.mode_qty, m.mode_n
+        SELECT s.*, m.mode_qty, m.mode_n,
+               a.auc_qty_returned, a.auc_n_pos, a.auc_n_neg
         FROM s JOIN m USING (l_returnflag)
+        CROSS JOIN (
+            -- exact tie-aware AUC: P(score_pos > score_neg) + P(=)/2,
+            -- same per-distinct-score prefix-sum as the Spark operator
+            WITH per AS (
+                SELECT l_quantity AS sc,
+                       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                GROUP BY l_quantity),
+            cum AS (
+                SELECT np, nn,
+                       COALESCE(sum(nn) OVER (ORDER BY sc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS below
+                FROM per)
+            SELECT round(sum(np * (below + nn / 2.0))
+                         / (sum(np) * sum(nn)), 6) AS auc_qty_returned,
+                   CAST(sum(np) AS BIGINT) AS auc_n_pos,
+                   CAST(sum(nn) AS BIGINT) AS auc_n_neg
+            FROM cum
+        ) a
     """
 
 

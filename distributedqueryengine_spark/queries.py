@@ -2332,4 +2332,22 @@ def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(ln).alias("bits_xor"),
     )
     mode = q_agg_mode(spark, sf_dir)
-    return stats.join(F.broadcast(mode), "l_returnflag")
+    # Lazy-composability of the frame-returning evaluator variants
+    # (VERDICT r9 item 7): roc_auc_df's 1-row result (treating quantity
+    # as a score for "was returned", ties counted half) broadcast-joins
+    # INTO this plan as three more columns — the *_df contract is that
+    # it composes inside a larger query, not only as a terminal action.
+    from distributedqueryengine_spark.operators.mleval import roc_auc_df
+
+    scored = li.select(
+        F.col("l_quantity").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    auc = roc_auc_df(scored, "score", "label").select(
+        F.round(F.col("auc"), 6).alias("auc_qty_returned"),
+        F.col("n_pos").alias("auc_n_pos"),
+        F.col("n_neg").alias("auc_n_neg"),
+    )
+    return stats.join(F.broadcast(mode), "l_returnflag").crossJoin(
+        F.broadcast(auc)
+    )
