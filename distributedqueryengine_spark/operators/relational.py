@@ -346,11 +346,27 @@ def assign_dense_ids(
                 continue  # complete duplicate ties / unsliceable: residual
             n_sub = max(2, min(_math.ceil(cnt / rows_per_bucket), 100_000))
             if phi > plo:
+                # Boundary-ATOM isolation (r10, found by the 90%-skew
+                # probe): a heavy atom sitting AT the bucket's min/max
+                # value stays in one equal-width slice every round, so
+                # rounds get consumed shaving the tail off it and never
+                # reach the tiebreak levels (5 rounds, still 90k-row
+                # residual on the planted probe). Giving the lo/hi
+                # atoms their own sub-buckets makes that sub-bucket
+                # CONSTANT at this level next round, which escalates it
+                # to the next sort level immediately — guaranteed
+                # progress: each round isolates atoms or halves range.
+                # Ordering stays exact: lo-atom < interior < hi-atom.
                 w_sub = max((phi - plo) / n_sub, 1e-12)
-                nonnull_sub = 1 + F.least(
+                interior = 2 + F.least(
                     F.floor((split_col - F.lit(plo)) / F.lit(w_sub)),
                     F.lit(n_sub - 1),
                 ).cast("long")
+                nonnull_sub = (
+                    F.when(split_col == F.lit(plo), F.lit(1))
+                    .when(split_col == F.lit(phi), F.lit(n_sub + 2))
+                    .otherwise(interior)
+                )
             else:  # only the NULL/non-NULL boundary discriminates
                 nonnull_sub = F.lit(1)
             # NULL real sorts FIRST (Spark asc default) -> sub-index 0

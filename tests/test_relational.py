@@ -731,3 +731,29 @@ def test_assign_dense_ids_empty_input_stats(spark):
         "n_buckets": 0, "max_bucket_rows": 0,
         "split_rounds": 0, "residual_saturated": 0,
     }
+
+
+def test_assign_dense_ids_heavy_atom_with_tail_converges(spark):
+    """The r10 scale probe found that a 90% atom at the bucket's MIN
+    value never separated: equal-width re-slicing kept the atom in one
+    sub-bucket and burned every round shaving the tail. Boundary-atom
+    isolation must now converge within the default rounds with zero
+    residual saturation, and ids must equal the brute-force sort."""
+    rows = [
+        (i, 0.0 if i % 10 < 9 else float(i)) for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    stats: dict = {}
+    out = {
+        r.id: r.dense_id
+        for r in relational.assign_dense_ids(
+            df, "v", tiebreak=["id"], rows_per_bucket=1000, stats_out=stats
+        ).collect()
+    }
+    assert stats["residual_saturated"] == 0, stats
+    assert stats["max_bucket_rows"] <= 2000, stats
+    expect = {
+        id_: rank
+        for rank, (v, id_) in enumerate(sorted((v, i) for i, v in rows))
+    }
+    assert out == expect
