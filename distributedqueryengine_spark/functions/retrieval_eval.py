@@ -88,3 +88,75 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    by=(),
+    k: int = 10,
+    c: float = 60.0,
+    weights=None,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion of N ranked lists — the standard hybrid-
+    retrieval combiner (Cormack et al., SIGIR'09): fuse a lexical BM25
+    ranking with a dense ANN/cosine ranking (or any mix of rankers)
+    without score calibration, since only RANKS enter:
+
+        rrf(d) = Σ_i  w_i / (c + rank_i(d))
+
+    Documents absent from a list contribute 0 for it (the lists are
+    top-k by construction); `c` (default 60, the paper's constant)
+    damps the head so one ranker can't dominate. Inputs: DataFrames
+    each holding (by..., id_col, rank_col) — `by` names per-query key
+    columns when fusing many queries at once; () fuses single global
+    lists. Output: (by..., id_col, rrf_score, n_lists, rnk ≤ k),
+    ranked by (rrf_score desc, id asc), score rounded to 9 (stable
+    across engines; contributions are tiny, ranks differ well above
+    1e-9).
+
+    Scale shape: the inputs are ALREADY top-k lists (results-sized,
+    never corpus-sized), so this is a union + one id-keyed aggregate +
+    a per-query window over ≤ Σk_i candidate rows per query. With
+    by=() the final window is a single partition of ≤ Σk_i rows —
+    bounded by the input lists, not the data."""
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("rankings must contain at least one ranked list")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
+    if any(w <= 0 for w in weights):
+        raise ValueError("weights must be positive")
+    if c <= 0 or k < 1:
+        raise ValueError("need c > 0 and k >= 1")
+    keys = list(by)
+    parts = [
+        r.select(
+            *keys,
+            F.col(id_col).alias("__id"),
+            (
+                F.lit(float(w)) / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+            ).alias("__contrib"),
+        )
+        for w, r in zip(weights, rankings)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scores = u.groupBy(*keys, "__id").agg(
+        F.round(F.sum("__contrib"), 9).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w_ = Window.partitionBy(*keys).orderBy(
+        F.col("rrf_score").desc(), F.col("__id").asc()
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w_).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(*keys, F.col("__id").alias(id_col), "rrf_score", "n_lists", "rnk")
+    )

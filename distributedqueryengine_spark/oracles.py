@@ -252,8 +252,58 @@ ORACLES["sim_bruteforce_topk"] = r"""
              r AS (SELECT query_id, neighbor_id, cos,
                           CAST(row_number() OVER (PARTITION BY query_id
                                ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk
-                   FROM s)
-        SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+                   FROM s),
+             -- 'rrf' branch: BM25 top-20 (k1=1.2, b=0.75, same Okapi
+             -- math as functions/text.bm25_topk) fused with the dense
+             -- cosine top-20 of query vec 0 via reciprocal-rank fusion
+             -- (rank-only, engine-exact)
+             base AS (
+               SELECT doc_id AS id,
+                      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  t -> length(t) > 0) AS toks
+               FROM documents),
+             lens AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+             bstats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+             hits AS (
+               SELECT b.id, l.dl, t.t, count(*) AS tf
+               FROM base b JOIN lens l ON b.id = l.id,
+                    unnest(b.toks) AS t(t)
+               WHERE t.t IN ('data', 'first', 'model', 'the')
+               GROUP BY 1, 2, 3),
+             dfreq AS (SELECT t, count(*) AS df FROM hits GROUP BY 1),
+             scored AS (
+               SELECT h.id,
+                      round(sum(
+                        ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                        * (h.tf * (1.2 + 1))
+                        / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))
+                      ), 6) AS score
+               FROM hits h JOIN dfreq d ON h.t = d.t, bstats s
+               GROUP BY h.id),
+             lex AS (
+               SELECT id, CAST(row_number() OVER (
+                      ORDER BY score DESC, id ASC) AS INTEGER) AS rnk
+               FROM scored QUALIFY rnk <= 20),
+             d0 AS (
+               SELECT neighbor_id AS id, CAST(row_number() OVER (
+                      ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rnk
+               FROM s WHERE query_id = 0 QUALIFY rnk <= 20),
+             fuse AS (
+               SELECT id, round(sum(contrib), 9) AS score
+               FROM (SELECT id, 1.0 / (60.0 + rnk) AS contrib FROM lex
+                     UNION ALL
+                     SELECT id, 1.0 / (60.0 + rnk) FROM d0) u
+               GROUP BY id),
+             rrfb AS (
+               SELECT 'rrf' AS branch, CAST(0 AS BIGINT) AS query_id,
+                      id AS neighbor_id, score,
+                      CAST(row_number() OVER (
+                          ORDER BY score DESC, id ASC) AS INTEGER) AS rnk
+               FROM fuse QUALIFY rnk <= 10)
+        SELECT 'cos' AS branch, query_id, neighbor_id, cos AS score, rnk
+        FROM r WHERE rnk <= 5
+        UNION ALL
+        SELECT * FROM rrfb
     """
 ORACLES["multimodal_features"] = r"""
         SELECT doc_id AS media_id,

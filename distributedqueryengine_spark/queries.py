@@ -505,13 +505,41 @@ def q_dedup_ngram_jaccard(
 # --------------------------------------------------------------------------
 
 def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for every 10th vector (broadcast queries,
-    JVM dot products, per-query window top-k)."""
+    """Similarity suite: exact cosine top-5 for every 10th vector
+    ('cos' branch — broadcast queries, JVM dot products, per-query
+    window top-k) UNION a hybrid-retrieval 'rrf' branch (r10):
+    reciprocal-rank fusion of a lexical BM25 top-20 over documents
+    with the dense cosine top-20 for query vec 0 (vec_id aligns with
+    doc_id in the fixtures) — rank-only fusion, so the fused scores
+    are engine-exact and fully oracled."""
     from distributedqueryengine_spark.functions import similarity as S
+    from distributedqueryengine_spark.functions.retrieval_eval import rrf_fuse
+    from distributedqueryengine_spark.functions.text import bm25_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 10 == 0)
-    return S.brute_force_topk(queries_df, emb, k=5)
+    cos = S.brute_force_topk(queries_df, emb, k=5).select(
+        F.lit("cos").alias("branch"),
+        "query_id",
+        "neighbor_id",
+        F.col("cos").alias("score"),
+        "rnk",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(
+        docs, ["the", "data", "first", "model"], "text", id_col="doc_id", k=20
+    )
+    dense = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    fused = rrf_fuse([lex.select("doc_id", "rnk"), dense], k=10).select(
+        F.lit("rrf").alias("branch"),
+        F.lit(0).cast("long").alias("query_id"),
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("rrf_score").alias("score"),
+        "rnk",
+    )
+    return cos.unionByName(fused)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

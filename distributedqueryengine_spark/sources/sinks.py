@@ -435,6 +435,7 @@ def _merge_upsert_files_impl(
     delete_col: str | None = None,
     fmt: str = "parquet",
     partition_by: Sequence[str] = (),
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO for plain files: upsert `updates` into the dataset at
     `path` by key — matched keys take the update row, unmatched keys
@@ -486,6 +487,24 @@ def _merge_upsert_files_impl(
             f"updates frame is missing target columns {sorted(missing)}; "
             "a MERGE row must carry the full row it replaces/inserts"
         )
+    new_cols = [
+        c for c in updates.columns
+        if c not in target.columns and c != delete_col
+    ]
+    if new_cols and not allow_schema_evolution:
+        raise ValueError(
+            f"updates carry columns not in the target {new_cols}; pass "
+            "allow_schema_evolution=True to add them (existing rows read "
+            "them as NULL). NOTE for partition-pruned merges: untouched "
+            "partitions keep their old file schema, so readers must "
+            "enable parquet mergeSchema until a full rewrite"
+        )
+    if new_cols:
+        # widen the target in-plan: old rows carry NULL for new columns;
+        # rewritten partitions land with the full evolved schema
+        upd_types = {f.name: f.dataType for f in updates.schema.fields}
+        for c in new_cols:
+            target = target.withColumn(c, F.lit(None).cast(upd_types[c]))
     keys = list(key_cols)
     parts = list(partition_by)
     if parts and (set(parts) - set(updates.columns)):
@@ -672,18 +691,25 @@ def merge_upsert_files(
     fmt: str = "parquet",
     partition_by: Sequence[str] = (),
     force_unlock: bool = False,
+    allow_schema_evolution: bool = False,
 ) -> dict:
     """Public entry for file MERGE (semantics, pruning contract, and
     swap safety per `_merge_upsert_files_impl`'s docstring), serialized
     by the same single-writer maintenance lock as `compact_files` —
     concurrent maintenance on one dataset root raises loudly;
-    `force_unlock=True` reclaims a stale lock after a crash."""
+    `force_unlock=True` reclaims a stale lock after a crash.
+    `allow_schema_evolution=True` lets updates ADD columns: existing
+    rows read them as NULL; with partition pruning, untouched
+    partitions keep their old file schema until rewritten, so readers
+    need parquet mergeSchema (stated loudly in the refusal message
+    when evolution is off)."""
     jvm, _hconf, fs = _fs(spark, path)
     lock = _acquire_maintenance_lock(jvm, fs, path, force_unlock)
     try:
         return _merge_upsert_files_impl(
             spark, path, updates, key_cols, delete_col=delete_col,
             fmt=fmt, partition_by=partition_by,
+            allow_schema_evolution=allow_schema_evolution,
         )
     finally:
         fs.delete(lock, True)

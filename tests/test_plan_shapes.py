@@ -15,10 +15,15 @@ import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# Queries whose SEMANTICS require a non-equi join strategy.
+# Queries whose SEMANTICS require a non-equi join strategy, or whose
+# only nested-loop is a BOUNDED broadcast of a 1-row/one-sided frame
+# (constant-size at any data scale — the allowed class; anything
+# data-sized here is still a failure).
 NESTED_LOOP_OK = {
     "join_special",      # contains the explicit cross-join branch (cartesian by definition)
     "order_limit_suite",  # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
+    "agg_stats_suite",   # r10: roc_auc_df's 1-row (auc, n_pos, n_neg) broadcast-crossed into the 3-row stats
+    "sim_bruteforce_topk",  # r10 rrf branch: bm25's 1-row (N, avgdl) corpus stats broadcast-crossed into term hits
 }
 
 def _plan(df) -> str:

@@ -112,3 +112,45 @@ def test_retrieval_metrics_scores_ann_vs_bruteforce(spark, tables):
     assert 0.5 < m.r <= 1.0
     assert 0.5 < m.mrr <= 1.0
     assert 0.5 < m.ndcg <= 1.0
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    """RRF over two per-query lists: weighted contributions, docs
+    missing from one list, deterministic tie-break, k cut."""
+    from distributedqueryengine_spark.functions.retrieval_eval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2)],
+        "qid string, doc_id long, rnk int",
+    )
+    dense = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2),
+         ("q2", 21, 1), ("q2", 20, 2)],
+        "qid string, doc_id long, rnk int",
+    )
+    out = rrf_fuse(
+        [lex, dense], by=["qid"], k=3, c=60.0, weights=[1.0, 2.0]
+    ).collect()
+    got = {(r.qid, r.doc_id): (round(r.rrf_score, 9), r.n_lists, r.rnk) for r in out}
+
+    def rrf(*terms):
+        return round(sum(terms), 9)
+
+    expect = {
+        # q1: 11 in both lists wins, then 13 (dense w=2), then 10
+        ("q1", 11): (rrf(1 / 62, 2 / 61), 2, 1),
+        ("q1", 13): (rrf(2 / 62), 1, 2),
+        ("q1", 10): (rrf(1 / 61), 1, 3),
+        # q2: 21 (lex rnk2 + dense rnk1) vs 20 (lex rnk1 + dense rnk2)
+        ("q2", 21): (rrf(1 / 62, 2 / 61), 2, 1),
+        ("q2", 20): (rrf(1 / 61, 2 / 62), 2, 2),
+    }
+    assert got == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([lex], weights=[1.0, 2.0])
+    with _pytest.raises(ValueError, match="positive"):
+        rrf_fuse([lex, dense], weights=[1.0, 0.0])

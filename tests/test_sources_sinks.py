@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from distributedqueryengine_spark.plans import plan_report
@@ -804,3 +806,65 @@ def test_maintenance_lock_single_writer(spark, tables, tmp_path):
     upd2 = spark.read.parquet(path).limit(1)
     sinks.merge_upsert_files(spark, path, upd2, ["n_nationkey"])
     assert not os.path.exists(lockfile)
+
+
+def test_merge_schema_evolution(spark, tables, tmp_path):
+    """MERGE schema evolution: off by default (new column raises with
+    a message naming the flag); on, a full-rewrite merge lands the
+    evolved schema with NULLs on untouched rows; a partition-pruned
+    merge rewrites only touched partitions (siblings keep old files —
+    readers use mergeSchema)."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.sources import sinks
+
+    # ---- unpartitioned: full rewrite carries the evolved schema
+    path = str(tmp_path / "ds")
+    tables["nation"].write.parquet(path)
+    upd = (
+        spark.read.parquet(path).limit(2)
+        .withColumn("n_rating", F.lit(4.5))
+    )
+    with _pytest.raises(ValueError, match="allow_schema_evolution"):
+        sinks.merge_upsert_files(spark, path, upd, ["n_nationkey"])
+    touched = {r.n_nationkey for r in upd.collect()}
+    stats = sinks.merge_upsert_files(
+        spark, path, upd, ["n_nationkey"], allow_schema_evolution=True
+    )
+    out = spark.read.parquet(path)
+    assert "n_rating" in out.columns
+    assert stats["rows_before"] == stats["rows_after"]
+    for r in out.collect():
+        if r.n_nationkey in touched:
+            assert r.n_rating == 4.5
+        else:
+            assert r.n_rating is None
+
+    # ---- partition-pruned: untouched partition files stay byte-identical
+    ppath = str(tmp_path / "dsp")
+    tables["nation"].write.partitionBy("n_regionkey").parquet(ppath)
+    upd2 = (
+        spark.read.parquet(ppath)
+        .filter(F.col("n_regionkey") == 0).limit(1)
+        .withColumn("n_flag", F.lit("new"))
+    )
+    before_files = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(ppath + "/n_regionkey=2/*.parquet")
+    }
+    stats2 = sinks.merge_upsert_files(
+        spark, ppath, upd2, ["n_nationkey"],
+        partition_by=["n_regionkey"], allow_schema_evolution=True,
+    )
+    assert stats2["partitions_rewritten"] == ["n_regionkey=0"]
+    after_files = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(ppath + "/n_regionkey=2/*.parquet")
+    }
+    assert before_files == after_files  # sibling untouched
+    merged = spark.read.option("mergeSchema", "true").parquet(ppath)
+    assert "n_flag" in merged.columns
+    flag_rows = merged.filter(F.col("n_flag").isNotNull()).collect()
+    assert len(flag_rows) == 1 and flag_rows[0].n_regionkey == 0
