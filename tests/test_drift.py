@@ -271,3 +271,43 @@ def test_stream_drift_monitor_parquet_sink_replay_idempotent(
     after = spark.read.parquet(scores).collect()
     assert len(after) == 2
     assert sorted(r.batch_id for r in after) == [0, 1]
+
+
+def test_stream_categorical_drift_monitor_parquet_sink(spark, tmp_path, tables):
+    """Categorical monitor production path: scores land one row per
+    batch under batch_id partitions, matching the driver-side sink."""
+    from distributedqueryengine_spark.functions.drift import (
+        fit_reference_categories,
+        stream_categorical_drift_monitor,
+    )
+
+    ev = tables["events"].select("event_type")
+    frozen = fit_reference_categories(ev, "event_type", top_n=10)
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    tmp = str(tmp_path / "_b0")
+    ev.limit(2000).coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in glob.glob(tmp + "/*.parquet"):
+        shutil.copy(f, f"{stage}/b0.parquet")
+    shutil.rmtree(tmp)
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    sink: list = []
+    scores = str(tmp_path / "scores")
+    q = stream_categorical_drift_monitor(
+        stream, "event_type", frozen,
+        sink=sink, checkpoint=str(tmp_path / "ckpt"), path=scores,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(scores).collect()
+    assert len(rows) == len(sink) == 1
+    assert rows[0].batch_id == 0
+    assert abs(rows[0].psi - sink[0]["psi"]) < 1e-12
+    # n counts non-NULL event_type rows (the fixture has NULLs)
+    assert rows[0].n == sink[0]["n"] > 0
