@@ -335,3 +335,52 @@ def test_logrank_random_censoring_and_bucket(spark, seed, bucket):
     assert r.n_b == sum(1 for *_, a in rows if not a)
     if hazard_b == 2.5:
         assert r.p_value < 0.05, "planted 2.5x hazard must reject"
+
+
+# ---------------------------------------------- dense ids (r10 splitter)
+
+
+@pytest.mark.parametrize("seed", [50, 51, 52, 53])
+def test_assign_dense_ids_random_distributions(spark, seed):
+    """Random mixtures of heavy atoms + continuous mass + NULL/NaN
+    through the r10 boundary-atom splitter at tiny rows_per_bucket:
+    ids must equal the brute-force sort, stats must report honestly."""
+    from distributedqueryengine_spark.operators.relational import (
+        assign_dense_ids,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(2000, 6000)
+    atoms = [rng.uniform(-100, 100) for _ in range(rng.randint(1, 3))]
+    atom_share = rng.uniform(0.3, 0.9)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < atom_share:
+            v = rng.choice(atoms)
+        elif r < atom_share + 0.05:
+            v = None if rng.random() < 0.5 else float("nan")
+        else:
+            v = rng.uniform(-100, 100)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    stats: dict = {}
+    got = {
+        r.id: r.dense_id
+        for r in assign_dense_ids(
+            df, "v", tiebreak=["id"], rows_per_bucket=rng.choice([200, 500]),
+            on_null="last", stats_out=stats,
+        ).collect()
+    }
+
+    def key(item):
+        i, v = item
+        if v is None:
+            return (1, 0, i)       # NULLs after all numbers
+        if math.isnan(v):
+            return (2, 0, i)       # NaNs after NULLs
+        return (0, v, i)
+
+    expect = {i: rank for rank, (i, _v) in enumerate(sorted(rows, key=key))}
+    assert got == expect, f"seed={seed} stats={stats}"
+    assert stats["residual_saturated"] == 0, stats
