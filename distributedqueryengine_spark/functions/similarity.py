@@ -1409,3 +1409,71 @@ def maxsim_topk(
             "rnk",
         )
     )
+
+
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cos: float | None = None,
+    overfetch: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query vector, the top-`k` MOST similar corpus items that are
+    NOT its known positives — the negatives that actually teach the
+    model (random negatives are trivially separable; the hard ones sit
+    just under the positives). `positives` holds (query_id,
+    positive_id) pairs; `max_cos` (optional) additionally drops
+    candidates with cosine >= it — the standard false-negative guard
+    (an unlabeled near-duplicate of the positive is almost surely a
+    positive, not a negative).
+
+    Output: (query_id, neighbor_id, cos, rnk 1..k), rnk by (cos desc,
+    id asc).
+
+    Scale shape: one brute_force_topk pass with k' = k + max positives
+    per query (a 1-scalar driver agg; override with `overfetch` when
+    `max_cos` filtering may also consume slots), then a results-sized
+    LEFT ANTI join against `positives` and a re-rank window over ≤ k'
+    rows per query — no second corpus pass, nothing corpus-sized
+    shuffles. For huge query sets swap the first stage for the ANN
+    probe (`probe_lsh_index`/`probe_ivf_index` ids) — the anti-join +
+    re-rank composition is unchanged."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qid, pid = "query_id", "positive_id"
+    if set(positives.columns) != {qid, pid}:
+        raise ValueError(
+            f"positives must have exactly columns ({qid}, {pid}), "
+            f"got {positives.columns}"
+        )
+    if overfetch is None:
+        m = positives.groupBy(qid).agg(F.count(F.lit(1)).alias("n")).agg(
+            F.coalesce(F.max("n"), F.lit(0)).alias("m")
+        ).collect()[0]["m"]
+        overfetch = k + int(m)
+    cands = brute_force_topk(
+        queries, corpus, k=overfetch, id_col=id_col, vec_col=vec_col
+    )
+    neg = cands.join(
+        positives.select(
+            F.col(qid).alias("query_id"), F.col(pid).alias("neighbor_id")
+        ),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    if max_cos is not None:
+        neg = neg.filter(F.col("cos") < F.lit(float(max_cos)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        neg.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos", "rnk")
+    )

@@ -299,11 +299,25 @@ ORACLES["sim_bruteforce_topk"] = r"""
                       id AS neighbor_id, score,
                       CAST(row_number() OVER (
                           ORDER BY score DESC, id ASC) AS INTEGER) AS rnk
-               FROM fuse QUALIFY rnk <= 10)
+               FROM fuse QUALIFY rnk <= 10),
+             -- 'hardneg' branch: each query's top-1 neighbor is its
+             -- known positive; negatives are the next-3 most similar
+             pos1 AS (SELECT query_id, neighbor_id FROM r WHERE rnk = 1),
+             hneg AS (
+               SELECT 'hardneg' AS branch, s.query_id, s.neighbor_id,
+                      s.cos AS score,
+                      CAST(row_number() OVER (PARTITION BY s.query_id
+                          ORDER BY s.cos DESC, s.neighbor_id ASC)
+                          AS INTEGER) AS rnk
+               FROM s ANTI JOIN pos1 p
+                 ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
+               QUALIFY rnk <= 3)
         SELECT 'cos' AS branch, query_id, neighbor_id, cos AS score, rnk
         FROM r WHERE rnk <= 5
         UNION ALL
         SELECT * FROM rrfb
+        UNION ALL
+        SELECT * FROM hneg
     """
 ORACLES["multimodal_features"] = r"""
         SELECT doc_id AS media_id,

@@ -539,7 +539,21 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rrf_score").alias("score"),
         "rnk",
     )
-    return cos.unionByName(fused)
+    # 'hardneg' branch (r10): contrastive-training hard-negative mining
+    # — each query's top-1 neighbor is its known positive; the mined
+    # negatives are the next-3 most similar (one overfetched pass +
+    # anti-join + re-rank, no second corpus scan).
+    pos = S.brute_force_topk(queries_df, emb, k=1).select(
+        "query_id", F.col("neighbor_id").alias("positive_id")
+    )
+    hardneg = S.mine_hard_negatives(queries_df, emb, pos, k=3).select(
+        F.lit("hardneg").alias("branch"),
+        "query_id",
+        "neighbor_id",
+        F.col("cos").alias("score"),
+        "rnk",
+    )
+    return cos.unionByName(fused).unionByName(hardneg)
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -570,3 +570,51 @@ def test_maxsim_topk_string_ids(spark):
     empty = maxsim_topk(qs_df.limit(0), docs_df, 3)
     assert empty.count() == 0
     assert dict(empty.dtypes)["query_id"] == "string"
+
+
+def test_mine_hard_negatives_semantics(spark):
+    """Hard negatives = top-k most similar EXCLUDING positives; max_cos
+    drops false-negative near-duplicates; overfetch auto-sizes to the
+    max positives per query."""
+    import math
+
+    from distributedqueryengine_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    # corpus on a circle: similarity decays with angle from the query
+    corpus = spark.createDataFrame(
+        [(i, vec(i * 0.1)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") == 0)
+    positives = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, positive_id long"
+    )
+    got = [
+        (r.neighbor_id, r.rnk)
+        for r in mine_hard_negatives(queries, corpus, positives, k=3)
+        .orderBy("rnk")
+        .collect()
+    ]
+    # nearest non-positive, non-self neighbors by angle: 3, 4, 5
+    assert got == [(3, 1), (4, 2), (5, 3)]
+
+    # max_cos guard: drop anything closer than cos(0.35 rad)
+    guard = [
+        r.neighbor_id
+        for r in mine_hard_negatives(
+            queries, corpus, positives, k=3,
+            max_cos=math.cos(0.35), overfetch=9,
+        ).orderBy("rnk").collect()
+    ]
+    assert guard == [4, 5, 6]
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(0, 1)], "query_id long, wrong long")
+    with _pytest.raises(ValueError, match="positives"):
+        mine_hard_negatives(queries, corpus, bad, k=1)
