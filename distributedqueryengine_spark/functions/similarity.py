@@ -1420,6 +1420,7 @@ def mine_hard_negatives(
     vec_col: str = "embedding",
     max_cos: float | None = None,
     overfetch: int | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training: for
     each query vector, the top-`k` MOST similar corpus items that are
@@ -1439,9 +1440,13 @@ def mine_hard_negatives(
     `max_cos` filtering may also consume slots), then a results-sized
     LEFT ANTI join against `positives` and a re-rank window over ≤ k'
     rows per query — no second corpus pass, nothing corpus-sized
-    shuffles. For huge query sets swap the first stage for the ANN
-    probe (`probe_lsh_index`/`probe_ivf_index` ids) — the anti-join +
-    re-rank composition is unchanged."""
+    shuffles. `candidates` skips the first stage entirely: pass a
+    precomputed (query_id, neighbor_id, cos) ranking — a persisted
+    ANN probe (`probe_lsh_index`/`probe_ivf_index`), or a shared
+    brute-force pass another consumer already pays for — and only the
+    anti-join + re-rank run. Reusing the candidate table across
+    retrieval, eval, and mining is the production shape; the caller
+    must ensure it holds ≥ k + max-positives rows per query."""
     from pyspark.sql.window import Window
 
     if k < 1:
@@ -1452,14 +1457,20 @@ def mine_hard_negatives(
             f"positives must have exactly columns ({qid}, {pid}), "
             f"got {positives.columns}"
         )
-    if overfetch is None:
-        m = positives.groupBy(qid).agg(F.count(F.lit(1)).alias("n")).agg(
-            F.coalesce(F.max("n"), F.lit(0)).alias("m")
-        ).collect()[0]["m"]
-        overfetch = k + int(m)
-    cands = brute_force_topk(
-        queries, corpus, k=overfetch, id_col=id_col, vec_col=vec_col
-    )
+    if candidates is not None:
+        missing = {"query_id", "neighbor_id", "cos"} - set(candidates.columns)
+        if missing:
+            raise ValueError(f"candidates is missing columns {sorted(missing)}")
+        cands = candidates
+    else:
+        if overfetch is None:
+            m = positives.groupBy(qid).agg(F.count(F.lit(1)).alias("n")).agg(
+                F.coalesce(F.max("n"), F.lit(0)).alias("m")
+            ).collect()[0]["m"]
+            overfetch = k + int(m)
+        cands = brute_force_topk(
+            queries, corpus, k=overfetch, id_col=id_col, vec_col=vec_col
+        )
     neg = cands.join(
         positives.select(
             F.col(qid).alias("query_id"), F.col(pid).alias("neighbor_id")

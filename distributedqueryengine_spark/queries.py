@@ -518,7 +518,13 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 10 == 0)
-    cos = S.brute_force_topk(queries_df, emb, k=5).select(
+    # ONE corpus pass feeds three consumers (the production candidate-
+    # table reuse shape): the cos branch reads it whole, the top-1 rows
+    # are the hardneg branch's positives, and the remaining ranks are
+    # its candidate pool. localCheckpoint truncates the shared lineage
+    # so the branches don't re-run the matmul pass.
+    bf5 = S.brute_force_topk(queries_df, emb, k=5).localCheckpoint()
+    cos = bf5.select(
         F.lit("cos").alias("branch"),
         "query_id",
         "neighbor_id",
@@ -541,12 +547,15 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 'hardneg' branch (r10): contrastive-training hard-negative mining
     # — each query's top-1 neighbor is its known positive; the mined
-    # negatives are the next-3 most similar (one overfetched pass +
-    # anti-join + re-rank, no second corpus scan).
-    pos = S.brute_force_topk(queries_df, emb, k=1).select(
+    # negatives are the next-3 most similar. Both the positives and the
+    # candidate pool come from the SHARED bf5 pass (the `candidates`
+    # reuse path) — no extra corpus scans.
+    pos = bf5.filter(F.col("rnk") == 1).select(
         "query_id", F.col("neighbor_id").alias("positive_id")
     )
-    hardneg = S.mine_hard_negatives(queries_df, emb, pos, k=3).select(
+    hardneg = S.mine_hard_negatives(
+        queries_df, emb, pos, k=3, candidates=bf5
+    ).select(
         F.lit("hardneg").alias("branch"),
         "query_id",
         "neighbor_id",

@@ -618,3 +618,46 @@ def test_mine_hard_negatives_semantics(spark):
     bad = spark.createDataFrame([(0, 1)], "query_id long, wrong long")
     with _pytest.raises(ValueError, match="positives"):
         mine_hard_negatives(queries, corpus, bad, k=1)
+
+
+def test_mine_hard_negatives_candidates_reuse(spark):
+    """The candidates reuse path equals the direct path and validates
+    its input columns."""
+    import math
+
+    from distributedqueryengine_spark.functions.similarity import (
+        brute_force_topk,
+        mine_hard_negatives,
+    )
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i * 0.1)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") % 5 == 0)
+    cands = brute_force_topk(queries, corpus, k=6)
+    positives = cands.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("neighbor_id").alias("positive_id")
+    )
+    direct = sorted(
+        tuple(r)
+        for r in mine_hard_negatives(queries, corpus, positives, k=3).collect()
+    )
+    reused = sorted(
+        tuple(r)
+        for r in mine_hard_negatives(
+            queries, corpus, positives, k=3, candidates=cands
+        ).collect()
+    )
+    assert direct == reused and len(direct) == 6  # 2 queries x 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="candidates is missing"):
+        mine_hard_negatives(
+            queries, corpus, positives, k=1,
+            candidates=cands.drop("cos"),
+        )
