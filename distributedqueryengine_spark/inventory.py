@@ -461,7 +461,41 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).cast("int").alias("within_bound"),
     )
-    return hll.unionByName(gk)
+
+    # bk_quantiles (r10): the mergeable bottom-k quantile sketch in
+    # PORTABLE hash mode — unlike hll/gk, the sketch itself is
+    # engine-reproducible (deterministic md5 sample), so the oracle
+    # rebuilds the identical sample and the same estimates; the
+    # within-bound verdict uses exact percentiles at p±0.07 (≥4.5σ of
+    # the r=1024 sampling error).
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+        quantile_state_estimate,
+    )
+
+    li2 = li.withColumn(
+        "__rid", F.concat_ws("_", "l_orderkey", "l_linenumber")
+    )
+    st = quantile_state_build(
+        li2, ["l_returnflag"], "l_extendedprice", "__rid",
+        r=1024, portable=True,
+    )
+    est = quantile_state_estimate(st, ["l_returnflag"], [0.5, 0.9])
+    bk_bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", [0.43, 0.57, 0.83, 0.97]).alias("b")
+    )
+    bk = est.join(bk_bounds, "l_returnflag").select(
+        F.lit("bk_quantiles").alias("variant"),
+        F.col("l_returnflag").cast("string").alias("key"),
+        F.col("n").cast("bigint").alias("n_exact"),
+        (
+            (F.col("q_0_5") >= F.col("b")[0])
+            & (F.col("q_0_5") <= F.col("b")[1])
+            & (F.col("q_0_9") >= F.col("b")[2])
+            & (F.col("q_0_9") <= F.col("b")[3])
+        ).cast("int").alias("within_bound"),
+    )
+    return hll.unionByName(gk).unionByName(bk)
 
 
 def approx_sketches_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +739,15 @@ FROM orders GROUP BY o_orderstatus
 UNION ALL
 SELECT 'gk_percentiles' AS variant, CAST(l_returnflag AS VARCHAR) AS key,
        CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(1 AS INTEGER) AS within_bound
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+-- bk_quantiles: the bottom-k sketch is deterministic (portable md5
+-- sample), so beyond this expected-verdict row the sample AND the
+-- estimates are pinned EQUAL across engines in
+-- tests/test_property_stats.py::test_quantile_sketch_matches_duckdb
+SELECT 'bk_quantiles' AS variant, CAST(l_returnflag AS VARCHAR) AS key,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n_exact,
        CAST(1 AS INTEGER) AS within_bound
 FROM lineitem GROUP BY l_returnflag
 """

@@ -384,3 +384,70 @@ def test_assign_dense_ids_random_distributions(spark, seed):
     expect = {i: rank for rank, (i, _v) in enumerate(sorted(rows, key=key))}
     assert got == expect, f"seed={seed} stats={stats}"
     assert stats["residual_saturated"] == 0, stats
+
+
+# -------------------------------------- bottom-k quantile sketch (r10)
+
+
+def test_quantile_sketch_matches_duckdb(spark):
+    """The portable bottom-k quantile sketch is deterministic end to
+    end: DuckDB computing the documented md5 spec reproduces the exact
+    sample membership, counts, AND the estimates."""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+        quantile_state_estimate,
+    )
+    from distributedqueryengine_spark.session import get_spark, load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "__rid", F.concat_ws("_", "l_orderkey", "l_linenumber")
+    )
+    R = 64
+    st = quantile_state_build(
+        li, ["l_returnflag"], "l_extendedprice", "__rid", r=R, portable=True
+    )
+    est = quantile_state_estimate(st, ["l_returnflag"], [0.5, 0.9])
+    got_states = {
+        r.l_returnflag: (r.n, sorted(s.v for s in r.sample))
+        for r in st.collect()
+    }
+    got_est = {
+        r.l_returnflag: (r.n, r.q_0_5, r.q_0_9) for r in est.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    rows = con.execute(f"""
+        WITH ranked AS (
+          SELECT l_returnflag AS key, l_extendedprice AS v,
+                 CAST('0x' || substr(md5(
+                     CAST(l_orderkey AS VARCHAR) || '_' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) AS rank,
+                 CAST(l_orderkey AS VARCHAR) || '_' ||
+                     CAST(l_linenumber AS VARCHAR) AS rid
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        rn AS (
+          SELECT key, v,
+                 row_number() OVER (PARTITION BY key
+                     ORDER BY rank, v, rid) AS rn,
+                 count(*) OVER (PARTITION BY key) AS n
+          FROM ranked),
+        samp AS (SELECT key, n, v FROM rn WHERE rn <= {R}),
+        sv AS (
+          SELECT key, any_value(n) AS n, list_sort(list(v)) AS vals
+          FROM samp GROUP BY key)
+        SELECT key, n, vals,
+               vals[CAST(floor(0.5 * (len(vals) - 1)) AS INTEGER) + 1] AS q50,
+               vals[CAST(floor(0.9 * (len(vals) - 1)) AS INTEGER) + 1] AS q90
+        FROM sv
+    """).fetchall()
+    expect_states = {r[0]: (r[1], sorted(r[2])) for r in rows}
+    expect_est = {r[0]: (r[1], r[3], r[4]) for r in rows}
+    assert got_states == expect_states
+    assert got_est == expect_est

@@ -757,3 +757,85 @@ def test_assign_dense_ids_heavy_atom_with_tail_converges(spark):
         for rank, (v, id_) in enumerate(sorted((v, i) for i, v in rows))
     }
     assert out == expect
+
+
+def test_quantile_state_rollup_merge_identical_to_direct(spark, tables):
+    """The bottom-k quantile sketch's consistency contract (same as the
+    HLL rollup): fine states (per o_orderstatus) merged up to a coarse
+    grain are BIT-IDENTICAL to building directly at the coarse grain,
+    and estimates from the merged state hit the exact percentiles
+    within the sampling rank bound."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+        quantile_state_estimate,
+        quantile_state_merge,
+    )
+
+    orders = tables["orders"].withColumn(
+        "__rid", F.col("o_orderkey").cast("string")
+    )
+    R = 512
+    fine = quantile_state_build(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice",
+        "__rid", r=R,
+    )
+    merged = quantile_state_merge([fine], ["o_orderstatus"], r=R)
+    direct = quantile_state_build(
+        orders, ["o_orderstatus"], "o_totalprice", "__rid", r=R
+    )
+    m = {r_["o_orderstatus"]: r_ for r_ in merged.collect()}
+    d = {r_["o_orderstatus"]: r_ for r_ in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["n"] == d[k]["n"], k
+        assert m[k]["sample"] == d[k]["sample"], f"sample mismatch for {k}"
+
+    # estimates within the sampling rank bound vs exact percentiles
+    probs = [0.5, 0.9]
+    est = {
+        r_["o_orderstatus"]: r_
+        for r_ in quantile_state_estimate(
+            merged, ["o_orderstatus"], probs
+        ).collect()
+    }
+    exact = {
+        r_["o_orderstatus"]: r_
+        for r_ in orders.groupBy("o_orderstatus").agg(
+            F.percentile("o_totalprice", [0.35, 0.65, 0.78, 0.97]).alias("b")
+        ).collect()
+    }
+    for k, e in est.items():
+        lo50, hi50, lo90, hi90 = exact[k]["b"]
+        assert lo50 <= e["q_0_5"] <= hi50, (k, e["q_0_5"], lo50, hi50)
+        assert lo90 <= e["q_0_9"] <= hi90, (k, e["q_0_9"], lo90, hi90)
+
+
+def test_quantile_state_merge_multiple_increments(spark):
+    """Three disjoint increments merged equal a single global build —
+    the append-only rollup path — and a global (no-key) merge works."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+        quantile_state_estimate,
+        quantile_state_merge,
+    )
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    parts = [
+        df.filter((F.col("id") % 3) == i).withColumn("g", F.lit("all"))
+        for i in range(3)
+    ]
+    R = 256
+    states = [quantile_state_build(p, ["g"], "v", "id", r=R) for p in parts]
+    merged = quantile_state_merge(states, ["g"], r=R)
+    direct = quantile_state_build(
+        df.withColumn("g", F.lit("all")), ["g"], "v", "id", r=R
+    )
+    assert merged.collect()[0]["sample"] == direct.collect()[0]["sample"]
+    assert merged.collect()[0]["n"] == 3000
+
+    # global (keyless) merge
+    g = quantile_state_merge(states, [], r=R)
+    est = quantile_state_estimate(g, [], [0.5]).collect()[0]
+    assert est["n"] == 3000
+    assert abs(est["q_0_5"] - 499.5) < 80  # ~4 sigma at r=256
