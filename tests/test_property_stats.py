@@ -14,6 +14,7 @@ from collections import defaultdict
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _normal_sf2(t):
@@ -451,3 +452,134 @@ def test_quantile_sketch_matches_duckdb(spark):
     expect_est = {r[0]: (r[1], r[3], r[4]) for r in rows}
     assert got_states == expect_states
     assert got_est == expect_est
+
+
+@pytest.mark.parametrize("seed", [60, 61, 62])
+def test_quantile_sketch_random_params_match_duckdb(spark, seed):
+    """Random r / probs / grouping through the portable sketch vs the
+    DuckDB mirror — estimates equal exactly for every shape."""
+    import duckdb
+
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+        quantile_state_estimate,
+    )
+    from distributedqueryengine_spark.session import load_table
+
+    rng = random.Random(seed)
+    R = rng.choice([16, 50, 200])
+    probs = sorted(rng.sample([0.1, 0.25, 0.5, 0.75, 0.95, 0.99], 2))
+    key = rng.choice(["o_orderstatus", "o_orderpriority"])
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").withColumn(
+        "__rid", F.col("o_orderkey").cast("string")
+    )
+    st = quantile_state_build(
+        orders, [key], "o_totalprice", "__rid", r=R, portable=True
+    )
+    est = quantile_state_estimate(st, [key], probs)
+    cols = [f"q_{str(p).replace('.', '_')}" for p in probs]
+    got = {
+        r_[key]: (r_["n"], *(r_[c] for c in cols)) for r_ in est.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    sel = ", ".join(
+        f"vals[CAST(floor({p} * (len(vals) - 1)) AS INTEGER) + 1] AS e{i}"
+        for i, p in enumerate(probs)
+    )
+    rows = con.execute(f"""
+        WITH ranked AS (
+          SELECT {key} AS k, o_totalprice AS v,
+                 CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                      1, 15) AS BIGINT) AS rank,
+                 CAST(o_orderkey AS VARCHAR) AS rid
+          FROM orders WHERE o_totalprice IS NOT NULL),
+        rn AS (SELECT k, v,
+                      row_number() OVER (PARTITION BY k
+                          ORDER BY rank, v, rid) AS rn,
+                      count(*) OVER (PARTITION BY k) AS n
+               FROM ranked),
+        sv AS (SELECT k, any_value(n) AS n, list_sort(list(v)) AS vals
+               FROM rn WHERE rn <= {R} GROUP BY k)
+        SELECT k, n, {sel} FROM sv
+    """).fetchall()
+    expect = {r_[0]: tuple(r_[1:]) for r_ in rows}
+    assert got == expect, (R, probs, key)
+
+
+@pytest.mark.parametrize("seed", [70, 71, 72])
+def test_rrf_fuse_random_weights_match_duckdb(spark, seed):
+    """Random weights / c / k through rrf_fuse over two deterministic
+    rankings derived from orders vs the identical SQL in DuckDB."""
+    import duckdb
+
+    from distributedqueryengine_spark.functions.retrieval_eval import rrf_fuse
+    from distributedqueryengine_spark.session import load_table
+
+    rng = random.Random(seed)
+    w1, w2 = round(rng.uniform(0.5, 2), 3), round(rng.uniform(0.5, 2), 3)
+    c = round(rng.uniform(10, 90), 1)
+    k = rng.randint(3, 12)
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    # two rankings of customers: by total spend, by order count
+    a = (
+        orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("s").desc(), F.col("o_custkey").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("o_custkey").alias("doc_id"), "rnk")
+    )
+    b = (
+        orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cn"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cn").desc(), F.col("o_custkey").asc())
+            ),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("o_custkey").alias("doc_id"), "rnk")
+    )
+    got = sorted(
+        (r.doc_id, r.rrf_score, r.n_lists, r.rnk)
+        for r in rrf_fuse([a, b], k=k, c=c, weights=[w1, w2]).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    rows = con.execute(f"""
+        WITH a AS (
+          SELECT o_custkey AS id,
+                 row_number() OVER (ORDER BY sum(o_totalprice) DESC,
+                                    o_custkey ASC) AS rnk
+          FROM orders GROUP BY o_custkey QUALIFY rnk <= 20),
+        b AS (
+          SELECT o_custkey AS id,
+                 row_number() OVER (ORDER BY count(*) DESC,
+                                    o_custkey ASC) AS rnk
+          FROM orders GROUP BY o_custkey QUALIFY rnk <= 20),
+        u AS (SELECT id, {w1} / ({c} + rnk) AS contrib FROM a
+              UNION ALL SELECT id, {w2} / ({c} + rnk) FROM b),
+        f AS (SELECT id, round(sum(contrib), 9) AS score,
+                     CAST(count(*) AS INTEGER) AS n_lists
+              FROM u GROUP BY id)
+        SELECT id, score, n_lists,
+               CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+                    AS INTEGER) AS rnk
+        FROM f QUALIFY rnk <= {k}
+    """).fetchall()
+    expect = sorted(tuple(r_) for r_ in rows)
+    assert got == expect, (w1, w2, c, k)
