@@ -1,4 +1,4 @@
-"""Streaming mergeable sketches: continuous heavy hitters.
+"""Streaming mergeable sketches: continuous heavy hitters + quantiles.
 
 The streaming face of operators/aggregates.heavy_hitters: Misra-Gries
 summaries are MERGEABLE (sum counters item-wise, then re-truncate to k
@@ -103,6 +103,101 @@ def stream_heavy_hitters(
             write_batch_idempotent(
                 batch_df.sparkSession.createDataFrame(
                     est, "item string, count_lo long, count_hi long"
+                ),
+                batch_id,
+                path,
+            )
+
+    writer = stream.writeStream.foreachBatch(fold).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), mon
+
+
+class QuantileMonitor:
+    """Running bottom-k quantile state (see
+    operators/aggregates.quantile_state_build): n + the r smallest
+    (rank, v) pairs seen so far. Bottom-k merge is EXACT, so the
+    stream-so-far sample equals a batch build over every row ingested
+    — not an approximation of it (pinned in tests)."""
+
+    def __init__(self, r: int = 1024):
+        if r < 1:
+            raise ValueError(f"r must be >= 1, got {r}")
+        self.r = int(r)
+        self.n = 0
+        self.sample: list[tuple[int, float]] = []
+
+    def merge_state(self, n: int, elems) -> None:
+        self.n += int(n)
+        self.sample = sorted(self.sample + [tuple(e) for e in elems])[: self.r]
+
+    def estimates(self, probs) -> dict[float, float]:
+        """{p: lower empirical quantile of the sample} — same index
+        arithmetic as quantile_state_estimate."""
+        vals = sorted(v for _, v in self.sample)
+        if not vals:
+            return {float(p): None for p in probs}
+        m = len(vals)
+        return {
+            float(p): vals[int(p * (m - 1))] for p in probs
+        }
+
+
+def stream_quantiles(
+    stream: DataFrame,
+    value_col: str,
+    id_col: str,
+    r: int = 1024,
+    monitor: QuantileMonitor | None = None,
+    checkpoint: str | None = None,
+    path: str | None = None,
+    probs=(0.5, 0.9, 0.99),
+):
+    """Maintain continuous quantiles over a stream: each micro-batch
+    builds the bottom-k quantile state (one batch-sized pass) and
+    merges it into the monitor — r pairs of driver state, never a
+    values table. Returns (query, monitor); read
+    `monitor.estimates(probs)` at any point for the stream-so-far
+    quantiles, which are EXACTLY those of a batch build over all rows
+    so far (bottom-k merge is exact).
+
+    Pass parquet `path` to also land each batch's stream-so-far
+    estimates as one row (p, q columns per prob) under batch_id
+    partitions with the replay-idempotent dynamic overwrite of
+    streaming/sinks.py. Same restart caveat as stream_heavy_hitters:
+    the monitor is driver-memory state — treat the LAST batch_id
+    partition as authoritative."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+    )
+
+    mon = monitor or QuantileMonitor(r)
+    probs = [float(p) for p in probs]
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        st = quantile_state_build(
+            batch_df, [], value_col, id_col, r=mon.r
+        ).collect()
+        if not st:
+            return
+        row = st[0]
+        mon.merge_state(row["n"], [(e["rank"], e["v"]) for e in row["sample"]])
+        if path is not None:
+            from distributedqueryengine_spark.streaming.sinks import (
+                write_batch_idempotent,
+            )
+
+            est = mon.estimates(probs)
+            cols = ", ".join(
+                f"q_{str(p).replace('.', '_')} double" for p in probs
+            )
+            write_batch_idempotent(
+                batch_df.sparkSession.createDataFrame(
+                    [tuple([int(mon.n)] + [est[p] for p in probs])],
+                    f"n long, {cols}",
                 ),
                 batch_id,
                 path,

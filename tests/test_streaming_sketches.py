@@ -118,3 +118,53 @@ def test_stream_heavy_hitters_parquet_sink_replay_idempotent(
     n_before = out.count()
     write_batch_idempotent(replay, 1, summaries)
     assert spark.read.parquet(summaries).count() == n_before
+
+
+def test_stream_quantiles_exactly_equal_batch_build(spark, tables, tmp_path):
+    """The streaming quantile monitor's stream-so-far sample is EXACTLY
+    the batch build over all ingested rows (bottom-k merge is exact,
+    not approximate), and the parquet sink lands one estimates row per
+    batch."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+    )
+    from distributedqueryengine_spark.streaming.sketches import stream_quantiles
+
+    ev = tables["events"].select("event_id", "value").withColumn(
+        "__rid", F.col("event_id").cast("string")
+    )
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    chunks = ev.randomSplit([1.0, 1.0, 1.0], seed=13)
+    for i, chunk in enumerate(chunks):
+        tmp = str(tmp_path / f"_b{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/b{i}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    qpath = str(tmp_path / "q")
+    q, mon = stream_quantiles(
+        stream, "value", "__rid", r=128,
+        checkpoint=str(tmp_path / "ckpt"), path=qpath, probs=(0.5, 0.9),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    direct = quantile_state_build(ev, [], "value", "__rid", r=128).collect()[0]
+    assert mon.n == direct["n"]
+    assert mon.sample == [(e["rank"], e["v"]) for e in direct["sample"]]
+
+    out = spark.read.parquet(qpath)
+    assert out.count() == 3  # one estimates row per batch
+    last = out.orderBy(F.col("batch_id").desc()).first()
+    est = mon.estimates([0.5, 0.9])
+    assert last.n == mon.n
+    assert last.q_0_5 == est[0.5] and last.q_0_9 == est[0.9]
