@@ -306,3 +306,80 @@ def cuped_adjust(
     return joined.withColumn(out_col, F.round(adjusted, 6)).drop(
         "__cxy", "__vx", "__mx"
     )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control: str,
+    treatment: str,
+    tau2: float = 1.0,
+    by: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Always-valid (peeking-safe) test of the treatment-vs-control
+    mean difference: the mixture Sequential Probability Ratio Test of
+    Johari, Koomen, Pekelis & Walsh ("Peeking at A/B Tests", KDD'17)
+    with a normal mixture prior of variance `tau2` over the effect.
+
+    A fixed-n p-value (welch_ttest) is only valid at ONE
+    pre-registered look; monitored continuously it inflates false
+    positives severalfold. The mSPRT p-value is valid at EVERY look
+    simultaneously: with observed difference Δ and variance of the
+    difference V = s²_c/n_c + s²_t/n_t,
+
+        Λ = sqrt(V / (V + τ²)) · exp( Δ²·τ² / (2·V·(V + τ²)) )
+        p_always_valid = min(1, 1/Λ)
+
+    Report min(p so far) across looks — it is a valid sequential
+    p-value under H0 for any stopping rule. τ² tunes sensitivity:
+    roughly the prior variance of plausible effects (too small wastes
+    power on effects it can't represent; too large dilutes Λ early).
+    Output: by-cols + (n_control, n_treatment, diff, lambda_mixture,
+    p_always_valid). Cells missing a variant or with n < 2 drop, as in
+    welch_ttest. One aggregate + JVM column math — the same shape as
+    the fixed-n tests, so it runs per micro-batch or per day over the
+    same state."""
+    if tau2 <= 0:
+        raise ValueError(f"tau2 must be > 0, got {tau2}")
+    keys = list(by)
+    per_group = (
+        df.filter(F.col(group_col).isin(control, treatment))
+        .groupBy(*keys, group_col)
+        .agg(
+            F.count(metric_col).alias("n"),
+            F.avg(metric_col).alias("m"),
+            F.var_samp(metric_col).alias("v"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    c = per_group.filter(F.col(group_col) == control).select(
+        *keys,
+        F.col("n").alias("n_control"),
+        F.col("m").alias("__mc"),
+        F.col("v").alias("__vc"),
+    )
+    t_ = per_group.filter(F.col(group_col) == treatment).select(
+        *keys,
+        F.col("n").alias("n_treatment"),
+        F.col("m").alias("__mt"),
+        F.col("v").alias("__vt"),
+    )
+    joined = c.join(t_, keys) if keys else c.crossJoin(t_)
+    diff = F.col("__mt") - F.col("__mc")
+    v = (
+        F.col("__vc") / F.col("n_control")
+        + F.col("__vt") / F.col("n_treatment")
+    )
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(v / (v + t2)) * F.exp(
+        (diff * diff) * t2 / (2.0 * v * (v + t2))
+    )
+    return joined.select(
+        *keys,
+        "n_control",
+        "n_treatment",
+        F.round(diff, 6).alias("diff"),
+        F.round(lam, 6).alias("lambda_mixture"),
+        F.round(F.least(F.lit(1.0), 1.0 / lam), 6).alias("p_always_valid"),
+    )

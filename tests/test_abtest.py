@@ -237,3 +237,48 @@ def test_srm_check_rejects_nonpositive_ratio(spark):
         srm_check(df, "grp", {"a": 1.0, "b": 0.0})
     with pytest.raises(ValueError, match="> 0"):
         srm_check(df, "grp", {"a": 1.5, "b": -0.5})
+
+
+def test_msprt_always_valid_matches_reference_and_behaves(spark):
+    """mSPRT vs the python formula on random shapes; A/A stays
+    insignificant across repeated looks while a planted effect drives
+    p below alpha as data accumulates (the peeking-safety property the
+    fixed-n t-test lacks)."""
+    from distributedqueryengine_spark.operators.abtest import (
+        msprt_always_valid,
+    )
+
+    rng = random.Random(42)
+
+    def run(effect, n):
+        rows = [("c", rng.gauss(10, 2)) for _ in range(n)] + [
+            ("t", rng.gauss(10 + effect, 2)) for _ in range(n)
+        ]
+        df = spark.createDataFrame(rows, "grp string, m double")
+        r = msprt_always_valid(df, "grp", "m", "c", "t", tau2=0.5).collect()[0]
+        # python reference
+        cs = [m for g, m in rows if g == "c"]
+        ts = [m for g, m in rows if g == "t"]
+        mc, mt = sum(cs) / len(cs), sum(ts) / len(ts)
+        vc = sum((x - mc) ** 2 for x in cs) / (len(cs) - 1)
+        vt = sum((x - mt) ** 2 for x in ts) / (len(ts) - 1)
+        v = vc / len(cs) + vt / len(ts)
+        lam = math.sqrt(v / (v + 0.5)) * math.exp(
+            (mt - mc) ** 2 * 0.5 / (2 * v * (v + 0.5))
+        )
+        p_ref = min(1.0, 1.0 / lam)
+        assert abs(r.p_always_valid - p_ref) < 1e-4, (n, effect)
+        return r.p_always_valid
+
+    # A/A: min over 5 looks stays above alpha
+    aa = [run(0.0, n) for n in (50, 100, 200, 400, 800)]
+    assert min(aa) > 0.05, aa
+    # planted effect: p crosses alpha by the largest look
+    ab = [run(1.0, n) for n in (50, 100, 200, 400, 800)]
+    assert min(ab) < 0.01, ab
+
+    import pytest
+
+    df = spark.createDataFrame([("c", 1.0)], "grp string, m double")
+    with pytest.raises(ValueError, match="tau2"):
+        msprt_always_valid(df, "grp", "m", "c", "t", tau2=0.0)
