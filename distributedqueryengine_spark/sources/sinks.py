@@ -291,7 +291,8 @@ def _leaf_partition_dirs(jvm, fs, root, depth: int) -> list[str]:
 
 
 def _compact_one_dir(
-    spark, jvm, hconf, fs, root: str, rel: str, target_file_mb: int, fmt: str
+    spark, jvm, hconf, fs, root: str, rel: str, target_file_mb: int, fmt: str,
+    zorder_by: Sequence[str] = (),
 ) -> dict:
     """Compact one leaf partition dir `<root>/<rel>`. Staging and backup
     are suffixed SIBLINGS of the dataset root (`<root>__compacting__…`,
@@ -307,8 +308,17 @@ def _compact_one_dir(
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.format(fmt).load(dirpath)
-    cur_parts = df.rdd.getNumPartitions()
-    sized = df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
+    if zorder_by:
+        from distributedqueryengine_spark.operators.zorder import (
+            zorder_repartition,
+        )
+
+        sized = zorder_repartition(df, list(zorder_by), n_out)
+    else:
+        cur_parts = df.rdd.getNumPartitions()
+        sized = (
+            df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
+        )
 
     staging = root.rstrip("/") + "__compacting__" + _esc_rel(rel)
     sized.write.format(fmt).mode("overwrite").save(staging)
@@ -333,6 +343,7 @@ def _compact_files_impl(
     fmt: str = "parquet",
     partition_by: Sequence[str] = (),
     incremental: bool = False,
+    zorder_by: Sequence[str] = (),
 ) -> dict:
     """Rewrite a (possibly partitioned) file dataset into ~target-sized
     files — the small-files maintenance op every long-lived lake needs:
@@ -385,7 +396,8 @@ def _compact_files_impl(
             stats["bytes"] += int(nbytes)
             if len(files) > needed:
                 one = _compact_one_dir(
-                    spark, jvm, hconf, fs, path, rel, target_file_mb, fmt
+                    spark, jvm, hconf, fs, path, rel, target_file_mb, fmt,
+                    zorder_by=zorder_by,
                 )
                 stats["partitions_compacted"] += 1
                 stats["files_after"] += one["files_after"]
@@ -399,8 +411,17 @@ def _compact_files_impl(
     n_out = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
 
     df = spark.read.format(fmt).load(path)
-    cur_parts = df.rdd.getNumPartitions()
-    sized = df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
+    if zorder_by:
+        from distributedqueryengine_spark.operators.zorder import (
+            zorder_repartition,
+        )
+
+        sized = zorder_repartition(df, list(zorder_by), n_out)
+    else:
+        cur_parts = df.rdd.getNumPartitions()
+        sized = (
+            df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
+        )
 
     staging = path.rstrip("/") + "__compacting"
     writer = sized.write.format(fmt).mode("overwrite")
@@ -664,19 +685,29 @@ def compact_files(
     partition_by: Sequence[str] = (),
     incremental: bool = False,
     force_unlock: bool = False,
+    zorder_by: Sequence[str] = (),
 ) -> dict:
     """Public entry for file compaction (semantics, modes, and swap
     safety per `_compact_files_impl`'s docstring / module docstring),
     serialized by the single-writer maintenance lock: a second
     concurrent compact/merge on the same dataset root raises rather
     than interleaving renames; `force_unlock=True` reclaims a stale
-    lock left by a crashed run (recover_swap then self-heals)."""
+    lock left by a crashed run (recover_swap then self-heals).
+
+    `zorder_by` (≥2 numeric columns) applies Morton clustering during
+    the rewrite (operators/zorder.py) — the OPTIMIZE ZORDER BY of the
+    lakehouse formats on plain parquet: each rewritten file's min/max
+    footer stats then bound EVERY listed column, so filters on any of
+    them prune files. Works in both full and incremental modes (each
+    rewritten partition is clustered independently); costs one range
+    shuffle instead of coalesce."""
     jvm, _hconf, fs = _fs(spark, path)
     lock = _acquire_maintenance_lock(jvm, fs, path, force_unlock)
     try:
         return _compact_files_impl(
             spark, path, target_file_mb=target_file_mb, fmt=fmt,
             partition_by=partition_by, incremental=incremental,
+            zorder_by=zorder_by,
         )
     finally:
         fs.delete(lock, True)

@@ -72,3 +72,56 @@ def test_zorder_guards(spark, tables):
         zorder.zorder_key(orders, ["o_custkey"])
     with pytest.raises(ValueError, match="must be in"):
         zorder.zorder_key(orders, ["o_custkey", "o_totalprice"], bits=40)
+
+
+def test_compact_files_zorder_clusters_output(spark, tables, tmp_path):
+    """compact_files(zorder_by=...) is OPTIMIZE ZORDER BY on plain
+    parquet: the rewrite produces files whose per-file span of EVERY
+    z-ordered column is a small fraction of the global span (the
+    min/max-skipping property), rows survive exactly, and the
+    plain-coalesce compaction shows no such bound."""
+    from distributedqueryengine_spark.sources import sinks
+
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    before = orders.count()
+
+    def file_spans(path, col):
+        import glob as _glob
+
+        spans, gmin, gmax = [], None, None
+        for f in sorted(_glob.glob(path + "/*.parquet")):
+            row = (
+                spark.read.parquet(f)
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .first()
+            )
+            spans.append((row.lo, row.hi))
+            gmin = row.lo if gmin is None else min(gmin, row.lo)
+            gmax = row.hi if gmax is None else max(gmax, row.hi)
+        g = float(gmax - gmin) or 1.0
+        return sum((hi - lo) / g for lo, hi in spans) / len(spans), len(spans)
+
+    zpath = str(tmp_path / "z")
+    orders.repartition(40).write.parquet(zpath)  # scattered small files
+    stats = sinks.compact_files(
+        spark, zpath, target_file_mb=1,
+        zorder_by=["o_custkey", "o_totalprice"],
+    )
+    assert stats["files_after"] < stats["files_before"]
+    out = spark.read.parquet(zpath)
+    assert out.count() == before
+
+    span_a, nfiles = file_spans(zpath, "o_custkey")
+    span_b, _ = file_spans(zpath, "o_totalprice")
+    if nfiles >= 4:  # span bound only meaningful with several files
+        assert span_a < 0.65, span_a
+        assert span_b < 0.65, span_b
+
+    # control: plain compaction leaves at least one column unclustered
+    cpath = str(tmp_path / "c")
+    orders.repartition(40).write.parquet(cpath)
+    sinks.compact_files(spark, cpath, target_file_mb=1)
+    ca, cn = file_spans(cpath, "o_custkey")
+    cb, _ = file_spans(cpath, "o_totalprice")
+    if cn >= 4 and nfiles >= 4:
+        assert max(ca, cb) > max(span_a, span_b), (ca, cb, span_a, span_b)
