@@ -441,14 +441,19 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = [0.5, 0.9, 0.99]
     lo_ps = [max(p - _GK_DELTA, 0.0) for p in ps]
     hi_ps = [min(p + _GK_DELTA, 1.0) for p in ps]
-    # ONE exact-percentile aggregate for all 6 rank targets: each
-    # F.percentile expression buffers every group value independently,
-    # so separate lo/hi calls doubled the dominant cost of this branch.
-    gk = li.groupBy("l_returnflag").agg(
+    # ONE exact-percentile aggregate for ALL rank targets (gk's 6 + the
+    # bk branch's 4): each F.percentile expression buffers every group
+    # value independently, so every separate call would add a full
+    # buffering pass — the dominant cost of this suite.
+    bk_bound_ps = [0.43, 0.57, 0.83, 0.97]
+    exact = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("l_extendedprice", ps, 10000).alias("ap"),
-        F.percentile("l_extendedprice", lo_ps + hi_ps).alias("bounds"),
-    ).select(
+        F.percentile(
+            "l_extendedprice", lo_ps + hi_ps + bk_bound_ps
+        ).alias("bounds"),
+    ).localCheckpoint()  # two consumers (gk + bk): buffer ONCE
+    gk = exact.select(
         F.lit("gk_percentiles").alias("variant"),
         F.col("l_returnflag").cast("string").alias("key"),
         F.col("n").cast("bigint").alias("n_exact"),
@@ -481,18 +486,18 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         r=1024, portable=True,
     )
     est = quantile_state_estimate(st, ["l_returnflag"], [0.5, 0.9])
-    bk_bounds = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", [0.43, 0.57, 0.83, 0.97]).alias("b")
-    )
-    bk = est.join(bk_bounds, "l_returnflag").select(
+    nb = len(lo_ps) + len(hi_ps)  # bk bounds live after gk's in `bounds`
+    bk = est.join(
+        exact.select("l_returnflag", "bounds"), "l_returnflag"
+    ).select(
         F.lit("bk_quantiles").alias("variant"),
         F.col("l_returnflag").cast("string").alias("key"),
         F.col("n").cast("bigint").alias("n_exact"),
         (
-            (F.col("q_0_5") >= F.col("b")[0])
-            & (F.col("q_0_5") <= F.col("b")[1])
-            & (F.col("q_0_9") >= F.col("b")[2])
-            & (F.col("q_0_9") <= F.col("b")[3])
+            (F.col("q_0_5") >= F.col("bounds")[nb])
+            & (F.col("q_0_5") <= F.col("bounds")[nb + 1])
+            & (F.col("q_0_9") >= F.col("bounds")[nb + 2])
+            & (F.col("q_0_9") <= F.col("bounds")[nb + 3])
         ).cast("int").alias("within_bound"),
     )
     return hll.unionByName(gk).unionByName(bk)
@@ -524,7 +529,26 @@ def approx_sketches_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").cast("string").alias("key"),
         F.col("ap")[0].cast("double").alias("estimate"),
     )
-    return hll.unionByName(gk)
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+        quantile_state_estimate,
+    )
+
+    bk = quantile_state_estimate(
+        quantile_state_build(
+            li.withColumn(
+                "__rid", F.concat_ws("_", "l_orderkey", "l_linenumber")
+            ),
+            ["l_returnflag"], "l_extendedprice", "__rid",
+            r=1024, portable=True,
+        ),
+        ["l_returnflag"], [0.5],
+    ).select(
+        F.lit("bk_quantiles").alias("variant"),
+        F.col("l_returnflag").cast("string").alias("key"),
+        F.col("q_0_5").cast("double").alias("estimate"),
+    )
+    return hll.unionByName(gk).unionByName(bk)
 
 
 _ANN_S = [("query_id", "bigint"), ("neighbor_id", "bigint"), ("cos", "double"), ("rnk", "int")]

@@ -704,10 +704,36 @@ def quantile_state_build(
     base = df.filter(v.isNotNull()).select(
         *ks, v.alias("v"), rank.alias("rank"), rid.alias("__rid")
     )
+    # Threshold pre-filter (r10): the window only needs the ~r smallest
+    # ranks per group, so sorting all n rows is O(n log n) waste at
+    # coarse grains. One cheap count aggregate sizes a per-group rank
+    # threshold keeping ~8r expected survivors (hash ranks are
+    # uniform); groups with n <= 8r skip the filter. EXACTNESS is
+    # guarded in-plan: a starved group (sample < min(r, n), probability
+    # ~exp(-3r) by Chernoff) raises instead of silently under-sampling.
+    over = 8 * r
+    counts = (
+        base.groupBy(*ks).agg(F.count(F.lit(1)).alias("__gn"))
+        if ks else base.agg(F.count(F.lit(1)).alias("__gn"))
+    )
+    frac = F.least(F.lit(1.0), F.lit(float(over)) / F.col("__gn"))
+    if portable:
+        thresh = (frac * F.lit(float(1 << 60))).cast("long")
+    else:  # xxhash64 spans the full signed-long range
+        thresh = (
+            F.lit(-(2.0**63)) + frac * F.lit(2.0**64)
+        ).cast("long")
+    joined = (
+        base.join(F.broadcast(counts), ks) if ks
+        else base.crossJoin(F.broadcast(counts))
+    )
+    pruned = joined.filter(
+        (F.col("__gn") <= F.lit(over)) | (F.col("rank") <= thresh)
+    )
     w = Window.partitionBy(*ks).orderBy("rank", "v", "__rid")
-    ranked = base.withColumn("__rn", F.row_number().over(w))
-    return ranked.groupBy(*ks).agg(
-        F.count(F.lit(1)).alias("n"),
+    ranked = pruned.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(*ks).agg(
+        F.coalesce(F.max("__gn"), F.lit(0)).alias("n"),
         F.array_sort(
             F.collect_list(
                 F.when(
@@ -716,6 +742,17 @@ def quantile_state_build(
             )
         ).alias("sample"),
     )
+    short = F.size("sample") < F.least(F.lit(r), F.col("n").cast("int"))
+    guarded_sample = F.when(
+        short,
+        F.raise_error(
+            F.lit(
+                "quantile_state_build: rank pre-filter starved a group "
+                "(astronomically unlikely); raise r or report a bug"
+            )
+        ).cast("array<struct<rank:bigint,v:double>>"),
+    ).otherwise(F.col("sample"))
+    return agg.select(*ks, F.col("n"), guarded_sample.alias("sample"))
 
 
 def quantile_state_merge(
