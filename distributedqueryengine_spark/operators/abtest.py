@@ -383,3 +383,169 @@ def msprt_always_valid(
         F.round(lam, 6).alias("lambda_mixture"),
         F.round(F.least(F.lit(1.0), 1.0 / lam), 6).alias("p_always_valid"),
     )
+
+
+def pairwise_ttests(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    control: str,
+    treatments: list | tuple,
+    by: list[str] | tuple[str, ...] = (),
+    correction: str = "holm",
+) -> DataFrame:
+    """Multi-arm readout: Welch's t of EVERY treatment arm against the
+    shared control, with family-wise multiple-comparison correction —
+    the contract the two-variant `welch_ttest` deliberately excludes
+    (reading k uncorrected p-values inflates the family false-positive
+    rate to ~k·α). Output: welch_ttest columns + `treatment` +
+    `p_adjusted` + `significant_05`.
+
+    `correction`: 'holm' (step-down — uniformly more powerful than
+    Bonferroni at the same FWER; p_(i) multiplied by (k−i+1) in
+    ascending order with a running max to keep monotonicity),
+    'bonferroni' (k·p), or 'none'. The correction family is the set of
+    treatment arms WITHIN each `by` cell (the standard scope: one
+    experiment's arms correct together; different segments are
+    different families).
+
+    Shape: ONE per-(by, arm) aggregate feeds all k comparisons (the
+    control row joins k times — k is arms, not data); the Holm rank is
+    a window over k rows per cell. Everything stays JVM-side."""
+    from pyspark.sql.window import Window
+
+    arms = list(treatments)
+    if not arms:
+        raise ValueError("treatments must name at least one arm")
+    if control in arms:
+        raise ValueError(f"control {control!r} cannot also be a treatment")
+    if len(set(arms)) != len(arms):
+        raise ValueError(f"duplicate treatment arms: {arms}")
+    if correction not in ("holm", "bonferroni", "none"):
+        raise ValueError(
+            f"correction must be holm|bonferroni|none, got {correction!r}"
+        )
+    keys = list(by)
+    per_group = (
+        df.filter(F.col(group_col).isin(control, *arms))
+        .groupBy(*keys, group_col)
+        .agg(
+            F.count(metric_col).alias("n"),
+            F.avg(metric_col).alias("m"),
+            F.var_samp(metric_col).alias("v"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    c = per_group.filter(F.col(group_col) == control).select(
+        *keys,
+        F.col("n").alias("n_control"),
+        F.col("m").alias("mean_control"),
+        F.col("v").alias("__vc"),
+    )
+    t_ = per_group.filter(F.col(group_col) != control).select(
+        *keys,
+        F.col(group_col).alias("treatment"),
+        F.col("n").alias("n_treatment"),
+        F.col("m").alias("mean_treatment"),
+        F.col("v").alias("__vt"),
+    )
+    joined = c.join(t_, keys) if keys else c.crossJoin(t_)
+    se_c = F.col("__vc") / F.col("n_control")
+    se_t = F.col("__vt") / F.col("n_treatment")
+    se2 = se_c + se_t
+    tstat = (F.col("mean_treatment") - F.col("mean_control")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (se_c * se_c) / (F.col("n_control") - 1)
+        + (se_t * se_t) / (F.col("n_treatment") - 1)
+    )
+    p_raw = normal_sf2(tstat)
+    base = joined.select(
+        *keys,
+        "treatment",
+        "n_control",
+        F.round("mean_control", 6).alias("mean_control"),
+        "n_treatment",
+        F.round("mean_treatment", 6).alias("mean_treatment"),
+        F.round(F.col("mean_treatment") - F.col("mean_control"), 6).alias("diff"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("df"),
+        p_raw.alias("__p"),
+    )
+    k_cell = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    if correction == "bonferroni":
+        p_adj = F.least(F.lit(1.0), F.col("__p") * k_cell)
+    elif correction == "none":
+        p_adj = F.col("__p")
+    else:  # holm step-down
+        rnk = F.row_number().over(
+            Window.partitionBy(*keys).orderBy(F.col("__p").asc(), "treatment")
+        )
+        stepped = F.col("__p") * (k_cell - rnk + 1)
+        # running max over ascending-p order enforces monotonicity
+        p_adj = F.least(
+            F.lit(1.0),
+            F.max(stepped).over(
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__p").asc(), "treatment")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    return base.select(
+        *keys,
+        "treatment",
+        "n_control",
+        "mean_control",
+        "n_treatment",
+        "mean_treatment",
+        "diff",
+        "t_stat",
+        "df",
+        F.round(F.col("__p"), 6).alias("p_value"),
+        F.round(p_adj, 6).alias("p_adjusted"),
+        (p_adj < 0.05).alias("significant_05"),
+    )
+
+
+def required_sample_size(
+    mde: float,
+    sd: float,
+    alpha: float = 0.05,
+    power: float = 0.8,
+    two_sided: bool = True,
+) -> int:
+    """Per-arm n for a two-sample mean test to detect `mde` (absolute
+    difference) with metric standard deviation `sd`:
+    n = ((z_{α[/2]} + z_{power})·sd·√2 / mde)² — the planning-side
+    companion to welch_ttest (driver-side pure math; z via a standard
+    rational inverse-normal approximation, |ε| < 4.5e-4)."""
+    import math as _m
+
+    if mde <= 0 or sd <= 0:
+        raise ValueError("mde and sd must be positive")
+    if not (0 < alpha < 1 and 0 < power < 1):
+        raise ValueError("alpha and power must be in (0, 1)")
+
+    def z(p: float) -> float:
+        # Beasley-Springer-Moro / Moro's rational approximation
+        a = [2.50662823884, -18.61500062529, 41.39119773534, -25.44106049637]
+        b = [-8.47351093090, 23.08336743743, -21.06224101826, 3.13082909833]
+        c = [0.3374754822726147, 0.9761690190917186, 0.1607979714918209,
+             0.0276438810333863, 0.0038405729373609, 0.0003951896511919,
+             0.0000321767881768, 0.0000002888167364, 0.0000003960315187]
+        y = p - 0.5
+        if abs(y) < 0.42:
+            r = y * y
+            num = y * (((a[3] * r + a[2]) * r + a[1]) * r + a[0])
+            den = (((b[3] * r + b[2]) * r + b[1]) * r + b[0]) * r + 1.0
+            return num / den
+        r = p if y < 0 else 1.0 - p
+        s = _m.log(-_m.log(r))
+        t = c[0]
+        for i in range(1, 9):
+            t += c[i] * s**i
+        return -t if y < 0 else t
+
+    za = z(1 - alpha / 2) if two_sided else z(1 - alpha)
+    zb = z(power)
+    n = ((za + zb) * sd * _m.sqrt(2.0) / mde) ** 2
+    return int(_m.ceil(n))

@@ -282,3 +282,76 @@ def test_msprt_always_valid_matches_reference_and_behaves(spark):
     df = spark.createDataFrame([("c", 1.0)], "grp string, m double")
     with pytest.raises(ValueError, match="tau2"):
         msprt_always_valid(df, "grp", "m", "c", "t", tau2=0.0)
+
+
+def test_pairwise_ttests_holm_matches_reference(spark):
+    """Multi-arm Welch + Holm vs a python reference: per-arm stats
+    equal welch_ttest's, Holm adjustment matches the step-down formula,
+    and only the planted-effect arm survives correction."""
+    from distributedqueryengine_spark.operators.abtest import (
+        pairwise_ttests,
+        welch_ttest,
+    )
+
+    rng = random.Random(5)
+    arms = {"t1": 0.0, "t2": 1.2, "t3": 0.05}
+    rows = [("c", rng.gauss(10, 2)) for _ in range(400)]
+    for arm, lift in arms.items():
+        rows += [(arm, rng.gauss(10 + lift, 2)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "grp string, m double")
+    out = {
+        r.treatment: r
+        for r in pairwise_ttests(
+            df, "grp", "m", "c", ["t1", "t2", "t3"]
+        ).collect()
+    }
+    assert set(out) == set(arms)
+    # per-arm stats equal the two-variant operator's
+    for arm in arms:
+        solo = welch_ttest(df, "grp", "m", "c", arm).collect()[0]
+        assert abs(out[arm].t_stat - solo.t_stat) < 1e-9
+        assert abs(out[arm].p_value - solo.p_value_normal) < 1e-6
+    # python Holm reference
+    ps = sorted((out[a].p_value, a) for a in arms)
+    k, run, expect = len(ps), 0.0, {}
+    for i, (p, a) in enumerate(ps):
+        run = max(run, p * (k - i))
+        expect[a] = min(1.0, run)
+    for a in arms:
+        assert abs(out[a].p_adjusted - expect[a]) < 1e-4, a
+    assert out["t2"].significant_05
+    assert not out["t1"].significant_05
+    # bonferroni is k*p
+    bon = {
+        r.treatment: r.p_adjusted
+        for r in pairwise_ttests(
+            df, "grp", "m", "c", ["t1", "t2", "t3"],
+            correction="bonferroni",
+        ).collect()
+    }
+    for a in arms:
+        assert abs(bon[a] - min(1.0, out[a].p_value * 3)) < 1e-4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot also"):
+        pairwise_ttests(df, "grp", "m", "c", ["c", "t1"])
+
+
+def test_required_sample_size_reference_values(spark):
+    """Pinned against the standard formula: mde=0.1σ, α=0.05, power=0.8
+    → n ≈ 1570 per arm (2·(1.96+0.8416)²·100)."""
+    from distributedqueryengine_spark.operators.abtest import (
+        required_sample_size,
+    )
+
+    n = required_sample_size(mde=0.2, sd=2.0, alpha=0.05, power=0.8)
+    ref = 2 * (1.959964 + 0.841621) ** 2 * (2.0 / 0.2) ** 2
+    assert abs(n - ref) <= 2
+    # monotone: smaller effect or higher power needs more samples
+    assert required_sample_size(0.1, 2.0) > n
+    assert required_sample_size(0.2, 2.0, power=0.9) > n
+    import pytest
+
+    with pytest.raises(ValueError):
+        required_sample_size(0.0, 1.0)
