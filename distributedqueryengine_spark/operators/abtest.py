@@ -17,8 +17,11 @@ and the test statistics are computed on the groups-sized result:
          Small-df experiments should read t and df against a t-table;
          both are emitted, nothing is hidden behind the approximation.
 
-Two-variant experiments only by design (multi-arm testing needs
-ANOVA + multiple-comparison control — a different contract).
+welch_ttest itself is two-variant by contract; multi-arm experiments
+go through `pairwise_ttests` (every arm vs the shared control with
+Holm/Bonferroni family-wise correction), continuous monitoring through
+`msprt_always_valid` (peeking-safe mixture SPRT), and planning through
+`required_sample_size`.
 """
 
 from __future__ import annotations
