@@ -42,6 +42,53 @@ def _plane_values(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
     return ",\n               ".join(rows)
 
 
+def kmeans_ctes(
+    dim: int, n_cells: int, n_iter: int, sample_cte: str = "samp"
+) -> list[str]:
+    """Unrolled spherical k-means as DuckDB CTEs, ending in `centf`
+    (cell, normalized centroid vector).
+
+    `sample_cte` must provide (vec_id, v [normalized DOUBLE[]],
+    rn [1-based row_number over a deterministic order]). The semantics
+    mirror `similarity._train_centroids_kmeans`'s ≤64-cell branch
+    statement by statement: init = first n_cells sample rows, argmax
+    assignment with first-index tie order (ORDER BY sim DESC, cell),
+    element-wise member means, empty-cell reseed from the sample whose
+    best similarity is worst (numpy argmin first-index ties → lowest
+    rn). Shared by the fused-ANN oracle and the semantic-dedup oracle."""
+    s = sample_cte
+    ctes = [
+        f"cent0 AS MATERIALIZED (SELECT rn - 1 AS cell, v FROM {s} WHERE rn <= {n_cells})",
+    ]
+    prev = "cent0"
+    for it in range(1, n_iter + 1):
+        ctes += [
+            f"""sims{it} AS MATERIALIZED (SELECT s.vec_id, s.rn, s.v AS sv, cc.cell,
+                    list_dot_product(s.v, {NORM.format(v='cc.v')}) AS sim
+             FROM {s} s, {prev} cc)""",
+            f"""assign{it} AS MATERIALIZED (SELECT vec_id, rn, sv, cell FROM sims{it}
+             QUALIFY row_number() OVER (PARTITION BY vec_id
+                     ORDER BY sim DESC, cell) = 1)""",
+            f"""worst{it} AS MATERIALIZED (SELECT s.sv AS v FROM assign{it} s
+             JOIN (SELECT vec_id, max(sim) AS ms FROM sims{it} GROUP BY vec_id) m
+               USING (vec_id)
+             ORDER BY m.ms ASC, s.rn ASC LIMIT 1)""",
+            f"""newc{it} AS MATERIALIZED (SELECT cell, list(x ORDER BY i) AS v FROM (
+                 SELECT a.cell, ix.i, avg(a.sv[ix.i]) AS x
+                 FROM assign{it} a, (SELECT unnest(range(1, {dim + 1})) AS i) ix
+                 GROUP BY a.cell, ix.i) GROUP BY cell)""",
+            f"""cent{it} AS MATERIALIZED (SELECT cells.cell,
+                    COALESCE(n.v, (SELECT v FROM worst{it})) AS v
+             FROM (SELECT unnest(range(0, {n_cells})) AS cell) cells
+             LEFT JOIN newc{it} n USING (cell))""",
+        ]
+        prev = f"cent{it}"
+    ctes.append(
+        f"centf AS MATERIALIZED (SELECT cell, {NORM.format(v='v')} AS v FROM {prev})"
+    )
+    return ctes
+
+
 def sim_ann_oracle_sql(
     dim: int = 64,
     n_planes: int = 8,
@@ -88,33 +135,9 @@ def sim_ann_oracle_sql(
             QUALIFY rnk <= %d)""" % k,
         # ---- IVF: query-trained spherical k-means, unrolled ----
         "samp AS MATERIALIZED (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM qn)",
-        f"cent0 AS MATERIALIZED (SELECT rn - 1 AS cell, v FROM samp WHERE rn <= {n_cells})",
     ]
-    prev = "cent0"
-    for it in range(1, n_iter + 1):
-        ctes += [
-            f"""sims{it} AS MATERIALIZED (SELECT s.vec_id, s.rn, s.v AS sv, cc.cell,
-                    list_dot_product(s.v, {NORM.format(v='cc.v')}) AS sim
-             FROM samp s, {prev} cc)""",
-            f"""assign{it} AS MATERIALIZED (SELECT vec_id, rn, sv, cell FROM sims{it}
-             QUALIFY row_number() OVER (PARTITION BY vec_id
-                     ORDER BY sim DESC, cell) = 1)""",
-            f"""worst{it} AS MATERIALIZED (SELECT s.sv AS v FROM assign{it} s
-             JOIN (SELECT vec_id, max(sim) AS ms FROM sims{it} GROUP BY vec_id) m
-               USING (vec_id)
-             ORDER BY m.ms ASC, s.rn ASC LIMIT 1)""",
-            f"""newc{it} AS MATERIALIZED (SELECT cell, list(x ORDER BY i) AS v FROM (
-                 SELECT a.cell, ix.i, avg(a.sv[ix.i]) AS x
-                 FROM assign{it} a, (SELECT unnest(range(1, {dim + 1})) AS i) ix
-                 GROUP BY a.cell, ix.i) GROUP BY cell)""",
-            f"""cent{it} AS MATERIALIZED (SELECT cells.cell,
-                    COALESCE(n.v, (SELECT v FROM worst{it})) AS v
-             FROM (SELECT unnest(range(0, {n_cells})) AS cell) cells
-             LEFT JOIN newc{it} n USING (cell))""",
-        ]
-        prev = f"cent{it}"
+    ctes += kmeans_ctes(dim, n_cells, n_iter, sample_cte="samp")
     ctes += [
-        f"centf AS MATERIALIZED (SELECT cell, {nv} AS v FROM {prev})",
         f"""qcell AS MATERIALIZED (SELECT vec_id, cell FROM (
                 SELECT q.vec_id, cc.cell, list_dot_product(q.v, cc.v) AS sim
                 FROM qn q, centf cc) s
@@ -148,4 +171,49 @@ SELECT 'ivf' AS variant, CAST(query_id AS BIGINT) AS query_id,
        CAST(neighbor_id AS BIGINT) AS neighbor_id,
        CAST(cos AS DOUBLE) AS cos, CAST(rnk AS INTEGER) AS rnk
 FROM ivf_top"""
+    return "WITH\n" + ",\n".join(ctes) + final
+
+
+def semdedup_oracle_sql(
+    dim: int = 64,
+    n_cells: int = 8,
+    n_iter: int = 4,
+    n_sample: int = 256,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle for `semdedup.semantic_dedup` over the embeddings
+    table: the SAME deterministic pipeline as the Spark side — sample =
+    first `n_sample` vectors by vec_id, unrolled spherical k-means
+    (shared `kmeans_ctes`), nearest-cell assignment (argmax, lowest
+    cell on ties), and the min-id keep rule: a vector is dropped iff
+    some LOWER-id vector in its cell has round(cos, 6) >= threshold.
+
+    Emits (vec_id, cell, kept) for every corpus vector, so the driver
+    hash-checks both the cluster assignment and every keep/drop
+    decision."""
+    nv = NORM.format(v="CAST(embedding AS DOUBLE[])")
+    ctes = [
+        f"cn AS MATERIALIZED (SELECT vec_id, {nv} AS v FROM embeddings)",
+        f"""samp AS MATERIALIZED (SELECT * FROM (
+             SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+             FROM cn) WHERE rn <= {n_sample})""",
+    ]
+    ctes += kmeans_ctes(dim, n_cells, n_iter, sample_cte="samp")
+    ctes += [
+        """acell AS MATERIALIZED (SELECT vec_id, cell, v FROM (
+             SELECT c.vec_id, cc.cell, c.v,
+                    list_dot_product(c.v, cc.v) AS sim
+             FROM cn c, centf cc) s
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, cell) = 1)""",
+        f"""dropped AS MATERIALIZED (SELECT DISTINCT b.vec_id
+             FROM acell a JOIN acell b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE round(list_dot_product(a.v, b.v), 6) >= {threshold})""",
+    ]
+    final = """
+SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+       CAST(a.cell AS INTEGER) AS cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM acell a LEFT JOIN dropped d ON a.vec_id = d.vec_id"""
     return "WITH\n" + ",\n".join(ctes) + final

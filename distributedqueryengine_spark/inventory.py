@@ -500,7 +500,70 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("q_0_9") <= F.col("bounds")[nb + 3])
         ).cast("int").alias("within_bound"),
     )
-    return hll.unionByName(gk).unionByName(bk)
+
+    # bloom_filter (r10): the mergeable Bloom runtime filter in
+    # portable md5 mode — like bk_quantiles the sketch itself is
+    # engine-reproducible bit-for-bit, so the oracle rebuilds the SAME
+    # word table in DuckDB and the `bloom_passed` row pins the exact
+    # pass count EQUAL across engines (not just within a bound).
+    # `bloom_no_false_neg` asserts the structural guarantee that makes
+    # bloom_prefilter_semi_join exact. Geometry is static
+    # (m=262144 bits = 8k words, k=7) so the same SQL holds at any sf:
+    # at sf1's ~30k BUILDING custkeys the fpr is ~0.2%, well under the
+    # 5%+20 slack the verdict row allows.
+    from distributedqueryengine_spark.functions.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    _BM, _BK = 262144, 7
+    cust = Q._t(spark, sf_dir, "customer")
+    bdim = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    ).dropDuplicates(["c_custkey"])
+    bstate = bloom_build(bdim, "c_custkey", _BM, _BK)
+    probed = bloom_probe(
+        bstate,
+        orders.select("o_orderkey", "o_custkey").where(
+            F.col("o_custkey").isNotNull()
+        ),
+        "o_custkey", _BM, _BK,
+    )
+    flags = probed.join(
+        F.broadcast(bdim.withColumnRenamed("c_custkey", "__bk")),
+        probed["o_custkey"] == F.col("__bk"),
+        "left",
+    )
+    bstats = flags.agg(
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("__bk").isNotNull().cast("long")).alias("n_true"),
+        F.sum(
+            (F.col("__bk").isNotNull() & ~F.col("bloom_pass")).cast("long")
+        ).alias("n_fneg"),
+        F.count(F.lit(1)).alias("n_probe"),
+    )
+    bloom_rows = bstats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("bloom_no_false_neg").alias("variant"),
+                    F.lit("ALL").alias("key"),
+                    F.col("n_true").cast("bigint").alias("n_exact"),
+                    (F.col("n_fneg") == 0).cast("int").alias("within_bound"),
+                ),
+                F.struct(
+                    F.lit("bloom_passed").alias("variant"),
+                    F.lit("ALL").alias("key"),
+                    F.col("n_pass").cast("bigint").alias("n_exact"),
+                    (
+                        (F.col("n_pass") - F.col("n_true"))
+                        <= 0.05 * (F.col("n_probe") - F.col("n_true")) + 20
+                    ).cast("int").alias("within_bound"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return hll.unionByName(gk).unionByName(bk).unionByName(bloom_rows)
 
 
 def approx_sketches_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,6 +819,49 @@ COMPOSITE_ORACLES["order_limit_suite"] = _sql_union([
 # the oracle recomputes the exact side and asserts the verdict is 1 —
 # the sketch estimate itself (engine-specific) never leaves the plan.
 COMPOSITE_ORACLES["approx_sketches"] = """
+WITH bdim AS (SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+bwords AS (
+  SELECT p // 32 AS wi, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS w
+  FROM (SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+                    || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 262144 AS p
+        FROM bdim CROSS JOIN range(7) r(i))
+  GROUP BY 1),
+bbits AS (
+  SELECT pp.o_orderkey, pp.o_custkey,
+         min(CASE WHEN (COALESCE(w.w, 0)
+                        & (1::BIGINT << CAST(pp.p % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END) AS pass
+  FROM (SELECT o_orderkey, o_custkey,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#'
+                    || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 262144 AS p
+        FROM orders CROSS JOIN range(7) r(i)
+        WHERE o_custkey IS NOT NULL) pp
+  LEFT JOIN bwords w ON w.wi = pp.p // 32
+  GROUP BY 1, 2),
+bstats AS (
+  SELECT SUM(pass) AS n_pass,
+         SUM(CASE WHEN o_custkey IN (SELECT k FROM bdim)
+                  THEN 1 ELSE 0 END) AS n_true,
+         SUM(CASE WHEN o_custkey IN (SELECT k FROM bdim) AND pass = 0
+                  THEN 1 ELSE 0 END) AS n_fneg,
+         COUNT(*) AS n_probe
+  FROM bbits)
+SELECT 'bloom_no_false_neg' AS variant, 'ALL' AS key,
+       CAST(n_true AS BIGINT) AS n_exact,
+       CAST(CASE WHEN n_fneg = 0 THEN 1 ELSE 0 END AS INTEGER)
+           AS within_bound
+FROM bstats
+UNION ALL
+-- bloom_passed: n_exact here is the DuckDB-recomputed pass count of
+-- the SAME portable-md5 bloom (m=262144, k=7) — exact cross-engine
+-- equality of the sketch's decisions, not just a bound check.
+SELECT 'bloom_passed' AS variant, 'ALL' AS key,
+       CAST(n_pass AS BIGINT) AS n_exact,
+       CAST(CASE WHEN n_pass - n_true <= 0.05 * (n_probe - n_true) + 20
+                 THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+FROM bstats
+UNION ALL
 SELECT 'hll_distinct' AS variant, CAST(o_orderstatus AS VARCHAR) AS key,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
        CAST(1 AS INTEGER) AS within_bound
@@ -931,6 +1037,28 @@ COMPOSITE_ORACLES["dedup_near_suite"] = _dedup_near_oracle()
 from distributedqueryengine_spark.ann_oracle import sim_ann_oracle_sql  # noqa: E402
 
 COMPOSITE_ORACLES["sim_ann_topk"] = sim_ann_oracle_sql()
+
+# dedup_embedding (r10): 'pairs' keeps the original n²-join oracle;
+# 'semdedup' value-checks the full SemDeDup pipeline (unrolled k-means
+# + cell assignment + min-id keep rule) per corpus vector.
+from distributedqueryengine_spark.ann_oracle import semdedup_oracle_sql  # noqa: E402
+
+COMPOSITE_ORACLES["dedup_embedding"] = (
+    """
+SELECT 'pairs' AS variant, CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b, CAST(cos AS DOUBLE) AS cos,
+       CAST(NULL AS INTEGER) AS kept
+FROM ("""
+    + ORACLES["dedup_embedding"]
+    + """) p
+UNION ALL
+SELECT 'semdedup' AS variant, CAST(vec_id AS BIGINT) AS id_a,
+       CAST(cell AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos,
+       CAST(kept AS INTEGER) AS kept
+FROM ("""
+    + semdedup_oracle_sql(threshold=0.35)
+    + ") sd"
+)
 
 # Greedy FFD packing: a sequential fold, expressed as a recursive CTE
 # whose state is the open-bin capacity list; list_position over

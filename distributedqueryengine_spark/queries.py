@@ -1532,17 +1532,42 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.45): the third dedup
-    modality next to MinHash (lexical) and SimHash (bitwise).
-    Size-gated: exact block-pair all-pairs at test scales (oracle-
-    checked against DuckDB's n² join), LSH-prefiltered approximate
-    above 100k vectors where the exact path's O(n²/B) shuffle is
-    unpayable (similarity.cosine_pairs_above_scaled)."""
-    from distributedqueryengine_spark.functions import similarity as S
+    """Embedding near-dup, two modalities as a tagged union:
 
-    return S.cosine_pairs_above_scaled(
-        _t(spark, sf_dir, "embeddings"), tau=0.45, dim=64
+    - 'pairs': cosine near-dup pairs (cos >= 0.45) — size-gated exact
+      block-pairs at test scales, LSH-prefiltered above 100k vectors
+      (similarity.cosine_pairs_above_scaled).
+    - 'semdedup' (r10): SemDeDup cluster-then-dedupe
+      (functions/semdedup.py) — k-means cells + within-cell min-id
+      keep rule at cos >= 0.35; one row per corpus vector carrying its
+      cell assignment AND keep/drop verdict, both value-checked against
+      the unrolled-k-means DuckDB oracle
+      (ann_oracle.semdedup_oracle_sql).
+
+    Shared schema (variant, id_a, id_b, cos, kept): pairs rows use
+    (id_a, id_b, cos, kept=NULL); semdedup rows use (id_a=vec_id,
+    id_b=cell, cos=NULL, kept)."""
+    from distributedqueryengine_spark.functions import similarity as S
+    from distributedqueryengine_spark.functions.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_above_scaled(emb, tau=0.45, dim=64).select(
+        F.lit("pairs").alias("variant"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("cos").cast("double").alias("cos"),
+        F.lit(None).cast("int").alias("kept"),
     )
+    sem = semantic_dedup(
+        emb, n_clusters=8, threshold=0.35, n_iter=4, n_sample=256
+    ).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").cast("bigint").alias("id_a"),
+        F.col("cell").cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("cos"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+    return pairs.unionByName(sem)
 
 
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
