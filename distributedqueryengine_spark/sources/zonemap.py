@@ -1,0 +1,266 @@
+"""File-level zone maps (data skipping): per-file min/max stats from
+parquet FOOTERS, used to prune the file list before Spark ever opens a
+scan.
+
+Spark's parquet reader already does row-group predicate pushdown — but
+only AFTER listing and footer-reading every file in the dataset. At
+100 TB / millions of files, the listing+footer pass itself is the
+bottleneck for selective queries. The Delta/Iceberg answer is a
+transaction-log-style stats table; this module implements the same
+data-skipping contract over plain parquet directories (the reference
+engine's fragment catalog — `QueryService.asmx.cs:310-427` — routes by
+table NAME only; it has no notion of value-based pruning):
+
+- `write_zonemap(spark, path, cols)` — reads ONLY footers (pyarrow
+  metadata, no data pages) distributed over the executors, and writes
+  `<path>/_zonemap/` (underscore prefix → invisible to normal Spark
+  reads): one row per (file, col) with typed min/max/null stats.
+- `prune_files(spark, path, predicates)` — conservative file pruning:
+  a file is skipped ONLY when its stats prove no row can match. Files
+  with no stats row (appended after the zonemap was written), with
+  NULL min/max (all-NULL chunk), or with a column type the predicate
+  can't compare are always KEPT — staleness degrades skipping, never
+  correctness. Files that disappeared (rewritten by compaction) drop
+  out via intersection with the live listing.
+- `read_with_skipping(spark, path, predicates)` — reads the surviving
+  files and re-applies the predicate as a real filter (zone maps prune
+  files; the residual filter prunes rows).
+
+Pairs with `operators/zorder.py`: Z-ordered compaction clusters value
+ranges per file, which is exactly what makes min/max spans narrow and
+file skipping effective — tested together in tests/test_zonemap.py.
+
+Predicates are conjunctive triples (col, op, value), op ∈
+{'=', '<', '<=', '>', '>=', 'between'} ('between' takes a (lo, hi)
+tuple). Disjunctions: run prune per branch and union the file sets.
+"""
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    Row,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["write_zonemap", "prune_files", "read_with_skipping", "list_data_files"]
+
+_STATS_SCHEMA = StructType([
+    StructField("file", StringType(), False),
+    StructField("col", StringType(), False),
+    # numeric stats (ints, floats, dates→epoch-days, timestamps→epoch-µs)
+    StructField("min_num", DoubleType(), True),
+    StructField("max_num", DoubleType(), True),
+    # string stats (parquet keeps UTF-8 min/max; order matches Spark's
+    # binary string comparison for ASCII — non-ASCII is kept, not pruned)
+    StructField("min_str", StringType(), True),
+    StructField("max_str", StringType(), True),
+    StructField("has_nulls", BooleanType(), True),
+    StructField("n_rows", LongType(), False),
+])
+
+_OPS = {"=", "<", "<=", ">", ">=", "between"}
+
+
+def list_data_files(path: str) -> list[str]:
+    """Visible .parquet data files under `path` (recursive, skipping
+    underscore/dot-prefixed names at every level — same hidden-file
+    rule as Spark's input listing)."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def _footer_stats(files: list[str], cols: list[str]):
+    """Per-file column stats from parquet footers only — runs on
+    executors; pyarrow reads the metadata block, never data pages."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
+        names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        for col in cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            mn = mx = None
+            has_nulls = False
+            all_have_stats = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    all_have_stats = False
+                    if st is not None and st.null_count:
+                        has_nulls = True
+                    continue
+                if st.null_count:
+                    has_nulls = True
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            if not all_have_stats:
+                # a chunk without stats could hold anything → emit a
+                # row that can never prune (NULL bounds, has_nulls)
+                mn = mx = None
+            min_num = max_num = min_str = max_str = None
+            if mn is not None:
+                if isinstance(mn, bool):
+                    min_num, max_num = float(mn), float(mx)
+                elif isinstance(mn, (int, float)):
+                    min_num, max_num = float(mn), float(mx)
+                elif isinstance(mn, datetime.datetime):
+                    min_num = mn.timestamp() * 1e6
+                    max_num = mx.timestamp() * 1e6
+                elif isinstance(mn, datetime.date):
+                    min_num = float(mn.toordinal())
+                    max_num = float(mx.toordinal())
+                elif isinstance(mn, str):
+                    min_str, max_str = mn, mx
+                elif isinstance(mn, bytes):
+                    try:
+                        min_str = mn.decode("utf-8")
+                        max_str = mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        pass
+                # other types (decimal…): leave bounds NULL → never prunes
+            yield Row(
+                file=fpath, col=col, min_num=min_num, max_num=max_num,
+                min_str=min_str, max_str=max_str,
+                has_nulls=bool(has_nulls) if mn is not None else None,
+                n_rows=md.num_rows,
+            )
+
+
+def write_zonemap(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Build and persist `<path>/_zonemap/` from parquet footers; one
+    row per (data file, stats column). Distributed: the file list is
+    parallelized and each executor reads only footers (~KB per file).
+    Returns the stats DataFrame. Re-run after compaction/merge to
+    refresh; between refreshes, pruning stays conservative (new files
+    have no stats row → always kept)."""
+    cols = list(cols)
+    files = list_data_files(path)
+    if not files:
+        raise ValueError(f"write_zonemap: no parquet data files under {path}")
+    n_slices = max(1, min(len(files), 64))
+    rows_rdd = (
+        spark.sparkContext.parallelize(files, n_slices)
+        .mapPartitions(lambda fs: _footer_stats(list(fs), cols))
+    )
+    stats = spark.createDataFrame(rows_rdd, _STATS_SCHEMA)
+    zdir = os.path.join(path, "_zonemap")
+    stats.repartition(1).write.mode("overwrite").parquet(zdir)
+    return spark.read.schema(_STATS_SCHEMA).parquet(zdir)
+
+
+def _pred_expr(op: str, value) -> tuple:
+    if op not in _OPS:
+        raise ValueError(f"unsupported op {op!r}; use one of {sorted(_OPS)}")
+    if op == "between":
+        lo, hi = value
+    elif op in ("<", "<="):
+        lo, hi = None, value
+    elif op in (">", ">="):
+        lo, hi = value, None
+    else:
+        lo = hi = value
+    return lo, hi
+
+
+def _bound_cols(value):
+    if isinstance(value, str):
+        return F.col("min_str"), F.col("max_str"), F.lit(value)
+    return F.col("min_num"), F.col("max_num"), F.lit(float(value))
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    predicates: Sequence[tuple],
+) -> list[str]:
+    """Files under `path` that MAY contain matching rows, per the
+    persisted zonemap. Missing zonemap → all files (no skipping,
+    full correctness). The returned list is intersected with the live
+    listing, so stats rows for rewritten/deleted files are inert."""
+    live = list_data_files(path)
+    zdir = os.path.join(path, "_zonemap")
+    if not os.path.isdir(zdir):
+        return live
+    stats = spark.read.schema(_STATS_SCHEMA).parquet(zdir)
+
+    drop_any = F.lit(False)  # per (file,col) row: proven impossible?
+    for col, op, value in predicates:
+        lo, hi = _pred_expr(op, value)
+        # strict ops exclude the bound itself
+        strict_lo = op == ">"
+        strict_hi = op == "<"
+        this_col = F.col("col") == col
+        impossible = F.lit(False)
+        if hi is not None:
+            mn, _, v = _bound_cols(hi)
+            # every row >= file min; if min > hi (or >= for strict) no match
+            impossible = impossible | (
+                mn.isNotNull() & ((mn > v) if not strict_hi else (mn >= v))
+            )
+        if lo is not None:
+            _, mx, v = _bound_cols(lo)
+            impossible = impossible | (
+                mx.isNotNull() & ((mx < v) if not strict_lo else (mx <= v))
+            )
+        drop_any = drop_any | (this_col & impossible)
+
+    # Only a stats row can PROVE impossibility, so files without stats
+    # are never in `dropped` and always survive (conservative).
+    dropped = {
+        r.file
+        for r in stats.where(drop_any).select("file").distinct().collect()
+    }
+    return [f for f in live if f not in dropped]
+
+
+def read_with_skipping(
+    spark: SparkSession,
+    path: str,
+    predicates: Sequence[tuple],
+) -> DataFrame:
+    """Zone-map-pruned read: scan only surviving files, then re-apply
+    the predicate as a row filter. Equals the full-scan filter exactly
+    (pruning is conservative); NULL column values never match any
+    predicate, mirroring SQL comparison semantics."""
+    schema = spark.read.parquet(path).schema
+    survivors = prune_files(spark, path, predicates)
+    if not survivors:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*survivors)
+    cond = F.lit(True)
+    for col, op, value in predicates:
+        c = F.col(col)
+        lo, hi = _pred_expr(op, value)
+        if op == "=":
+            cond = cond & (c == F.lit(value))
+        elif op == "between":
+            cond = cond & c.between(F.lit(lo), F.lit(hi))
+        elif op == "<":
+            cond = cond & (c < F.lit(value))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(value))
+        elif op == ">":
+            cond = cond & (c > F.lit(value))
+        else:
+            cond = cond & (c >= F.lit(value))
+    return df.where(cond)

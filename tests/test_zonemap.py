@@ -1,0 +1,165 @@
+"""Zone-map data skipping: footer-only stats, conservative pruning
+(stale/missing stats never lose rows), full-scan equality, and the
+Z-order synergy (clustered files → real skipping)."""
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.sources.zonemap import (
+    list_data_files,
+    prune_files,
+    read_with_skipping,
+    write_zonemap,
+)
+
+
+@pytest.fixture()
+def sorted_dataset(spark, tmp_path):
+    """16 files, k range-clustered per file (file i holds k in
+    [i*100, i*100+99]) — the ideal zone-map layout."""
+    path = str(tmp_path / "zm")
+    df = spark.range(1600).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("name"),
+    )
+    df.repartitionByRange(16, "k").write.parquet(path)
+    write_zonemap(spark, path, ["k", "name"])
+    return path
+
+
+def test_stats_rows_and_hidden_dir(spark, sorted_dataset):
+    files = list_data_files(sorted_dataset)
+    assert len(files) == 16
+    # zonemap dir invisible to a plain read
+    assert spark.read.parquet(sorted_dataset).count() == 1600
+    stats = spark.read.parquet(os.path.join(sorted_dataset, "_zonemap"))
+    assert stats.where(F.col("col") == "k").count() == 16
+    assert stats.where(F.col("col") == "name").count() == 16
+
+
+def test_numeric_pruning_and_equality(spark, sorted_dataset):
+    preds = [("k", "between", (250, 349))]
+    kept = prune_files(spark, sorted_dataset, preds)
+    assert 1 <= len(kept) <= 3  # ~2 of 16 files cover [250, 349]
+    got = sorted(r.k for r in
+                 read_with_skipping(spark, sorted_dataset, preds).collect())
+    full = spark.read.parquet(sorted_dataset)
+    exp = sorted(r.k for r in
+                 full.where(F.col("k").between(250, 349)).collect())
+    assert got == exp == list(range(250, 350))
+
+
+def test_strict_and_equality_ops(spark, sorted_dataset):
+    for preds, col, expect in [
+        ([("k", "=", 777)], "k", [777]),
+        ([("k", ">", 1597)], "k", [1598, 1599]),
+        ([("k", "<", 2)], "k", [0, 1]),
+        ([("k", ">=", 1599)], "k", [1599]),
+    ]:
+        kept = prune_files(spark, sorted_dataset, preds)
+        assert len(kept) <= 2, preds
+        got = sorted(r.k for r in
+                     read_with_skipping(spark, sorted_dataset, preds).collect())
+        assert got == expect, preds
+
+
+def test_string_pruning(spark, sorted_dataset):
+    preds = [("name", "between", ("s000100", "s000150"))]
+    kept = prune_files(spark, sorted_dataset, preds)
+    assert len(kept) <= 2
+    n = read_with_skipping(spark, sorted_dataset, preds).count()
+    assert n == 51
+
+
+def test_conjunction_prunes_union_of_impossible(spark, sorted_dataset):
+    # k in [0,99] AND name >= last file's range: each predicate alone
+    # keeps a different file; together every file is provably impossible
+    preds = [("k", "<=", 99), ("name", ">=", "s001550")]
+    kept = prune_files(spark, sorted_dataset, preds)
+    assert kept == []
+    assert read_with_skipping(spark, sorted_dataset, preds).count() == 0
+
+
+def test_stale_zonemap_is_conservative(spark, sorted_dataset):
+    """Files appended AFTER the zonemap was written have no stats row
+    and must always be read."""
+    extra = spark.createDataFrame([(99999, 0, "zzz")], "k long, v long, name string")
+    extra.coalesce(1).write.mode("append").parquet(sorted_dataset)
+    preds = [("k", ">=", 99999)]
+    got = read_with_skipping(spark, sorted_dataset, preds).collect()
+    assert [r.k for r in got] == [99999]
+
+
+def test_rewritten_files_drop_out_via_live_listing(spark, sorted_dataset):
+    """Stats rows for deleted files are inert (intersection with the
+    live listing), and remaining data stays correct."""
+    victim = list_data_files(sorted_dataset)[0]
+    os.remove(victim)
+    # crc sidecar too, or spark's local fs check complains
+    crc = os.path.join(os.path.dirname(victim), "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    kept = prune_files(spark, sorted_dataset, [("k", ">=", 0)])
+    assert victim not in kept
+    n = read_with_skipping(spark, sorted_dataset, [("k", ">=", 0)]).count()
+    assert 1400 <= n < 1600
+
+
+def test_missing_zonemap_reads_everything(spark, tmp_path):
+    path = str(tmp_path / "nz")
+    spark.range(100).write.parquet(path)
+    assert len(prune_files(spark, path, [("id", "=", 5)])) == \
+        len(list_data_files(path))
+    assert read_with_skipping(spark, path, [("id", "=", 5)]).count() == 1
+
+
+def test_nulls_never_pruned_incorrectly(spark, tmp_path):
+    path = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, "a"), (None, "b"), (500, None)], "k int, name string"
+    ).coalesce(1).write.parquet(path)
+    write_zonemap(spark, path, ["k", "name"])
+    got = read_with_skipping(spark, path, [("k", ">=", 400)]).collect()
+    assert [(r.k, r.name) for r in got] == [(500, None)]
+
+
+def test_zorder_synergy(spark, tmp_path):
+    """Z-ordered layout → both dimensions skippable from one layout;
+    random layout → zone maps prune (almost) nothing. The pairing that
+    makes `compact_files(..., zorder_by=...)` + zonemap the scale path."""
+    from distributedqueryengine_spark.operators.zorder import zorder_repartition
+
+    rnd = str(tmp_path / "rand")
+    zo = str(tmp_path / "zord")
+    df = spark.range(4096).select(
+        (F.xxhash64("id") % 64).alias("x"),
+        (F.xxhash64("id", "id") % 64).alias("y"),
+        F.col("id").alias("payload"),
+    ).where((F.col("x") >= 0) & (F.col("y") >= 0))
+    df.repartition(16).write.parquet(rnd)           # hash layout
+    zorder_repartition(df, ["x", "y"], 16).write.parquet(zo)
+    write_zonemap(spark, rnd, ["x", "y"])
+    write_zonemap(spark, zo, ["x", "y"])
+    preds = [("x", "between", (0, 15)), ("y", "between", (0, 15))]
+    kept_rnd = len(prune_files(spark, rnd, preds))
+    kept_zo = len(prune_files(spark, zo, preds))
+    assert kept_zo < kept_rnd, (kept_zo, kept_rnd)
+    assert kept_zo <= 8
+    # and both read paths agree with the full filter
+    a = sorted(r.payload for r in read_with_skipping(spark, zo, preds).collect())
+    b = sorted(
+        r.payload for r in spark.read.parquet(zo)
+        .where(F.col("x").between(0, 15) & F.col("y").between(0, 15))
+        .collect()
+    )
+    assert a == b
+
+
+def test_bad_op_raises(spark, sorted_dataset):
+    with pytest.raises(ValueError, match="unsupported op"):
+        prune_files(spark, sorted_dataset, [("k", "!=", 5)])
