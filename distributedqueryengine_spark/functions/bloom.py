@@ -45,6 +45,9 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from distributedqueryengine_spark.functions.dedup import portable_hash64
@@ -193,38 +196,102 @@ def bloom_probe(
     member — no false negatives), False = definitely absent. NULL probe
     values get False (NULL never equi-joins).
 
-    Plan shape: k broadcast LEFT joins of the probe side against the
-    word table — zero shuffle of the probe side; each join is a
-    map-side hash lookup, and all k fuse into one stage. n_bits /
-    n_hashes are passed (not read from the state rows) so the probe
-    expression is foldable; callers get them from `bloom_size`.
+    Plan shape — zero shuffle of the probe side in every case. The word
+    table is STRUCTURALLY bounded (≤ n_bits/32 rows regardless of how
+    many keys were inserted), so probing materializes it once (a
+    runtime filter must exist before it can filter) and then:
+
+    - global filter, n_bits ≤ 2²²: the dense words array becomes ONE
+      array literal and the whole probe is a pure JVM projection
+      (element_at + bit masks) inside whole-stage codegen — no joins
+      at all. ≤ 1 MB of plan literal.
+    - global filter, larger: the dense array ships via sc.broadcast
+      and an Arrow-batched pandas UDF does the (batch × k) numpy
+      lookup; positions are still computed JVM-side.
+    - grouped filter (keys): k broadcast LEFT joins against an EAGER
+      localCheckpoint of the word table (Spark does not reuse the k
+      identical broadcast subplans on its own — checkpointing pins the
+      build to one execution).
+
+    n_bits / n_hashes are passed (not read from the state rows) so the
+    probe expressions are foldable; callers get them from `bloom_size`.
     """
     c = F.col(col)
-    words = state.select(
-        *keys, F.col("word_idx"), F.col("word")
-    )
-    out = probe
+    if not keys:
+        n_words = n_bits // _WORD_BITS
+        rows = state.select("word_idx", "word").collect()
+        dense = [0] * n_words
+        for r in rows:
+            dense[r["word_idx"]] = r["word"]
+        positions = [_position(c, i, n_bits) for i in range(n_hashes)]
+        if n_bits <= (1 << 22):
+            # one parsed SQL literal — F.lit(list) would marshal the
+            # array element-by-element over py4j (seconds at 8k words)
+            arr = F.expr(
+                "array(" + ",".join(f"{w}L" for w in dense) + ")"
+            )
+            hits = [
+                (
+                    F.element_at(
+                        arr, (p / _WORD_BITS).cast("int") + 1
+                    ).bitwiseAND(_mask(p))
+                    != 0
+                )
+                for p in positions
+            ]
+            all_hit = hits[0]
+            for h in hits[1:]:
+                all_hit = all_hit & h
+            return probe.withColumn(out_col, c.isNotNull() & all_hit)
+
+        from pyspark.sql.functions import pandas_udf
+
+        sc = probe.sparkSession.sparkContext
+        bc = sc.broadcast(np.array(dense, dtype=np.int64))
+
+        @pandas_udf("boolean")
+        def _probe_udf(pos_arr: pd.Series) -> pd.Series:
+            words = bc.value
+            P = np.vstack(pos_arr.to_numpy()).astype(np.int64)  # (batch, k)
+            masks = np.int64(1) << (P % _WORD_BITS).astype(np.int64)
+            hit = (words[P // _WORD_BITS] & masks) != 0
+            return pd.Series(hit.all(axis=1))
+
+        pos_col = F.array(*positions)
+        return probe.withColumn(
+            out_col,
+            F.when(c.isNull(), F.lit(False)).otherwise(_probe_udf(pos_col)),
+        )
+
+    # grouped path: per-key word tables can't fold into one literal;
+    # pin the build to a single execution, then k broadcast joins
+    words = state.select(*keys, F.col("word_idx"), F.col("word")).localCheckpoint()
+    out = probe.alias("__bprobe")
     hit_cols = []
-    tmp_cols = []
     for i in range(n_hashes):
         pos = _position(c, i, n_bits)
         widx = (pos / _WORD_BITS).cast("int")
-        w = words.select(
-            *[F.col(k).alias(f"__bk{i}_{k}") for k in keys],
-            F.col("word_idx").alias(f"__bwi{i}"),
-            F.col("word").alias(f"__bw{i}"),
-        )
-        cond = widx == F.col(f"__bwi{i}")
+        w = words.alias(f"__bloom{i}")
+        cond = widx == F.col(f"__bloom{i}.word_idx")
         for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__bk{i}_{k}"))
+            cond = cond & (
+                F.col(f"__bprobe.{k}") == F.col(f"__bloom{i}.{k}")
+            )
         out = out.join(F.broadcast(w), on=cond, how="left")
-        hit = F.coalesce(F.col(f"__bw{i}"), F.lit(0)).bitwiseAND(_mask(pos)) != 0
+        hit = (
+            F.coalesce(F.col(f"__bloom{i}.word"), F.lit(0)).bitwiseAND(
+                _mask(pos)
+            )
+            != 0
+        )
         hit_cols.append(hit)
-        tmp_cols += [f"__bwi{i}", f"__bw{i}", *[f"__bk{i}_{k}" for k in keys]]
     all_hit = hit_cols[0]
     for h in hit_cols[1:]:
         all_hit = all_hit & h
-    return out.withColumn(out_col, c.isNotNull() & all_hit).drop(*tmp_cols)
+    return out.select(
+        *[F.col(f"__bprobe.{pc}") for pc in probe.columns],
+        (c.isNotNull() & all_hit).alias(out_col),
+    )
 
 
 def bloom_prefilter_semi_join(

@@ -21,17 +21,21 @@ Pipeline (all deterministic, DuckDB-oracled end to end via
    FAISS coarse-quantizer recipe — constant cost in corpus size).
 2. **Assign** every vector to its nearest centroid — one Arrow-batched
    matmul per partition (`similarity._nearest_cells_udf`), no shuffle.
-3. **Dedupe within cells**: self-join on the cell id (ONE hash shuffle,
-   keyed by cell), exact vectorized cosine on the pairs, and the min-id
-   keep rule — a vector is dropped iff some lower-id vector in its cell
-   has round(cos, 6) >= threshold. Deterministic, order-free, and
-   chain-free: each decision looks only at pairs, so it parallelizes
-   without the sequential scan the greedy SemDeDup formulation implies.
+3. **Dedupe within cells**: ONE cell-keyed shuffle into
+   `applyInPandas`, then a blocked numpy Gram matmul per cell and the
+   min-id keep rule — a vector is dropped iff some lower-id vector in
+   its cell has round(cos, 6) >= threshold. Deterministic, order-free,
+   and chain-free: each decision looks only at pairs, so it
+   parallelizes without the sequential scan the greedy SemDeDup
+   formulation implies. (A pair self-join would move every vector
+   once PER PAIR — cell_rows× more shuffle; the matmul formulation
+   moves each vector exactly once and does the O(cell²) arithmetic in
+   BLAS, blocked to cap memory at block_rows·cell floats.)
 
-At 100 TB: the only all-data shuffles are the cell-keyed self-join and
-its groupBy — both keyed by cell, whose cardinality and balance you
-control. `max_cell_rows` raises in-plan (not silently) when a cell
-exceeds the pair-explosion budget, the signal to raise `n_clusters`.
+At 100 TB: the only all-data shuffle is the cell-keyed grouping, whose
+cardinality and balance you control via `n_clusters`. `max_cell_rows`
+raises (not silently) when a cell exceeds the O(cell²) budget, the
+signal to raise `n_clusters`.
 """
 from __future__ import annotations
 
@@ -39,7 +43,6 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 from distributedqueryengine_spark.functions.similarity import (
-    _cosine_udf,
     _nearest_cells_udf,
     _train_centroids_kmeans,
     as_double,
@@ -101,6 +104,10 @@ def semantic_dedup(
     """
     if not (0.0 < threshold <= 1.0 + 1e-9):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    import pandas as pd
+
+    from distributedqueryengine_spark.functions.similarity import _safe_norm
+
     centroids = _centroids_from_prefix(
         df, id_col, vec_col, n_clusters, n_sample, n_iter
     )
@@ -113,49 +120,47 @@ def semantic_dedup(
 
     if max_cell_rows is None:
         max_cell_rows = max(1000, 50 * (n_sample // max(n_clusters, 1)))
-    # In-plan guard: count per cell once (cheap — reuses the same
-    # cell-keyed shuffle partitioning), raise on saturation instead of
-    # quietly running an O(cell²) join on a mega-cell.
-    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
-    guarded = cells.join(counts, "cell").withColumn(
-        "__v",
-        F.when(F.col("__n") <= max_cell_rows, F.col("__v")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "semantic_dedup: cell "
-                    ),
-                    F.col("cell").cast("string"),
-                    F.lit(
-                        f" exceeds max_cell_rows={max_cell_rows}; raise "
-                        "n_clusters (pair join is O(cell^2))"
-                    ),
-                )
-            )
-        ),
-    ).drop("__n")
+    _max_rows = max_cell_rows
+    _thresh = threshold
 
-    cos = _cosine_udf()
-    a = guarded.select(
-        F.col("cell"), F.col("__id").alias("__ida"), F.col("__v").alias("__va")
-    )
-    b = guarded.select(
-        F.col("cell"), F.col("__id").alias("__idb"), F.col("__v").alias("__vb")
-    )
-    dropped = (
-        a.join(b, "cell")
-        .where(F.col("__ida") < F.col("__idb"))
-        .where(F.round(cos(F.col("__va"), F.col("__vb")), 6) >= threshold)
-        .select(F.col("__idb").alias("__dropped_id"))
-        .distinct()
-    )
-    return (
-        cells.join(
-            dropped, cells["__id"] == dropped["__dropped_id"], "left"
+    def _dedupe_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > _max_rows:
+            raise ValueError(
+                f"semantic_dedup: cell {int(pdf['cell'].iloc[0])} has {n} "
+                f"rows > max_cell_rows={_max_rows}; raise n_clusters "
+                "(within-cell work is O(cell^2))"
+            )
+        pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
+        Vn = _safe_norm(np.vstack(pdf["__v"].to_numpy()).astype(np.float64))
+        kept = np.ones(n, dtype=bool)
+        # blocked Gram matmul: block_rows × n floats live at once, so a
+        # 100k-row cell peaks at ~800 MB / blocks of 1024 → ~800 KB·n
+        block = 1024
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = np.round(Vn[lo:hi] @ Vn.T, 6)  # (hi-lo, n)
+            # j = lo+off dropped iff any i < j has sims >= threshold;
+            # i ranges over ALL ids below j (kept or not — chain-free):
+            # columns [0, lo) fully count; within-block columns form a
+            # strictly-lower triangle
+            mask = sims >= _thresh
+            pre = mask[:, :lo].any(axis=1)
+            tri = np.tril(mask[:, lo:hi], k=-1).any(axis=1)
+            kept[lo:hi] = ~(pre | tri)
+        return pd.DataFrame(
+            {
+                "__id": pdf["__id"],
+                "cell": pdf["cell"].astype("int32"),
+                "kept": kept.astype("int32"),
+            }
         )
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("cell").cast("int").alias("cell"),
-            F.col("__dropped_id").isNull().cast("int").alias("kept"),
-        )
+
+    out = cells.groupBy("cell").applyInPandas(
+        _dedupe_cell, schema=f"__id {base.schema['__id'].dataType.simpleString()}, cell int, kept int"
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("kept").cast("int").alias("kept"),
     )

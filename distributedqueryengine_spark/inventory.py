@@ -508,20 +508,22 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass count EQUAL across engines (not just within a bound).
     # `bloom_no_false_neg` asserts the structural guarantee that makes
     # bloom_prefilter_semi_join exact. Geometry is static
-    # (m=262144 bits = 8k words, k=7) so the same SQL holds at any sf:
-    # at sf1's ~30k BUILDING custkeys the fpr is ~0.2%, well under the
+    # (m=262144 bits = 8k words, k=4) so the same SQL holds at any sf:
+    # at sf1's ~30k BUILDING custkeys the fpr is ~1.8%, well under the
     # 5%+20 slack the verdict row allows.
     from distributedqueryengine_spark.functions.bloom import (
         bloom_build,
         bloom_probe,
     )
 
-    _BM, _BK = 262144, 7
+    _BM, _BK = 262144, 4
     cust = Q._t(spark, sf_dir, "customer")
     bdim = cust.where(F.col("c_mktsegment") == "BUILDING").select(
         "c_custkey"
     ).dropDuplicates(["c_custkey"])
-    bstate = bloom_build(bdim, "c_custkey", _BM, _BK)
+    # checkpoint: the probe materializes the state (driver word table),
+    # and the flags join reuses bdim — build exactly once
+    bstate = bloom_build(bdim, "c_custkey", _BM, _BK).localCheckpoint()
     probed = bloom_probe(
         bstate,
         orders.select("o_orderkey", "o_custkey").where(
@@ -825,7 +827,7 @@ bwords AS (
   SELECT p // 32 AS wi, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS w
   FROM (SELECT CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
                     || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 262144 AS p
-        FROM bdim CROSS JOIN range(7) r(i))
+        FROM bdim CROSS JOIN range(4) r(i))
   GROUP BY 1),
 bbits AS (
   SELECT pp.o_orderkey, pp.o_custkey,
@@ -835,7 +837,7 @@ bbits AS (
   FROM (SELECT o_orderkey, o_custkey,
                CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '#'
                     || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 262144 AS p
-        FROM orders CROSS JOIN range(7) r(i)
+        FROM orders CROSS JOIN range(4) r(i)
         WHERE o_custkey IS NOT NULL) pp
   LEFT JOIN bwords w ON w.wi = pp.p // 32
   GROUP BY 1, 2),
@@ -854,7 +856,7 @@ SELECT 'bloom_no_false_neg' AS variant, 'ALL' AS key,
 FROM bstats
 UNION ALL
 -- bloom_passed: n_exact here is the DuckDB-recomputed pass count of
--- the SAME portable-md5 bloom (m=262144, k=7) — exact cross-engine
+-- the SAME portable-md5 bloom (m=262144, k=4) — exact cross-engine
 -- equality of the sketch's decisions, not just a bound check.
 SELECT 'bloom_passed' AS variant, 'ALL' AS key,
        CAST(n_pass AS BIGINT) AS n_exact,

@@ -111,10 +111,45 @@ def test_duckdb_bit_identity(spark, members):
     assert got == [(wi, w) for wi, w in want]
 
 
-def test_probe_plan_is_broadcast_only(spark, state, members):
+def test_global_probe_is_pure_projection(spark, state, members):
+    """Global filters fold the dense word array into one literal: the
+    probe is joins-free, shuffle-free whole-stage-codegen projection."""
     probe = spark.createDataFrame([(i,) for i in range(100)], "v int")
     plan = (
         bloom_probe(state, probe, "v", N_BITS, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage codegen span
+
+
+def test_large_filter_udf_path(spark, members):
+    """n_bits > 2²² switches to the sc.broadcast + Arrow lookup path —
+    same verdicts as the literal path."""
+    big_bits = (1 << 22) * 2
+    st = bloom_build(members, "v", big_bits, K).localCheckpoint()
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "v int")
+    small = bloom_probe(
+        bloom_build(members, "v", N_BITS, K), probe, "v", N_BITS, K
+    )
+    big = bloom_probe(st, probe, "v", big_bits, K)
+    member_vals = {r.v for r in members.collect()}
+    passed_big = {r.v for r in big.where("bloom_pass").collect()}
+    assert member_vals <= passed_big
+    # larger filter ⇒ no more false positives than the small one
+    assert passed_big <= {r.v for r in small.where("bloom_pass").collect()}
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_grouped_probe_is_broadcast_only(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(20)] + [("b", 99)], "g string, v int"
+    )
+    st = bloom_build(df, "v", N_BITS, K, keys=["g"])
+    probe = spark.createDataFrame([("a", 1), ("b", 2)], "g string, v int")
+    plan = (
+        bloom_probe(st, probe, "v", N_BITS, K, keys=["g"])
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("BroadcastHashJoin") == K
