@@ -523,13 +523,15 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates(["c_custkey"])
     # checkpoint: the probe materializes the state (driver word table),
     # and the flags join reuses bdim — build exactly once
-    bstate = bloom_build(bdim, "c_custkey", _BM, _BK).localCheckpoint()
+    bstate = bloom_build(
+        bdim, "c_custkey", _BM, _BK, portable=True
+    ).localCheckpoint()
     probed = bloom_probe(
         bstate,
         orders.select("o_orderkey", "o_custkey").where(
             F.col("o_custkey").isNotNull()
         ),
-        "o_custkey", _BM, _BK,
+        "o_custkey", _BM, _BK, portable=True,
     )
     flags = probed.join(
         F.broadcast(bdim.withColumnRenamed("c_custkey", "__bk")),

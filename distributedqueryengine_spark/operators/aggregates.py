@@ -810,3 +810,147 @@ def quantile_state_estimate(
             F.element_at(vals, idx).alias(f"q_{str(p).replace('.', '_')}")
         )
     return state.select(*out)
+
+
+# ------------------------------------------------------- KMV distinct sketch
+
+_KMV_SPACE = float(1 << 60)  # portable_hash64 / xxhash64-folded hash space
+
+
+def _kmv_hash(c: Column, portable: bool) -> Column:
+    from distributedqueryengine_spark.functions.dedup import portable_hash64
+
+    if portable:
+        return portable_hash64(c.cast("string"))
+    # fold xxhash64 into the same non-negative 60-bit space so the
+    # estimator constant is shared between modes
+    return F.pmod(F.xxhash64(c.cast("string")), F.lit(1 << 60))
+
+
+def kmv_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    k: int = 256,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-group MERGEABLE K-Minimum-Values distinct sketch — the
+    DISTINCT-COUNT and SET-OVERLAP companion to `quantile_state_build`
+    (which samples ROWS; this samples the distinct-VALUE space):
+    (keys..., kmin array<long> — the k smallest 60-bit hashes of the
+    group's distinct values).
+
+    Exactly mergeable: bottom-k of a union ≡ bottom-k over concatenated
+    bottom-k states (`kmv_merge`, bit-identical to a direct coarse
+    build). Beyond counts, KMV states support SET ALGEBRA estimates
+    HLL can't give directly: `kmv_overlap` estimates Jaccard /
+    intersection of two groups from their states alone (Beyer et al.,
+    SIGMOD'07).
+
+    `portable=True` uses the md5-60-bit hash (DuckDB mirror on
+    `dedup.portable_hash64`) so state and estimates are
+    engine-reproducible; default is xxhash64 folded into the same
+    space. NULLs are excluded.
+
+    Shape: one distinct-hash aggregate (the dedup shuffle carries
+    8-byte hashes, partial-combined map-side) + one per-group window
+    over DISTINCT hashes + the state aggregate. At very high distinct
+    cardinality per group, apply the same guarded rank-threshold
+    pre-filter as quantile_state_build before the window (SCALING.md).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    ks = list(keys)
+    c = F.col(col)
+    h = (
+        df.where(c.isNotNull())
+        .select(*ks, _kmv_hash(c, portable).alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*[F.col(x) for x in ks]).orderBy(F.col("__h"))
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .groupBy(*ks)
+        .agg(F.array_sort(F.collect_list("__h")).alias("kmin"))
+        .withColumn("k", F.lit(k))
+    )
+
+
+def kmv_merge(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Union KMV states per group: distinct hashes of the concatenated
+    samples, keep the k smallest — EXACTLY the state a direct build
+    over the union would produce (bit-identical, pinned in tests)."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    ks = list(keys)
+    return (
+        u.groupBy(*ks)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("kmin")))
+            ).alias("__all"),
+            F.max("k").alias("k"),
+        )
+        .select(
+            *ks,
+            F.slice(F.col("__all"), 1, F.col("k")).alias("kmin"),
+            "k",
+        )
+    )
+
+
+def kmv_estimate(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """(keys..., n_distinct_est double): exact |kmin| when the group
+    held fewer than k distinct values, else the standard KMV estimator
+    (k-1) · SPACE / kmin[k-1]. Relative error ~ 1/sqrt(k-2)."""
+    m = F.size("kmin")
+    kth = F.element_at(F.col("kmin"), F.col("k")).cast("double")
+    est = F.when(m < F.col("k"), m.cast("double")).otherwise(
+        (F.col("k") - 1) * F.lit(_KMV_SPACE) / kth
+    )
+    return state.select(*keys, F.round(est, 2).alias("n_distinct_est"))
+
+
+def kmv_overlap(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Jaccard / intersection / union estimates from two GLOBAL KMV
+    states (1-row each, same k): the bottom-k of the merged sample is
+    a uniform sample of the union, so J ≈ |{x ∈ X : x ∈ A ∧ x ∈ B}|/|X|
+    with X the union's bottom-k. Output 1 row:
+    (jaccard, n_union_est, n_intersect_est).
+
+    This is the estimate HLL cannot provide from states alone
+    (inclusion-exclusion over HLLs subtracts two large noisy numbers;
+    the KMV sample answers membership directly)."""
+    a = state_a.select(
+        F.col("kmin").alias("ka"), F.col("k").alias("k_a")
+    )
+    b = state_b.select(
+        F.col("kmin").alias("kb"), F.col("k").alias("k_b")
+    )
+    both = a.crossJoin(F.broadcast(b))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, F.col("k_a")
+    )
+    inter = F.size(F.array_intersect(merged, F.array_intersect("ka", "kb")))
+    jacc = inter / F.size(merged)
+    m = F.size(merged)
+    kth = F.element_at(merged, m).cast("double")
+    union_est = F.when(
+        m < F.col("k_a"), m.cast("double")
+    ).otherwise((m - 1) * F.lit(_KMV_SPACE) / kth)
+    chk = F.when(
+        F.col("k_a") == F.col("k_b"), F.lit(True)
+    ).otherwise(
+        F.raise_error(F.lit("kmv_overlap: states built with different k"))
+    )
+    return both.where(chk).select(
+        F.round(jacc, 6).alias("jaccard"),
+        F.round(union_est, 2).alias("n_union_est"),
+        F.round(jacc * union_est, 2).alias("n_intersect_est"),
+    )

@@ -97,7 +97,7 @@ def test_duckdb_bit_identity(spark, members):
     bloom_passed oracle row relies on."""
     got = sorted(
         (r.word_idx, r.word)
-        for r in bloom_build(members, "v", N_BITS, K).collect()
+        for r in bloom_build(members, "v", N_BITS, K, portable=True).collect()
     )
     vals = ",".join(f"({r.v})" for r in members.collect())
     want = duckdb.connect().execute(f"""
@@ -197,3 +197,25 @@ def test_build_validation(spark, members):
         bloom_build(members, "v", 100, 3)
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_build(members, "v", 1024, 0)
+
+
+def test_fast_mode_no_false_negatives_and_semi_parity(spark, members, tables):
+    """Default (xxhash64) mode: same guarantees, ~10x cheaper hash —
+    no false negatives and exact semi-join parity."""
+    st = bloom_build(members, "v", N_BITS, K)  # portable=False default
+    probe = spark.createDataFrame([(i,) for i in range(1000)], "v int")
+    passed = {r.v for r in
+              bloom_probe(st, probe, "v", N_BITS, K).where("bloom_pass").collect()}
+    assert {r.v for r in members.collect()} <= passed
+    cust = tables["customer"].where(F.col("c_mktsegment") == "AUTOMOBILE")
+    got = bloom_prefilter_semi_join(
+        tables["orders"], cust.select("c_custkey"), "o_custkey", "c_custkey",
+        n_items_hint=200, portable=False,
+    )
+    exp = tables["orders"].join(
+        cust.select("c_custkey"),
+        tables["orders"]["o_custkey"] == cust["c_custkey"], "left_semi",
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in exp.collect()
+    )

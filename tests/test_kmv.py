@@ -1,0 +1,90 @@
+"""KMV distinct sketch: exact-below-k, estimator accuracy, merge ≡
+direct (bit-identical), DuckDB state equality in portable mode, and
+Jaccard/intersection overlap estimates."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.operators.aggregates import (
+    kmv_build,
+    kmv_estimate,
+    kmv_merge,
+    kmv_overlap,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], "v int")
+    st = kmv_build(df, [], "v", k=256)
+    est = kmv_estimate(st, []).collect()[0]
+    assert est.n_distinct_est == 37.0
+
+
+def test_estimator_accuracy(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    st = kmv_build(df, [], "v", k=512)
+    est = kmv_estimate(st, []).collect()[0].n_distinct_est
+    assert abs(est - n) / n < 0.15  # ~4.5σ at 1/sqrt(510)
+
+
+def test_grouped_and_merge_equals_direct(spark, tables):
+    orders = tables["orders"]
+    st_direct = kmv_build(orders, ["o_orderstatus"], "o_custkey", k=64)
+    # fine grain: per (status, priority) states, merged up to status
+    st_fine = kmv_build(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_custkey", k=64
+    )
+    st_merged = kmv_merge([st_fine.drop("o_orderpriority")], ["o_orderstatus"])
+    a = {r.o_orderstatus: (r.kmin, r.k) for r in st_direct.collect()}
+    b = {r.o_orderstatus: (r.kmin, r.k) for r in st_merged.collect()}
+    assert a == b  # bit-identical
+
+
+def test_duckdb_state_equality_portable(spark, tables):
+    st = kmv_build(tables["orders"], [], "o_custkey", k=128, portable=True)
+    got = st.collect()[0].kmin
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    want = [r[0] for r in con.execute("""
+        SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                             1, 15) AS BIGINT) AS h
+        FROM orders WHERE o_custkey IS NOT NULL
+        ORDER BY h LIMIT 128
+    """).fetchall()]
+    assert got == want
+
+
+def test_overlap_estimates(spark):
+    # A = [0, 10000), B = [5000, 15000): J = 1/3, union 15000, inter 5000
+    a = kmv_build(
+        spark.range(10_000).select(F.col("id").alias("v")), [], "v", k=512
+    )
+    b = kmv_build(
+        spark.range(5_000, 15_000).select(F.col("id").alias("v")), [], "v",
+        k=512,
+    )
+    r = kmv_overlap(a, b).collect()[0]
+    assert abs(r.jaccard - 1 / 3) < 0.08
+    assert abs(r.n_union_est - 15_000) / 15_000 < 0.15
+    assert abs(r.n_intersect_est - 5_000) / 5_000 < 0.25
+
+
+def test_overlap_mismatched_k_raises(spark):
+    a = kmv_build(spark.range(100).select(F.col("id").alias("v")), [], "v", k=64)
+    b = kmv_build(spark.range(100).select(F.col("id").alias("v")), [], "v", k=32)
+    with pytest.raises(Exception, match="different k"):
+        kmv_overlap(a, b).collect()
+
+
+def test_bad_k_raises(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_build(df, [], "v", k=1)

@@ -36,6 +36,10 @@ def _events(spark, d):
     return load_table(spark, d, "events").select("event_id", "user_id")
 
 
+def _li(spark, d):
+    return load_table(spark, d, "lineitem").select("l_orderkey", "l_partkey")
+
+
 def probes(n: int, zm_dirs: dict[str, str]):
     from distributedqueryengine_spark.functions.bloom import (
         bloom_prefilter_semi_join,
@@ -52,20 +56,19 @@ def probes(n: int, zm_dirs: dict[str, str]):
         # CONFS) to emulate a dim too big to broadcast raw — the 100 TB
         # case where the bloom word table still broadcasts but the raw
         # key set cannot.
-        return fact.select(F.col("user_id").alias("k")).where(
+        return fact.select(F.col("l_partkey").alias("k")).where(
             F.col("k") % 37 == 0
         ).dropDuplicates(["k"])
 
     def p_semi_plain(spark, d):
-        fact = _events(spark, d)
-        return fact.join(_dim(fact), fact["user_id"] == F.col("k"), "left_semi")
+        fact = _li(spark, d)
+        return fact.join(_dim(fact), fact["l_partkey"] == F.col("k"), "left_semi")
 
     def p_semi_bloom(spark, d):
-        fact = _events(spark, d)
+        fact = _li(spark, d)
         return bloom_prefilter_semi_join(
-            fact, _dim(fact), "user_id", "k",
-            n_items_hint=20_000 * (n if d != "/root/testdata/sf0.1" else 1),
-            target_fpr=0.01,
+            fact, _dim(fact), "l_partkey", "k",
+            n_items_hint=2_000, target_fpr=0.01,
         )
 
     def p_semdedup(spark, d):
@@ -108,7 +111,11 @@ def main() -> None:
     assert spark.sparkContext.uiWebUrl, "needs SPARK_GRAFT_UI=true (fresh JVM)"
     sf_dir = "/root/testdata/sf0.1"
     scaled = build_scaled_dir(spark, n)
-    for t, key in (("events", "user_id"), ("embeddings", "vec_id")):
+    for t, key in (
+        ("events", "user_id"),
+        ("embeddings", "vec_id"),
+        ("lineitem", "l_orderkey"),
+    ):
         out = os.path.join(scaled, f"{t}.parquet")
         if not os.path.exists(out):
             replicate(load_table(spark, sf_dir, t), n, key).write.mode(
