@@ -111,16 +111,17 @@ def main() -> None:
     assert spark.sparkContext.uiWebUrl, "needs SPARK_GRAFT_UI=true (fresh JVM)"
     sf_dir = "/root/testdata/sf0.1"
     scaled = build_scaled_dir(spark, n)
+    # build_scaled_dir byte-copies tables outside its REPLICATED set at
+    # 1x — overwrite the ones this probe scales, unconditionally
     for t, key in (
         ("events", "user_id"),
         ("embeddings", "vec_id"),
         ("lineitem", "l_orderkey"),
     ):
         out = os.path.join(scaled, f"{t}.parquet")
-        if not os.path.exists(out):
-            replicate(load_table(spark, sf_dir, t), n, key).write.mode(
-                "overwrite"
-            ).parquet(out)
+        replicate(load_table(spark, sf_dir, t), n, key).write.mode(
+            "overwrite"
+        ).parquet(out)
 
     # zone-map datasets: range-clustered layout on k, file count ∝ data
     zm_dirs = {}
