@@ -854,9 +854,14 @@ def kmv_build(
 
     Shape: one distinct-hash aggregate (the dedup shuffle carries
     8-byte hashes, partial-combined map-side) + one per-group window
-    over DISTINCT hashes + the state aggregate. At very high distinct
-    cardinality per group, apply the same guarded rank-threshold
-    pre-filter as quantile_state_build before the window (SCALING.md).
+    over DISTINCT hashes + the state aggregate. The window is guarded
+    by the same rank-threshold pre-filter as `quantile_state_build`:
+    one cheap count over the distinct hashes sizes a per-group
+    threshold keeping ~8k expected survivors (hashes are uniform in
+    the 60-bit space), so the sort is O(k) per group instead of
+    O(d log d) at high distinct cardinality; a starved group
+    (P ~ exp(-3k) by Chernoff) raises in-plan rather than silently
+    under-sketching.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
@@ -869,14 +874,43 @@ def kmv_build(
         .select(*ks, _kmv_hash(c, portable).alias("__h"))
         .distinct()
     )
+    over = 8 * k
+    counts = (
+        h.groupBy(*ks).agg(F.count(F.lit(1)).alias("__gn"))
+        if ks else h.agg(F.count(F.lit(1)).alias("__gn"))
+    )
+    frac = F.least(F.lit(1.0), F.lit(float(over)) / F.col("__gn"))
+    thresh = (frac * F.lit(_KMV_SPACE)).cast("long")  # both modes 60-bit
+    joined = (
+        h.join(F.broadcast(counts), ks) if ks
+        else h.crossJoin(F.broadcast(counts))
+    )
+    pruned = joined.filter(
+        (F.col("__gn") <= F.lit(over)) | (F.col("__h") <= thresh)
+    )
     w = Window.partitionBy(*[F.col(x) for x in ks]).orderBy(F.col("__h"))
-    return (
-        h.withColumn("__rn", F.row_number().over(w))
+    agg = (
+        pruned.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .groupBy(*ks)
-        .agg(F.array_sort(F.collect_list("__h")).alias("kmin"))
-        .withColumn("k", F.lit(k))
+        .agg(
+            F.array_sort(F.collect_list("__h")).alias("kmin"),
+            F.max("__gn").alias("__gn"),
+        )
     )
+    short = F.size("kmin") < F.least(
+        F.lit(k), F.col("__gn").cast("int")
+    )
+    guarded = F.when(
+        short,
+        F.raise_error(
+            F.lit(
+                "kmv_build: rank pre-filter starved a group "
+                "(astronomically unlikely); raise k or report a bug"
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.col("kmin"))
+    return agg.select(*ks, guarded.alias("kmin"), F.lit(k).alias("k"))
 
 
 def kmv_merge(states: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:

@@ -88,3 +88,17 @@ def test_bad_k_raises(spark):
     df = spark.range(10).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="k must be"):
         kmv_build(df, [], "v", k=1)
+
+
+def test_prefilter_engaged_exact_vs_duckdb(spark):
+    """20k distinct values with k=64 engages the rank-threshold
+    pre-filter (8k=512 << 20k); the state must still equal the
+    unfiltered DuckDB bottom-k exactly."""
+    df = spark.range(20_000).select(F.col("id").alias("v"))
+    got = kmv_build(df, [], "v", k=64, portable=True).collect()[0].kmin
+    want = [r[0] for r in duckdb.connect().execute("""
+        SELECT DISTINCT CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS h
+        FROM range(20000) t(v) ORDER BY h LIMIT 64
+    """).fetchall()]
+    assert got == want
