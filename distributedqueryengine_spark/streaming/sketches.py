@@ -207,3 +207,83 @@ def stream_quantiles(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start(), mon
+
+
+class KMVMonitor:
+    """Running K-Minimum-Values distinct state (see
+    operators/aggregates.kmv_build): the k smallest 60-bit hashes of
+    every distinct value seen so far. KMV merge is EXACT (bottom-k of
+    a union ≡ bottom-k over concatenated bottom-k states), so the
+    stream-so-far state equals a batch build over all ingested rows —
+    pinned in tests, same contract as QuantileMonitor."""
+
+    _SPACE = float(1 << 60)
+
+    def __init__(self, k: int = 256):
+        if k < 2:
+            raise ValueError(f"k must be >= 2, got {k}")
+        self.k = int(k)
+        self.kmin: list[int] = []
+
+    def merge_state(self, kmin) -> None:
+        self.kmin = sorted(set(self.kmin) | set(kmin))[: self.k]
+
+    def estimate(self) -> float:
+        """Distinct-count estimate: exact |kmin| below k, else the
+        standard (k-1)·SPACE/kmin[k-1] KMV estimator."""
+        m = len(self.kmin)
+        if m < self.k:
+            return float(m)
+        return (self.k - 1) * self._SPACE / float(self.kmin[-1])
+
+
+def stream_distinct(
+    stream: DataFrame,
+    value_col: str,
+    k: int = 256,
+    monitor: KMVMonitor | None = None,
+    checkpoint: str | None = None,
+    path: str | None = None,
+):
+    """Maintain a continuous distinct-count estimate over a stream:
+    each micro-batch builds its KMV state (one batch-sized pass, the
+    guarded-prefilter build of aggregates.kmv_build) and merges it into
+    k longs of driver state — never a distinct-values table. Returns
+    (query, monitor); `monitor.estimate()` at any point is the
+    stream-so-far estimate, whose underlying state is EXACTLY the
+    batch build over all ingested rows.
+
+    Pass parquet `path` to land (n_distinct_est, n_kmin) per batch
+    under batch_id partitions with the replay-idempotent dynamic
+    overwrite of streaming/sinks.py. Restart caveat as the other
+    monitors: driver-memory state — treat the LAST batch_id partition
+    as authoritative."""
+    from distributedqueryengine_spark.operators.aggregates import kmv_build
+
+    mon = monitor or KMVMonitor(k)
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        st = kmv_build(batch_df, [], value_col, k=mon.k).collect()
+        if not st:
+            return
+        mon.merge_state(st[0]["kmin"])
+        if path is not None:
+            from distributedqueryengine_spark.streaming.sinks import (
+                write_batch_idempotent,
+            )
+
+            write_batch_idempotent(
+                batch_df.sparkSession.createDataFrame(
+                    [(float(mon.estimate()), len(mon.kmin))],
+                    "n_distinct_est double, n_kmin int",
+                ),
+                batch_id,
+                path,
+            )
+
+    writer = stream.writeStream.foreachBatch(fold).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start(), mon

@@ -168,3 +168,48 @@ def test_stream_quantiles_exactly_equal_batch_build(spark, tables, tmp_path):
     est = mon.estimates([0.5, 0.9])
     assert last.n == mon.n
     assert last.q_0_5 == est[0.5] and last.q_0_9 == est[0.9]
+
+
+def test_stream_distinct_exactly_equal_batch_build(spark, tables, tmp_path):
+    """The streaming KMV monitor's stream-so-far state is EXACTLY the
+    batch kmv_build over all ingested rows, the estimate is within the
+    KMV error envelope, and the sink lands one row per batch."""
+    from distributedqueryengine_spark.operators.aggregates import kmv_build
+    from distributedqueryengine_spark.streaming.sketches import stream_distinct
+
+    ev = tables["events"].select("event_id", "user_id")
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    chunks = ev.randomSplit([1.0, 1.0, 1.0], seed=29)
+    for i, chunk in enumerate(chunks):
+        tmp = str(tmp_path / f"_b{i}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in glob.glob(tmp + "/*.parquet"):
+            shutil.copy(f, f"{stage}/b{i}.parquet")
+        shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    dpath = str(tmp_path / "d")
+    q, mon = stream_distinct(
+        stream, "user_id", k=64,
+        checkpoint=str(tmp_path / "ckpt"), path=dpath,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    direct = kmv_build(ev, [], "user_id", k=64).collect()[0]
+    assert mon.kmin == list(direct["kmin"])  # exact state equality
+    truth = ev.select("user_id").distinct().count()
+    est = mon.estimate()
+    assert abs(est - truth) / truth < 0.6  # k=64 → ~12% σ, 4.5σ envelope
+
+    out = spark.read.parquet(dpath)
+    assert out.count() == 3
+    last = out.orderBy(F.col("batch_id").desc()).first()
+    assert last.n_distinct_est == round(est, 10) or abs(last.n_distinct_est - est) < 1e-6
