@@ -745,6 +745,9 @@ def q_io_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "s": "first_name"}, _IO_S),
         _tagged("partitioned", Q.q_sink_partitioned_roundtrip(spark, sf_dir),
                 {"key": "l_returnflag", "n": "n_rows", "v": "sum_qty"}, _IO_S),
+        _tagged("zonemap", Q.q_sink_zonemap_roundtrip(spark, sf_dir),
+                {"key": "o_orderstatus", "n": "n_rows", "v": "sum_price"},
+                _IO_S),
     ])
 
 
@@ -1169,6 +1172,9 @@ COMPOSITE_ORACLES["io_roundtrip"] = _sql_union([
                  "s": "first_name"}, _IO_S),
     _sql_tagged("partitioned", ORACLES["sink_partitioned_roundtrip"],
                 {"key": "l_returnflag", "n": "n_rows", "v": "sum_qty"}, _IO_S),
+    _sql_tagged("zonemap", ORACLES["sink_zonemap_roundtrip"],
+                {"key": "o_orderstatus", "n": "n_rows", "v": "sum_price"},
+                _IO_S),
 ])
 
 

@@ -954,3 +954,12 @@ ORACLES["pack_sequences"] = r"""
                     - floor(off / 512.0) + 1 AS BIGINT) AS n_seqs
         FROM o
     """
+
+ORACLES["sink_zonemap_roundtrip"] = r"""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+        GROUP BY o_orderstatus
+"""

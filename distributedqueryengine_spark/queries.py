@@ -2427,3 +2427,37 @@ def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(F.broadcast(mode), "l_returnflag").crossJoin(
         F.broadcast(auc)
     )
+
+def q_sink_zonemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping correctness (r10): write orders
+    range-clustered on o_totalprice, build the footer-stats zonemap,
+    read back through `read_with_skipping` with a price-band predicate
+    (only the files whose min/max span the band are opened), aggregate
+    per status — must equal the oracle's plain filter over the base
+    table. The pruning EFFECTIVENESS (files skipped > 0) is pinned in
+    tests/test_zonemap.py; this driver row pins the EQUALITY contract
+    on real data."""
+    import hashlib
+    import tempfile
+
+    from distributedqueryengine_spark.sources.zonemap import (
+        read_with_skipping,
+        write_zonemap,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/dqe_zonemap_rt_{tag}"
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartitionByRange(16, "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(path)
+    write_zonemap(spark, path, ["o_totalprice"])
+    got = read_with_skipping(
+        spark, path, [("o_totalprice", "between", (50_000.0, 150_000.0))]
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
