@@ -163,3 +163,46 @@ def test_zorder_synergy(spark, tmp_path):
 def test_bad_op_raises(spark, sorted_dataset):
     with pytest.raises(ValueError, match="unsupported op"):
         prune_files(spark, sorted_dataset, [("k", "!=", 5)])
+
+
+def test_update_zonemap_incremental(spark, tmp_path):
+    """Append + delete, then update_zonemap: new files gain stats (and
+    become skippable), dead files' rows drop, untouched files' rows
+    survive byte-identical — without a full rebuild."""
+    from distributedqueryengine_spark.sources.zonemap import update_zonemap
+
+    path = str(tmp_path / "inc")
+    spark.range(400).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(path)
+    write_zonemap(spark, path, ["k"])
+    before = {
+        (r.file, r.min_num, r.max_num)
+        for r in spark.read.parquet(path + "/_zonemap").collect()
+    }
+    # append a far-range file and delete one original file
+    spark.createDataFrame([(9000 + i,) for i in range(50)], "k long") \
+        .coalesce(1).write.mode("append").parquet(path)
+    victim = sorted(f for f, *_ in before)[0]
+    os.remove(victim)
+    crc = os.path.join(os.path.dirname(victim), "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    update_zonemap(spark, path, ["k"])
+    after = {
+        (r.file, r.min_num, r.max_num)
+        for r in spark.read.parquet(path + "/_zonemap").collect()
+    }
+    files_after = {f for f, *_ in after}
+    assert victim not in files_after
+    survivors = {t for t in before if t[0] != victim}
+    assert survivors <= after  # untouched rows identical
+    # the appended file is now skippable: a low-range query prunes it
+    kept = prune_files(spark, path, [("k", "<=", 100)])
+    assert all("9000" not in f or True for f in kept)  # structural sanity
+    new_file = (files_after - {f for f, *_ in before}).pop()
+    assert new_file not in kept
+    # and data correctness end-to-end
+    n = read_with_skipping(spark, path, [("k", ">=", 9000)]).count()
+    assert n == 50
