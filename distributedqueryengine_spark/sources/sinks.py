@@ -686,6 +686,7 @@ def compact_files(
     incremental: bool = False,
     force_unlock: bool = False,
     zorder_by: Sequence[str] = (),
+    zonemap_cols: Sequence[str] = (),
 ) -> dict:
     """Public entry for file compaction (semantics, modes, and swap
     safety per `_compact_files_impl`'s docstring / module docstring),
@@ -700,15 +701,30 @@ def compact_files(
     footer stats then bound EVERY listed column, so filters on any of
     them prune files. Works in both full and incremental modes (each
     rewritten partition is clustered independently); costs one range
-    shuffle instead of coalesce."""
+    shuffle instead of coalesce.
+
+    `zonemap_cols` refreshes the file-level zone map
+    (sources/zonemap.update_zonemap) after the swap, still inside the
+    maintenance lock: rewritten files' stats rows drop, new files get
+    footer-read stats — zorder_by + zonemap_cols together is the full
+    OPTIMIZE-then-skip path on plain parquet. Skipped (not failed) if
+    the dataset isn't parquet."""
     jvm, _hconf, fs = _fs(spark, path)
     lock = _acquire_maintenance_lock(jvm, fs, path, force_unlock)
     try:
-        return _compact_files_impl(
+        stats = _compact_files_impl(
             spark, path, target_file_mb=target_file_mb, fmt=fmt,
             partition_by=partition_by, incremental=incremental,
             zorder_by=zorder_by,
         )
+        if zonemap_cols and fmt == "parquet":
+            from distributedqueryengine_spark.sources.zonemap import (
+                update_zonemap,
+            )
+
+            update_zonemap(spark, path, list(zonemap_cols))
+            stats["zonemap_refreshed"] = list(zonemap_cols)
+        return stats
     finally:
         fs.delete(lock, True)
 

@@ -206,3 +206,38 @@ def test_update_zonemap_incremental(spark, tmp_path):
     # and data correctness end-to-end
     n = read_with_skipping(spark, path, [("k", ">=", 9000)]).count()
     assert n == 50
+
+
+def test_compact_with_zonemap_refresh(spark, tmp_path):
+    """compact_files(zorder_by=..., zonemap_cols=...) leaves a fresh,
+    consistent zonemap: stats cover exactly the post-compaction files
+    and skipping still returns the full filtered result."""
+    from distributedqueryengine_spark.sources.sinks import compact_files
+    from distributedqueryengine_spark.sources.zonemap import update_zonemap
+
+    path = str(tmp_path / "cz")
+    df = spark.range(2000).select(
+        (F.col("id") % 50).alias("x"),
+        F.floor(F.col("id") / 50).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(24).write.parquet(path)
+    write_zonemap(spark, path, ["x", "y"])
+    stats = compact_files(
+        spark, path, target_file_mb=1, zorder_by=["x", "y"],
+        zonemap_cols=["x", "y"],
+    )
+    assert stats["zonemap_refreshed"] == ["x", "y"]
+    zm_files = {
+        r.file for r in spark.read.parquet(path + "/_zonemap").collect()
+    }
+    assert zm_files == set(list_data_files(path))  # exact coverage
+    preds = [("x", "between", (0, 9)), ("y", "between", (0, 9))]
+    got = sorted(
+        r.payload for r in read_with_skipping(spark, path, preds).collect()
+    )
+    exp = sorted(
+        r.payload for r in spark.read.parquet(path)
+        .where(F.col("x").between(0, 9) & F.col("y").between(0, 9)).collect()
+    )
+    assert got == exp and got
