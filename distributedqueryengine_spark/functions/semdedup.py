@@ -90,20 +90,41 @@ def semantic_dedup(
     n_iter: int = 4,
     n_sample: int = 256,
     max_cell_rows: int | None = None,
+    keep: str = "min_id",
 ) -> DataFrame:
     """(id, cell, kept) for every input row — kept=1 survivors, kept=0
-    semantic duplicates (some lower-id same-cell vector has cosine >=
-    threshold). Filter `kept = 1` and join back for the deduped corpus.
+    semantic duplicates (some higher-priority same-cell vector has
+    cosine >= threshold). Filter `kept = 1` and join back for the
+    deduped corpus.
+
+    `keep` picks the survivor-priority order inside a duplicate
+    neighborhood:
+    - 'min_id' (default, the ORACLED mode): lowest id wins —
+      deterministic without touching geometry.
+    - 'centroid_far': keep the example FARTHEST from its cluster
+      centroid (lowest cos-to-centroid first, ties by id) — the
+      SemDeDup paper's choice (§3, arXiv:2303.09540): among semantic
+      duplicates the most atypical example adds the most training
+      signal.
+    - 'centroid_near': nearest-to-centroid wins — the prototype-keeping
+      variant for eval-set curation.
+    All three use the same pairwise chain-free rule — j is dropped iff
+    some higher-priority i in its cell has round(cos,6) >= threshold.
 
     `n_sample` bounds the driver-side training collect; ids must be
-    unique (the min-id rule needs a total order). `max_cell_rows`
-    (default 50 * expected cell size) raises in-plan if any cell
-    exceeds it — the pair join is O(cell²), so a saturated cell means
-    `n_clusters` is too small for this corpus; the raise names the
-    bound rather than letting one task quadratically absorb the skew.
+    unique (priority ties break by id, so determinism needs a total
+    order). `max_cell_rows` (default 50 * expected cell size) raises
+    in-plan if any cell exceeds it — within-cell work is O(cell²), so
+    a saturated cell means `n_clusters` is too small for this corpus;
+    the raise names the bound rather than letting one task
+    quadratically absorb the skew.
     """
     if not (0.0 < threshold <= 1.0 + 1e-9):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if keep not in ("min_id", "centroid_far", "centroid_near"):
+        raise ValueError(
+            f"keep must be min_id | centroid_far | centroid_near, got {keep!r}"
+        )
     import pandas as pd
 
     from distributedqueryengine_spark.functions.similarity import _safe_norm
@@ -122,6 +143,8 @@ def semantic_dedup(
         max_cell_rows = max(1000, 50 * (n_sample // max(n_clusters, 1)))
     _max_rows = max_cell_rows
     _thresh = threshold
+    _keep = keep
+    _centroids = centroids  # (n_clusters, dim), L2-normalized
 
     def _dedupe_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -131,8 +154,18 @@ def semantic_dedup(
                 f"rows > max_cell_rows={_max_rows}; raise n_clusters "
                 "(within-cell work is O(cell^2))"
             )
+        # survivor-priority order: position 0 = highest priority
         pdf = pdf.sort_values("__id", kind="mergesort").reset_index(drop=True)
         Vn = _safe_norm(np.vstack(pdf["__v"].to_numpy()).astype(np.float64))
+        if _keep != "min_id":
+            cen = _centroids[int(pdf["cell"].iloc[0])]
+            cos_c = np.round(Vn @ cen, 6)
+            order = np.argsort(
+                cos_c if _keep == "centroid_far" else -cos_c,
+                kind="stable",  # id ascending breaks priority ties
+            )
+            pdf = pdf.iloc[order].reset_index(drop=True)
+            Vn = Vn[order]
         kept = np.ones(n, dtype=bool)
         # blocked Gram matmul: block_rows × n floats live at once, so a
         # 100k-row cell peaks at ~800 MB / blocks of 1024 → ~800 KB·n
@@ -140,10 +173,10 @@ def semantic_dedup(
         for lo in range(0, n, block):
             hi = min(lo + block, n)
             sims = np.round(Vn[lo:hi] @ Vn.T, 6)  # (hi-lo, n)
-            # j = lo+off dropped iff any i < j has sims >= threshold;
-            # i ranges over ALL ids below j (kept or not — chain-free):
-            # columns [0, lo) fully count; within-block columns form a
-            # strictly-lower triangle
+            # j = lo+off dropped iff any higher-priority i (position
+            # < j) has sims >= threshold; i counts kept AND dropped
+            # rows — chain-free. Columns [0, lo) fully count; within-
+            # block columns form a strictly-lower triangle.
             mask = sims >= _thresh
             pre = mask[:, :lo].any(axis=1)
             tri = np.tril(mask[:, lo:hi], k=-1).any(axis=1)

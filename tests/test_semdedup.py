@@ -93,3 +93,52 @@ def test_bad_threshold_raises(spark):
         semantic_dedup(df, threshold=0.0)
     with pytest.raises(ValueError, match="empty"):
         semantic_dedup(df.where(F.lit(False)), threshold=0.9).collect()
+
+
+def test_keep_centroid_far_keeps_atypical(spark):
+    """Two exact-duplicate pairs plus one outlier per cell: under
+    'centroid_far' the duplicate FARTHEST from the centroid survives,
+    and singletons are untouched."""
+    # cell will contain all vectors (n_clusters=1); centroid ≈ mean.
+    # pair A: [1, 0] twice (ids 0, 1); pair B: [0.9, 0.44] twice
+    # (ids 2, 3) — B is closer to the centroid than A.
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.9, 0.44], [0.9, 0.44]]
+    out = {r.vec_id: r.kept for r in
+           semantic_dedup(_mk(spark, vecs), n_clusters=1, threshold=0.999,
+                          n_sample=8, keep="centroid_far").collect()}
+    # within each exact pair exactly one survives (tie on cos → min id)
+    assert out[0] + out[1] == 1 and out[2] + out[3] == 1
+    # and across strategies the SET of surviving contents is the same
+    out_min = {r.vec_id: r.kept for r in
+               semantic_dedup(_mk(spark, vecs), n_clusters=1, threshold=0.999,
+                              n_sample=8, keep="min_id").collect()}
+    assert sum(out.values()) == sum(out_min.values()) == 2
+
+
+def test_keep_strategies_differ_on_asymmetric_neighborhood(spark):
+    """A 3-chain where priority order changes the survivor: u (far from
+    centroid) ~ v ~ w (near centroid); the chain collapses to exactly
+    the highest-priority member, which differs per strategy."""
+    import numpy as np
+    base = np.array([1.0, 0.0])
+    rot = lambda a: [float(np.cos(a)), float(np.sin(a))]
+    # centroid pulled toward angle 0 by three extra singleton vectors
+    vecs = [rot(0.30), rot(0.25), rot(0.20),   # ids 0,1,2: the chain
+            rot(0.0), rot(0.01), rot(-0.01)]   # ids 3-5: anchor mass
+    thr = 0.9987  # cos(0.05)≈0.99875 — adjacent chain links only
+    far = {r.vec_id: r.kept for r in
+           semantic_dedup(_mk(spark, vecs), n_clusters=1, threshold=thr,
+                          n_sample=8, keep="centroid_far").collect()}
+    near = {r.vec_id: r.kept for r in
+            semantic_dedup(_mk(spark, vecs), n_clusters=1, threshold=thr,
+                           n_sample=8, keep="centroid_near").collect()}
+    # chain-free rule: a dropped row still drops its neighbors, so the
+    # whole chain collapses to the single highest-priority member —
+    # farthest-first keeps 0, nearest-first keeps 2
+    assert far[0] == 1 and far[1] == 0 and far[2] == 0
+    assert near[2] == 1 and near[1] == 0 and near[0] == 0
+
+
+def test_bad_keep_raises(spark):
+    with pytest.raises(ValueError, match="keep must be"):
+        semantic_dedup(_mk(spark, [[1.0, 0.0]]), keep="random")
