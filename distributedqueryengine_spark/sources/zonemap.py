@@ -31,8 +31,10 @@ ranges per file, which is exactly what makes min/max spans narrow and
 file skipping effective — tested together in tests/test_zonemap.py.
 
 Predicates are conjunctive triples (col, op, value), op ∈
-{'=', '<', '<=', '>', '>=', 'between'} ('between' takes a (lo, hi)
-tuple). Disjunctions: run prune per branch and union the file sets.
+{'=', '<', '<=', '>', '>=', 'between', 'in'} ('between' takes a
+(lo, hi) tuple, 'in' a value list — a file is skipped only when EVERY
+listed value provably misses it). Other disjunctions: run prune per
+branch and union the file sets.
 """
 from __future__ import annotations
 
@@ -66,7 +68,7 @@ _STATS_SCHEMA = StructType([
     StructField("n_rows", LongType(), False),
 ])
 
-_OPS = {"=", "<", "<=", ">", ">=", "between"}
+_OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
 
 
 def list_data_files(path: str) -> list[str]:
@@ -204,11 +206,21 @@ def prune_files(
 
     drop_any = F.lit(False)  # per (file,col) row: proven impossible?
     for col, op, value in predicates:
+        this_col = F.col("col") == col
+        if op == "in":
+            # impossible iff EVERY listed value falls outside [min, max]
+            imp = F.lit(True)
+            for v in value:
+                mn, mx, lv = _bound_cols(v)
+                imp = imp & mn.isNotNull() & mx.isNotNull() & (
+                    (mn > lv) | (mx < lv)
+                )
+            drop_any = drop_any | (this_col & imp)
+            continue
         lo, hi = _pred_expr(op, value)
         # strict ops exclude the bound itself
         strict_lo = op == ">"
         strict_hi = op == "<"
-        this_col = F.col("col") == col
         impossible = F.lit(False)
         if hi is not None:
             mn, _, v = _bound_cols(hi)
@@ -261,6 +273,8 @@ def read_with_skipping(
             cond = cond & (c <= F.lit(value))
         elif op == ">":
             cond = cond & (c > F.lit(value))
+        elif op == "in":
+            cond = cond & c.isin(list(value))
         else:
             cond = cond & (c >= F.lit(value))
     return df.where(cond)

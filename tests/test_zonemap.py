@@ -241,3 +241,12 @@ def test_compact_with_zonemap_refresh(spark, tmp_path):
         .where(F.col("x").between(0, 9) & F.col("y").between(0, 9)).collect()
     )
     assert got == exp and got
+
+
+def test_in_predicate(spark, sorted_dataset):
+    preds = [("k", "in", [5, 777, 1203])]
+    kept = prune_files(spark, sorted_dataset, preds)
+    assert len(kept) <= 3  # 3 values → ≤3 files
+    got = sorted(r.k for r in
+                 read_with_skipping(spark, sorted_dataset, preds).collect())
+    assert got == [5, 777, 1203]
