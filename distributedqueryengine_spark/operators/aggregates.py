@@ -988,3 +988,47 @@ def kmv_overlap(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
         F.round(union_est, 2).alias("n_union_est"),
         F.round(jacc * union_est, 2).alias("n_intersect_est"),
     )
+
+
+def kmv_overlap_matrix(state: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Pairwise Jaccard / union / intersection estimates between ALL
+    groups of one KMV state table — e.g. "user overlap between every
+    pair of event types" from one scan's worth of sketches.
+
+    One self-join over the (tiny: one row per group) state table with
+    a lexicographic key guard, then the same per-pair array math as
+    `kmv_overlap`. Output: (a_<keys...>, b_<keys...>, jaccard,
+    n_union_est, n_intersect_est) per unordered group pair. States
+    must share k (a single build guarantees it)."""
+    ks = list(keys)
+    if not ks:
+        raise ValueError("kmv_overlap_matrix needs grouped states; for "
+                         "two global states use kmv_overlap")
+    a = state.select(
+        *[F.col(x).alias(f"a_{x}") for x in ks],
+        F.col("kmin").alias("ka"), F.col("k").alias("k_a"),
+    )
+    b = state.select(
+        *[F.col(x).alias(f"b_{x}") for x in ks],
+        F.col("kmin").alias("kb"),
+    )
+    guard = F.concat_ws("", *[F.col(f"a_{x}").cast("string") for x in ks]) < \
+        F.concat_ws("", *[F.col(f"b_{x}").cast("string") for x in ks])
+    both = a.crossJoin(b).where(guard)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, F.col("k_a")
+    )
+    inter = F.size(F.array_intersect(merged, F.array_intersect("ka", "kb")))
+    m = F.size(merged)
+    jacc = inter / m
+    kth = F.element_at(merged, m).cast("double")
+    union_est = F.when(m < F.col("k_a"), m.cast("double")).otherwise(
+        (m - 1) * F.lit(_KMV_SPACE) / kth
+    )
+    return both.select(
+        *[f"a_{x}" for x in ks],
+        *[f"b_{x}" for x in ks],
+        F.round(jacc, 6).alias("jaccard"),
+        F.round(union_est, 2).alias("n_union_est"),
+        F.round(jacc * union_est, 2).alias("n_intersect_est"),
+    )

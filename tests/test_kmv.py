@@ -102,3 +102,39 @@ def test_prefilter_engaged_exact_vs_duckdb(spark):
         FROM range(20000) t(v) ORDER BY h LIMIT 64
     """).fetchall()]
     assert got == want
+
+
+def test_overlap_matrix_vs_exact(spark, tables):
+    """Pairwise event-type user overlap from KMV states tracks the
+    exact pairwise Jaccard within the sketch error envelope."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        kmv_overlap_matrix,
+    )
+
+    ev = tables["events"].select("event_type", "user_id")
+    st = kmv_build(ev, ["event_type"], "user_id", k=256)
+    got = {
+        (r.a_event_type, r.b_event_type): r.jaccard
+        for r in kmv_overlap_matrix(st, ["event_type"]).collect()
+    }
+    assert len(got) >= 3  # at least 3 type pairs in the fixture
+    pres = ev.distinct()
+    sets = {
+        r.event_type: set()
+        for r in pres.select("event_type").distinct().collect()
+    }
+    for r in pres.collect():
+        sets[r.event_type].add(r.user_id)
+    for (ta, tb), j in got.items():
+        exact = len(sets[ta] & sets[tb]) / len(sets[ta] | sets[tb])
+        assert abs(j - exact) < 0.2, (ta, tb, j, exact)
+
+
+def test_overlap_matrix_needs_keys(spark):
+    from distributedqueryengine_spark.operators.aggregates import (
+        kmv_overlap_matrix,
+    )
+    df = spark.range(10).select(F.col("id").alias("v"))
+    st = kmv_build(df, [], "v", k=16)
+    with pytest.raises(ValueError, match="grouped"):
+        kmv_overlap_matrix(st, [])
