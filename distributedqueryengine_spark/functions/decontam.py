@@ -61,12 +61,37 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
+    use_bloom: bool = False,
+    bloom_fpr: float = 0.01,
+    bloom_items_hint: int | None = None,
 ) -> DataFrame:
     """Ids of training documents sharing >= 1 word n-gram with the eval
     set. Eval n-grams are broadcast (the eval set is small — that is
-    the decontamination contract); corpus n-grams never shuffle."""
+    the decontamination contract); corpus n-grams never shuffle.
+
+    `use_bloom=True` inserts the runtime-filter fast path for LARGE
+    eval suites: a Bloom filter over the eval fingerprints (a few MB
+    at 1% fpr even for 10M grams — `functions/bloom.py`) prefilters
+    the corpus gram stream with a joins-free projection, and the exact
+    broadcast LEFT SEMI then sees only the ~(match-rate + fpr)
+    fraction. Result is EXACTLY the non-bloom result (no false
+    negatives); `bloom_items_hint` skips the sizing count when the
+    caller knows the eval gram cardinality."""
     ev = doc_ngram_fingerprints(eval_df, id_col, text_col, n).select("g").distinct()
     tg = doc_ngram_fingerprints(train, id_col, text_col, n)
+    if use_bloom:
+        from distributedqueryengine_spark.functions.bloom import (
+            bloom_build,
+            bloom_probe,
+            bloom_size,
+        )
+
+        n_items = bloom_items_hint or max(ev.count(), 1)
+        n_bits, k = bloom_size(n_items, bloom_fpr)
+        state = bloom_build(ev, "g", n_bits, k)
+        tg = bloom_probe(state, tg, "g", n_bits, k).where(
+            F.col("bloom_pass")
+        ).drop("bloom_pass")
     return (
         tg.join(F.broadcast(ev), "g", "left_semi")
         .select(F.col("id").alias(id_col))

@@ -197,3 +197,24 @@ def test_semantic_contaminated_ids_string_ids(spark):
     got = {r.id: r.max_cos for r in semantic_contaminated_ids(corpus, evals, tau=0.9).collect()}
     assert set(got) == {"doc-a", "doc-c"}
     assert got["doc-a"] == 1.0
+
+
+def test_bloom_prefiltered_decontam_parity(spark, tables):
+    """use_bloom=True returns EXACTLY the same contaminated ids (the
+    bloom has no false negatives; the exact semi join removes the
+    false positives)."""
+    from distributedqueryengine_spark.functions.decontam import (
+        contaminated_ids,
+    )
+
+    docs = tables["documents"]
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    plain = sorted(
+        r.doc_id for r in contaminated_ids(train, ev, n=3).collect()
+    )
+    bloomed = sorted(
+        r.doc_id
+        for r in contaminated_ids(train, ev, n=3, use_bloom=True).collect()
+    )
+    assert plain == bloomed and plain
