@@ -195,10 +195,11 @@ _TOPK_S = [("key", "bigint"), ("id", "bigint"), ("v", "double"),
 def q_order_limit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full sort/limit/top-k/offset operator class under one driver
     row: windowed top-k per group, argmax/DISTINCT-ON (latest event per
-    user), global ORDER BY + LIMIT (TakeOrderedAndProject), and
-    deterministic OFFSET pagination. (Round-5 merge of the former
-    topk_argmax + sort_pagination entries to stay inside the driver's
-    50-row cap while adding decontam/greedy_pack.)"""
+    user), global ORDER BY + LIMIT (TakeOrderedAndProject), deterministic
+    OFFSET pagination, and (round 10) the grouped skyline/Pareto-frontier
+    selection (operators/skyline.py, NOT-EXISTS dominance oracle).
+    (Round-5 merge of the former topk_argmax + sort_pagination entries to
+    stay inside the driver's 50-row cap while adding decontam/greedy_pack.)"""
     return _union([
         _tagged("topk", Q.q_topk_orders_per_customer(spark, sf_dir),
                 {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
@@ -211,6 +212,9 @@ def q_order_limit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "v": "o_totalprice"}, _TOPK_S),
         _tagged("page2", Q.q_sort_limit_offset(spark, sf_dir),
                 {"id": "o_orderkey", "v": "o_totalprice"}, _TOPK_S),
+        _tagged("skyline", Q.q_skyline_orders(spark, sf_dir),
+                {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
+                 "s": "o_orderstatus", "ts_epoch": "ts_epoch"}, _TOPK_S),
     ])
 
 
@@ -820,6 +824,9 @@ COMPOSITE_ORACLES["order_limit_suite"] = _sql_union([
                  "v": "o_totalprice"}, _TOPK_S),
     _sql_tagged("page2", ORACLES["sort_limit_offset"],
                 {"id": "o_orderkey", "v": "o_totalprice"}, _TOPK_S),
+    _sql_tagged("skyline", ORACLES["skyline_orders"],
+                {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
+                 "s": "o_orderstatus", "ts_epoch": "ts_epoch"}, _TOPK_S),
 ])
 
 # approx_sketches emits only exact values + a within-bound verdict, so

@@ -1,0 +1,159 @@
+"""Skyline (Pareto-frontier) selection.
+
+The data-selection primitive behind "keep the documents that are not
+strictly worse than some other document on every axis" — e.g. maximize
+information density while minimizing length/toxicity. The reference
+engine has no skyline operator (its algebra is scan/sel/proj/join/union,
+RPC.cs:248-375); this is part of the training-data-pipeline extension
+surface, implemented Spark-first.
+
+Semantics
+---------
+Row B *dominates* row A iff B >= A on every `maximize` column, B <= A
+on every `minimize` column, and B is strictly better on at least one.
+``skyline`` returns exactly the input rows (all columns preserved) that
+no other row dominates. Identical points do not dominate each other, so
+exact ties on every criterion are all kept — the result is deterministic
+with no hidden tie-break. With ``by=[...]`` dominance is evaluated only
+between rows sharing the group key (group-wise frontier).
+
+Scale shape (100 TB story)
+--------------------------
+Classic two-phase distributed skyline:
+
+1. **Local prune** (mapInPandas, zero shuffle): each partition computes
+   its own skyline. A locally dominated point is globally dominated
+   (strict dominance is a strict partial order, so every dominated point
+   has an *un*dominated dominator in the same partition — transitivity),
+   hence the local pass is a sound filter. Random-data skyline size is
+   O(log^(d-1) n), so survivors are typically tiny.
+2. **Global pass**: grouped skylines repartition by the group key and
+   re-run the local pass — exact in one extra shuffle of survivors only.
+   Ungrouped skylines coalesce survivors to one partition for the final
+   scan, guarded by ``global_limit``: if more than that many rows
+   survive phase 1 the operator raises instead of silently funneling an
+   anti-correlated frontier through one task.
+
+The per-partition scan sorts by the criterion sum (strict dominance
+implies a strictly greater sum, so dominators always precede dominated
+rows) and compares each candidate only against already-kept frontier
+points — O(n·s) with s = local skyline size.
+
+NULL/NaN policy: criteria columns must be non-NULL and non-NaN;
+``on_null='raise'`` (default) fails with the offending count,
+``on_null='drop'`` excludes those rows from both sides of the
+comparison (they can neither win nor dominate).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _local_skyline_pdf(
+    pdf: pd.DataFrame, maximize: Sequence[str], minimize: Sequence[str]
+) -> pd.DataFrame:
+    """Exact skyline of one in-memory block; returns the surviving rows."""
+    if len(pdf) == 0:
+        return pdf
+    parts = [pdf[c].to_numpy(dtype=np.float64) for c in maximize]
+    parts += [-pdf[c].to_numpy(dtype=np.float64) for c in minimize]
+    vals = np.column_stack(parts)
+    # Dominators have strictly greater coordinate sums; a stable
+    # descending-sum order lets one forward scan see every potential
+    # dominator before its victims. Equal-sum rows cannot dominate
+    # each other (strict dominance => strictly greater sum).
+    order = np.argsort(-vals.sum(axis=1), kind="stable")
+    vals = vals[order]
+    kept_rows: list[int] = []
+    kept_vals = np.empty((0, vals.shape[1]), dtype=np.float64)
+    for i in range(vals.shape[0]):
+        v = vals[i]
+        if kept_vals.shape[0]:
+            ge = (kept_vals >= v).all(axis=1)
+            gt = (kept_vals > v).any(axis=1)
+            if bool(np.any(ge & gt)):
+                continue
+        kept_rows.append(i)
+        kept_vals = np.concatenate([kept_vals, v[None, :]], axis=0)
+    return pdf.iloc[order[kept_rows]]
+
+
+def skyline(
+    df: DataFrame,
+    maximize: Sequence[str] = (),
+    minimize: Sequence[str] = (),
+    by: Sequence[str] = (),
+    on_null: str = "raise",
+    global_limit: int = 200_000,
+) -> DataFrame:
+    """Rows of `df` not dominated by any other row (per `by` group).
+
+    maximize/minimize: numeric criterion columns (at least one total).
+    by: optional group columns — dominance is evaluated within groups.
+    on_null: 'raise' (default) or 'drop' for NULL/NaN criterion values.
+    global_limit: ungrouped only — max phase-1 survivors allowed into
+        the single-partition final pass; exceeded => ValueError naming
+        the count (an anti-correlated frontier that large should be
+        reformulated, not hidden in one task).
+    """
+    maximize, minimize, by = list(maximize), list(minimize), list(by)
+    crit = maximize + minimize
+    if not crit:
+        raise ValueError("skyline: need at least one maximize/minimize column")
+    if on_null not in ("raise", "drop"):
+        raise ValueError(f"skyline: on_null must be 'raise' or 'drop', got {on_null!r}")
+
+    bad = None
+    for c in crit:
+        isbad = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
+        bad = isbad if bad is None else (bad | isbad)
+    if on_null == "raise":
+        n_bad = df.filter(bad).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                f"skyline: NULL/NaN in criterion columns {crit}; "
+                "pass on_null='drop' to exclude those rows"
+            )
+        clean = df
+    else:
+        clean = df.filter(~bad)
+
+    schema = clean.schema
+
+    def local_pass(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if by:
+                out = pdf.groupby(by, dropna=False, sort=False, group_keys=False).apply(
+                    lambda g: _local_skyline_pdf(g, maximize, minimize)
+                )
+                yield out.reset_index(drop=True)
+            else:
+                yield _local_skyline_pdf(pdf, maximize, minimize)
+
+    survivors = clean.mapInPandas(local_pass, schema=schema)
+
+    if by:
+        # Exact: co-locate each group, then the local pass is global.
+        return survivors.repartition(*[F.col(c) for c in by]).mapInPandas(
+            local_pass, schema=schema
+        )
+
+    # Ungrouped: bounded single-partition final scan over survivors.
+    survivors = survivors.localCheckpoint(eager=True)
+    n = survivors.count()
+    if n > global_limit:
+        raise ValueError(
+            f"skyline: {n} phase-1 survivors exceed global_limit={global_limit}; "
+            "the frontier is too large for a single final pass — add criteria "
+            "correlation, raise the limit, or use by= to shard the frontier"
+        )
+    return survivors.coalesce(1).mapInPandas(local_pass, schema=schema)

@@ -158,6 +158,23 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["skyline_orders"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_epoch
+          FROM orders
+        )
+        SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice, ts_epoch
+        FROM o a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM o b
+          WHERE b.o_orderstatus = a.o_orderstatus
+            AND b.o_totalprice >= a.o_totalprice
+            AND b.ts_epoch <= a.ts_epoch
+            AND (b.o_totalprice > a.o_totalprice OR b.ts_epoch < a.ts_epoch)
+        )
+    """
+
 # ---- extension operators / functions / streaming ----
 ORACLES["fn_string"] = r"""
         SELECT p_partkey,

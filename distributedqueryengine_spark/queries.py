@@ -15,9 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from distributedqueryengine_spark import fragments
-from distributedqueryengine_spark.operators import aggregates, relational, windows
+from distributedqueryengine_spark.operators import aggregates, relational, skyline, windows
 from distributedqueryengine_spark.session import load_table
 
 
@@ -313,6 +314,25 @@ def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pareto frontier: per order status, the orders no other
+    same-status order beats on BOTH axes (higher o_totalprice AND
+    earlier o_orderdate) — 'most valuable earliest' orders. Two-phase
+    distributed skyline (local mapInPandas prune, then per-group exact
+    pass); exact ties on both criteria are all kept, so the result set
+    is deterministic. Oracle: NOT EXISTS dominance check."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("ts_epoch"),
+    )
+    return skyline.skyline(
+        o, maximize=["o_totalprice"], minimize=["ts_epoch"], by=["o_orderstatus"]
+    ).select("o_orderstatus", "o_orderkey", "o_custkey", "o_totalprice", "ts_epoch")
 
 
 # --------------------------------------------------------------------------
@@ -1311,6 +1331,205 @@ def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+def _partsupp_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp stand-in: the fixture ships no partsupp
+    table, so the four TPC-H shapes that need one (Q2/Q9/Q11/Q20)
+    derive it from the distinct (l_partkey, l_suppkey) pairs actually
+    traded, with ps_availqty / ps_supplycost as pure key arithmetic.
+    The DuckDB differentials run the IDENTICAL math (integer %, then
+    /100.0), so the cross-engine comparison stays exact. At scale this
+    is one distinct-aggregate over lineitem's two join keys — partial
+    map-side combine, no wide rows shuffled."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 11) % 9999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+        (
+            ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 17) % 100000)
+            .cast("double")
+            / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for qualifying parts, the EUROPE supplier(s)
+    offering the region-wide minimum supply cost — the correlated
+    MIN subquery, expressed as a window min over the part key on the
+    region-restricted partsupp (what Catalyst rewrites the subquery to,
+    minus the second scan).
+
+    Adaptation: fixture part has no p_mfgr and partsupp is the
+    deterministic proxy (_partsupp_proxy); predicate p_type='LARGE',
+    p_size<25. Scale notes: supplier⋈nation⋈region (dims) broadcast
+    into partsupp; the window min co-shuffles with the part join key;
+    final TakeOrderedAndProject. Differential: tests/test_tpch_extra.py."""
+    ps = _partsupp_proxy(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 25)
+    ).select("p_partkey", "p_brand")
+    eu_dim = supp.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eu = ps.join(F.broadcast(eu_dim), F.col("ps_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    cheapest = eu.withColumn(
+        "min_cost", F.min("ps_supplycost").over(w)
+    ).filter(F.col("ps_supplycost") == F.col("min_cost"))
+    return (
+        cheapest.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost) by supplier
+    nation and order year for a part-name family — the 6-table join
+    with two composite-key joins (partsupp on BOTH l_partkey and
+    l_suppkey).
+
+    Scale notes: part filter pushes down before the fact join;
+    partsupp co-shuffles with lineitem on the part key (the larger
+    dimension of the composite); supplier/nation broadcast; one
+    partial+final agg. Differential: tests/test_tpch_extra.py."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    ps = _partsupp_proxy(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sn = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    amount = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+    )
+    return (
+        amount.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose in-nation stock value exceeds a
+    fraction of the nation's total stock value — a grouped agg HAVING a
+    scalar-subquery threshold. The scalar total stays IN the plan as a
+    1-row broadcast cross join (no driver collect).
+
+    Scale notes: nation-restricted supplier dim broadcasts into
+    partsupp; ONE localCheckpoint'd base feeds both the per-part agg
+    and the global total, so the proxy's distinct runs once.
+    Differential: tests/test_tpch_extra.py."""
+    ps = _partsupp_proxy(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").join(
+        F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    base = (
+        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = base.agg((F.sum("v") * 0.001).alias("threshold"))
+    return (
+        base.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("raw_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("ps_partkey", F.round("raw_value", 2).alias("value"))
+        .orderBy(F.col("value").desc())
+    )
+
+
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock (> 50% of a
+    year's shipped quantity) of a part-name family, in given nations —
+    the nested IN subqueries with a correlated scalar agg, expressed as
+    a grouped shipped-quantity agg joined back on the composite key,
+    then a LEFT SEMI into supplier.
+
+    Scale notes: the shipped-qty agg and partsupp co-shuffle on the
+    same composite key; part-family filter broadcasts; the supplier
+    probe is a semi join so no duplicate suppliers ever materialize.
+    Differential: tests/test_tpch_extra.py."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.sum("l_quantity") * 0.5).alias("half_qty"))
+    )
+    ps = _partsupp_proxy(spark, sf_dir).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    excess = ps.join(
+        shipped,
+        (F.col("l_partkey") == F.col("ps_partkey"))
+        & (F.col("l_suppkey") == F.col("ps_suppkey")),
+    ).filter(F.col("ps_availqty") > F.col("half_qty"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").filter(
+                F.col("n_name").isin("NATION_3", "NATION_5", "NATION_11")
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(
+            excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
 
 

@@ -1,0 +1,126 @@
+"""Skyline (Pareto frontier) operator tests.
+
+Reference model: brute-force O(n^2) dominance check in pure python —
+the operator must return exactly the undominated row set, order
+insensitive, all columns preserved.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.operators.skyline import skyline
+
+
+def _brute_frontier(rows, maximize, minimize, by=()):
+    def dominates(b, a):
+        if by and any(b[g] != a[g] for g in by):
+            return False
+        ge = all(b[c] >= a[c] for c in maximize) and all(b[c] <= a[c] for c in minimize)
+        gt = any(b[c] > a[c] for c in maximize) or any(b[c] < a[c] for c in minimize)
+        return ge and gt
+
+    return [a for a in rows if not any(dominates(b, a) for b in rows)]
+
+
+def _key(row, cols):
+    return tuple(row[c] for c in cols)
+
+
+def test_skyline_matches_bruteforce_fixed(spark):
+    rows = [
+        Row(id=1, q=5.0, cost=10.0),
+        Row(id=2, q=5.0, cost=8.0),   # dominates id=1
+        Row(id=3, q=7.0, cost=12.0),  # frontier (best q)
+        Row(id=4, q=3.0, cost=5.0),   # frontier (best cost)
+        Row(id=5, q=7.0, cost=12.0),  # exact tie with id=3 -> both kept
+        Row(id=6, q=2.0, cost=6.0),   # dominated by id=4
+    ]
+    df = spark.createDataFrame(rows).repartition(3)
+    got = skyline(df, maximize=["q"], minimize=["cost"]).collect()
+    want = _brute_frontier([r.asDict() for r in rows], ["q"], ["cost"])
+    assert sorted(r["id"] for r in got) == sorted(r["id"] for r in want) == [2, 3, 4, 5]
+
+
+def test_skyline_grouped(spark):
+    rows = [
+        Row(g="a", id=1, q=5.0, cost=10.0),
+        Row(g="a", id=2, q=6.0, cost=9.0),
+        Row(g="b", id=3, q=1.0, cost=1.0),
+        Row(g="b", id=4, q=0.5, cost=2.0),  # dominated within b only
+    ]
+    df = spark.createDataFrame(rows).repartition(4)
+    got = skyline(df, maximize=["q"], minimize=["cost"], by=["g"]).collect()
+    want = _brute_frontier([r.asDict() for r in rows], ["q"], ["cost"], by=["g"])
+    assert sorted(r["id"] for r in got) == sorted(r["id"] for r in want) == [2, 3]
+
+
+@pytest.mark.parametrize("seed,n,d_max,d_min", [(7, 200, 2, 1), (11, 300, 1, 2), (13, 150, 3, 0)])
+def test_skyline_randomized(spark, seed, n, d_max, d_min):
+    rng = random.Random(seed)
+    maximize = [f"m{i}" for i in range(d_max)]
+    minimize = [f"c{i}" for i in range(d_min)]
+    rows = []
+    for i in range(n):
+        # Coarse grid so exact ties and dominance chains both occur.
+        vals = {c: float(rng.randint(0, 12)) for c in maximize + minimize}
+        rows.append({"id": i, **vals})
+    df = spark.createDataFrame(rows).repartition(8)
+    got = {r["id"] for r in skyline(df, maximize=maximize, minimize=minimize).collect()}
+    want = {r["id"] for r in _brute_frontier(rows, maximize, minimize)}
+    assert got == want
+
+
+def test_skyline_grouped_randomized(spark):
+    rng = random.Random(23)
+    rows = [
+        {
+            "g": rng.choice(["x", "y", "z"]),
+            "id": i,
+            "m0": float(rng.randint(0, 9)),
+            "c0": float(rng.randint(0, 9)),
+        }
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows).repartition(8)
+    got = {r["id"] for r in skyline(df, maximize=["m0"], minimize=["c0"], by=["g"]).collect()}
+    want = {r["id"] for r in _brute_frontier(rows, ["m0"], ["c0"], by=["g"])}
+    assert got == want
+
+
+def test_skyline_null_policy(spark):
+    rows = [Row(id=1, q=1.0), Row(id=2, q=None), Row(id=3, q=float("nan"))]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="NULL/NaN"):
+        skyline(df, maximize=["q"])
+    got = skyline(df, maximize=["q"], on_null="drop").collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_skyline_global_limit_raises(spark):
+    # Perfectly anti-correlated: every row is on the frontier.
+    rows = [{"id": i, "m": float(i), "c": float(i)} for i in range(50)]
+    df = spark.createDataFrame(rows).repartition(2)
+    with pytest.raises(ValueError, match="global_limit"):
+        skyline(df, maximize=["m"], minimize=["c"], global_limit=10)
+    # And with a sufficient limit all 50 survive.
+    got = skyline(df, maximize=["m"], minimize=["c"], global_limit=100).count()
+    assert got == 50
+
+
+def test_skyline_requires_criteria(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="at least one"):
+        skyline(df)
+
+
+def test_skyline_preserves_all_columns(spark):
+    df = spark.createDataFrame([Row(id=1, q=2.0, extra="keep-me")])
+    out = skyline(df, maximize=["q"])
+    assert out.columns == df.columns
+    assert out.collect()[0]["extra"] == "keep-me"

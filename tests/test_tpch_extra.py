@@ -1,4 +1,4 @@
-"""TPC-H Q5/Q7/Q8/Q18/Q21/Q22 differential tests vs DuckDB.
+"""TPC-H Q2/Q5/Q7/Q8/Q9/Q11/Q18/Q20/Q21/Q22 differential tests vs DuckDB.
 
 The driver inventory is at its 50-row cap, so these extra TPC-H shapes
 are value-checked here with the same discipline as the driver gate:
@@ -168,6 +168,85 @@ Q17_SQL = r"""
 """
 
 
+# Deterministic partsupp stand-in (queries._partsupp_proxy runs the
+# IDENTICAL key arithmetic Spark-side, so the differential stays exact).
+PARTSUPP_CTE = r"""
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST((l_partkey * 7 + l_suppkey * 11) % 9999 + 1 AS BIGINT)
+                   AS ps_availqty,
+               CAST((l_partkey * 13 + l_suppkey * 17) % 100000 AS DOUBLE)
+                   / 100.0 + 1.0 AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+"""
+
+Q2_SQL = rf"""
+    WITH {PARTSUPP_CTE},
+    eu AS (
+        SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part JOIN eu ON p_partkey = ps_partkey
+    WHERE p_type = 'LARGE' AND p_size < 25
+      AND ps_supplycost = (SELECT min(ps_supplycost) FROM eu e2
+                           WHERE e2.ps_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+Q9_SQL = rf"""
+    WITH {PARTSUPP_CTE}
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (SELECT n_name AS nation,
+                 CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity AS amount
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+"""
+
+Q11_SQL = rf"""
+    WITH {PARTSUPP_CTE},
+    nat AS (
+        SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+        FROM partsupp
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7')
+    SELECT ps_partkey, round(sum(v), 2) AS value
+    FROM nat GROUP BY ps_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.001 FROM nat)
+    ORDER BY value DESC
+"""
+
+Q20_SQL = rf"""
+    WITH {PARTSUPP_CTE}
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_5', 'NATION_11')
+      AND s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small%')
+          AND ps_availqty > (SELECT 0.5 * sum(l_quantity) FROM lineitem
+                             WHERE l_partkey = ps_partkey
+                               AND l_suppkey = ps_suppkey
+                               AND l_shipdate >= DATE '1996-01-01'
+                               AND l_shipdate < DATE '1997-01-01'))
+    ORDER BY s_name
+"""
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
@@ -279,3 +358,35 @@ def test_tpch_q17_matches_duckdb(spark, duck):
     rows = res.fetchall()
     assert rows[0][0] is not None, "Q17 predicate selected no rows"
     _assert_match(Q.q_tpch_q17_small_quantity_revenue(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q2_matches_duckdb(spark, duck):
+    res = duck.execute(Q2_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert len(rows) > 10, "min-cost predicate too thin — loosen it"
+    _assert_match(Q.q_tpch_q2_min_cost_supplier(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q9_matches_duckdb(spark, duck):
+    res = duck.execute(Q9_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert len(rows) > 10, "part-name family selected no trade"
+    _assert_match(Q.q_tpch_q9_product_type_profit(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q11_matches_duckdb(spark, duck):
+    res = duck.execute(Q11_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert len(rows) > 10, "stock-value threshold filtered everything"
+    _assert_match(Q.q_tpch_q11_important_stock(spark, SF_DIR), rows, cols)
+
+
+def test_tpch_q20_matches_duckdb(spark, duck):
+    res = duck.execute(Q20_SQL)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    assert rows, "excess-stock predicate produced no suppliers"
+    _assert_match(Q.q_tpch_q20_part_promotion(spark, SF_DIR), rows, cols)
