@@ -40,7 +40,8 @@ rows) and compares each candidate only against already-kept frontier
 points — O(n·s) with s = local skyline size.
 
 NULL/NaN policy: criteria columns must be non-NULL and non-NaN;
-``on_null='raise'`` (default) fails with the offending count,
+``on_null='raise'`` (default) fails lazily inside the local pass with
+the offending partition's count (query construction stays job-free),
 ``on_null='drop'`` excludes those rows from both sides of the
 comparison (they can neither win nor dominate).
 """
@@ -65,23 +66,65 @@ def _local_skyline_pdf(
     parts = [pdf[c].to_numpy(dtype=np.float64) for c in maximize]
     parts += [-pdf[c].to_numpy(dtype=np.float64) for c in minimize]
     vals = np.column_stack(parts)
+    if np.isnan(vals).any():
+        # NULL criterion values arrive as NaN through Arrow; the check
+        # runs HERE (distributed, lazily) so merely constructing the
+        # query stays job-free — no driver-side pre-count.
+        n_bad = int(np.isnan(vals).any(axis=1).sum())
+        raise ValueError(
+            f"skyline: {n_bad} rows with NULL/NaN in criterion columns "
+            f"{list(maximize) + list(minimize)} in one partition; pass "
+            "on_null='drop' to exclude those rows"
+        )
     # Dominators have strictly greater coordinate sums; a stable
     # descending-sum order lets one forward scan see every potential
     # dominator before its victims. Equal-sum rows cannot dominate
     # each other (strict dominance => strictly greater sum).
     order = np.argsort(-vals.sum(axis=1), kind="stable")
     vals = vals[order]
+    n, d = vals.shape
     kept_rows: list[int] = []
-    kept_vals = np.empty((0, vals.shape[1]), dtype=np.float64)
-    for i in range(vals.shape[0]):
-        v = vals[i]
-        if kept_vals.shape[0]:
-            ge = (kept_vals >= v).all(axis=1)
-            gt = (kept_vals > v).any(axis=1)
-            if bool(np.any(ge & gt)):
-                continue
-        kept_rows.append(i)
-        kept_vals = np.concatenate([kept_vals, v[None, :]], axis=0)
+    kept_list: list[np.ndarray] = []
+    # Chunked scan: each block is screened against the accumulated
+    # frontier in ONE vectorized broadcast (block × frontier × d), so
+    # the python loop only touches block rows that survive it — on
+    # random data that's ~the frontier size, not n. Worst case
+    # (anti-correlated, everything survives) degrades to the O(n·s)
+    # loop, which the ungrouped global_limit guard already bounds.
+    # The comparison frontier stores UNIQUE points only: exact ties are
+    # kept in the OUTPUT but add nothing to dominance comparisons, so a
+    # heavily duplicated input can't quadratically inflate the scan.
+    block = 1024
+    for start in range(0, n, block):
+        chunk = vals[start : start + block]
+        if kept_list:
+            frontier = np.asarray(kept_list)
+            ge = (frontier[None, :, :] >= chunk[:, None, :]).all(axis=2)
+            gt = (frontier[None, :, :] > chunk[:, None, :]).any(axis=2)
+            dominated = np.any(ge & gt, axis=1)
+            tied = np.any(ge & ~gt, axis=1)  # equal to a frontier point
+        else:
+            dominated = np.zeros(len(chunk), dtype=bool)
+            tied = dominated
+        kept_rows.extend((start + j) for j in np.flatnonzero(tied & ~dominated))
+        base = len(kept_list)
+        for j in np.flatnonzero(~dominated & ~tied):
+            v = chunk[j]
+            # Only the frontier points added WITHIN this chunk can still
+            # dominate v (sum-descending order ⇒ dominators precede).
+            new = kept_list[base:]
+            if new:
+                nk = np.asarray(new)
+                ge1 = (nk >= v).all(axis=1)
+                gt1 = (nk > v).any(axis=1)
+                if bool(np.any(ge1 & gt1)):
+                    continue
+                if bool(np.any(ge1 & ~gt1)):  # tie with an in-chunk point
+                    kept_rows.append(start + j)
+                    continue
+            kept_rows.append(start + j)
+            kept_list.append(v)
+    kept_rows.sort()
     return pdf.iloc[order[kept_rows]]
 
 
@@ -110,20 +153,16 @@ def skyline(
     if on_null not in ("raise", "drop"):
         raise ValueError(f"skyline: on_null must be 'raise' or 'drop', got {on_null!r}")
 
-    bad = None
-    for c in crit:
-        isbad = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
-        bad = isbad if bad is None else (bad | isbad)
-    if on_null == "raise":
-        n_bad = df.filter(bad).limit(1).count()
-        if n_bad:
-            raise ValueError(
-                f"skyline: NULL/NaN in criterion columns {crit}; "
-                "pass on_null='drop' to exclude those rows"
-            )
-        clean = df
-    else:
+    if on_null == "drop":
+        bad = None
+        for c in crit:
+            isbad = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
+            bad = isbad if bad is None else (bad | isbad)
         clean = df.filter(~bad)
+    else:
+        # 'raise' is enforced inside the local pass (lazily, per
+        # partition) so query construction never launches a job.
+        clean = df
 
     schema = clean.schema
 

@@ -96,8 +96,10 @@ def test_skyline_grouped_randomized(spark):
 def test_skyline_null_policy(spark):
     rows = [Row(id=1, q=1.0), Row(id=2, q=None), Row(id=3, q=float("nan"))]
     df = spark.createDataFrame(rows)
-    with pytest.raises(ValueError, match="NULL/NaN"):
-        skyline(df, maximize=["q"])
+    # 'raise' fires lazily inside the distributed local pass (query
+    # construction stays job-free), so it surfaces on the action.
+    with pytest.raises(Exception, match="NULL/NaN"):
+        skyline(df, maximize=["q"]).collect()
     got = skyline(df, maximize=["q"], on_null="drop").collect()
     assert [r["id"] for r in got] == [1]
 
