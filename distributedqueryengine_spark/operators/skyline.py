@@ -181,10 +181,22 @@ def skyline(
     survivors = clean.mapInPandas(local_pass, schema=schema)
 
     if by:
-        # Exact: co-locate each group, then the local pass is global.
-        return survivors.repartition(*[F.col(c) for c in by]).mapInPandas(
-            local_pass, schema=schema
-        )
+        # Exact: applyInPandas hands each group to the scan as ONE whole
+        # pandas frame (mapInPandas would re-chunk a co-located group into
+        # Arrow batches and compute per-batch "skylines" — not global once
+        # a group's survivors exceed maxRecordsPerBatch). The per-group
+        # guard bounds the one-task memory the whole-group contract costs.
+        def group_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > global_limit:
+                key = {c: pdf[c].iloc[0] for c in by}
+                raise ValueError(
+                    f"skyline: group {key} has {len(pdf)} phase-1 survivors, "
+                    f"exceeding global_limit={global_limit}; the per-group "
+                    "frontier is too large for an exact single-task pass"
+                )
+            return _local_skyline_pdf(pdf, maximize, minimize)
+
+        return survivors.groupBy(*by).applyInPandas(group_pass, schema=schema)
 
     # Ungrouped: bounded single-partition final scan over survivors.
     survivors = survivors.localCheckpoint(eager=True)
@@ -195,4 +207,17 @@ def skyline(
             "the frontier is too large for a single final pass — add criteria "
             "correlation, raise the limit, or use by= to shard the frontier"
         )
-    return survivors.coalesce(1).mapInPandas(local_pass, schema=schema)
+
+    def final_pass(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Concatenate the FULL iterator before scanning: mapInPandas
+        # chunks even a coalesce(1) partition into Arrow batches, and a
+        # per-batch scan would silently keep rows dominated by a point
+        # in another batch. Survivor count is already <= global_limit,
+        # so the concat is bounded.
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        yield _local_skyline_pdf(whole, maximize, minimize)
+
+    return survivors.coalesce(1).mapInPandas(final_pass, schema=schema)

@@ -126,3 +126,61 @@ def test_skyline_preserves_all_columns(spark):
     out = skyline(df, maximize=["q"])
     assert out.columns == df.columns
     assert out.collect()[0]["extra"] == "keep-me"
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    """Shrink Arrow batches so multi-batch final/grouped passes are hit."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "64")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_skyline_final_pass_spans_arrow_batches(spark, tiny_arrow_batches):
+    # Two anti-correlated lines of constant sum; every point survives its
+    # own partition's local pass, but line B (sum N+1) dominates line A
+    # (sum N) pointwise: (i, N+1-i) beats (i, N-i). With 64-row Arrow
+    # batches the old per-batch final scan kept line-A points whose
+    # dominator landed in another batch — the pass must be whole-set.
+    n = 200
+    rows_a = [{"id": i, "m0": float(i), "m1": float(n - i), "src": "a"} for i in range(n)]
+    rows_b = [
+        {"id": n + i, "m0": float(i), "m1": float(n + 1 - i), "src": "b"} for i in range(n)
+    ]
+    df = spark.createDataFrame(rows_a + rows_b).repartition(2, "src")
+    got = {r["id"] for r in skyline(df, maximize=["m0", "m1"]).collect()}
+    want = {r["id"] for r in _brute_frontier(rows_a + rows_b, ["m0", "m1"], [])}
+    assert got == want == {n + i for i in range(n)}
+
+
+def test_skyline_grouped_pass_spans_arrow_batches(spark, tiny_arrow_batches):
+    # Same construction inside ONE group, >64 survivors per group: the
+    # grouped pass must see the whole group (applyInPandas), not Arrow
+    # chunks of a repartitioned stream.
+    n = 120
+    rows = []
+    for g in ("g1", "g2"):
+        off = 0 if g == "g1" else 10_000
+        rows += [
+            {"g": g, "id": off + i, "m0": float(i), "m1": float(n - i), "src": 0}
+            for i in range(n)
+        ]
+        rows += [
+            {"g": g, "id": off + n + i, "m0": float(i), "m1": float(n + 1 - i), "src": 1}
+            for i in range(n)
+        ]
+    df = spark.createDataFrame(rows).repartition(4, "src")
+    got = {r["id"] for r in skyline(df, maximize=["m0", "m1"], by=["g"]).collect()}
+    want = {r["id"] for r in _brute_frontier(rows, ["m0", "m1"], [], by=["g"])}
+    assert got == want
+
+
+def test_skyline_grouped_global_limit_raises(spark):
+    # Anti-correlated single group: every row survives phase 1, so the
+    # per-group guard must fire instead of silently scanning one task.
+    rows = [{"g": "only", "id": i, "m": float(i), "c": float(i)} for i in range(60)]
+    df = spark.createDataFrame(rows).repartition(3)
+    with pytest.raises(Exception, match="global_limit"):
+        skyline(df, maximize=["m"], minimize=["c"], by=["g"], global_limit=10).collect()
