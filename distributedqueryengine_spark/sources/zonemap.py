@@ -35,6 +35,15 @@ Predicates are conjunctive triples (col, op, value), op ∈
 (lo, hi) tuple, 'in' a value list — a file is skipped only when EVERY
 listed value provably misses it). Other disjunctions: run prune per
 branch and union the file sets.
+
+Temporal columns: predicate values may be `datetime.date` /
+`datetime.datetime` objects; both stats and predicates share ONE
+encoding (epoch days / UTC epoch micros, naive datetimes pinned to
+UTC) so pruning never depends on the executor's local timezone. Note
+Spark's default INT96 parquet timestamps carry no footer min/max —
+such files are conservatively never pruned; write with
+`spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` to make
+timestamp skipping effective.
 """
 from __future__ import annotations
 
@@ -69,6 +78,24 @@ _STATS_SCHEMA = StructType([
 ])
 
 _OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
+
+# Temporal encoding (stats AND predicate values — one rule for both, so
+# comparisons are always consistent): dates → true epoch days
+# ((d - 1970-01-01).days), timestamps → UTC epoch microseconds. Naive
+# datetimes are pinned to UTC (`tzinfo=utc` replace), NEVER the
+# executor's local timezone — `.timestamp()` on a naive value is
+# machine-dependent and made pruning non-conservative.
+import datetime as _dt
+
+_EPOCH_DAY = _dt.date(1970, 1, 1)
+
+
+def _ts_micros(value) -> float:
+    """UTC epoch microseconds for a datetime; naive values are read as
+    UTC wall-clock (same rule applied to footer stats and predicates)."""
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=_dt.timezone.utc)
+    return value.timestamp() * 1e6
 
 
 def list_data_files(path: str) -> list[str]:
@@ -123,11 +150,11 @@ def _footer_stats(files: list[str], cols: list[str]):
                 elif isinstance(mn, (int, float)):
                     min_num, max_num = float(mn), float(mx)
                 elif isinstance(mn, datetime.datetime):
-                    min_num = mn.timestamp() * 1e6
-                    max_num = mx.timestamp() * 1e6
+                    min_num = _ts_micros(mn)
+                    max_num = _ts_micros(mx)
                 elif isinstance(mn, datetime.date):
-                    min_num = float(mn.toordinal())
-                    max_num = float(mx.toordinal())
+                    min_num = float((mn - _EPOCH_DAY).days)
+                    max_num = float((mx - _EPOCH_DAY).days)
                 elif isinstance(mn, str):
                     min_str, max_str = mn, mx
                 elif isinstance(mn, bytes):
@@ -186,7 +213,14 @@ def _pred_expr(op: str, value) -> tuple:
 def _bound_cols(value):
     if isinstance(value, str):
         return F.col("min_str"), F.col("max_str"), F.lit(value)
-    return F.col("min_num"), F.col("max_num"), F.lit(float(value))
+    # datetime BEFORE date: datetime subclasses date.
+    if isinstance(value, _dt.datetime):
+        num = _ts_micros(value)
+    elif isinstance(value, _dt.date):
+        num = float((value - _EPOCH_DAY).days)
+    else:
+        num = float(value)
+    return F.col("min_num"), F.col("max_num"), F.lit(num)
 
 
 def prune_files(

@@ -250,3 +250,71 @@ def test_in_predicate(spark, sorted_dataset):
     got = sorted(r.k for r in
                  read_with_skipping(spark, sorted_dataset, preds).collect())
     assert got == [5, 777, 1203]
+
+
+def test_date_pruning_and_equality(spark, tmp_path):
+    # Dates range-clustered per file; pruning must use true epoch-days
+    # on BOTH sides (stats and predicate), and accept datetime.date
+    # predicate values directly.
+    import datetime as dt
+
+    path = str(tmp_path / "zm_date")
+    df = spark.range(400).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.col("id").alias("v"),
+    )
+    df.repartitionByRange(8, "d").write.parquet(path)
+    write_zonemap(spark, path, ["d"])
+
+    lo, hi = dt.date(2024, 3, 1), dt.date(2024, 3, 20)
+    preds = [("d", "between", (lo, hi))]
+    kept = prune_files(spark, path, preds)
+    assert 1 <= len(kept) <= 2  # 20 days ≈ half of one 50-day file
+    got = sorted(r.v for r in read_with_skipping(spark, path, preds).collect())
+    exp = sorted(
+        r.v
+        for r in spark.read.parquet(path).where(F.col("d").between(lo, hi)).collect()
+    )
+    assert got == exp and len(got) == 20
+
+    # equality on an exact day, and a miss outside the data range
+    assert sorted(
+        r.v for r in read_with_skipping(spark, path, [("d", "=", dt.date(2024, 1, 10))]).collect()
+    ) == [9]
+    assert prune_files(spark, path, [("d", ">", dt.date(2030, 1, 1))]) == []
+
+
+def test_timestamp_pruning_and_equality(spark, tmp_path):
+    # Naive timestamps: stats and predicates are both pinned to UTC, so
+    # pruning is consistent regardless of executor timezone.
+    import datetime as dt
+
+    path = str(tmp_path / "zm_ts")
+    df = spark.range(240).select(
+        (F.lit("2024-06-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    # Spark's default INT96 timestamps carry NO parquet min/max stats
+    # (conservatively never pruned); TIMESTAMP_MICROS is the layout a
+    # skipping-aware table should use.
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.repartitionByRange(8, "ts").write.parquet(path)
+    finally:
+        spark.conf.set(key, old)
+    write_zonemap(spark, path, ["ts"])
+
+    lo = dt.datetime(2024, 6, 3, 0, 0, 0)
+    hi = dt.datetime(2024, 6, 3, 23, 0, 0)
+    preds = [("ts", "between", (lo, hi))]
+    kept = prune_files(spark, path, preds)
+    assert 1 <= len(kept) <= 2
+    got = sorted(r.v for r in read_with_skipping(spark, path, preds).collect())
+    exp = sorted(
+        r.v
+        for r in spark.read.parquet(path).where(F.col("ts").between(lo, hi)).collect()
+    )
+    assert got == exp and len(got) == 24
