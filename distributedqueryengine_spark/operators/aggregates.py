@@ -1012,8 +1012,11 @@ def kmv_overlap_matrix(state: DataFrame, keys: Sequence[str]) -> DataFrame:
         *[F.col(x).alias(f"b_{x}") for x in ks],
         F.col("kmin").alias("kb"),
     )
-    guard = F.concat_ws("", *[F.col(f"a_{x}").cast("string") for x in ks]) < \
-        F.concat_ws("", *[F.col(f"b_{x}").cast("string") for x in ks])
+    # Struct comparison is field-wise lexicographic — unlike a string
+    # concat, ('ab','c') vs ('a','bc') stay distinct, so every distinct
+    # unordered pair emits exactly one row.
+    guard = F.struct(*[F.col(f"a_{x}") for x in ks]) < \
+        F.struct(*[F.col(f"b_{x}") for x in ks])
     both = a.crossJoin(b).where(guard)
     merged = F.slice(
         F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, F.col("k_a")

@@ -138,3 +138,26 @@ def test_overlap_matrix_needs_keys(spark):
     st = kmv_build(df, [], "v", k=16)
     with pytest.raises(ValueError, match="grouped"):
         kmv_overlap_matrix(st, [])
+
+
+def test_overlap_matrix_multicol_boundary_keys(spark):
+    """Multi-column keys with concat-boundary collisions — ('ab','c')
+    vs ('a','bc') — must still emit one row per distinct unordered
+    pair (the guard compares a struct, not a delimiterless concat)."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        kmv_overlap_matrix,
+    )
+
+    rows = []
+    for g1, g2 in [("ab", "c"), ("a", "bc"), ("x", "y")]:
+        rows += [{"g1": g1, "g2": g2, "v": i} for i in range(40)]
+    df = spark.createDataFrame(rows)
+    st = kmv_build(df, ["g1", "g2"], "v", k=32)
+    assert st.count() == 3
+    out = kmv_overlap_matrix(st, ["g1", "g2"]).collect()
+    pairs = {
+        frozenset([(r.a_g1, r.a_g2), (r.b_g1, r.b_g2)]) for r in out
+    }
+    # 3 groups -> C(3,2) = 3 unordered pairs, including the colliding one
+    assert len(out) == 3 and len(pairs) == 3
+    assert frozenset([("ab", "c"), ("a", "bc")]) in pairs
