@@ -181,7 +181,24 @@ def q_agg_mixed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"key": "price_band", "n": "n_orders", "v1": "avg_price"}, _AGG_MIXED_S),
         _tagged("histogram", Q.q_histogram_bucket(spark, sf_dir, src=shared_o),
                 {"key": "bucket", "n": "n", "v1": "lo", "v2": "hi"}, _AGG_MIXED_S),
+        _tagged("assoc_rules", _assoc_events(spark, sf_dir),
+                {"key": "antecedent", "s": "consequent", "n": "n_both",
+                 "v1": "support", "v2": "confidence", "v3": "lift"},
+                _AGG_MIXED_S),
     ])
+
+
+def _assoc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (operators/association.py) over events:
+    basket = user_id, item = event_type — directed pairwise
+    support/confidence/lift, fully value-checked against a DuckDB
+    self-join oracle (r11: previously pytest-differential only)."""
+    from distributedqueryengine_spark.operators.association import (
+        association_rules,
+    )
+
+    ev = Q._t(spark, sf_dir, "events")
+    return association_rules(ev, "user_id", "event_type", min_pair_count=1)
 
 
 # --------------------------------------------------------------------------
@@ -431,15 +448,43 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = Q._t(spark, sf_dir, "orders")
     li = Q._t(spark, sf_dir, "lineitem")
 
-    hll = orders.groupBy("o_orderstatus").agg(
+    # one distinct-customer aggregate, two consumers (hll verdict row +
+    # kmv verdict join) — persist (lazy), not localCheckpoint (eager)
+    ex = orders.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("exact"),
         F.approx_count_distinct("o_custkey", 0.05).alias("approx"),
-    ).select(
+    ).persist()
+    hll = ex.select(
         F.lit("hll_distinct").alias("variant"),
         F.col("o_orderstatus").cast("string").alias("key"),
         F.col("exact").cast("bigint").alias("n_exact"),
         (F.abs(F.col("approx") - F.col("exact"))
          <= 0.2 * F.col("exact") + 5).cast("int").alias("within_bound"),
+    )
+
+    # kmv_distinct (r11): the mergeable bottom-k distinct sketch in
+    # PORTABLE md5 mode — like bk_quantiles/bloom the state is
+    # engine-reproducible, so n_exact here is the KMV ESTIMATE itself
+    # (floor of the deterministic (k-1)·2^60/kmin[k-1]) pinned EQUAL
+    # across engines, and within_bound checks it against the exact
+    # distinct count at 25%+5 (≥4σ of the 1/√(k-2)≈6.3% sketch error).
+    from distributedqueryengine_spark.operators.aggregates import (
+        kmv_build,
+        kmv_estimate,
+    )
+
+    kst = kmv_build(
+        orders.select("o_orderstatus", "o_custkey"),
+        ["o_orderstatus"], "o_custkey", k=256, portable=True,
+    )
+    kmv = kmv_estimate(kst, ["o_orderstatus"]).join(
+        F.broadcast(ex.select("o_orderstatus", "exact")), "o_orderstatus"
+    ).select(
+        F.lit("kmv_distinct").alias("variant"),
+        F.col("o_orderstatus").cast("string").alias("key"),
+        F.floor("n_distinct_est").cast("bigint").alias("n_exact"),
+        (F.abs(F.col("n_distinct_est") - F.col("exact"))
+         <= 0.25 * F.col("exact") + 5).cast("int").alias("within_bound"),
     )
 
     ps = [0.5, 0.9, 0.99]
@@ -571,7 +616,10 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
-    return hll.unionByName(gk).unionByName(bk).unionByName(bloom_rows)
+    return (
+        hll.unionByName(gk).unionByName(bk)
+        .unionByName(bloom_rows).unionByName(kmv)
+    )
 
 
 def approx_sketches_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,6 +858,30 @@ COMPOSITE_ORACLES["agg_mixed_suite"] = _sql_union([
                 {"key": "price_band", "n": "n_orders", "v1": "avg_price"}, _AGG_MIXED_S),
     _sql_tagged("histogram", ORACLES["histogram_bucket"],
                 {"key": "bucket", "n": "n", "v1": "lo", "v2": "hi"}, _AGG_MIXED_S),
+    _sql_tagged("assoc_rules", """
+WITH pres AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+nb AS (SELECT COUNT(DISTINCT b) AS n FROM pres),
+ic AS (SELECT i, COUNT(*) AS n_item FROM pres GROUP BY i),
+pairs AS (SELECT a.i AS ia, c.i AS ib, COUNT(*) AS n_both
+          FROM pres a JOIN pres c ON a.b = c.b AND a.i < c.i
+          GROUP BY 1, 2),
+directed AS (SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
+             UNION ALL
+             SELECT ib AS antecedent, ia AS consequent, n_both FROM pairs)
+SELECT d.antecedent, d.consequent, d.n_both,
+       ROUND(d.n_both * 1.0 / nb.n, 6) AS support,
+       ROUND(d.n_both * 1.0 / na.n_item, 6) AS confidence,
+       ROUND((d.n_both * 1.0 / na.n_item) / (nc.n_item * 1.0 / nb.n), 6)
+           AS lift
+FROM directed d
+JOIN ic na ON na.i = d.antecedent
+JOIN ic nc ON nc.i = d.consequent
+CROSS JOIN nb
+""",
+                {"key": "antecedent", "s": "consequent", "n": "n_both",
+                 "v1": "support", "v2": "confidence", "v3": "lift"},
+                _AGG_MIXED_S),
 ])
 
 COMPOSITE_ORACLES["order_limit_suite"] = _sql_union([
@@ -894,6 +966,32 @@ SELECT 'bk_quantiles' AS variant, CAST(l_returnflag AS VARCHAR) AS key,
        CAST(COUNT(l_extendedprice) AS BIGINT) AS n_exact,
        CAST(1 AS INTEGER) AS within_bound
 FROM lineitem GROUP BY l_returnflag
+UNION ALL
+-- kmv_distinct: rebuild the SAME portable-md5 bottom-256 state per
+-- o_orderstatus and the SAME (k-1)*2^60/kmin[k-1] estimator — n_exact
+-- is the estimate itself, pinned EQUAL across engines (round(_,2) then
+-- floor mirrors kmv_estimate); within_bound re-derives the 25%+5 check.
+SELECT 'kmv_distinct' AS variant, CAST(s.key AS VARCHAR) AS key,
+       CAST(FLOOR(ROUND(s.est, 2)) AS BIGINT) AS n_exact,
+       CAST(CASE WHEN ABS(ROUND(s.est, 2) - e.exact) <= 0.25 * e.exact + 5
+                 THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+FROM (
+  SELECT key,
+         CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 255.0 * 1152921504606846976
+                   / CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+         END AS est
+  FROM (
+    SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+    FROM (SELECT DISTINCT o_orderstatus AS key,
+                 CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+          FROM orders WHERE o_custkey IS NOT NULL)
+  ) WHERE rn <= 256
+  GROUP BY key
+) s
+JOIN (SELECT o_orderstatus AS key, COUNT(DISTINCT o_custkey) AS exact
+      FROM orders GROUP BY 1) e ON e.key = s.key
 """
 
 COMPOSITE_ORACLES["temporal_join_suite"] = _sql_union([
