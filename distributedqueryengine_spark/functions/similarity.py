@@ -644,8 +644,11 @@ def probe_lsh_candidates(
         F.col(id_col).alias("query_id"),
         F.posexplode(query_udf(as_double(vec_col))).alias("pos", "bkt"),
     ).select("query_id", (F.col("pos") / n_probes).cast("int").alias("tbl"), "bkt")
+    # broadcast the probe keys (|batch|·n_tables·n_probes rows — a few
+    # 10k) so the n·n_tables-row index is stream-scanned, not reshuffled
+    # per batch: the whole point of building it once
     return (
-        index.join(qb_ids, ["tbl", "bkt"])
+        index.join(F.broadcast(qb_ids), ["tbl", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -686,7 +689,7 @@ def probe_lsh_index(
     cos = _cosine_udf()
     scored = (
         cand.join(cv, "neighbor_id")
-        .join(qv, "query_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1199,17 +1202,28 @@ def build_ivf_index(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_vectors: bool = True,
 ) -> DataFrame:
-    """Corpus-side IVF index: (neighbor_id, cell) nearest-centroid
+    """Corpus-side IVF index: (neighbor_id, cell[, cv]) nearest-centroid
     assignments — the amortization half of IVF ANN, mirroring
     `build_lsh_index`. The n×cells×d assignment matmul is paid once;
     persist or write the table partitioned by cell and every
-    `probe_ivf_index` batch is candidates-only."""
+    `probe_ivf_index` batch is candidates-only.
+
+    `with_vectors=True` (default, r11) stores the normalized vector IN
+    the index row. IVF assigns each corpus vector to exactly ONE cell,
+    so unlike LSH (n_tables copies) this duplicates nothing — and it is
+    what makes the probe zero-shuffle on the corpus side: scoring
+    happens directly on the (broadcast query)×(index) cell join instead
+    of re-fetching vectors through a corpus-wide join per batch."""
     corpus_cell = _nearest_cells_udf(centroids, 1)
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(corpus_cell(as_double(vec_col))).alias("cell"),
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
     )
+    idx = base.select(
+        "neighbor_id", F.explode(corpus_cell(F.col("cv"))).alias("cell"), "cv"
+    )
+    return idx if with_vectors else idx.drop("cv")
 
 
 def probe_ivf_index(
@@ -1224,35 +1238,56 @@ def probe_ivf_index(
 ) -> DataFrame:
     """Approximate top-k against a prebuilt `build_ivf_index` table
     (same centroids as the build). Queries probe their n_probe nearest
-    cells (queries×cells×d — tiny); the cell equi-join against the
-    index forms candidates, vectors are re-fetched per candidate, and
-    the exact vectorized cosine + per-query window pick the top-k. No
-    corpus-sized matmul, no broadcast."""
+    cells (queries×cells×d — tiny).
+
+    Vector-carrying index (the r11 default build): the query batch —
+    (query_id, cell, qv), a few thousand rows — is BROADCAST onto the
+    index's cell column and scored in place: the persisted/partitioned
+    index is stream-scanned, never reshuffled, and the only shuffle in
+    the whole probe is the per-query top-k window over scored
+    candidates (~batch·n_probe·n/cells rows). IVF's 1-cell-per-vector
+    assignment means no duplicate (query, neighbor) pairs, so there is
+    no distinct either. Legacy id-only indexes fall back to re-fetching
+    vectors through corpus joins."""
     from pyspark.sql.window import Window
 
     query_cell = _nearest_cells_udf(centroids, n_probe)
     cos = _cosine_udf()
-    qb_ids = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(query_cell(as_double(vec_col))).alias("cell"),
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
-    cand = (
-        index.join(qb_ids, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
+    qb = q0.select(
+        "query_id", "qv", F.explode(query_cell(F.col("qv"))).alias("cell")
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    scored = (
-        cand.join(cv, "neighbor_id")
-        .join(qv, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    if "cv" in index.columns:
+        scored = (
+            index.join(F.broadcast(qb), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
         )
-    )
+    else:
+        cand = (
+            index.join(F.broadcast(qb.select("query_id", "cell")), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+        )
+        scored = (
+            cand.join(cv, "neighbor_id")
+            .join(F.broadcast(q0), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
