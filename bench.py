@@ -108,6 +108,34 @@ def main() -> None:
         }
     except Exception:
         pass
+    # Per-branch splits for composite suites (r11): suites absorb new
+    # branches inside fixed keys, so round-over-round suite deltas need
+    # a per-branch attribution. Branches that SHARE a pass inside the
+    # suite (dedup spine, sim brute force) run standalone here, so a
+    # suite's splits can sum to MORE than its one-plan suite row.
+    branch_splits: dict[str, dict[str, float]] = {}
+    try:
+        from distributedqueryengine_spark.inventory import BENCH_SPLITS
+
+        for suite, branches in BENCH_SPLITS.items():
+            if suite not in timings:
+                continue
+            split: dict[str, float] = {}
+            for bname, fn in branches.items():
+                try:
+                    runs = []
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        t0 = time.monotonic()
+                        force(fn(spark, sf_dir))
+                        runs.append(time.monotonic() - t0)
+                    split[bname] = round(min(runs), 3)
+                except Exception:
+                    split[bname] = -1.0  # branch failed; visible, not fatal
+            split["suite_one_plan"] = timings[suite]
+            branch_splits[suite] = split
+    except Exception:
+        pass
     payload = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -126,6 +154,8 @@ def main() -> None:
         payload["ann_amortized"] = ann
     if sketch_split is not None:
         payload["approx_sketches_split"] = sketch_split
+    if branch_splits:
+        payload["branch_splits"] = branch_splits
     print(json.dumps(payload))
     spark.stop()
 

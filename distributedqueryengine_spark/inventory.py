@@ -1577,3 +1577,109 @@ for _name in INVENTORY:
 
 assert len(INVENTORY) <= 50, f"inventory exceeds the driver's 50-query cap: {len(INVENTORY)}"
 assert set(INVENTORY_ORACLES) == set(INVENTORY) - ROWS_ONLY
+
+
+# --------------------------------------------------------------------------
+# Per-branch bench splits (r11, VERDICT r10 item 3): composite suites keep
+# absorbing new branches inside fixed BENCH keys, which makes round-over-
+# round deltas unattributable. bench.py times each branch below standalone
+# and records them under "branch_splits" — branches that SHARE a pass in
+# the suite (dedup spine, sim brute-force) cost more standalone than their
+# marginal suite cost, so splits may sum to MORE than the suite row.
+# --------------------------------------------------------------------------
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str, portable: bool) -> DataFrame:
+    """The shared near-dup spine (shingles → minhash → bands → exact
+    Jaccard) standalone, in either hash mode — `portable=False` is the
+    xxhash64 production mode the suite never benched before r11."""
+    from distributedqueryengine_spark.functions import dedup as D
+    from distributedqueryengine_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(d, "doc_id", "text", 3, portable=portable).persist()
+    sigs = D.minhash_signatures(sh, 32, portable=portable)
+    cand = D.lsh_candidate_pairs(sigs, 32, 8, portable=portable)
+    return D.jaccard_on_pairs(cand, sh)
+
+
+def _sim_cos_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedqueryengine_spark.functions import similarity as S
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb.filter(F.col("vec_id") % 10 == 0), emb, k=5)
+
+
+def _sim_rrf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedqueryengine_spark.functions import similarity as S
+    from distributedqueryengine_spark.functions.retrieval_eval import rrf_fuse
+    from distributedqueryengine_spark.functions.text import bm25_topk
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    docs = Q._t(spark, sf_dir, "documents")
+    lex = bm25_topk(
+        docs, ["the", "data", "first", "model"], "text", id_col="doc_id", k=20
+    )
+    dense = S.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    return rrf_fuse([lex.select("doc_id", "rnk"), dense], k=10)
+
+
+def _sim_hardneg_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone hard-negative mining (its own overfetch pass — the
+    suite instead reuses the shared bf5 candidates)."""
+    from distributedqueryengine_spark.functions import similarity as S
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") % 10 == 0)
+    bf = S.brute_force_topk(qdf, emb, k=5).localCheckpoint()
+    pos = bf.filter(F.col("rnk") == 1).select(
+        "query_id", F.col("neighbor_id").alias("positive_id")
+    )
+    return S.mine_hard_negatives(qdf, emb, pos, k=3, candidates=bf)
+
+
+def _dedup_clusters_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedqueryengine_spark.functions import dedup as D
+
+    pairs = _near_dup_pairs(spark, sf_dir, portable=True).filter(
+        F.col("jaccard") >= 0.5
+    ).localCheckpoint()
+    return (
+        D.connected_components(pairs)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"), F.min("id").alias("rep_id"))
+    )
+
+
+BENCH_SPLITS: dict[str, dict[str, object]] = {
+    "order_limit_suite": {
+        "topk": Q.q_topk_orders_per_customer,
+        "argmax": Q.q_argmax_latest_event,
+        "top25": Q.q_sort_limit,
+        "page2": Q.q_sort_limit_offset,
+        "skyline": Q.q_skyline_orders,
+    },
+    "io_roundtrip": {
+        "csv": Q.q_source_csv_roundtrip,
+        "partitioned": Q.q_sink_partitioned_roundtrip,
+        "zonemap": Q.q_sink_zonemap_roundtrip,
+    },
+    "agg_stats_suite": {
+        "moments": Q.q_agg_stats_moments,
+        "mode": Q.q_agg_mode,
+        "roc_auc": Q.q_agg_roc_auc,
+    },
+    "sim_bruteforce_topk": {
+        "cos": _sim_cos_branch,
+        "rrf": _sim_rrf_branch,
+        "hardneg": _sim_hardneg_branch,
+    },
+    "dedup_near_suite": {
+        "pairs_md5_portable": lambda s, d: _near_dup_pairs(s, d, True),
+        "pairs_xxhash64_production": lambda s, d: _near_dup_pairs(s, d, False),
+        "simhash": lambda s, d: Q.q_dedup_simhash(s, d, portable=True),
+        "winnow": lambda s, d: Q.q_text_winnow(s, d, portable=True),
+        "clusters": _dedup_clusters_branch,
+    },
+}

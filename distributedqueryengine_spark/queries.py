@@ -2605,14 +2605,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate surface in ONE groupBy over lineitem:
-    stddev/variance/corr/covar, regression moments, bitwise aggs —
-    all partial+final combinable — plus the deterministic mode
-    (max-count, min-value tiebreak) joined on the 3-row group key."""
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-groupBy statistical-moment branch of q_agg_stats_suite,
+    exposed standalone so bench.py can time it per-branch."""
     li = _t(spark, sf_dir, "lineitem")
     ln = F.col("l_linenumber").cast("bigint")
-    stats = li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
@@ -2626,23 +2624,38 @@ def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and(ln).alias("bits_and"),
         F.bit_xor(ln).alias("bits_xor"),
     )
+
+
+def q_agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The roc_auc_df branch of q_agg_stats_suite (quantity as a score
+    for 'was returned'), exposed standalone for per-branch bench."""
+    from distributedqueryengine_spark.operators.mleval import roc_auc_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_quantity").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return roc_auc_df(scored, "score", "label").select(
+        F.round(F.col("auc"), 6).alias("auc_qty_returned"),
+        F.col("n_pos").alias("auc_n_pos"),
+        F.col("n_neg").alias("auc_n_neg"),
+    )
+
+
+def q_agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface in ONE groupBy over lineitem:
+    stddev/variance/corr/covar, regression moments, bitwise aggs —
+    all partial+final combinable — plus the deterministic mode
+    (max-count, min-value tiebreak) joined on the 3-row group key."""
+    stats = q_agg_stats_moments(spark, sf_dir)
     mode = q_agg_mode(spark, sf_dir)
     # Lazy-composability of the frame-returning evaluator variants
     # (VERDICT r9 item 7): roc_auc_df's 1-row result (treating quantity
     # as a score for "was returned", ties counted half) broadcast-joins
     # INTO this plan as three more columns — the *_df contract is that
     # it composes inside a larger query, not only as a terminal action.
-    from distributedqueryengine_spark.operators.mleval import roc_auc_df
-
-    scored = li.select(
-        F.col("l_quantity").alias("score"),
-        (F.col("l_returnflag") == "R").cast("int").alias("label"),
-    )
-    auc = roc_auc_df(scored, "score", "label").select(
-        F.round(F.col("auc"), 6).alias("auc_qty_returned"),
-        F.col("n_pos").alias("auc_n_pos"),
-        F.col("n_neg").alias("auc_n_neg"),
-    )
+    auc = q_agg_roc_auc(spark, sf_dir)
     return stats.join(F.broadcast(mode), "l_returnflag").crossJoin(
         F.broadcast(auc)
     )
