@@ -10,15 +10,50 @@ k counters of state — never a distinct-values table.
 State lives driver-side in the monitor object (k counters + one error
 scalar — model-sized, the same contract as drift.py's frozen
 reference), updated per micro-batch from the batch operator's
-k·partitions-sized summary. For exactly-once accounting restart the
-query with a fresh monitor; the sketch is cheap to rebuild from the
-retained batches.
+k·partitions-sized summary.
+
+Restart durability (r11): when a parquet `path` is given, the folded
+monitor state itself (≤k longs / r pairs — tiny) is also persisted to
+`<path>/_monitor_state/state.json` after every fold, atomically
+(tmp + rename), tagged with the batch_id it includes. A monitor-less
+restart of the same stream restores that state and SKIPS re-merging
+any replayed batch (`batch_id <= last_batch_id` — Structured
+Streaming replays the last uncommitted batch after a crash), so the
+stream-so-far fold continues exactly where it stopped instead of
+restarting from the replayed window. Without `path`/`state_path` the
+monitor stays a per-run diagnostic, as before.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _state_file(path: str | None, state_path: str | None) -> str | None:
+    """Where monitor state persists: explicit `state_path` wins; else
+    an underscore dir (invisible to parquet listings) under the
+    estimates sink; None disables persistence."""
+    base = state_path or (os.path.join(path, "_monitor_state") if path else None)
+    return os.path.join(base, "state.json") if base else None
+
+
+def _save_state(fname: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(fname), exist_ok=True)
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, fname)  # atomic on POSIX: readers see old or new
+
+
+def _load_state(fname: str | None) -> dict | None:
+    if fname is None or not os.path.isfile(fname):
+        return None
+    with open(fname) as f:
+        return json.load(f)
 
 
 class HeavyHittersMonitor:
@@ -30,6 +65,19 @@ class HeavyHittersMonitor:
         self.k = int(k)
         self.counters: dict[str, int] = {}
         self.err = 0  # total decrement mass: true <= est + err for any item
+        self.last_batch_id = -1  # highest batch folded (replay guard)
+
+    def to_dict(self) -> dict:
+        return {"kind": "mg", "k": self.k, "err": self.err,
+                "counters": self.counters, "last_batch_id": self.last_batch_id}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HeavyHittersMonitor":
+        m = cls(d["k"])
+        m.err = int(d["err"])
+        m.counters = {str(i): int(c) for i, c in d["counters"].items()}
+        m.last_batch_id = int(d.get("last_batch_id", -1))
+        return m
 
     def merge_summary(self, rows) -> None:
         """Fold a (item, c) summary — item NULL carries decrement mass."""
@@ -62,6 +110,7 @@ def stream_heavy_hitters(
     monitor: HeavyHittersMonitor | None = None,
     checkpoint: str | None = None,
     path: str | None = None,
+    state_path: str | None = None,
 ):
     """Maintain continuous heavy hitters over a stream: each micro-batch
     runs the distributed per-partition Misra-Gries summary (bounded
@@ -74,24 +123,34 @@ def stream_heavy_hitters(
     stream-so-far estimates as rows (item, count_lo, count_hi) in a
     batch_id-partitioned directory via the replay-idempotent dynamic
     overwrite of streaming/sinks.py — a restart that replays batch n
-    rewrites partition n, never duplicating summary rows. NOTE the
-    monitor itself is driver-memory state: after a process restart its
-    fold restarts from the replayed batches, so treat the LAST batch_id
-    partition as the authoritative stream-so-far summary."""
+    rewrites partition n, never duplicating summary rows. The folded
+    monitor state ALSO persists per batch (module docstring): with
+    monitor=None and an existing `<path>/_monitor_state/`, the fold
+    restores and continues exactly, skipping replayed batches."""
     from distributedqueryengine_spark.operators.aggregates import mg_summary
 
-    mon = monitor or HeavyHittersMonitor(k)
+    sfile = _state_file(path, state_path)
+    saved = _load_state(sfile) if monitor is None else None
+    mon = monitor or (
+        HeavyHittersMonitor.from_dict(saved) if saved else HeavyHittersMonitor(k)
+    )
 
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        # the batch operator's merged summary: per-item sums + the
-        # NULL-item decrement-mass row, k-bounded by construction
-        rows = [
-            (r.item, r.c)
-            for r in mg_summary(batch_df, value_col, k=mon.k).collect()
-        ]
-        mon.merge_summary(rows)
+        if batch_id > mon.last_batch_id:
+            # the batch operator's merged summary: per-item sums + the
+            # NULL-item decrement-mass row, k-bounded by construction
+            rows = [
+                (r.item, r.c)
+                for r in mg_summary(batch_df, value_col, k=mon.k).collect()
+            ]
+            mon.merge_summary(rows)
+            mon.last_batch_id = int(batch_id)
+            if sfile is not None:
+                _save_state(sfile, mon.to_dict())
+        # replayed batch (batch_id <= last_batch_id): state already
+        # includes it — only the idempotent estimates rewrite runs
         if path is not None:
             from distributedqueryengine_spark.streaming.sinks import (
                 write_batch_idempotent,
@@ -127,6 +186,20 @@ class QuantileMonitor:
         self.r = int(r)
         self.n = 0
         self.sample: list[tuple[int, float]] = []
+        self.last_batch_id = -1
+
+    def to_dict(self) -> dict:
+        return {"kind": "bk_quantile", "r": self.r, "n": self.n,
+                "sample": [[int(rk), float(v)] for rk, v in self.sample],
+                "last_batch_id": self.last_batch_id}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QuantileMonitor":
+        m = cls(d["r"])
+        m.n = int(d["n"])
+        m.sample = [(int(rk), float(v)) for rk, v in d["sample"]]
+        m.last_batch_id = int(d.get("last_batch_id", -1))
+        return m
 
     def merge_state(self, n: int, elems) -> None:
         self.n += int(n)
@@ -152,6 +225,7 @@ def stream_quantiles(
     monitor: QuantileMonitor | None = None,
     checkpoint: str | None = None,
     path: str | None = None,
+    state_path: str | None = None,
     probs=(0.5, 0.9, 0.99),
 ):
     """Maintain continuous quantiles over a stream: each micro-batch
@@ -165,26 +239,36 @@ def stream_quantiles(
     Pass parquet `path` to also land each batch's stream-so-far
     estimates as one row (p, q columns per prob) under batch_id
     partitions with the replay-idempotent dynamic overwrite of
-    streaming/sinks.py. Same restart caveat as stream_heavy_hitters:
-    the monitor is driver-memory state — treat the LAST batch_id
-    partition as authoritative."""
+    streaming/sinks.py. The folded state persists per batch (module
+    docstring): with monitor=None and an existing state file, the fold
+    restores and continues exactly, skipping replayed batches."""
     from distributedqueryengine_spark.operators.aggregates import (
         quantile_state_build,
     )
 
-    mon = monitor or QuantileMonitor(r)
+    sfile = _state_file(path, state_path)
+    saved = _load_state(sfile) if monitor is None else None
+    mon = monitor or (
+        QuantileMonitor.from_dict(saved) if saved else QuantileMonitor(r)
+    )
     probs = [float(p) for p in probs]
 
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        st = quantile_state_build(
-            batch_df, [], value_col, id_col, r=mon.r
-        ).collect()
-        if not st:
-            return
-        row = st[0]
-        mon.merge_state(row["n"], [(e["rank"], e["v"]) for e in row["sample"]])
+        if batch_id > mon.last_batch_id:
+            st = quantile_state_build(
+                batch_df, [], value_col, id_col, r=mon.r
+            ).collect()
+            if not st:
+                return
+            row = st[0]
+            mon.merge_state(
+                row["n"], [(e["rank"], e["v"]) for e in row["sample"]]
+            )
+            mon.last_batch_id = int(batch_id)
+            if sfile is not None:
+                _save_state(sfile, mon.to_dict())
         if path is not None:
             from distributedqueryengine_spark.streaming.sinks import (
                 write_batch_idempotent,
@@ -224,6 +308,18 @@ class KMVMonitor:
             raise ValueError(f"k must be >= 2, got {k}")
         self.k = int(k)
         self.kmin: list[int] = []
+        self.last_batch_id = -1
+
+    def to_dict(self) -> dict:
+        return {"kind": "kmv", "k": self.k, "kmin": self.kmin,
+                "last_batch_id": self.last_batch_id}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "KMVMonitor":
+        m = cls(d["k"])
+        m.kmin = [int(h) for h in d["kmin"]]
+        m.last_batch_id = int(d.get("last_batch_id", -1))
+        return m
 
     def merge_state(self, kmin) -> None:
         self.kmin = sorted(set(self.kmin) | set(kmin))[: self.k]
@@ -244,6 +340,7 @@ def stream_distinct(
     monitor: KMVMonitor | None = None,
     checkpoint: str | None = None,
     path: str | None = None,
+    state_path: str | None = None,
 ):
     """Maintain a continuous distinct-count estimate over a stream:
     each micro-batch builds its KMV state (one batch-sized pass, the
@@ -255,20 +352,27 @@ def stream_distinct(
 
     Pass parquet `path` to land (n_distinct_est, n_kmin) per batch
     under batch_id partitions with the replay-idempotent dynamic
-    overwrite of streaming/sinks.py. Restart caveat as the other
-    monitors: driver-memory state — treat the LAST batch_id partition
-    as authoritative."""
+    overwrite of streaming/sinks.py. The folded state persists per
+    batch (module docstring): with monitor=None and an existing state
+    file, the fold restores and continues exactly, skipping replayed
+    batches."""
     from distributedqueryengine_spark.operators.aggregates import kmv_build
 
-    mon = monitor or KMVMonitor(k)
+    sfile = _state_file(path, state_path)
+    saved = _load_state(sfile) if monitor is None else None
+    mon = monitor or (KMVMonitor.from_dict(saved) if saved else KMVMonitor(k))
 
     def fold(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        st = kmv_build(batch_df, [], value_col, k=mon.k).collect()
-        if not st:
-            return
-        mon.merge_state(st[0]["kmin"])
+        if batch_id > mon.last_batch_id:
+            st = kmv_build(batch_df, [], value_col, k=mon.k).collect()
+            if not st:
+                return
+            mon.merge_state(st[0]["kmin"])
+            mon.last_batch_id = int(batch_id)
+            if sfile is not None:
+                _save_state(sfile, mon.to_dict())
         if path is not None:
             from distributedqueryengine_spark.streaming.sinks import (
                 write_batch_idempotent,

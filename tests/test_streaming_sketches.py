@@ -213,3 +213,167 @@ def test_stream_distinct_exactly_equal_batch_build(spark, tables, tmp_path):
     assert out.count() == 3
     last = out.orderBy(F.col("batch_id").desc()).first()
     assert last.n_distinct_est == round(est, 10) or abs(last.n_distinct_est - est) < 1e-6
+
+
+def _stage_file(df, stage: str, name: str, tmp_path) -> None:
+    tmp = str(tmp_path / f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in glob.glob(tmp + "/*.parquet"):
+        shutil.copy(f, f"{stage}/{name}.parquet")
+    shutil.rmtree(tmp)
+
+
+def test_stream_distinct_state_survives_restart(spark, tables, tmp_path):
+    """Monitor state persists under the estimates sink: a monitor-less
+    restart (same streaming checkpoint) restores the fold and continues
+    EXACTLY — final KMV state equals a single uninterrupted run's."""
+    from distributedqueryengine_spark.streaming.sketches import (
+        KMVMonitor,
+        stream_distinct,
+    )
+
+    ev = tables["events"].select("user_id")
+    chunks = ev.randomSplit([1.0, 1.0, 1.0], seed=11)
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    _stage_file(chunks[0], stage, "b0", tmp_path)
+    _stage_file(chunks[1], stage, "b1", tmp_path)
+
+    sink = str(tmp_path / "est")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return stream_distinct(
+            stream, "user_id", k=64, checkpoint=ckpt, path=sink
+        )
+
+    q1, mon1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert mon1.last_batch_id == 1 and mon1.kmin
+
+    # "crash": process dies (monitor object lost); a third file arrives
+    _stage_file(chunks[2], stage, "b2", tmp_path)
+    q2, mon2 = start()  # monitor=None -> restores from _monitor_state
+    assert mon2.kmin == mon1.kmin  # restored, not fresh
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # uninterrupted reference fold over the same three chunks
+    ref = KMVMonitor(64)
+    from distributedqueryengine_spark.operators.aggregates import kmv_build
+
+    for ch in chunks:
+        st = kmv_build(ch, [], "user_id", k=64).collect()
+        if st:
+            ref.merge_state(st[0]["kmin"])
+    assert mon2.kmin == ref.kmin
+    assert mon2.estimate() == ref.estimate()
+
+
+def test_stream_quantiles_state_survives_restart(spark, tables, tmp_path):
+    """Same restart contract for the bottom-k quantile monitor: n and
+    the sample continue exactly (bottom-k merge is exact)."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        quantile_state_build,
+    )
+    from distributedqueryengine_spark.streaming.sketches import (
+        QuantileMonitor,
+        stream_quantiles,
+    )
+
+    ev = tables["events"].select("event_id", "value")
+    chunks = ev.randomSplit([1.0, 1.0], seed=13)
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    _stage_file(chunks[0], stage, "b0", tmp_path)
+
+    sink = str(tmp_path / "est")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return stream_quantiles(
+            stream, "value", "event_id", r=128, checkpoint=ckpt, path=sink
+        )
+
+    q1, mon1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    _stage_file(chunks[1], stage, "b1", tmp_path)
+    q2, mon2 = start()
+    assert mon2.n == mon1.n and mon2.sample == mon1.sample
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    ref = QuantileMonitor(128)
+    for ch in chunks:
+        st = quantile_state_build(ch, [], "value", "event_id", r=128).collect()
+        if st:
+            row = st[0]
+            ref.merge_state(
+                row["n"], [(e["rank"], e["v"]) for e in row["sample"]]
+            )
+    assert mon2.n == ref.n
+    assert mon2.sample == ref.sample
+
+
+def test_stream_heavy_hitters_replayed_batch_not_double_counted(
+    spark, tables, tmp_path
+):
+    """A replayed batch (fresh streaming checkpoint re-reads the same
+    files => same batch ids) must not re-merge into restored state:
+    the replay guard keeps counts identical to a single pass."""
+    from distributedqueryengine_spark.streaming.sketches import (
+        stream_heavy_hitters,
+    )
+
+    ev = tables["events"].select("event_type")
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    _stage_file(ev, stage, "b0", tmp_path)
+    sink = str(tmp_path / "est")
+
+    def start(ck):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return stream_heavy_hitters(
+            stream, "event_type", k=8, checkpoint=str(tmp_path / ck), path=sink
+        )
+
+    q1, mon1 = start("ck1")
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    est1 = mon1.estimates()
+
+    # NEW checkpoint: the file source re-emits the same file as batch 0
+    # — a pure replay from the monitor's point of view
+    q2, mon2 = start("ck2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert mon2.estimates() == est1  # skipped, not double-counted
