@@ -4,6 +4,19 @@
 # the bench CLI, and the plan audit. Exits nonzero on first failure.
 set -e
 cd "$(dirname "$0")/.."
+echo "== environment-pinned partials status =="
+# The two declared partials self-heal if the container ever gains the
+# dependency: multimodal codec bodies need PIL/ffmpeg, and
+# transformWithState needs protobuf. Re-check availability each round.
+python - <<'PYEOF'
+for mod, what in (("PIL", "multimodal codec bodies (fake=False)"),
+                  ("google.protobuf", "transformWithState streaming")):
+    try:
+        __import__(mod)
+        print(f"  AVAILABLE now: {mod} -> un-pin {what}")
+    except ImportError:
+        print(f"  still absent: {mod} ({what} stays pinned-partial)")
+PYEOF
 echo "== correctness (sf0.01 oracle) =="
 python tools/check_correctness.py /root/testdata/sf0.01
 echo "== pytest =="
