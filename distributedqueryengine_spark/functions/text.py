@@ -426,6 +426,129 @@ def gopher_quality_flags(
     )
 
 
+def repetition_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+) -> DataFrame:
+    """Gopher-style WITHIN-document repetition battery (Rae et al. 2021
+    table A1, repetition rows; also RefinedWeb/FineWeb): per document —
+
+    - dup_line_frac / dup_line_char_frac: fraction of non-empty trimmed
+      lines (split on newline) that are repeats of an earlier-seen line
+      (1 − distinct/total), and the fraction of line characters inside
+      lines occurring more than once;
+    - dup_para_frac / dup_para_char_frac: same over paragraphs (split
+      on blank lines, '\\n{2,}');
+    - top_{n}gram_char_frac for n in top_ns: characters covered by the
+      MOST FREQUENT word n-gram (count·len, ties broken toward larger
+      coverage — deterministic) / total document characters;
+    - dup_{n}gram_char_frac for n in dup_ns: characters inside n-grams
+      occurring more than once / total characters. Overlapping
+      occurrences are counted per occurrence (the standard shuffle-
+      friendly approximation of Gopher's span-union), capped at 1.0.
+
+    Distributed shape — the 100 TB formulation: lines, paragraphs and
+    EVERY n-gram order are tagged (n, unit) structs concatenated into
+    one array and exploded ONCE; one hash groupBy(id, n, unit) counts
+    occurrences (map-side partial), one groupBy(id) folds the per-n
+    metrics with conditional aggregates. Two shuffles total for the
+    whole battery, no UDFs, no per-row quadratic distinct scans (the
+    in-row array_distinct alternative is O(units²) per document on
+    adversarial repeated content — exactly the documents this filter
+    exists to catch). Tokenization matches tokens() (lowercased
+    whitespace split), mirrored in the DuckDB oracle."""
+    top_ns, dup_ns = list(top_ns), list(dup_ns)
+    ns = sorted(set(top_ns) | set(dup_ns))
+    did, c = F.col(id_col), F.col(text_col)
+
+    def _tag(arr: Column, n: int) -> Column:
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("g")
+            ),
+        )
+
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), F.trim), lambda l: F.length(l) > 0
+    )
+    paras = F.filter(
+        F.transform(F.split(c, r"\n{2,}"), F.trim), lambda p: F.length(p) > 0
+    )
+    # drop boundary empties: Spark trim strips spaces only and split
+    # keeps leading/trailing empty fields, so whitespace-containing
+    # edges would otherwise mint phantom '' tokens (and '' grams)
+    toks = F.filter(tokens(c), lambda t: F.length(t) > 0)
+    parts = [_tag(lines, -1), _tag(paras, -2)]
+    empty_s = F.array().cast("array<string>")
+    for n in ns:
+        total_n = F.size(toks) - n + 1
+        grams = F.when(total_n >= 1, F.transform(
+            F.sequence(F.lit(1), F.greatest(total_n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )).otherwise(empty_s)
+        parts.append(_tag(grams, n))
+
+    units = df.select(
+        did.alias("__id"),
+        F.greatest(F.length(c), F.lit(1)).alias("__tc"),
+        F.explode(F.concat(*parts)).alias("u"),
+    ).select("__id", "__tc", F.col("u.n").alias("__n"), F.col("u.g").alias("__g"))
+
+    counts = units.groupBy("__id", "__n", "__g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("__tc").alias("tc")
+    ).select(
+        "__id", "__n", "cnt", "tc", F.length("__g").alias("len")
+    )
+
+    cl = F.col("cnt") * F.col("len")
+    per_n = counts.groupBy("__id", "__n").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("dist"),
+        F.sum(cl).alias("tchars"),
+        F.sum(F.when(F.col("cnt") > 1, cl).otherwise(F.lit(0))).alias("dchars"),
+        # max struct = max cnt, then max coverage among the tied — the
+        # deterministic top-gram coverage without a second pass
+        F.max(F.struct(F.col("cnt").alias("c"), cl.alias("cl")))["cl"].alias("top_cl"),
+        F.max("tc").alias("tc"),
+    )
+
+    def _per(n: int, expr: Column) -> Column:
+        return F.round(
+            F.coalesce(F.max(F.when(F.col("__n") == n, expr)), F.lit(0.0)), 6
+        )
+
+    frac_dup_units = F.lit(1.0) - F.col("dist").cast("double") / F.col("total")
+    frac_dup_chars = F.col("dchars").cast("double") / F.col("tchars")
+    agg_cols = [
+        _per(-1, frac_dup_units).alias("dup_line_frac"),
+        _per(-1, frac_dup_chars).alias("dup_line_char_frac"),
+        _per(-2, frac_dup_units).alias("dup_para_frac"),
+        _per(-2, frac_dup_chars).alias("dup_para_char_frac"),
+    ]
+    for n in top_ns:
+        agg_cols.append(
+            _per(n, F.col("top_cl").cast("double") / F.col("tc"))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        agg_cols.append(
+            _per(n, F.least(F.col("dchars").cast("double") / F.col("tc"),
+                            F.lit(1.0)))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    prof = per_n.groupBy("__id").agg(*agg_cols)
+
+    # documents whose every unit list is empty (blank text) drop out of
+    # the explode — restore them with all-zero metrics
+    base = df.select(did.alias("__id"))
+    out = base.join(prof, "__id", "left").na.fill(0.0)
+    return out.withColumnRenamed("__id", id_col)
+
+
 # ------------------------------------------------- URL / domain analysis
 
 #: Public-suffix heuristic: common two-level suffixes where the
