@@ -1405,8 +1405,58 @@ SUITE_ORACLES["text_doc_profile"] = r"""
                    string_split_regex(trim(lower(text)), '\s+') AS toks,
                    len(regexp_extract_all(lower(text),
                        '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS n_bpe
-            FROM documents)
-        SELECT doc_id,
+            FROM documents),
+        -- r11 repetition battery: the same line/paragraph/n-gram units
+        -- as functions/text.repetition_profile (empty tokens filtered,
+        -- grams space-joined from lowercased whitespace tokens)
+        rbase AS (SELECT doc_id, greatest(length(text), 1) AS tc FROM documents),
+        runits AS (
+            SELECT doc_id, -1 AS n, trim(l) AS g
+            FROM documents, unnest(string_split(text, chr(10))) AS t1(l)
+            WHERE length(trim(l)) > 0
+            UNION ALL
+            SELECT doc_id, -2 AS n, trim(p) AS g
+            FROM documents, unnest(regexp_split_to_array(text, '\n{2,}')) AS t2(p)
+            WHERE length(trim(p)) > 0
+            UNION ALL
+            SELECT doc_id, nn.n, array_to_string(tk[i:i+nn.n-1], ' ') AS g
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                     x -> length(x) > 0) AS tk
+                  FROM documents) tt,
+                 (VALUES (2),(3),(4),(5),(10)) nn(n),
+                 unnest(range(1, greatest(len(tk) - nn.n + 2, 1))) ii(i)
+        ),
+        rcounts AS (
+            SELECT doc_id, n, g, count(*) AS cnt, length(g) AS len
+            FROM runits GROUP BY 1, 2, 3),
+        rper AS (
+            SELECT doc_id, n, sum(cnt) AS total, count(*) AS dist,
+                   sum(cnt * len) AS tchars,
+                   sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS dchars,
+                   max(cnt) AS mc
+            FROM rcounts GROUP BY 1, 2),
+        rtop AS (
+            SELECT c.doc_id, c.n, max(c.cnt * c.len) AS top_cl
+            FROM rcounts c JOIN rper p
+              ON p.doc_id = c.doc_id AND p.n = c.n AND c.cnt = p.mc
+            GROUP BY 1, 2),
+        rprof AS (
+            SELECT b.doc_id,
+                round(coalesce(max(CASE WHEN r.n = -1 THEN 1.0 - CAST(r.dist AS DOUBLE) / r.total END), 0), 6) AS dup_line_frac,
+                round(coalesce(max(CASE WHEN r.n = -1 THEN CAST(r.dchars AS DOUBLE) / r.tchars END), 0), 6) AS dup_line_char_frac,
+                round(coalesce(max(CASE WHEN r.n = -2 THEN 1.0 - CAST(r.dist AS DOUBLE) / r.total END), 0), 6) AS dup_para_frac,
+                round(coalesce(max(CASE WHEN r.n = -2 THEN CAST(r.dchars AS DOUBLE) / r.tchars END), 0), 6) AS dup_para_char_frac,
+                round(coalesce(max(CASE WHEN r.n = 2 THEN CAST(tp.top_cl AS DOUBLE) / b.tc END), 0), 6) AS top_2gram_char_frac,
+                round(coalesce(max(CASE WHEN r.n = 3 THEN CAST(tp.top_cl AS DOUBLE) / b.tc END), 0), 6) AS top_3gram_char_frac,
+                round(coalesce(max(CASE WHEN r.n = 4 THEN CAST(tp.top_cl AS DOUBLE) / b.tc END), 0), 6) AS top_4gram_char_frac,
+                round(coalesce(max(CASE WHEN r.n = 5 THEN least(CAST(r.dchars AS DOUBLE) / b.tc, 1.0) END), 0), 6) AS dup_5gram_char_frac,
+                round(coalesce(max(CASE WHEN r.n = 10 THEN least(CAST(r.dchars AS DOUBLE) / b.tc, 1.0) END), 0), 6) AS dup_10gram_char_frac
+            FROM rbase b
+            LEFT JOIN rper r ON r.doc_id = b.doc_id
+            LEFT JOIN rtop tp ON tp.doc_id = r.doc_id AND tp.n = r.n
+            GROUP BY b.doc_id, b.tc)
+        SELECT t.doc_id,
                CAST(len(toks) AS INTEGER) AS n_tokens,
                CAST(length(text) AS INTEGER) AS n_chars_actual,
                round(CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE)
@@ -1434,8 +1484,13 @@ SUITE_ORACLES["text_doc_profile"] = r"""
                       / greatest(len(string_split(text, chr(10))), 1) < 0.3)
                  AND (CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) AS DOUBLE)
                       / greatest(len(toks), 1) >= 0.8)
-               ) AS gopher_passes
-        FROM t
+               ) AS gopher_passes,
+               rp.dup_line_frac, rp.dup_line_char_frac,
+               rp.dup_para_frac, rp.dup_para_char_frac,
+               rp.top_2gram_char_frac, rp.top_3gram_char_frac,
+               rp.top_4gram_char_frac, rp.dup_5gram_char_frac,
+               rp.dup_10gram_char_frac
+        FROM t JOIN rprof rp ON rp.doc_id = t.doc_id
     """
 
 SUITE_ORACLES["agg_stats_suite"] = r"""

@@ -2553,16 +2553,19 @@ def q_fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text-analysis profile in ONE scan: whitespace + BPE
-    token counts, char count, stopword ratio, mean word length,
-    language ID, content fingerprint, tokenizer fertility, and the
-    Gopher quality-rule verdict (r7). The single-scan form is the point
-    at 100 TB — separate profile queries would read the corpus once
-    per signal."""
+    """Per-document text-analysis profile: whitespace + BPE token
+    counts, char count, stopword ratio, mean word length, language ID,
+    content fingerprint, tokenizer fertility, the Gopher quality-rule
+    verdict (r7), and (r11) the Gopher REPETITION battery
+    (repetition_profile: duplicate line/paragraph fractions, top/dup
+    n-gram character coverage) joined per doc. The per-row signals run
+    in ONE scan; the repetition battery adds its own explode+2-agg
+    pass — at 100 TB both hang off a single cached corpus projection."""
     from distributedqueryengine_spark.functions import text as T
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    rep = T.repetition_profile(d, "doc_id", "text")
+    prof = d.select(
         "doc_id",
         T.token_count("text").cast("int").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars_actual"),
@@ -2578,6 +2581,7 @@ def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fertility"),
         T.gopher_quality_flags("text")["passes"].alias("gopher_passes"),
     )
+    return prof.join(rep, "doc_id")
 
 
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
