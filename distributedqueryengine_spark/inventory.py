@@ -1694,6 +1694,15 @@ def _sim_hardneg_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mine_hard_negatives(qdf, emb, pos, k=3, candidates=bf)
 
 
+def _repetition_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedqueryengine_spark.functions.text import repetition_profile
+    from distributedqueryengine_spark.session import load_table
+
+    return repetition_profile(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 def _dedup_clusters_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedqueryengine_spark.functions import dedup as D
 
@@ -1736,5 +1745,10 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         "simhash": lambda s, d: Q.q_dedup_simhash(s, d, portable=True),
         "winnow": lambda s, d: Q.q_text_winnow(s, d, portable=True),
         "clusters": _dedup_clusters_branch,
+    },
+    "text_doc_profile": {
+        # the r11 repetition battery standalone (explode + 2 hash aggs)
+        # vs the whole joined profile row
+        "repetition": _repetition_branch,
     },
 }
