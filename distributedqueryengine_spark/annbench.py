@@ -70,6 +70,7 @@ def ann_lifecycle(
     k: int = 5,
     dim: int = 64,
     seed: int = 42,
+    n_cells: int | None = None,
 ) -> dict:
     """Build both ANN indexes once over a ~corpus_rows replica of the
     sf embeddings, then time n_batches disjoint query batches through
@@ -108,7 +109,11 @@ def ann_lifecycle(
     # 1.10s); sqrt·4 = 1453 cells probes at 0.88s, recall 1.0 — the
     # decisive win. Cell count is a build-time knob; probe recall is
     # re-checked every run below.
-    n_cells = max(16, int(4 * math.sqrt(n)))
+    # callers may cap n_cells: the one-time driver k-means is
+    # O(samples·cells·d) and 4·sqrt(n) cells past ~4M rows makes the
+    # BUILD driver-bound even though the probe only gets cheaper
+    if n_cells is None:
+        n_cells = max(16, int(4 * math.sqrt(n)))
 
     t0 = time.monotonic()
     lsh_idx = build_lsh_index(
