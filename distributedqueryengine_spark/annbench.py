@@ -83,7 +83,14 @@ def ann_lifecycle(
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base_n = emb.count()
     mult = max(1, math.ceil(corpus_rows / base_n))
-    corpus = _replicate(emb, mult, "vec_id").persist()
+    # repartition the replica: the sf fixture is ONE parquet file, and
+    # explode-replication inherits that single partition — every
+    # downstream pandas-UDF stage (index builds, bucketization) would
+    # run in ONE python worker (measured: the 13.2M-row IVF build
+    # pegged a single core for 16+ min). A real corpus table is many
+    # files; 2 partitions/core models it honestly.
+    n_part = spark.sparkContext.defaultParallelism * 2
+    corpus = _replicate(emb, mult, "vec_id").repartition(n_part).persist()
     n = corpus.count()
 
     batches = []

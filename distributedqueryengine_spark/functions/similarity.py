@@ -1144,17 +1144,13 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    # (1) deterministic sample, hash-ordered so any executor layout
-    # yields the same centroids.
-    n_sample = n_cells * sample_per_cell
-    srows = (
-        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(n_sample)
-        .collect()
+    # (1) deterministic sample → centroids; shared with the prebuilt-
+    # index path (train_ivf_centroids: hash-threshold prefilter keeps
+    # the sample sort bounded at any corpus size).
+    centroids = train_ivf_centroids(
+        corpus, n_cells=n_cells, sample_per_cell=sample_per_cell,
+        id_col=id_col, vec_col=vec_col,
     )
-    S = np.array([r["v"] for r in srows], dtype=np.float64)
-    centroids = _train_centroids_kmeans(S, min(n_cells, len(S)))
 
     # (2)+(3) cell assignment: corpus lists in 1 cell, queries probe n_probe.
     if broadcast_queries:
@@ -1185,14 +1181,32 @@ def train_ivf_centroids(
     """Deterministic IVF coarse quantizer: hash-ordered corpus sample,
     driver-side spherical k-means (constant cost in corpus size). Train
     once, keep the (n_cells, dim) array with the index — build and
-    probe must share it."""
+    probe must share it.
+
+    Sampling is a hash-THRESHOLD prefilter + bottom-n_sample by the
+    same hash key: the n_sample smallest keys all lie under a 4×
+    oversampled threshold (P(miss) ~ exp(-n_sample/2) by Chernoff, and
+    a starved prefilter falls back to the full scan), so the global
+    sort/limit only ever sees ~4·n_sample rows. The previous plain
+    orderBy().limit() shipped per-partition LocalLimit results to one
+    task — >1 GB of driver results at a 13M-row corpus (hit
+    spark.driver.maxResultSize in the r11 100× probe). The selection
+    stays deterministic and partition-layout-independent: it is a pure
+    function of the id hash."""
     n_sample = n_cells * sample_per_cell
-    srows = (
-        corpus.select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(n_sample)
-        .collect()
+    key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1 << 62))
+    base = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("v"), key.alias("__k")
     )
+    total = corpus.count()
+    if total > 4 * n_sample:
+        thresh = int((4.0 * n_sample / total) * (1 << 62))
+        pre = base.where(F.col("__k") < thresh)
+        if pre.count() < n_sample:  # astronomically unlikely starvation
+            pre = base
+    else:
+        pre = base
+    srows = pre.orderBy("__k").limit(n_sample).collect()
     S = np.array([r["v"] for r in srows], dtype=np.float64)
     return _train_centroids_kmeans(S, min(n_cells, len(S)))
 
