@@ -102,3 +102,36 @@ def test_repetition_profile_custom_ns(spark):
     cols = set(out.columns)
     assert "top_2gram_char_frac" in cols and "dup_3gram_char_frac" in cols
     assert "top_3gram_char_frac" not in cols
+
+
+def test_repetition_profile_randomized(spark):
+    """Randomized docs with planted duplicate lines/paragraphs and
+    n-gram stuffing must match the reference on every metric."""
+    import random
+
+    rng = random.Random(1117)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    docs = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 12)):
+            line = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 9)))
+            lines.append(line)
+            if rng.random() < 0.4:  # planted duplicate line
+                lines.append(line)
+        sep = "\n\n" if rng.random() < 0.5 else "\n"
+        text = sep.join(lines)
+        if rng.random() < 0.3:  # planted n-gram stuffing
+            text += "\n" + " ".join(["spam ham"] * rng.randint(3, 10))
+        docs.append({"doc_id": i, "text": text})
+
+    df = spark.createDataFrame(docs).repartition(4)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile(df, "doc_id", "text").collect()
+    }
+    for d in docs:
+        want = _ref_profile(d["text"])
+        for k, v in want.items():
+            assert got[d["doc_id"]][k] == pytest.approx(v, abs=1e-6), (
+                d["doc_id"], k, got[d["doc_id"]][k], v)
