@@ -85,6 +85,18 @@ def main() -> None:
         ann = ann_lifecycle(spark, sf_dir, corpus_rows=131072, n_batches=5)
     except Exception:
         pass
+    # Second corpus point (r11): 132k sits BELOW the amortization
+    # crossover once brute force is properly parallelized — the probes
+    # win decisively at ~1.3M rows (SCALE_PROBE_r11.json: IVF 1.35s vs
+    # brute 5.25s per batch). Recording both points makes the crossover
+    # a bench fact instead of a footnote.
+    ann10 = None
+    try:
+        from distributedqueryengine_spark.annbench import ann_lifecycle
+
+        ann10 = ann_lifecycle(spark, sf_dir, corpus_rows=1310720, n_batches=3)
+    except Exception:
+        pass
     # approx_sketches split: the oracled row computes sketch AND exact
     # verification values in one plan (the exact side dominates); this
     # times the sketch-only shape — what actually runs at 100 TB — so
@@ -152,6 +164,8 @@ def main() -> None:
     }
     if ann is not None:
         payload["ann_amortized"] = ann
+    if ann10 is not None:
+        payload["ann_amortized_10x"] = ann10
     if sketch_split is not None:
         payload["approx_sketches_split"] = sketch_split
     if branch_splits:
