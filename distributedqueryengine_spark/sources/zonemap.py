@@ -335,8 +335,16 @@ def update_zonemap(
     old = spark.read.schema(_STATS_SCHEMA).parquet(zdir)
     have = {r.file for r in old.select("file").distinct().collect()}
     new_files = [f for f in live if f not in have]
-    live_set = set(live)
-    kept = old.where(F.col("file").isin(list(live_set & have)))
+    # drop stats for no-longer-live files via a LEFT SEMI join against
+    # the live listing — an isin() with tens of thousands of literals
+    # builds a giant In-expression whose analysis/codegen alone took
+    # 17.7s at 20k files (slower than the 2.4s full rebuild; measured
+    # in tools/zonemap_files_probe.py). The semi join is a broadcast
+    # hash join against a name-only DataFrame: flat in file count.
+    live_df = spark.createDataFrame(
+        [(f,) for f in live], "file string"
+    )
+    kept = old.join(F.broadcast(live_df), "file", "left_semi")
     if new_files:
         n_slices = max(1, min(len(new_files), 64))
         rows_rdd = (
