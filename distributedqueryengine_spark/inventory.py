@@ -901,6 +901,35 @@ COMPOSITE_ORACLES["order_limit_suite"] = _sql_union([
                  "s": "o_orderstatus", "ts_epoch": "ts_epoch"}, _TOPK_S),
 ])
 
+# Bench/baseline-only oracle substitutions. The driver's sf0.01
+# correctness gate keeps the DEFINITIONAL oracles (e.g. the NOT-EXISTS
+# dominance predicate for skyline — it encodes the semantics directly);
+# these overrides swap in result-identical but asymptotically scalable
+# SQL for the sf0.1 side-by-side wall-clock comparison, where the
+# quadratic form costs DuckDB ~180s and turns the aggregate ratio into
+# a measurement of the ORACLE's pathology instead of the engine's
+# speed (r11 verdict item 2). Equivalence is pinned by
+# tests/test_skyline_oracle_equiv.py.
+BASELINE_ORACLE_OVERRIDES: dict[str, str] = {
+    "order_limit_suite": _sql_union([
+        _sql_tagged("topk", ORACLES["topk_orders_per_customer"],
+                    {"key": "o_custkey", "id": "o_orderkey",
+                     "v": "o_totalprice", "rn": "rn"}, _TOPK_S),
+        _sql_tagged("argmax", ORACLES["argmax_latest_event"],
+                    {"key": "user_id", "id": "event_id", "s": "event_type",
+                     "ts_epoch": "ts_epoch"}, _TOPK_S),
+        _sql_tagged("top25", ORACLES["sort_limit"],
+                    {"id": "o_orderkey", "key": "o_custkey",
+                     "v": "o_totalprice"}, _TOPK_S),
+        _sql_tagged("page2", ORACLES["sort_limit_offset"],
+                    {"id": "o_orderkey", "v": "o_totalprice"}, _TOPK_S),
+        _sql_tagged("skyline", ORACLES["skyline_orders_scalable"],
+                    {"key": "o_custkey", "id": "o_orderkey",
+                     "v": "o_totalprice", "s": "o_orderstatus",
+                     "ts_epoch": "ts_epoch"}, _TOPK_S),
+    ]),
+}
+
 # approx_sketches emits only exact values + a within-bound verdict, so
 # the oracle recomputes the exact side and asserts the verdict is 1 —
 # the sketch estimate itself (engine-specific) never leaves the plan.

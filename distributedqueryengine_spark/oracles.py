@@ -175,6 +175,39 @@ ORACLES["skyline_orders"] = """
         )
     """
 
+# Scalable drop-in for skyline_orders: identical result set (pinned by
+# tests/test_skyline_oracle_equiv.py) but O(n log n) window sweeps
+# instead of the quadratic NOT-EXISTS self-join. For a 2D skyline
+# (maximize o_totalprice, minimize ts_epoch, per o_orderstatus) a row
+# is dominated iff some row with ts <= its ts has STRICTLY higher
+# price, or some row with ts STRICTLY lower has price >= its price —
+# both are prefix maxima over the ts ordering. The definitional
+# NOT-EXISTS stays the sf0.01 correctness-gate oracle (it encodes
+# dominance directly); this one exists because DuckDB needs ~180s for
+# the quadratic form at sf0.1, which poisoned the r11 baseline ratio.
+ORACLES["skyline_orders_scalable"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) AS ts_epoch
+          FROM orders
+        ), w AS (
+          SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice, ts_epoch,
+                 max(o_totalprice) OVER (
+                   PARTITION BY o_orderstatus ORDER BY ts_epoch
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS max_price_ts_le,
+                 max(o_totalprice) OVER (
+                   PARTITION BY o_orderstatus ORDER BY ts_epoch
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS max_price_ts_lt
+          FROM o
+        )
+        SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice, ts_epoch
+        FROM w
+        WHERE max_price_ts_le <= o_totalprice
+          AND coalesce(max_price_ts_lt, -1e308) < o_totalprice
+    """
+
 # ---- extension operators / functions / streaming ----
 ORACLES["fn_string"] = r"""
         SELECT p_partkey,

@@ -33,7 +33,13 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     spark = get_spark("baseline-compare")
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    qs, oracles = entry_mod.queries(), dict(entry_mod.oracle_sql())
+    # Result-identical scalable substitutes for oracles whose
+    # definitional form is DuckDB-pathological at sf0.1 (quadratic
+    # skyline NOT-EXISTS: ~180s). Equivalence pytest-pinned; the
+    # driver's sf0.01 gate still runs the definitional SQL.
+    from distributedqueryengine_spark.inventory import BASELINE_ORACLE_OVERRIDES
+    oracles.update(BASELINE_ORACLE_OVERRIDES)
     headline = HEADLINE if HEADLINE is not None else sorted(qs)
     tot_s = tot_d = 0.0
     per_query = {}
