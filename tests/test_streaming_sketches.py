@@ -339,9 +339,12 @@ def test_stream_quantiles_state_survives_restart(spark, tables, tmp_path):
 def test_stream_heavy_hitters_replayed_batch_not_double_counted(
     spark, tables, tmp_path
 ):
-    """A replayed batch (fresh streaming checkpoint re-reads the same
-    files => same batch ids) must not re-merge into restored state:
-    the replay guard keeps counts identical to a single pass."""
+    """A fresh streaming checkpoint re-reads the same files with batch
+    ids restarting at 0. Monitor state is bound to ONE checkpoint
+    lifetime (r12): the leftover state file is ignored, the fold
+    restarts, and re-folding the same single source file lands on the
+    same counts — never doubled (stale state merged again) and never
+    silently skipped (stale last_batch_id suppressing new batches)."""
     from distributedqueryengine_spark.streaming.sketches import (
         stream_heavy_hitters,
     )
@@ -377,3 +380,113 @@ def test_stream_heavy_hitters_replayed_batch_not_double_counted(
     finally:
         q2.stop()
     assert mon2.estimates() == est1  # skipped, not double-counted
+
+
+def test_stream_heavy_hitters_stale_state_does_not_skip_new_data(
+    spark, tables, tmp_path
+):
+    """The ADVICE r11 failure scenario: a leftover state file with a
+    high last_batch_id plus a FRESH checkpoint (batch ids restart at
+    0) must NOT silently skip folding genuinely new data. State is
+    bound to the checkpoint identity, so run 2 starts a fresh fold and
+    its counts reflect ALL the data it read."""
+    from distributedqueryengine_spark.streaming.sketches import (
+        stream_heavy_hitters,
+    )
+
+    ev = tables["events"].select("event_type")
+    chunks = ev.randomSplit([1.0, 1.0, 1.0], seed=23)
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    # run 1 folds three files under ck1 -> last_batch_id == 2 on disk
+    for i in range(3):
+        _stage_file(chunks[i], stage, f"b{i}", tmp_path)
+    sink = str(tmp_path / "est")
+
+    def start(ck):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return stream_heavy_hitters(
+            stream, "event_type", k=8, checkpoint=str(tmp_path / ck), path=sink
+        )
+
+    q1, mon1 = start("ck1")
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert mon1.last_batch_id == 2
+
+    # fresh checkpoint: source re-reads all three files as batches 0-2.
+    # Under the old guard the stale last_batch_id=2 suppressed ALL of
+    # them; now the stale state is ignored and the fold re-runs fully.
+    q2, mon2 = start("ck2")
+    assert mon2.last_batch_id == -1  # stale state not restored
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert mon2.last_batch_id == 2  # new batches actually folded
+    assert mon2.estimates() == mon1.estimates()
+
+
+def test_stream_heavy_hitters_state_file_uri_scheme(spark, tables, tmp_path):
+    """An explicit file: URI sink exercises the Hadoop-FS state path
+    (the non-POSIX branch routes through the same code for hdfs/s3a):
+    state persists, restores under the same checkpoint, and continues."""
+    from distributedqueryengine_spark.streaming.sketches import (
+        stream_heavy_hitters,
+    )
+
+    ev = tables["events"].select("event_type")
+    chunks = ev.randomSplit([1.0, 1.0], seed=31)
+    stage = str(tmp_path / "src")
+    os.makedirs(stage)
+    _stage_file(chunks[0], stage, "b0", tmp_path)
+    sink = str(tmp_path / "est")
+    ckpt = str(tmp_path / "ckpt")
+    # force the Hadoop FS branch: scheme-qualified state path
+    state = "file://" + str(tmp_path / "state_dir")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        return stream_heavy_hitters(
+            stream, "event_type", k=8, checkpoint=ckpt, path=sink,
+            state_path=state,
+        )
+
+    q1, mon1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert mon1.last_batch_id == 0
+
+    _stage_file(chunks[1], stage, "b1", tmp_path)
+    q2, mon2 = start()  # monitor=None -> restore via Hadoop FS read
+    assert mon2.last_batch_id == 0  # restored
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert mon2.last_batch_id == 1
+
+    # uninterrupted single-pass reference over both chunks
+    from distributedqueryengine_spark.operators.aggregates import mg_summary
+    from distributedqueryengine_spark.streaming.sketches import (
+        HeavyHittersMonitor,
+    )
+
+    ref = HeavyHittersMonitor(8)
+    for ch in chunks:
+        ref.merge_summary(
+            [(r.item, r.c) for r in mg_summary(ch, "event_type", k=8).collect()]
+        )
+    assert mon2.estimates() == ref.estimates()
