@@ -79,22 +79,47 @@ _STATS_SCHEMA = StructType([
 
 _OPS = {"=", "<", "<=", ">", ">=", "between", "in"}
 
-# Temporal encoding (stats AND predicate values — one rule for both, so
-# comparisons are always consistent): dates → true epoch days
-# ((d - 1970-01-01).days), timestamps → UTC epoch microseconds. Naive
-# datetimes are pinned to UTC (`tzinfo=utc` replace), NEVER the
-# executor's local timezone — `.timestamp()` on a naive value is
-# machine-dependent and made pruning non-conservative.
+# Temporal encoding: dates → true epoch days ((d - 1970-01-01).days),
+# timestamps → UTC epoch microseconds (instants). The two SIDES of the
+# comparison pin naive wall-clocks differently, each matching what the
+# value actually denotes:
+#   - FOOTER STATS: parquet timestamp stats are UTC-adjusted instants;
+#     when pyarrow surfaces them as naive datetimes they are UTC
+#     wall-clock → pin to UTC. Never the executor's local timezone —
+#     `.timestamp()` on a naive value is machine-dependent and made
+#     pruning non-conservative.
+#   - PREDICATE VALUES: the same value is ALSO re-applied as the
+#     residual row filter via F.lit(), and Spark interprets a naive
+#     datetime literal in spark.sql.session.timeZone. The pruning
+#     bound must be the SAME instant the filter tests, so naive
+#     predicate datetimes are encoded through the session timezone
+#     (ADVICE r11: a UTC-pinned bound under a non-UTC session was
+#     offset from the filter and could prune files with matching rows).
+# Timezone-AWARE values are exact instants on both sides.
 import datetime as _dt
 
 _EPOCH_DAY = _dt.date(1970, 1, 1)
 
+# Persisted stats encoding version. v2 = epoch-days dates + UTC-micros
+# timestamps (r11); the unversioned r10 layout (ordinal dates,
+# local-tz micros) reads as "no marker" and is rebuilt/ignored rather
+# than silently compared against v2 predicate encodings (ADVICE r11).
+_ZONEMAP_FORMAT = 2
+_FORMAT_MARKER = "_format_version"
 
-def _ts_micros(value) -> float:
-    """UTC epoch microseconds for a datetime; naive values are read as
-    UTC wall-clock (same rule applied to footer stats and predicates)."""
+
+def _ts_micros(value, tz_name: str | None = None) -> float:
+    """Epoch microseconds of the instant `value` denotes. Naive values
+    are localized to `tz_name` when given (predicate side: match
+    Spark's session-timezone literal semantics), else pinned to UTC
+    (footer-stats side: parquet stats are UTC-adjusted)."""
     if value.tzinfo is None:
-        value = value.replace(tzinfo=_dt.timezone.utc)
+        if tz_name:
+            from zoneinfo import ZoneInfo
+
+            value = value.replace(tzinfo=ZoneInfo(tz_name))
+        else:
+            value = value.replace(tzinfo=_dt.timezone.utc)
     return value.timestamp() * 1e6
 
 
@@ -193,6 +218,7 @@ def write_zonemap(
     stats = spark.createDataFrame(rows_rdd, _STATS_SCHEMA)
     zdir = os.path.join(path, "_zonemap")
     stats.repartition(1).write.mode("overwrite").parquet(zdir)
+    _write_format_version(zdir)
     return spark.read.schema(_STATS_SCHEMA).parquet(zdir)
 
 
@@ -210,17 +236,46 @@ def _pred_expr(op: str, value) -> tuple:
     return lo, hi
 
 
-def _bound_cols(value):
+def _bound_cols(value, tz_name: str | None = None):
     if isinstance(value, str):
         return F.col("min_str"), F.col("max_str"), F.lit(value)
     # datetime BEFORE date: datetime subclasses date.
     if isinstance(value, _dt.datetime):
-        num = _ts_micros(value)
+        # tz_name = session timezone: the bound must be the instant the
+        # residual F.lit() filter will test (module-header contract)
+        num = _ts_micros(value, tz_name)
     elif isinstance(value, _dt.date):
         num = float((value - _EPOCH_DAY).days)
     else:
         num = float(value)
     return F.col("min_num"), F.col("max_num"), F.lit(num)
+
+
+def _session_tz(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # pragma: no cover - conf always present in practice
+        return None
+
+
+def _read_format_version(zdir: str) -> int:
+    """Version of the persisted stats encoding; 0 when the marker is
+    absent (pre-versioning layout or torn write) — callers treat
+    anything below _ZONEMAP_FORMAT as unusable."""
+    try:
+        with open(os.path.join(zdir, _FORMAT_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def _write_format_version(zdir: str) -> None:
+    # AFTER the parquet write: mode("overwrite") wipes the dir, and a
+    # crash between the two leaves no marker → reads degrade to
+    # no-pruning, updates to full rebuild. Underscore prefix keeps the
+    # marker invisible to the spark.read.parquet listing of zdir.
+    with open(os.path.join(zdir, _FORMAT_MARKER), "w") as f:
+        f.write(str(_ZONEMAP_FORMAT))
 
 
 def prune_files(
@@ -236,7 +291,13 @@ def prune_files(
     zdir = os.path.join(path, "_zonemap")
     if not os.path.isdir(zdir):
         return live
+    if _read_format_version(zdir) < _ZONEMAP_FORMAT:
+        # stats written under an older (or unmarked) encoding cannot
+        # be compared against current predicate encodings — degrade to
+        # no pruning (conservative) until update_zonemap rebuilds
+        return live
     stats = spark.read.schema(_STATS_SCHEMA).parquet(zdir)
+    tz = _session_tz(spark)
 
     drop_any = F.lit(False)  # per (file,col) row: proven impossible?
     for col, op, value in predicates:
@@ -245,7 +306,7 @@ def prune_files(
             # impossible iff EVERY listed value falls outside [min, max]
             imp = F.lit(True)
             for v in value:
-                mn, mx, lv = _bound_cols(v)
+                mn, mx, lv = _bound_cols(v, tz)
                 imp = imp & mn.isNotNull() & mx.isNotNull() & (
                     (mn > lv) | (mx < lv)
                 )
@@ -257,13 +318,13 @@ def prune_files(
         strict_hi = op == "<"
         impossible = F.lit(False)
         if hi is not None:
-            mn, _, v = _bound_cols(hi)
+            mn, _, v = _bound_cols(hi, tz)
             # every row >= file min; if min > hi (or >= for strict) no match
             impossible = impossible | (
                 mn.isNotNull() & ((mn > v) if not strict_hi else (mn >= v))
             )
         if lo is not None:
-            _, mx, v = _bound_cols(lo)
+            _, mx, v = _bound_cols(lo, tz)
             impossible = impossible | (
                 mx.isNotNull() & ((mx < v) if not strict_lo else (mx <= v))
             )
@@ -330,6 +391,10 @@ def update_zonemap(
     zdir = _os.path.join(path, "_zonemap")
     if not _os.path.isdir(zdir):
         return write_zonemap(spark, path, cols)
+    if _read_format_version(zdir) < _ZONEMAP_FORMAT:
+        # pre-versioning (or older-format) stats: values in the kept
+        # rows would mix encodings with the fresh rows — full rebuild
+        return write_zonemap(spark, path, cols)
     cols = list(cols)
     live = list_data_files(path)
     old = spark.read.schema(_STATS_SCHEMA).parquet(zdir)
@@ -362,6 +427,7 @@ def update_zonemap(
     merged.repartition(1).write.mode("overwrite").parquet(tmp)
     final = spark.read.schema(_STATS_SCHEMA).parquet(tmp).localCheckpoint()
     final.repartition(1).write.mode("overwrite").parquet(zdir)
+    _write_format_version(zdir)
     import shutil as _shutil
 
     _shutil.rmtree(tmp, ignore_errors=True)

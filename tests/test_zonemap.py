@@ -318,3 +318,74 @@ def test_timestamp_pruning_and_equality(spark, tmp_path):
         for r in spark.read.parquet(path).where(F.col("ts").between(lo, hi)).collect()
     )
     assert got == exp and len(got) == 24
+
+
+def test_timestamp_pruning_non_utc_session(spark, tmp_path):
+    """ADVICE r11: naive predicate datetimes must encode through the
+    SESSION timezone — the same rule Spark applies to the residual
+    F.lit() filter — not a UTC pin. Under Asia/Tokyo (+9, no DST) a
+    UTC-pinned bound was 9h off the filter instant and could prune
+    files containing matching rows; the result must equal the
+    full-scan filter exactly."""
+    import datetime as dt
+
+    path = str(tmp_path / "zm_ts_tz")
+    df = spark.range(240).select(
+        (F.lit("2024-06-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    tkey = "spark.sql.parquet.outputTimestampType"
+    zkey = "spark.sql.session.timeZone"
+    old_t, old_z = spark.conf.get(tkey), spark.conf.get(zkey)
+    spark.conf.set(tkey, "TIMESTAMP_MICROS")
+    spark.conf.set(zkey, "Asia/Tokyo")
+    try:
+        df.repartitionByRange(8, "ts").write.parquet(path)
+        write_zonemap(spark, path, ["ts"])
+        lo = dt.datetime(2024, 6, 3, 0, 0, 0)
+        hi = dt.datetime(2024, 6, 3, 23, 0, 0)
+        preds = [("ts", "between", (lo, hi))]
+        got = sorted(
+            r.v for r in read_with_skipping(spark, path, preds).collect()
+        )
+        exp = sorted(
+            r.v
+            for r in spark.read.parquet(path)
+            .where(F.col("ts").between(lo, hi))
+            .collect()
+        )
+        assert got == exp and len(got) == 24
+        # and the pruning is still real, not just conservative
+        assert 1 <= len(prune_files(spark, path, preds)) <= 2
+    finally:
+        spark.conf.set(tkey, old_t)
+        spark.conf.set(zkey, old_z)
+
+
+def test_format_version_guard(spark, sorted_dataset):
+    """An unversioned (pre-r12) zonemap must be ignored by prune_files
+    (conservative: every live file kept) and fully rebuilt by
+    update_zonemap — never silently compared against current predicate
+    encodings (ADVICE r11)."""
+    from distributedqueryengine_spark.sources.zonemap import (
+        _FORMAT_MARKER,
+        _read_format_version,
+        update_zonemap,
+    )
+
+    path = sorted_dataset
+    zdir = os.path.join(path, "_zonemap")
+    preds = [("k", "<", 100)]
+    assert len(prune_files(spark, path, preds)) == 1  # versioned: prunes
+
+    # simulate a legacy zonemap: stats present, marker absent
+    os.remove(os.path.join(zdir, _FORMAT_MARKER))
+    assert _read_format_version(zdir) == 0
+    kept = prune_files(spark, path, preds)
+    assert sorted(kept) == list_data_files(path)  # no pruning, no loss
+
+    # update_zonemap force-rebuilds and restores both marker and pruning
+    update_zonemap(spark, path, ["k", "name"])
+    assert _read_format_version(zdir) == 2
+    assert len(prune_files(spark, path, preds)) == 1
