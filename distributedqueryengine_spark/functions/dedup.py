@@ -283,9 +283,27 @@ def minhash_near_duplicates(
     bands: int = 8,
     min_jaccard: float = 0.5,
     portable: bool = False,
+    staged: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band →
-    candidates → exact-Jaccard filter. Returns (id_a, id_b, jaccard)."""
+    candidates → exact-Jaccard filter. Returns (id_a, id_b, jaccard).
+
+    staged=True (default): exact-collapse FIRST — fingerprint-group the
+    corpus, run the LSH spine only on canonical survivors, then map
+    canonical pairs back through the exact groups and add the
+    within-group pairs (identical text ⟺ jaccard 1.0). Output is
+    IDENTICAL to the unstaged pipeline (pinned in tests/test_dedup.py):
+    identical texts share signatures, so they band-collide exactly when
+    their canonicals do. The r11 100× probe measured why this is the
+    default: on a corpus duplicated 100×, the raw spine's candidate set
+    blows up quadratically per content group (85M true pairs, 29 GB
+    shuffle, OOMs an 8 GB heap) while the staged spine sees only the
+    collapsed corpus — 9.3s vs 411.6s (SCALING.md). On a corpus with no
+    exact dups the stage costs one extra 16-byte-hash groupBy."""
+    if staged:
+        return _staged_near_duplicates(
+            df, id_col, text_col, ngram, num_perm, bands, min_jaccard, portable
+        )
     # The shingle table feeds both the signature and the verification
     # stage; cache it so the explode+hash runs once (MEMORY_AND_DISK:
     # spills rather than OOMs at scale).
@@ -294,6 +312,76 @@ def minhash_near_duplicates(
     pairs = lsh_candidate_pairs(sigs, num_perm, bands, portable=portable)
     scored = jaccard_on_pairs(pairs, sh)
     return scored.filter(F.col("jaccard") >= min_jaccard)
+
+
+def _staged_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    num_perm: int,
+    bands: int,
+    min_jaccard: float,
+    portable: bool,
+) -> DataFrame:
+    """Exact-collapse → LSH on survivors → map back (see
+    minhash_near_duplicates). The member map is (doc id, canonical id,
+    has-shingles flag) — narrow rows, persisted because the expansion
+    references it four times. `__has_sh` mirrors the shingle
+    emptiness rule in `shingles` (token count >= n): zero-shingle docs
+    never get a signature in the unstaged path, so they must not mint
+    within-group pairs here either."""
+    groups = exact_duplicates(df, id_col, text_col)
+    mem = (
+        df.select(
+            F.col(id_col).alias("__m_id"),
+            fingerprint(text_col).alias("fp"),
+            (
+                F.size(F.split(normalize_text(text_col), " ")) >= ngram
+            ).alias("__has_sh"),
+        )
+        .join(groups.select("fp", "canonical_id"), "fp")
+        .select("__m_id", "canonical_id", "__has_sh")
+        .persist()
+    )
+    survivors = df.join(
+        groups.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
+    )
+    canon = minhash_near_duplicates(
+        survivors, id_col, text_col, ngram, num_perm, bands,
+        min_jaccard, portable, staged=False,
+    )
+    # cross-group expansion: every member pair of a canonical pair is a
+    # near-dup at the SAME jaccard (identical text per group). Groups
+    # are disjoint, so each unordered member pair appears exactly once.
+    ma = mem.select(F.col("canonical_id").alias("__ca"), F.col("__m_id").alias("__a"))
+    mb = mem.select(F.col("canonical_id").alias("__cb"), F.col("__m_id").alias("__b"))
+    cross = (
+        canon.join(ma, canon["id_a"] == ma["__ca"])
+        .join(mb, canon["id_b"] == mb["__cb"])
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: exact duplicates are jaccard 1.0 by
+    # definition (identical shingle sets)
+    shd = mem.filter(F.col("__has_sh"))
+    w1 = shd.select(F.col("canonical_id").alias("__c"), F.col("__m_id").alias("__a"))
+    w2 = shd.select(F.col("canonical_id").alias("__c"), F.col("__m_id").alias("__b"))
+    within = (
+        w1.join(w2, "__c")
+        .filter(F.col("__a") < F.col("__b"))
+        .select(
+            F.col("__a").alias("id_a"),
+            F.col("__b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 1.0:  # degenerate threshold: nothing qualifies
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 def build_band_index(

@@ -453,3 +453,68 @@ def test_incremental_near_duplicates_matches_full(spark, tables):
     # corpus-internal pairs must NOT be re-reported
     assert all(s & new_ids for s, _ in got)
     idx.unpersist()
+
+
+def test_staged_near_duplicates_parity(spark, tables):
+    """staged=True (exact-collapse -> LSH on survivors -> map back)
+    must return EXACTLY the unstaged pipeline's pairs — same ids, same
+    jaccard values — on the real documents fixture (which contains
+    both exact and near duplicates)."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    d = tables["documents"]
+    raw = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_duplicates(
+            d, "doc_id", "text", staged=False
+        ).collect()
+    )
+    stg = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_duplicates(
+            d, "doc_id", "text", staged=True
+        ).collect()
+    )
+    assert stg == raw
+    assert len(raw) > 0
+
+
+def test_staged_parity_with_planted_exact_groups(spark, tables):
+    """Adversarial parity: replicate part of the corpus so exact
+    groups of size 3 exist, plus keep singletons and sub-shingle-length
+    docs. Staged must equal unstaged including all within-group
+    (jaccard 1.0) and cross-group member pairs."""
+    from pyspark.sql import functions as F
+
+    from distributedqueryengine_spark.functions import dedup as D
+
+    base = tables["documents"].limit(120).select("doc_id", "text")
+    copies = base.limit(40).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).union(
+        base.limit(40).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    shorty = spark.createDataFrame(
+        [(9_000_001, "one two"), (9_000_002, "one two")],  # < 3 tokens
+        "doc_id long, text string",
+    )
+    d = base.union(copies).union(shorty)
+    raw = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_duplicates(
+            d, "doc_id", "text", staged=False
+        ).collect()
+    )
+    stg = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_near_duplicates(
+            d, "doc_id", "text", staged=True
+        ).collect()
+    )
+    assert stg == raw
+    # the planted replicas guarantee within-group pairs exist
+    assert any(j == 1.0 for _, _, j in stg)
+    # and the zero-shingle exact pair must NOT appear
+    assert not any(a == 9_000_001 for a, _, _ in stg)
