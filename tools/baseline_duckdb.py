@@ -69,12 +69,29 @@ def main():
     print(f"\nTOTAL spark={tot_s:.2f}s duckdb(oracled)={tot_d:.2f}s")
     if out_path:
         oracled_spark = sum(v["spark"] for v in per_query.values() if v["duckdb"] is not None)
+        # Trimmed aggregate: drop rows whose DuckDB side is <50 ms —
+        # there the ratio measures Spark's fixed ~100-300 ms local
+        # stage overhead against in-process microseconds, which
+        # amortizes to zero on a cluster and says nothing about plan
+        # quality. The full per-row table stays alongside; the r11
+        # verdict computed exactly this trim by hand.
+        tr_s = sum(
+            v["spark"] for v in per_query.values()
+            if v["duckdb"] is not None and v["duckdb"] >= 0.05
+        )
+        tr_d = sum(
+            v["duckdb"] for v in per_query.values()
+            if v["duckdb"] is not None and v["duckdb"] >= 0.05
+        )
         summary = {
             "sf_dir": sf_dir,
             "spark_total_sec": round(tot_s, 2),
             "spark_oracled_total_sec": round(oracled_spark, 2),
             "duckdb_oracled_total_sec": round(tot_d, 2),
             "aggregate_ratio_oracled": round(oracled_spark / max(tot_d, 1e-9), 2),
+            "trimmed_spark_sec": round(tr_s, 2),
+            "trimmed_duckdb_sec": round(tr_d, 2),
+            "aggregate_ratio_trimmed": round(tr_s / max(tr_d, 1e-9), 2),
             "queries": per_query,
         }
         with open(out_path, "w") as f:
