@@ -49,6 +49,9 @@ def main():
         force(qs[name](spark, sf_dir))  # warm (plan compile + file listing)
         ts = float("inf")
         for _ in range(2):  # min-of-2, same methodology as bench.py
+            # incl. its clearCache discipline: persisted internal stages
+            # must not serve run 2 from an identical-plan cache match
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             force(qs[name](spark, sf_dir))
             ts = min(ts, time.monotonic() - t0)

@@ -36,6 +36,10 @@ def one_pass(spark, con, qs, oracles, headline, sf_dir):
         force(qs[name](spark, sf_dir))  # warm
         ts = float("inf")
         for _ in range(2):
+            # clearCache: queries that persist() internal stages would
+            # otherwise serve this execution from the CacheManager's
+            # identical-plan match (bench.py's discipline, r12)
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             force(qs[name](spark, sf_dir))
             ts = min(ts, time.monotonic() - t0)
@@ -60,7 +64,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     spark = get_spark("baseline-min3")
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    qs, oracles = entry_mod.queries(), dict(entry_mod.oracle_sql())
+    # result-identical scalable oracle substitutes (quadratic skyline
+    # NOT-EXISTS costs DuckDB ~180s at sf0.1 — see baseline_duckdb.py)
+    from distributedqueryengine_spark.inventory import BASELINE_ORACLE_OVERRIDES
+    oracles.update(BASELINE_ORACLE_OVERRIDES)
     headline = HEADLINE if HEADLINE is not None else sorted(qs)
 
     runs = []
@@ -99,6 +107,17 @@ def main():
                 "max_over_min": spread[name],
             }
 
+    # trimmed aggregate: drop DuckDB-sub-50ms rows, where the ratio
+    # prices Spark's fixed local stage overhead against in-process
+    # microseconds (see baseline_duckdb.py)
+    tr_s = sum(
+        v["spark"] for v in per_query.values()
+        if v["duckdb"] is not None and v["duckdb"] >= 0.05
+    )
+    tr_d = sum(
+        v["duckdb"] for v in per_query.values()
+        if v["duckdb"] is not None and v["duckdb"] >= 0.05
+    )
     summary = {
         "sf_dir": sf_dir,
         "method": "min-of-3-runs x min-of-2-executions per query",
@@ -106,6 +125,9 @@ def main():
         "spark_oracled_total_sec": round(oracled_s, 2),
         "duckdb_oracled_total_sec": round(tot_d, 2),
         "aggregate_ratio_oracled": round(oracled_s / max(tot_d, 1e-9), 2),
+        "trimmed_spark_sec": round(tr_s, 2),
+        "trimmed_duckdb_sec": round(tr_d, 2),
+        "aggregate_ratio_trimmed": round(tr_s / max(tr_d, 1e-9), 2),
         "queries": per_query,
         "noise_max_over_min": spread,
         "watched_drift": drift,
