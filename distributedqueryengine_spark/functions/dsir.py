@@ -1,0 +1,209 @@
+"""DSIR-style data selection via importance resampling.
+
+Public method (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling"): represent documents as hashed n-gram
+bag-of-features, fit bucket probabilities for a TARGET corpus (the
+distribution you want more of) and the RAW/SOURCE corpus, score every
+raw document by its per-token log importance weight
+Σ cnt_b·(ln p_target[b] − ln p_source[b]) / Σ cnt_b, then sample
+without replacement via Gumbel top-k on the scores.
+
+Spark-first shape (100 TB reasoning):
+- features: one scan per corpus — tokenize → unigrams+bigrams via the
+  arrays_zip/slice formulation (whole-stage codegen, no HOF lambdas,
+  same trick as dedup.shingles) → hash-bucket → (id, bucket, cnt)
+  hash aggregation. Shuffle carries (id, bucket) pairs, never text.
+- bucket stats: ≤ num_buckets rows per corpus (default 1024) — the
+  log-ratio table and the corpus totals are broadcast to the scoring
+  join; the raw corpus is never reshuffled to score it.
+- resampling: Gumbel keys are a pure function of (seed, id) — fully
+  deterministic, reproducible across engines/cluster sizes/partitions
+  (same contract as sampling.py) — and top-k is a TakeOrdered
+  (per-partition partial top-k, driver merges k·partitions rows):
+  fine for k up to ~millions; beyond that, rank with a window.
+
+portable=True swaps xxhash64 for the md5-derived 60-bit hash
+(dedup.portable_hash64) so the ENTIRE pipeline — buckets, smoothed
+log-ratios, scores, Gumbel keys — is reproducible in DuckDB SQL and
+value-checked by the driver oracle (sample_suite dsir branches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.dedup import portable_hash64
+from distributedqueryengine_spark.functions.text import normalize_text
+
+#: 2^60 — the exclusive upper bound of portable_hash64's range; the
+#: Gumbel uniform is (h + 0.5) / 2^60 ∈ (0, 1) strictly (0.5 and 2^60
+#: are exact doubles, so both engines compute the identical value).
+_H_RANGE = float(1 << 60)
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed unigram+bigram counts per document.
+
+    Tokens are the normalized whitespace tokens (lowercase, collapsed
+    whitespace — text.normalize_text); n-grams hash into num_buckets
+    via non-negative 64-bit hashes, so Spark pmod == DuckDB %."""
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    uni = base.select("id", F.explode("t").alias("g"))
+    n_bi = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(F.col("t"), 1, n_bi).alias("a"),
+        F.slice(F.col("t"), 2, n_bi).alias("b"),
+    )
+    bi = base.select("id", F.explode(zipped).alias("z")).select(
+        "id", F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("g")
+    )
+    grams = uni.unionByName(bi)
+    h = portable_hash64(F.col("g")) if portable else F.xxhash64(F.col("g"))
+    return (
+        grams.select("id", F.pmod(h, F.lit(num_buckets)).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bucket_totals(feats: DataFrame, prefix: str) -> tuple[DataFrame, DataFrame]:
+    per_bucket = feats.groupBy("bucket").agg(
+        F.sum("cnt").alias(f"{prefix}_cnt")
+    )
+    total = per_bucket.agg(F.sum(f"{prefix}_cnt").alias(f"{prefix}_tot"))
+    return per_bucket, total
+
+
+def dsir_log_ratios(
+    target_feats: DataFrame,
+    source_feats: DataFrame,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """(bucket, log_ratio) for every OBSERVED bucket, plus the add-one
+    smoothed probabilities' shared default for unseen buckets carried
+    as the same expression in dsir_scores (an unseen bucket has
+    cnt=0 on both sides, so its ratio is ln((S_tot+B)/(T_tot+B))).
+
+    p[b] = (cnt[b] + 1) / (tot + B) — add-one smoothing keeps every
+    ratio finite and is exactly mirrorable in SQL."""
+    t, t_tot = _bucket_totals(target_feats, "t")
+    s, s_tot = _bucket_totals(source_feats, "s")
+    joined = (
+        t.join(s, "bucket", "full_outer")
+        .na.fill({"t_cnt": 0, "s_cnt": 0})
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(s_tot))
+    )
+    b = F.lit(float(num_buckets))
+    lr = (
+        F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + b))
+        - F.log((F.col("s_cnt") + 1.0) / (F.col("s_tot") + b))
+    )
+    return joined.select("bucket", lr.alias("log_ratio"))
+
+
+def dsir_scores(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    source_feats: DataFrame,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """(id, n_grams, score): per-document normalized log importance
+    weight Σ cnt·log_ratio / Σ cnt. A document with no grams has no
+    feature rows and so no score row — join back to the corpus (left)
+    if zero-gram docs must appear.
+
+    The ratio table (≤ num_buckets rows) and the two corpus totals
+    (1 row each) are broadcast; the raw features stream through one
+    hash aggregation keyed by id."""
+    ratios = dsir_log_ratios(target_feats, source_feats, num_buckets)
+    _, t_tot = _bucket_totals(target_feats, "t")
+    _, s_tot = _bucket_totals(source_feats, "s")
+    b = F.lit(float(num_buckets))
+    default_lr = F.log(F.col("s_tot") + b) - F.log(F.col("t_tot") + b)
+    scored = (
+        raw_feats.join(F.broadcast(ratios), "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(s_tot))
+        .select(
+            "id",
+            "cnt",
+            (F.coalesce(F.col("log_ratio"), default_lr) * F.col("cnt")).alias(
+                "w"
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        (F.sum("w") / F.sum("cnt")).alias("score"),
+    )
+
+
+def gumbel_topk(
+    scores: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    seed: int = 7,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Sample k rows WITHOUT replacement ∝ exp(score/temperature) via
+    the Gumbel top-k trick, deterministically: the Gumbel noise is
+    −ln(−ln(u)) with u a pure md5-derived function of (seed, id), so
+    the same call always selects the same rows on any engine or
+    cluster layout. temperature→0 approaches plain top-k by score;
+    larger temperatures flatten toward uniform."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    h = portable_hash64(
+        F.concat(
+            F.lit(str(int(seed))), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_H_RANGE)
+    gkey = F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        scores.withColumn("gumbel_key", gkey)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_buckets: int = 1024,
+    temperature: float = 1.0,
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """End-to-end DSIR: featurize both corpora, score every raw doc
+    against the target/raw bucket distributions, Gumbel-top-k select.
+    Returns (id, n_grams, score, gumbel_key) for the k selected docs.
+    The raw corpus doubles as the source distribution (the standard
+    DSIR setup: reweight raw toward target)."""
+    raw_feats = hashed_ngram_features(
+        raw, id_col, text_col, num_buckets, portable=portable
+    ).persist()  # scored AND aggregated as the source distribution
+    target_feats = hashed_ngram_features(
+        target, id_col, text_col, num_buckets, portable=portable
+    )
+    scores = dsir_scores(raw_feats, target_feats, raw_feats, num_buckets)
+    return gumbel_topk(scores, k, temperature=temperature, seed=seed)

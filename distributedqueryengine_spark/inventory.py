@@ -759,6 +759,15 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"key": F.col("doc_id").cast("string"), "lang": "lang"}, _SAMPLE_S),
         _tagged("mixture", Q.q_sample_mixture(spark, sf_dir),
                 {"key": F.col("doc_id").cast("string"), "lang": "source"}, _SAMPLE_S),
+        # DSIR importance resampling (r12, functions/dsir.py): per-doc
+        # scores (rounded 4dp — float sum-order noise is ~1e-13) and
+        # the deterministic Gumbel-top-300 SELECTED SET
+        _tagged("dsir_score", Q.q_dsir_scores(spark, sf_dir),
+                {"key": F.col("id").cast("string"), "lang": "lang",
+                 "n": "n_grams", "avg_chars": "score"}, _SAMPLE_S),
+        _tagged("dsir_sel", Q.q_dsir_select(spark, sf_dir),
+                {"key": F.col("id").cast("string"), "lang": "lang",
+                 "n": "n_grams"}, _SAMPLE_S),
     ])
 
 
@@ -1300,6 +1309,12 @@ COMPOSITE_ORACLES["sample_suite"] = _sql_union([
                 {"key": "CAST(doc_id AS VARCHAR)", "lang": "lang"}, _SAMPLE_S),
     _sql_tagged("mixture", ORACLES["sample_mixture"],
                 {"key": "CAST(doc_id AS VARCHAR)", "lang": "source"}, _SAMPLE_S),
+    _sql_tagged("dsir_score", ORACLES["dsir_scores"],
+                {"key": "CAST(id AS VARCHAR)", "lang": "lang",
+                 "n": "n_grams", "avg_chars": "score"}, _SAMPLE_S),
+    _sql_tagged("dsir_sel", ORACLES["dsir_select"],
+                {"key": "CAST(id AS VARCHAR)", "lang": "lang",
+                 "n": "n_grams"}, _SAMPLE_S),
 ])
 
 COMPOSITE_ORACLES["stream_windows_suite"] = _sql_union([

@@ -404,6 +404,73 @@ ORACLES["sample_mixture"] = r"""
             FROM documents)
         SELECT doc_id, source FROM r WHERE rn <= ceil(rate * n_src)
     """
+
+# DSIR (functions/dsir.py) — the full hashed-ngram importance pipeline
+# in SQL: identical tokenize (normalize + split + empty filter),
+# identical 60-bit md5 buckets mod 1024, identical add-one smoothing,
+# and for the selection branch the identical md5-derived Gumbel keys.
+# Target = English subset, source = the whole corpus.
+_DSIR_SCORES_CTE = r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(
+                       string_split(
+                           regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                           ' '),
+                       x -> len(x) > 0) AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(t) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS bucket,
+                   count(*) AS cnt
+            FROM grams GROUP BY 1, 2),
+        tstats AS (
+            SELECT bucket, sum(cnt) AS t_cnt FROM feats
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+            GROUP BY 1),
+        tt AS (SELECT sum(t_cnt) AS t_tot FROM tstats),
+        sstats AS (SELECT bucket, sum(cnt) AS s_cnt FROM feats GROUP BY 1),
+        st AS (SELECT sum(s_cnt) AS s_tot FROM sstats),
+        ratios AS (
+            SELECT s.bucket,
+                   ln((coalesce(t_cnt, 0) + 1.0) / (t_tot + 1024.0))
+                   - ln((s_cnt + 1.0) / (s_tot + 1024.0)) AS lr
+            FROM sstats s LEFT JOIN tstats USING (bucket), tt, st),
+        scores AS (
+            SELECT f.doc_id AS id,
+                   sum(cnt) AS n_grams,
+                   sum(cnt * lr) / sum(cnt) AS score
+            FROM feats f JOIN ratios USING (bucket)
+            GROUP BY 1),
+        scored AS (
+            SELECT s.id, d.lang, s.n_grams, s.score
+            FROM scores s JOIN documents d ON s.id = d.doc_id)
+"""
+
+ORACLES["dsir_scores"] = _DSIR_SCORES_CTE + r"""
+        SELECT id, lang, n_grams,
+               round(score, 4) + 0.0 AS score  -- -0.0 -> +0.0, as Spark
+        FROM scored
+    """
+
+ORACLES["dsir_select"] = _DSIR_SCORES_CTE + r"""
+        , keyed AS (
+            SELECT id, lang, n_grams,
+                   score / 1.0 - ln(-ln(
+                       (CAST(CAST('0x' || substr(
+                            md5('7:' || CAST(id AS VARCHAR)), 1, 15)
+                        AS BIGINT) AS DOUBLE) + 0.5)
+                       / 1152921504606846976.0)) AS gkey
+            FROM scored)
+        SELECT id, lang, n_grams
+        FROM keyed ORDER BY gkey DESC, id ASC LIMIT 300
+    """
 ORACLES["agg_regression"] = r"""
         SELECT l_returnflag,
                round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,

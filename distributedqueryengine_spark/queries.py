@@ -708,6 +708,57 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring stage for the two sample_suite branches:
+    target = the English subset, source = the whole corpus (the
+    standard DSIR setup — reweight raw data toward the target
+    distribution). Portable hashing so every stage — buckets, add-one
+    smoothed log-ratios, scores — is mirrored exactly by the DuckDB
+    oracle. Returns (id, lang, n_grams, score)."""
+    from distributedqueryengine_spark.functions import dsir as DS
+
+    doc = _t(spark, sf_dir, "documents")
+    raw_f = DS.hashed_ngram_features(
+        doc, "doc_id", "text", num_buckets=1024, portable=True
+    ).persist()  # consumed as raw features AND as the source stats
+    tgt_f = DS.hashed_ngram_features(
+        doc.filter(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=1024, portable=True,
+    )
+    scores = DS.dsir_scores(raw_f, tgt_f, raw_f, num_buckets=1024)
+    return scores.join(
+        doc.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023) for every document:
+    normalized hashed-ngram log importance weight of the English
+    target distribution vs the raw corpus. See functions/dsir.py for
+    the 100 TB shape (one featurize scan per corpus, broadcast ratio
+    table, no text reshuffle)."""
+    # + 0.0 after rounding: IEEE -0.0 + 0.0 = +0.0, so a tiny negative
+    # score rounds to the SAME zero in both engines (DuckDB's round
+    # yields -0.0 there, which value-hashes differently from 0.0)
+    return _dsir_scored(spark, sf_dir).select(
+        "id", "lang", "n_grams",
+        (F.round("score", 4) + F.lit(0.0)).alias("score"),
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Gumbel-top-k importance resample (k=300) over the
+    DSIR scores: selection ∝ exp(score), without replacement, noise a
+    pure md5 function of (seed, doc_id) — membership is reproducible
+    across engines and cluster layouts, so the oracle checks the
+    SELECTED SET, not float key values."""
+    from distributedqueryengine_spark.functions import dsir as DS
+
+    return DS.gumbel_topk(
+        _dsir_scored(spark, sf_dir), 300, temperature=1.0, seed=7
+    ).select("id", "lang", "n_grams")
+
+
 # --------------------------------------------------------------------------
 # Streaming semantics, batch-checkable form (streaming/windows.py)
 # --------------------------------------------------------------------------

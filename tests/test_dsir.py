@@ -1,0 +1,145 @@
+"""DSIR importance resampling: hashed n-gram features, smoothed bucket
+log-ratios, per-doc scores, deterministic Gumbel top-k.
+
+Verification strategy: a pure-python reference implementation of the
+IDENTICAL math (portable md5 hashing, add-one smoothing, md5-derived
+Gumbel keys) over the real documents fixture, plus behavioral pins —
+target-like documents must outscore non-target ones on a planted
+corpus, and resampling must be deterministic and shift the selected
+mix toward the target."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributedqueryengine_spark.functions.dsir import (
+    dsir_scores,
+    gumbel_topk,
+    hashed_ngram_features,
+    importance_resample,
+)
+
+B = 64  # small bucket count stresses collisions
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return [t for t in " ".join(text.lower().split()).split(" ") if t]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_feats(docs: dict[int, str], b: int = B) -> dict[int, dict[int, int]]:
+    out: dict[int, dict[int, int]] = {}
+    for i, text in docs.items():
+        t = _norm_tokens(text)
+        grams = t + [f"{a} {c}" for a, c in zip(t, t[1:])]
+        f: dict[int, int] = {}
+        for g in grams:
+            f[_h60(g) % b] = f.get(_h60(g) % b, 0) + 1
+        if f:
+            out[i] = f
+    return out
+
+
+def _py_scores(raw, target, b: int = B) -> dict[int, float]:
+    tb: dict[int, int] = {}
+    sb: dict[int, int] = {}
+    for f in target.values():
+        for k, c in f.items():
+            tb[k] = tb.get(k, 0) + c
+    for f in raw.values():
+        for k, c in f.items():
+            sb[k] = sb.get(k, 0) + c
+    tt, st = sum(tb.values()), sum(sb.values())
+    out = {}
+    for i, f in raw.items():
+        n = sum(f.values())
+        w = sum(
+            c
+            * (
+                math.log((tb.get(k, 0) + 1.0) / (tt + b))
+                - math.log((sb.get(k, 0) + 1.0) / (st + b))
+            )
+            for k, c in f.items()
+        )
+        out[i] = w / n
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_fixture(tables):
+    rows = tables["documents"].select("doc_id", "text", "lang").limit(400).collect()
+    return {r.doc_id: (r.text, r.lang) for r in rows}
+
+
+def test_scores_match_python_reference(spark, tables, docs_fixture):
+    docs = {i: t for i, (t, _) in docs_fixture.items()}
+    target_ids = {i for i, (_, lang) in docs_fixture.items() if lang == "en"}
+    assert target_ids and len(target_ids) < len(docs)
+
+    df = tables["documents"].limit(400)
+    raw_f = hashed_ngram_features(df, "doc_id", "text", B, portable=True)
+    tgt_f = hashed_ngram_features(
+        df.filter(F.col("lang") == "en"), "doc_id", "text", B, portable=True
+    )
+    got = {
+        r.id: (r.n_grams, r.score)
+        for r in dsir_scores(raw_f, tgt_f, raw_f, B).collect()
+    }
+
+    pr = _py_feats(docs)
+    pt = _py_feats({i: docs[i] for i in target_ids})
+    exp = _py_scores(pr, pt)
+    assert set(got) == set(exp)
+    for i, s in exp.items():
+        assert got[i][0] == sum(pr[i].values())
+        assert got[i][1] == pytest.approx(s, rel=1e-9, abs=1e-12)
+
+
+def test_target_docs_outscore_on_planted_corpus(spark):
+    target_text = "the quick brown fox jumps over the lazy dog again and again"
+    offtopic = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, target_text + f" v{i}") for i in range(40)] + [
+        (100 + i, offtopic + f" v{i}") for i in range(40)
+    ]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(1000 + i, target_text + f" t{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sel = importance_resample(
+        raw, target, "doc_id", "text", k=30, num_buckets=256, portable=True
+    ).collect()
+    assert len(sel) == 30
+    picked_target_like = sum(1 for r in sel if r.id < 100)
+    # scores separate the two populations decisively; even with Gumbel
+    # noise the selected mix must be dominated by target-like docs
+    assert picked_target_like >= 25
+
+
+def test_gumbel_topk_deterministic_and_temperature(spark):
+    scores = spark.createDataFrame(
+        [(i, float(i) / 10.0) for i in range(200)], "id long, score double"
+    )
+    a = sorted(r.id for r in gumbel_topk(scores, 50, seed=7).collect())
+    b = sorted(r.id for r in gumbel_topk(scores, 50, seed=7).collect())
+    assert a == b  # same seed -> identical selection, any run
+    c = sorted(r.id for r in gumbel_topk(scores, 50, seed=8).collect())
+    assert a != c  # different seed -> different sample (overwhelmingly)
+    # temperature -> 0 approaches plain top-k by score
+    d = sorted(r.id for r in gumbel_topk(scores, 50, temperature=1e-6).collect())
+    assert d == list(range(150, 200))
+
+
+def test_zero_gram_docs_absent(spark):
+    raw = spark.createDataFrame(
+        [(1, "   "), (2, "real content here")], "doc_id long, text string"
+    )
+    f = hashed_ngram_features(raw, "doc_id", "text", B, portable=True)
+    assert {r.id for r in f.select("id").distinct().collect()} == {2}
