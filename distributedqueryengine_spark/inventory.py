@@ -1819,4 +1819,10 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         # vs the whole joined profile row
         "repetition": _repetition_branch,
     },
+    "sample_suite": {
+        # the r12 DSIR branches standalone, so the suite's uptick is
+        # attributable (the three original branches are ms-scale)
+        "dsir_score": Q.q_dsir_scores,
+        "dsir_sel": Q.q_dsir_select,
+    },
 }

@@ -104,9 +104,31 @@ def main() -> None:
             }
             print(f"repetition @{n}x: {wall}s, {shuf} MB, {rows} rows",
                   flush=True)
+        if "dsir" in only:
+            from distributedqueryengine_spark.functions.dsir import (
+                importance_resample,
+            )
 
+            wall, shuf, rows = timed(
+                spark,
+                lambda: importance_resample(
+                    docs, docs.filter(F.col("lang") == "en"),
+                    "doc_id", "text", k=1000, num_buckets=4096,
+                ),
+            )
+            results.setdefault("dsir", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"dsir @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+
+    merged = {}
+    if os.path.isfile(OUT):  # partial re-runs extend, never clobber
+        with open(OUT) as f:
+            merged = json.load(f)
+    merged.update(results)
     with open(OUT, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {OUT}")
 
 
