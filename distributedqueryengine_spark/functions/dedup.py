@@ -36,6 +36,49 @@ from distributedqueryengine_spark.functions.text import fingerprint, normalize_t
 P31 = 2_147_483_647
 
 
+# Scoped pipeline caches (same discipline as inventory's sketch
+# registry, r12): every internal persist() in the near-dup pipelines
+# registers in a bounded FIFO — once it exceeds _PIPELINE_CACHE_MAX
+# entries the oldest are unpersisted, so a long-lived session running
+# dedup repeatedly holds a bounded cache instead of accumulating
+# partitions forever. FIFO (not drain-on-entry) because one composite
+# query legitimately constructs several pipelines into a single plan
+# (dedup_near_suite: minhash + simhash + winnow + clusters ≈ 10
+# persists) and evicting a sibling branch mid-construction would throw
+# away its eagerly materialized candidate pairs — worse, the clusters
+# branch's connected-components iterations re-reference their own
+# pipeline's pairs, so a too-small cap makes every CC iteration
+# recompute the whole LSH spine (measured: a 16-entry cap tripled the
+# suite's construction wall). 64 leaves ~3x headroom over the largest
+# composite (~18 live entries) while still bounding a long-lived
+# session's cache footprint. Eviction is always
+# SAFE regardless: every registered entry is a plain persist with
+# intact lineage (never a checkpoint), so a consumer that outlives its
+# cache degrades to recompute, never to a wrong answer.
+_PIPELINE_CACHE: list[DataFrame] = []
+_PIPELINE_CACHE_MAX = 64
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PIPELINE_CACHE.append(df)
+    while len(_PIPELINE_CACHE) > _PIPELINE_CACHE_MAX:
+        try:
+            _PIPELINE_CACHE.pop(0).unpersist()
+        except Exception:
+            pass
+    return df
+
+
+def _drain_pipeline_cache() -> None:
+    """Explicit full drain (tests / end-of-job housekeeping)."""
+    while _PIPELINE_CACHE:
+        try:
+            _PIPELINE_CACHE.pop().unpersist()
+        except Exception:
+            pass
+
+
 def portable_hash64(c: Column) -> Column:
     """60-bit engine-portable hash: integer value of the first 15 hex
     chars of md5. DuckDB mirror:
@@ -197,7 +240,9 @@ def lsh_candidate_pairs(
     # persist (lazy): the self-join below references `banded` on BOTH
     # sides — without it the whole upstream shingle→signature pipeline
     # executes twice, once per side. |docs|×bands rows, trivially small.
-    banded = band_buckets(sigs, num_perm, bands, portable=portable).persist()
+    banded = _scoped_persist(
+        band_buckets(sigs, num_perm, bands, portable=portable)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -232,7 +277,7 @@ def jaccard_on_pairs(
     # join, two size restrictions); without persist every broadcast
     # re-materializes the whole upstream LSH pipeline. The count both
     # materializes the persist and decides the join strategy.
-    pairs = pairs.persist()
+    pairs = _scoped_persist(pairs)
     n_pairs = pairs.count()
     maybe_b = F.broadcast if n_pairs <= broadcast_limit else (lambda df: df)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -304,10 +349,27 @@ def minhash_near_duplicates(
         return _staged_near_duplicates(
             df, id_col, text_col, ngram, num_perm, bands, min_jaccard, portable
         )
+    return _lsh_near_duplicates(
+        df, id_col, text_col, ngram, num_perm, bands, min_jaccard, portable
+    )
+
+
+def _lsh_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    num_perm: int,
+    bands: int,
+    min_jaccard: float,
+    portable: bool,
+) -> DataFrame:
+    """The raw LSH spine (no exact-collapse, no cache drain — the
+    public entry points handle both)."""
     # The shingle table feeds both the signature and the verification
     # stage; cache it so the explode+hash runs once (MEMORY_AND_DISK:
     # spills rather than OOMs at scale).
-    sh = shingles(df, id_col, text_col, ngram, portable=portable).persist()
+    sh = _scoped_persist(shingles(df, id_col, text_col, ngram, portable=portable))
     sigs = minhash_signatures(sh, num_perm, portable=portable)
     pairs = lsh_candidate_pairs(sigs, num_perm, bands, portable=portable)
     scored = jaccard_on_pairs(pairs, sh)
@@ -342,14 +404,14 @@ def _staged_near_duplicates(
         )
         .join(groups.select("fp", "canonical_id"), "fp")
         .select("__m_id", "canonical_id", "__has_sh")
-        .persist()
     )
+    mem = _scoped_persist(mem)
     survivors = df.join(
         groups.select(F.col("canonical_id").alias(id_col)), id_col, "left_semi"
     )
-    canon = minhash_near_duplicates(
+    canon = _lsh_near_duplicates(
         survivors, id_col, text_col, ngram, num_perm, bands,
-        min_jaccard, portable, staged=False,
+        min_jaccard, portable,
     )
     # cross-group expansion: every member pair of a canonical pair is a
     # near-dup at the SAME jaccard (identical text per group). Groups
@@ -437,9 +499,13 @@ def incremental_near_duplicates(
     equal, restricted to pairs touching a new id, to what
     minhash_near_duplicates would emit over the unioned corpus.
     """
-    sh_new = shingles(new_docs, id_col, text_col, ngram, portable=portable).persist()
+    sh_new = _scoped_persist(
+        shingles(new_docs, id_col, text_col, ngram, portable=portable)
+    )
     sigs_new = minhash_signatures(sh_new, num_perm, portable=portable)
-    bands_new = band_buckets(sigs_new, num_perm, bands, portable=portable).persist()
+    bands_new = _scoped_persist(
+        band_buckets(sigs_new, num_perm, bands, portable=portable)
+    )
     if band_index is None:
         band_index = build_band_index(
             corpus_docs, id_col, text_col, ngram, num_perm, bands, portable
@@ -574,7 +640,8 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bv").persist()
+    ).select("id", "simhash", "bb.band", "bb.bv")
+    banded = _scoped_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

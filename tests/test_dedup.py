@@ -518,3 +518,25 @@ def test_staged_parity_with_planted_exact_groups(spark, tables):
     assert any(j == 1.0 for _, _, j in stg)
     # and the zero-shingle exact pair must NOT appear
     assert not any(a == 9_000_001 for a, _, _ in stg)
+
+
+def test_pipeline_cache_bounded(spark, tables):
+    """Repeated near-dup constructions must not accumulate cached
+    partitions: the internal persists register in a bounded FIFO
+    (<=16 live), so a long-lived session's cache footprint is flat."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    D._drain_pipeline_cache()
+    base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    d = tables["documents"].limit(150)
+    for _ in range(6):
+        D.minhash_near_duplicates(d, "doc_id", "text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        assert len(D._PIPELINE_CACHE) <= D._PIPELINE_CACHE_MAX
+        assert (
+            spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+            <= base + D._PIPELINE_CACHE_MAX
+        )
+    D._drain_pipeline_cache()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
