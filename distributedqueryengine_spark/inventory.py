@@ -746,12 +746,28 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SAMPLE_S = [("key", "string"), ("lang", "string"), ("n", "bigint"), ("avg_chars", "double")]
 
 
+# q_sample_suite's shared DSIR scoring stage, at most one construction
+# cached per session (same scoping discipline as _SKETCH_SHARED_CACHE)
+_SAMPLE_SHARED_CACHE: list[DataFrame] = []
+
+
 def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sampling under one driver row: hash-based
     train/val/test split counts, per-language stratified systematic
-    10% sample membership, and per-source mixture resampling at
+    10% sample membership, per-source mixture resampling at
     source-specific rates (all pure functions of the key — stable
-    across engines, cluster sizes, repartitions)."""
+    across engines, cluster sizes, repartitions), and the two r12
+    DSIR branches (per-doc importance scores + the Gumbel-top-300
+    selected set), which derive from ONE shared scoring stage —
+    featurize raw+target once, scored persisted, both consumers read
+    the same cache."""
+    while _SAMPLE_SHARED_CACHE:
+        try:
+            _SAMPLE_SHARED_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    scored = Q._dsir_scored(spark, sf_dir, _SAMPLE_SHARED_CACHE).persist()
+    _SAMPLE_SHARED_CACHE.append(scored)
     return _union([
         _tagged("hash_split", Q.q_sample_hash_split(spark, sf_dir),
                 {"key": "split", "n": "n", "avg_chars": "avg_chars"}, _SAMPLE_S),
@@ -759,13 +775,10 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"key": F.col("doc_id").cast("string"), "lang": "lang"}, _SAMPLE_S),
         _tagged("mixture", Q.q_sample_mixture(spark, sf_dir),
                 {"key": F.col("doc_id").cast("string"), "lang": "source"}, _SAMPLE_S),
-        # DSIR importance resampling (r12, functions/dsir.py): per-doc
-        # scores (rounded 4dp — float sum-order noise is ~1e-13) and
-        # the deterministic Gumbel-top-300 SELECTED SET
-        _tagged("dsir_score", Q.q_dsir_scores(spark, sf_dir),
+        _tagged("dsir_score", Q.dsir_score_branch(scored),
                 {"key": F.col("id").cast("string"), "lang": "lang",
                  "n": "n_grams", "avg_chars": "score"}, _SAMPLE_S),
-        _tagged("dsir_sel", Q.q_dsir_select(spark, sf_dir),
+        _tagged("dsir_sel", Q.dsir_select_branch(scored),
                 {"key": F.col("id").cast("string"), "lang": "lang",
                  "n": "n_grams"}, _SAMPLE_S),
     ])
@@ -1771,6 +1784,19 @@ def _repetition_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_production_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DSIR on the production xxhash64 path (what a real
+    pipeline runs; the oracled branches pay md5 for DuckDB parity)."""
+    from distributedqueryengine_spark.functions.dsir import importance_resample
+    from distributedqueryengine_spark.session import load_table
+
+    doc = load_table(spark, sf_dir, "documents")
+    return importance_resample(
+        doc, doc.filter(F.col("lang") == "en"), "doc_id", "text",
+        k=300, num_buckets=1024, portable=False,
+    )
+
+
 def _dedup_clusters_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedqueryengine_spark.functions import dedup as D
 
@@ -1821,8 +1847,12 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
     },
     "sample_suite": {
         # the r12 DSIR branches standalone, so the suite's uptick is
-        # attributable (the three original branches are ms-scale)
+        # attributable (the three original branches are ms-scale), plus
+        # the production xxhash64 path — the oracled branches pay md5
+        # portable hashing for DuckDB parity, same trade as the dedup
+        # suite's pairs_md5_portable vs pairs_xxhash64_production split
         "dsir_score": Q.q_dsir_scores,
         "dsir_sel": Q.q_dsir_select,
+        "dsir_production_xxhash": _dsir_production_branch,
     },
 }

@@ -708,19 +708,31 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+# standalone q_dsir_* constructions scope their internal persists
+# here (drained on the next construction — same no-net-growth
+# discipline as inventory's sketch registry); the sample_suite passes
+# its own registry instead so its two branches share ONE scored stage
+_DSIR_SCOPED: list[DataFrame] = []
+
+
+def _dsir_scored(
+    spark: SparkSession, sf_dir: str, cache: list | None = None
+) -> DataFrame:
     """Shared DSIR scoring stage for the two sample_suite branches:
     target = the English subset, source = the whole corpus (the
     standard DSIR setup — reweight raw data toward the target
     distribution). Portable hashing so every stage — buckets, add-one
     smoothed log-ratios, scores — is mirrored exactly by the DuckDB
-    oracle. Returns (id, lang, n_grams, score)."""
+    oracle. Internal persists register in `cache` (caller-scoped).
+    Returns (id, lang, n_grams, score)."""
     from distributedqueryengine_spark.functions import dsir as DS
 
     doc = _t(spark, sf_dir, "documents")
     raw_f = DS.hashed_ngram_features(
         doc, "doc_id", "text", num_buckets=1024, portable=True
     ).persist()  # consumed as raw features AND as the source stats
+    if cache is not None:
+        cache.append(raw_f)
     tgt_f = DS.hashed_ngram_features(
         doc.filter(F.col("lang") == "en"), "doc_id", "text",
         num_buckets=1024, portable=True,
@@ -731,16 +743,29 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_dsir_scoped() -> None:
+    while _DSIR_SCOPED:
+        try:
+            _DSIR_SCOPED.pop().unpersist()
+        except Exception:
+            pass
+
+
 def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (Xie et al. 2023) for every document:
     normalized hashed-ngram log importance weight of the English
     target distribution vs the raw corpus. See functions/dsir.py for
     the 100 TB shape (one featurize scan per corpus, broadcast ratio
     table, no text reshuffle)."""
+    _drain_dsir_scoped()
+    return dsir_score_branch(_dsir_scored(spark, sf_dir, _DSIR_SCOPED))
+
+
+def dsir_score_branch(scored: DataFrame) -> DataFrame:
     # + 0.0 after rounding: IEEE -0.0 + 0.0 = +0.0, so a tiny negative
     # score rounds to the SAME zero in both engines (DuckDB's round
     # yields -0.0 there, which value-hashes differently from 0.0)
-    return _dsir_scored(spark, sf_dir).select(
+    return scored.select(
         "id", "lang", "n_grams",
         (F.round("score", 4) + F.lit(0.0)).alias("score"),
     )
@@ -752,11 +777,16 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure md5 function of (seed, doc_id) — membership is reproducible
     across engines and cluster layouts, so the oracle checks the
     SELECTED SET, not float key values."""
+    _drain_dsir_scoped()
+    return dsir_select_branch(_dsir_scored(spark, sf_dir, _DSIR_SCOPED))
+
+
+def dsir_select_branch(scored: DataFrame) -> DataFrame:
     from distributedqueryengine_spark.functions import dsir as DS
 
-    return DS.gumbel_topk(
-        _dsir_scored(spark, sf_dir), 300, temperature=1.0, seed=7
-    ).select("id", "lang", "n_grams")
+    return DS.gumbel_topk(scored, 300, temperature=1.0, seed=7).select(
+        "id", "lang", "n_grams"
+    )
 
 
 # --------------------------------------------------------------------------
