@@ -24,6 +24,7 @@ NESTED_LOOP_OK = {
     "order_limit_suite",  # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
     "agg_stats_suite",   # r10: roc_auc_df's 1-row (auc, n_pos, n_neg) broadcast-crossed into the 3-row stats
     "sim_bruteforce_topk",  # r10 rrf branch: bm25's 1-row (N, avgdl) corpus stats broadcast-crossed into term hits
+    "sample_suite",      # r12 dsir branches: the 1-row target/source gram totals broadcast-crossed into the ratio/score joins
 }
 
 def _plan(df) -> str:
