@@ -143,3 +143,35 @@ def test_zero_gram_docs_absent(spark):
     )
     f = hashed_ngram_features(raw, "doc_id", "text", B, portable=True)
     assert {r.id for r in f.select("id").distinct().collect()} == {2}
+
+
+def test_scores_match_python_reference_randomized(spark):
+    """Randomized differential: 5 seeded synthetic corpora with skewed
+    vocabularies, collision-heavy buckets (B=16), and short/empty
+    docs — Spark scores must match the pure-python reference on every
+    corpus."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed * 7919 + 13)
+        vocab = [f"w{j}" for j in range(30)]
+        docs = {}
+        for i in range(80):
+            n = rng.choice([0, 1, 2, 5, 12, 30])
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(n))
+        target_ids = set(rng.sample(sorted(docs), 25))
+        rows = [(i, t) for i, t in docs.items()]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tgt = df.filter(F.col("doc_id").isin(list(target_ids)))
+        b = 16
+        raw_f = hashed_ngram_features(df, "doc_id", "text", b, portable=True)
+        tgt_f = hashed_ngram_features(tgt, "doc_id", "text", b, portable=True)
+        got = {
+            r.id: r.score for r in dsir_scores(raw_f, tgt_f, raw_f, b).collect()
+        }
+        pr = _py_feats(docs, b)
+        pt = _py_feats({i: docs[i] for i in target_ids}, b)
+        exp = _py_scores(pr, pt, b)
+        assert set(got) == set(exp), f"seed {seed}: id sets differ"
+        for i, s in exp.items():
+            assert got[i] == pytest.approx(s, rel=1e-9, abs=1e-12), f"seed {seed} doc {i}"
