@@ -82,6 +82,10 @@ def main() -> None:
         # min-of-5 disjoint probe batches is the steady-state per-batch
         # cost a query service pays, and 2 batches under-sold it (the r6
         # recorded IVF number landed inside box noise of brute force).
+        # clearCache first: 50 queries of leftover persisted stages
+        # otherwise compete with the corpus/index persists for executor
+        # memory and inflate the build wall vs a fresh JVM
+        spark.catalog.clearCache()
         ann = ann_lifecycle(spark, sf_dir, corpus_rows=131072, n_batches=5)
     except Exception:
         pass
@@ -94,6 +98,7 @@ def main() -> None:
     try:
         from distributedqueryengine_spark.annbench import ann_lifecycle
 
+        spark.catalog.clearCache()
         ann10 = ann_lifecycle(spark, sf_dir, corpus_rows=1310720, n_batches=3)
     except Exception:
         pass
