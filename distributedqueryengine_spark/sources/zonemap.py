@@ -44,10 +44,20 @@ Spark's default INT96 parquet timestamps carry no footer min/max —
 such files are conservatively never pruned; write with
 `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS` to make
 timestamp skipping effective.
+
+Filesystems (r13): a bare POSIX path stays driver-local (os.walk +
+plain open — the lab-lake fast path). Any scheme-qualified path
+(`file:`, `hdfs://`, `s3a://`, ...) routes the listing and the
+format-version marker through the session's Hadoop FS (the same
+pattern as streaming/sketches.py state), and the executor-side footer
+reads through `pyarrow.fs.FileSystem.from_uri` — so a zonemap can
+live next to a non-local table. `file:` URIs take the same branch a
+cluster URI would, which is what the tests exercise.
 """
 from __future__ import annotations
 
 import os
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -108,32 +118,151 @@ _ZONEMAP_FORMAT = 2
 _FORMAT_MARKER = "_format_version"
 
 
+class _UnresolvableSessionTimezone(Exception):
+    """Session timezone string we cannot map to a tzinfo. Pruning
+    catches this and degrades to keep-the-file (conservative); it must
+    never escape prune_files/read_with_skipping as a crash."""
+
+
+# Fixed-offset remainder after an optional GMT/UTC/UT prefix: Spark
+# (java.time.ZoneId) accepts +8, +08, +08:00, +0800, +08:00:00,
+# +080000 — all legal session timezones that are NOT IANA tzdata keys,
+# so ZoneInfo raises on them (ADVICE r12).
+_OFFSET_RE = re.compile(r"([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?")
+
+
+def _resolve_tz(tz_name: str):
+    """tzinfo for a Spark-legal session timezone string: IANA region
+    IDs via ZoneInfo, fixed-offset forms (GMT+8, UTC+08:00, +08:00,
+    -0530, Z, ...) via datetime.timezone. Returns None when the string
+    resolves to neither — callers must then treat the predicate as
+    non-prunable rather than raise mid-read."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz_name)
+    except Exception:
+        pass
+    s = tz_name.strip()
+    up = s.upper()
+    for pre in ("GMT", "UTC", "UT"):
+        if up.startswith(pre):
+            s = s[len(pre):]
+            break
+    if s == "" or s.upper() == "Z":
+        return _dt.timezone.utc
+    m = _OFFSET_RE.fullmatch(s)
+    if m is None:
+        return None
+    sign = 1 if m.group(1) == "+" else -1
+    h, mi, sec = int(m.group(2)), int(m.group(3) or 0), int(m.group(4) or 0)
+    if h > 18 or mi > 59 or sec > 59:
+        return None
+    return _dt.timezone(sign * _dt.timedelta(hours=h, minutes=mi, seconds=sec))
+
+
 def _ts_micros(value, tz_name: str | None = None) -> float:
     """Epoch microseconds of the instant `value` denotes. Naive values
     are localized to `tz_name` when given (predicate side: match
     Spark's session-timezone literal semantics), else pinned to UTC
-    (footer-stats side: parquet stats are UTC-adjusted)."""
+    (footer-stats side: parquet stats are UTC-adjusted). Raises
+    _UnresolvableSessionTimezone when tz_name resolves to nothing —
+    pruning call sites catch it and keep the file."""
     if value.tzinfo is None:
         if tz_name:
-            from zoneinfo import ZoneInfo
-
-            value = value.replace(tzinfo=ZoneInfo(tz_name))
+            tz = _resolve_tz(tz_name)
+            if tz is None:
+                raise _UnresolvableSessionTimezone(tz_name)
+            value = value.replace(tzinfo=tz)
         else:
             value = value.replace(tzinfo=_dt.timezone.utc)
     return value.timestamp() * 1e6
 
 
-def list_data_files(path: str) -> list[str]:
+def _is_uri(path: str) -> bool:
+    """Scheme-qualified paths (file:, hdfs://, s3a://, ...) route
+    through the Hadoop FS / pyarrow.fs branches; bare paths stay on
+    the driver-local POSIX fast path."""
+    return "://" in path or path.startswith("file:")
+
+
+def _join(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name if _is_uri(path) else os.path.join(path, name)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _dir_exists(path: str, spark: SparkSession | None) -> bool:
+    if not _is_uri(path):
+        return os.path.isdir(path)
+    _, fs, hp = _hadoop_fs(spark, path)
+    return bool(fs.exists(hp))
+
+
+def _rmtree(path: str, spark: SparkSession | None) -> None:
+    if not _is_uri(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    _, fs, hp = _hadoop_fs(spark, path)
+    fs.delete(hp, True)
+
+
+def list_data_files(path: str, spark: SparkSession | None = None) -> list[str]:
     """Visible .parquet data files under `path` (recursive, skipping
     underscore/dot-prefixed names at every level — same hidden-file
-    rule as Spark's input listing)."""
-    out: list[str] = []
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                out.append(os.path.join(root, f))
+    rule as Spark's input listing). Bare POSIX paths walk the local
+    filesystem; scheme-qualified URIs list through the session's
+    Hadoop FS (pass `spark` — required for URIs) and return fully
+    qualified URIs, so the stats table, the live listing, and the
+    pruned read all speak the same path dialect."""
+    if not _is_uri(path):
+        out: list[str] = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    out.append(os.path.join(root, f))
+        return sorted(out)
+    if spark is None:
+        raise ValueError(f"list_data_files: a SparkSession is required for URI paths ({path})")
+    _, fs, hp = _hadoop_fs(spark, path)
+    root = fs.getFileStatus(hp).getPath()  # fully qualified
+    root_str = root.toString()
+    it = fs.listFiles(root, True)
+    out = []
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        rel = p[len(root_str):].lstrip("/")
+        segs = rel.split("/")
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
+        if segs[-1].endswith(".parquet"):
+            out.append(p)
     return sorted(out)
+
+
+def _open_footer_source(fpath: str):
+    """What pq.ParquetFile should open for `fpath` — executor-side, so
+    no JVM: bare paths and file: URIs map to local paths; other
+    schemes open through pyarrow.fs.FileSystem.from_uri."""
+    if fpath.startswith("file:"):
+        p = fpath[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" in fpath:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(fpath)
+        return fs.open_input_file(rel)
+    return fpath
 
 
 def _footer_stats(files: list[str], cols: list[str]):
@@ -144,7 +273,7 @@ def _footer_stats(files: list[str], cols: list[str]):
     import pyarrow.parquet as pq
 
     for fpath in files:
-        md = pq.ParquetFile(fpath).metadata
+        md = pq.ParquetFile(_open_footer_source(fpath)).metadata
         names = {md.schema.column(i).path: i for i in range(md.num_columns)}
         for col in cols:
             ci = names.get(col)
@@ -207,7 +336,7 @@ def write_zonemap(
     refresh; between refreshes, pruning stays conservative (new files
     have no stats row → always kept)."""
     cols = list(cols)
-    files = list_data_files(path)
+    files = list_data_files(path, spark)
     if not files:
         raise ValueError(f"write_zonemap: no parquet data files under {path}")
     n_slices = max(1, min(len(files), 64))
@@ -216,9 +345,9 @@ def write_zonemap(
         .mapPartitions(lambda fs: _footer_stats(list(fs), cols))
     )
     stats = spark.createDataFrame(rows_rdd, _STATS_SCHEMA)
-    zdir = os.path.join(path, "_zonemap")
+    zdir = _join(path, "_zonemap")
     stats.repartition(1).write.mode("overwrite").parquet(zdir)
-    _write_format_version(zdir)
+    _write_format_version(zdir, spark)
     return spark.read.schema(_STATS_SCHEMA).parquet(zdir)
 
 
@@ -258,24 +387,79 @@ def _session_tz(spark: SparkSession) -> str | None:
         return None
 
 
-def _read_format_version(zdir: str) -> int:
+def _read_format_version(zdir: str, spark: SparkSession | None = None) -> int:
     """Version of the persisted stats encoding; 0 when the marker is
     absent (pre-versioning layout or torn write) — callers treat
     anything below _ZONEMAP_FORMAT as unusable."""
+    marker = _join(zdir, _FORMAT_MARKER)
+    if not _is_uri(zdir):
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
     try:
-        with open(os.path.join(zdir, _FORMAT_MARKER)) as f:
-            return int(f.read().strip())
-    except (OSError, ValueError):
+        jvm, fs, hp = _hadoop_fs(spark, marker)
+        if not fs.exists(hp):
+            return 0
+        stream = fs.open(hp)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return int(text.strip())
+    except Exception:
         return 0
 
 
-def _write_format_version(zdir: str) -> None:
+def _write_format_version(zdir: str, spark: SparkSession | None = None) -> None:
     # AFTER the parquet write: mode("overwrite") wipes the dir, and a
     # crash between the two leaves no marker → reads degrade to
     # no-pruning, updates to full rebuild. Underscore prefix keeps the
     # marker invisible to the spark.read.parquet listing of zdir.
-    with open(os.path.join(zdir, _FORMAT_MARKER), "w") as f:
-        f.write(str(_ZONEMAP_FORMAT))
+    marker = _join(zdir, _FORMAT_MARKER)
+    if not _is_uri(zdir):
+        with open(marker, "w") as f:
+            f.write(str(_ZONEMAP_FORMAT))
+        return
+    _, fs, hp = _hadoop_fs(spark, marker)
+    out = fs.create(hp, True)
+    try:
+        out.write(bytearray(str(_ZONEMAP_FORMAT).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _impossible_clause(col: str, op: str, value, tz: str | None):
+    """Boolean Column over a stats row: does THIS row prove no row of
+    its file can match (col, op, value)? Raises
+    _UnresolvableSessionTimezone when a naive-datetime bound can't be
+    encoded — the caller skips the predicate."""
+    this_col = F.col("col") == col
+    if op == "in":
+        # impossible iff EVERY listed value falls outside [min, max]
+        imp = F.lit(True)
+        for v in value:
+            mn, mx, lv = _bound_cols(v, tz)
+            imp = imp & mn.isNotNull() & mx.isNotNull() & ((mn > lv) | (mx < lv))
+        return this_col & imp
+    lo, hi = _pred_expr(op, value)
+    # strict ops exclude the bound itself
+    strict_lo = op == ">"
+    strict_hi = op == "<"
+    impossible = F.lit(False)
+    if hi is not None:
+        mn, _, v = _bound_cols(hi, tz)
+        # every row >= file min; if min > hi (or >= for strict) no match
+        impossible = impossible | (
+            mn.isNotNull() & ((mn > v) if not strict_hi else (mn >= v))
+        )
+    if lo is not None:
+        _, mx, v = _bound_cols(lo, tz)
+        impossible = impossible | (
+            mx.isNotNull() & ((mx < v) if not strict_lo else (mx <= v))
+        )
+    return this_col & impossible
 
 
 def prune_files(
@@ -286,12 +470,16 @@ def prune_files(
     """Files under `path` that MAY contain matching rows, per the
     persisted zonemap. Missing zonemap → all files (no skipping,
     full correctness). The returned list is intersected with the live
-    listing, so stats rows for rewritten/deleted files are inert."""
-    live = list_data_files(path)
-    zdir = os.path.join(path, "_zonemap")
-    if not os.path.isdir(zdir):
+    listing, so stats rows for rewritten/deleted files are inert.
+    A session timezone no tzinfo can be built for (shouldn't happen —
+    _resolve_tz covers every java.time.ZoneId form — but the failure
+    mode of a miss is a crash mid-read) makes naive-datetime
+    predicates non-prunable instead of raising (ADVICE r12)."""
+    live = list_data_files(path, spark)
+    zdir = _join(path, "_zonemap")
+    if not _dir_exists(zdir, spark):
         return live
-    if _read_format_version(zdir) < _ZONEMAP_FORMAT:
+    if _read_format_version(zdir, spark) < _ZONEMAP_FORMAT:
         # stats written under an older (or unmarked) encoding cannot
         # be compared against current predicate encodings — degrade to
         # no pruning (conservative) until update_zonemap rebuilds
@@ -301,34 +489,12 @@ def prune_files(
 
     drop_any = F.lit(False)  # per (file,col) row: proven impossible?
     for col, op, value in predicates:
-        this_col = F.col("col") == col
-        if op == "in":
-            # impossible iff EVERY listed value falls outside [min, max]
-            imp = F.lit(True)
-            for v in value:
-                mn, mx, lv = _bound_cols(v, tz)
-                imp = imp & mn.isNotNull() & mx.isNotNull() & (
-                    (mn > lv) | (mx < lv)
-                )
-            drop_any = drop_any | (this_col & imp)
+        try:
+            drop_any = drop_any | _impossible_clause(col, op, value, tz)
+        except _UnresolvableSessionTimezone:
+            # can't encode the bound the residual filter will test →
+            # this predicate proves nothing; files stay (conservative)
             continue
-        lo, hi = _pred_expr(op, value)
-        # strict ops exclude the bound itself
-        strict_lo = op == ">"
-        strict_hi = op == "<"
-        impossible = F.lit(False)
-        if hi is not None:
-            mn, _, v = _bound_cols(hi, tz)
-            # every row >= file min; if min > hi (or >= for strict) no match
-            impossible = impossible | (
-                mn.isNotNull() & ((mn > v) if not strict_hi else (mn >= v))
-            )
-        if lo is not None:
-            _, mx, v = _bound_cols(lo, tz)
-            impossible = impossible | (
-                mx.isNotNull() & ((mx < v) if not strict_lo else (mx <= v))
-            )
-        drop_any = drop_any | (this_col & impossible)
 
     # Only a stats row can PROVE impossibility, so files without stats
     # are never in `dropped` and always survive (conservative).
@@ -386,17 +552,15 @@ def update_zonemap(
 
     Falls back to a full `write_zonemap` when no zonemap exists.
     Returns the refreshed stats DataFrame."""
-    import os as _os
-
-    zdir = _os.path.join(path, "_zonemap")
-    if not _os.path.isdir(zdir):
+    zdir = _join(path, "_zonemap")
+    if not _dir_exists(zdir, spark):
         return write_zonemap(spark, path, cols)
-    if _read_format_version(zdir) < _ZONEMAP_FORMAT:
+    if _read_format_version(zdir, spark) < _ZONEMAP_FORMAT:
         # pre-versioning (or older-format) stats: values in the kept
         # rows would mix encodings with the fresh rows — full rebuild
         return write_zonemap(spark, path, cols)
     cols = list(cols)
-    live = list_data_files(path)
+    live = list_data_files(path, spark)
     old = spark.read.schema(_STATS_SCHEMA).parquet(zdir)
     have = {r.file for r in old.select("file").distinct().collect()}
     new_files = [f for f in live if f not in have]
@@ -427,8 +591,6 @@ def update_zonemap(
     merged.repartition(1).write.mode("overwrite").parquet(tmp)
     final = spark.read.schema(_STATS_SCHEMA).parquet(tmp).localCheckpoint()
     final.repartition(1).write.mode("overwrite").parquet(zdir)
-    _write_format_version(zdir)
-    import shutil as _shutil
-
-    _shutil.rmtree(tmp, ignore_errors=True)
+    _write_format_version(zdir, spark)
+    _rmtree(tmp, spark)
     return spark.read.schema(_STATS_SCHEMA).parquet(zdir)
