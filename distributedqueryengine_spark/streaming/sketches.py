@@ -69,15 +69,40 @@ def _hadoop_fs(spark, fname: str):
     return jvm, fs, hpath
 
 
+def _rename_overwrite(spark, jvm, fs, tmp, dst) -> None:
+    """tmp → dst with dst possibly present. Preferred: FileContext
+    rename with Options.Rename.OVERWRITE — a SINGLE atomic operation
+    on HDFS, no delete-then-rename window. Fallback (filesystems whose
+    FileContext rejects the overwrite flag): delete(dst) + rename —
+    a crash between the two loses dst, which _load_state papers over
+    by restoring from the surviving .tmp (ADVICE r12)."""
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_enum = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+        opts = spark.sparkContext._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fc.rename(tmp, dst, opts)
+        return
+    except Exception:
+        pass
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"monitor state rename failed: {tmp} -> {dst}")
+
+
 def _save_state(spark, fname: str, obj: dict) -> None:
     """Persist monitor state via tmp-write + rename. Local paths use
     POSIX os.replace (atomic). Non-local URIs go through the session's
-    Hadoop FS: create(tmp, overwrite) + delete(dst) + rename — the
-    standard Hadoop commit pattern (rename is atomic on HDFS; on
-    object stores it inherits the store's rename semantics, same as
-    every rename-based committer). Readers see old-or-new either way;
-    a torn read is impossible, a lost update costs one batch of
-    monitor freshness at worst (the NEXT fold rewrites it)."""
+    Hadoop FS: create(tmp, overwrite) then an OVERWRITE rename —
+    atomic on HDFS via FileContext (no delete window); where only the
+    non-atomic delete+rename fallback exists, a crash inside it leaves
+    the fully-written .tmp, which _load_state restores from, so the
+    worst case is still one batch of monitor freshness — never the
+    whole accumulated state. Readers see old-or-new either way; a torn
+    read is impossible (the .tmp is only read when dst is absent, and
+    it is always completely written before the commit step starts)."""
     lp = _local_path(fname)
     if lp is not None:
         os.makedirs(os.path.dirname(lp), exist_ok=True)
@@ -93,9 +118,16 @@ def _save_state(spark, fname: str, obj: dict) -> None:
         out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
-    fs.delete(dst, False)
-    if not fs.rename(tmp, dst):
-        raise IOError(f"monitor state rename failed: {tmp} -> {dst}")
+    _rename_overwrite(spark, jvm, fs, tmp, dst)
+
+
+def _read_json(jvm, fs, p) -> dict:
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
 
 
 def _load_state(spark, fname: str | None) -> dict | None:
@@ -108,14 +140,18 @@ def _load_state(spark, fname: str | None) -> dict | None:
         with open(lp) as f:
             return json.load(f)
     jvm, fs, dst = _hadoop_fs(spark, fname)
-    if not fs.exists(dst):
-        return None
-    stream = fs.open(dst)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
+    if fs.exists(dst):
+        return _read_json(jvm, fs, dst)
+    # dst absent but a .tmp survives → a crash hit the non-atomic
+    # delete+rename fallback window; the .tmp is a complete state file
+    # (fully written before the commit step), restore from it
+    tmp = jvm.org.apache.hadoop.fs.Path(fname + ".tmp")
+    if fs.exists(tmp):
+        try:
+            return _read_json(jvm, fs, tmp)
+        except Exception:
+            return None
+    return None
 
 
 def _restore(saved: dict | None, checkpoint: str | None) -> dict | None:

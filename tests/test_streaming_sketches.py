@@ -490,3 +490,37 @@ def test_stream_heavy_hitters_state_file_uri_scheme(spark, tables, tmp_path):
             [(r.item, r.c) for r in mg_summary(ch, "event_type", k=8).collect()]
         )
     assert mon2.estimates() == ref.estimates()
+
+
+def test_hadoop_state_commit_atomic_and_tmp_recovery(spark, tmp_path):
+    """ADVICE r12: the Hadoop-FS state commit must not lose the WHOLE
+    accumulated state to a crash between delete(dst) and rename. The
+    preferred path is a single FileContext OVERWRITE rename; and even
+    when only the fallback exists, a dst-missing/.tmp-present layout
+    (the exact crash window) must restore from the .tmp."""
+    from distributedqueryengine_spark.streaming.sketches import (
+        _hadoop_fs,
+        _load_state,
+        _save_state,
+    )
+
+    fname = "file://" + str(tmp_path / "st" / "state.json")
+
+    # overwrite an EXISTING dst repeatedly — exercises the OVERWRITE
+    # rename (or fallback) with dst present; latest write wins
+    _save_state(spark, fname, {"v": 1})
+    _save_state(spark, fname, {"v": 2})
+    assert _load_state(spark, fname) == {"v": 2}
+    # no stray .tmp after a clean commit
+    jvm, fs, dst = _hadoop_fs(spark, fname)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(fname + ".tmp"))
+
+    # simulate the fallback crash window: fully-written .tmp, dst gone
+    tmp = jvm.org.apache.hadoop.fs.Path(fname + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(b'{"v": 3}'))
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    assert _load_state(spark, fname) == {"v": 3}  # recovered, not None
