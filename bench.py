@@ -153,11 +153,15 @@ def main() -> None:
             branch_splits[suite] = split
     except Exception:
         pass
+    # Key order matters for durability, not semantics: the driver's
+    # per-round capture has twice recorded only the TAIL of this line
+    # (r11/r12 lost the 50-row timing map), so the per-query dict and
+    # the splits go LAST — a truncated head loses the scalar summary
+    # (recoverable from the queries) instead of the attribution data.
     payload = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Timing basis changed after round 5: the window now includes
         # DataFrame CONSTRUCTION (eager localCheckpoint prefixes, CC
@@ -175,6 +179,15 @@ def main() -> None:
         payload["approx_sketches_split"] = sketch_split
     if branch_splits:
         payload["branch_splits"] = branch_splits
+    payload["queries"] = timings
+    # Belt and braces: the full payload also lands in a repo file, so
+    # even a truncated stdout capture leaves the complete record.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_local.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(payload))
     spark.stop()
 
