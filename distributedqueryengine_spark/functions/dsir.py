@@ -4,9 +4,17 @@ Public method (Xie et al. 2023, "Data Selection for Language Models
 via Importance Resampling"): represent documents as hashed n-gram
 bag-of-features, fit bucket probabilities for a TARGET corpus (the
 distribution you want more of) and the RAW/SOURCE corpus, score every
-raw document by its per-token log importance weight
-Σ cnt_b·(ln p_target[b] − ln p_source[b]) / Σ cnt_b, then sample
-without replacement via Gumbel top-k on the scores.
+raw document by its log importance weight
+Σ cnt_b·(ln p_target[b] − ln p_source[b]), then sample without
+replacement via Gumbel top-k on the scores.
+
+DELIBERATE DEVIATION from the paper (ADVICE r12): by default scores
+are LENGTH-NORMALIZED (divided by Σ cnt_b, the document's gram
+count) — the paper's unnormalized sum makes selection ∝ doc length
+as much as ∝ distribution match (a long mediocre document outscores
+a short on-target one), which is rarely what a training-data
+pipeline wants. Pass `normalize=False` to `dsir_scores` /
+`importance_resample` for the paper-faithful unnormalized log-weight.
 
 Spark-first shape (100 TB reasoning):
 - features: one scan per corpus — tokenize → unigrams+bigrams via the
@@ -40,6 +48,35 @@ from distributedqueryengine_spark.functions.text import normalize_text
 #: Gumbel uniform is (h + 0.5) / 2^60 ∈ (0, 1) strictly (0.5 and 2^60
 #: are exact doubles, so both engines compute the identical value).
 _H_RANGE = float(1 << 60)
+
+# Bounded FIFO for importance_resample's internal persist (same
+# discipline as dedup._PIPELINE_CACHE / inventory's scoped sketch
+# caches, r12): repeated calls in a long-lived session hold at most
+# _CACHE_MAX cached stages instead of leaking one per call. Eviction
+# is safe — plain persist with intact lineage, a consumer that
+# outlives its cache recomputes, never answers wrong.
+_PIPELINE_CACHE: list[DataFrame] = []
+_CACHE_MAX = 4
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PIPELINE_CACHE.append(df)
+    while len(_PIPELINE_CACHE) > _CACHE_MAX:
+        try:
+            _PIPELINE_CACHE.pop(0).unpersist()
+        except Exception:
+            pass
+    return df
+
+
+def _drain_pipeline_cache() -> None:
+    """Explicit full drain (tests / end-of-job housekeeping)."""
+    while _PIPELINE_CACHE:
+        try:
+            _PIPELINE_CACHE.pop().unpersist()
+        except Exception:
+            pass
 
 
 def hashed_ngram_features(
@@ -119,11 +156,14 @@ def dsir_scores(
     target_feats: DataFrame,
     source_feats: DataFrame,
     num_buckets: int = 1024,
+    normalize: bool = True,
 ) -> DataFrame:
-    """(id, n_grams, score): per-document normalized log importance
-    weight Σ cnt·log_ratio / Σ cnt. A document with no grams has no
-    feature rows and so no score row — join back to the corpus (left)
-    if zero-gram docs must appear.
+    """(id, n_grams, score): per-document log importance weight —
+    length-normalized Σ cnt·log_ratio / Σ cnt by default (module
+    header: deliberate deviation), the paper's unnormalized
+    Σ cnt·log_ratio with normalize=False. A document with no grams has
+    no feature rows and so no score row — join back to the corpus
+    (left) if zero-gram docs must appear.
 
     The ratio table (≤ num_buckets rows) and the two corpus totals
     (1 row each) are broadcast; the raw features stream through one
@@ -145,9 +185,9 @@ def dsir_scores(
             ),
         )
     )
+    score = (F.sum("w") / F.sum("cnt")) if normalize else F.sum("w")
     return scored.groupBy("id").agg(
-        F.sum("cnt").alias("n_grams"),
-        (F.sum("w") / F.sum("cnt")).alias("score"),
+        F.sum("cnt").alias("n_grams"), score.alias("score")
     )
 
 
@@ -158,13 +198,21 @@ def gumbel_topk(
     seed: int = 7,
     id_col: str = "id",
     score_col: str = "score",
+    quantize: int | None = 6,
 ) -> DataFrame:
     """Sample k rows WITHOUT replacement ∝ exp(score/temperature) via
     the Gumbel top-k trick, deterministically: the Gumbel noise is
     −ln(−ln(u)) with u a pure md5-derived function of (seed, id), so
     the same call always selects the same rows on any engine or
     cluster layout. temperature→0 approaches plain top-k by score;
-    larger temperatures flatten toward uniform."""
+    larger temperatures flatten toward uniform.
+
+    `quantize` (default 6 decimal places) rounds the Gumbel key BEFORE
+    ranking, ties broken by id: two engines whose libm ln() differs by
+    an ulp then still rank identically — a raw-double rank-k boundary
+    was the one platform-fragile spot in the cross-engine parity
+    (ADVICE r12). Quantization at 6dp is far below the noise scale, so
+    the sample distribution is unchanged; pass None for raw keys."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if temperature <= 0:
@@ -176,6 +224,8 @@ def gumbel_topk(
     )
     u = (h.cast("double") + F.lit(0.5)) / F.lit(_H_RANGE)
     gkey = F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    if quantize is not None:
+        gkey = F.round(gkey, int(quantize))
     return (
         scores.withColumn("gumbel_key", gkey)
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
@@ -193,17 +243,24 @@ def importance_resample(
     temperature: float = 1.0,
     seed: int = 7,
     portable: bool = False,
+    normalize: bool = True,
 ) -> DataFrame:
     """End-to-end DSIR: featurize both corpora, score every raw doc
     against the target/raw bucket distributions, Gumbel-top-k select.
     Returns (id, n_grams, score, gumbel_key) for the k selected docs.
     The raw corpus doubles as the source distribution (the standard
-    DSIR setup: reweight raw toward target)."""
-    raw_feats = hashed_ngram_features(
-        raw, id_col, text_col, num_buckets, portable=portable
-    ).persist()  # scored AND aggregated as the source distribution
+    DSIR setup: reweight raw toward target). The internal persist of
+    the shared raw-features stage is FIFO-scoped (no net cache growth
+    across repeated calls)."""
+    raw_feats = _scoped_persist(
+        hashed_ngram_features(
+            raw, id_col, text_col, num_buckets, portable=portable
+        )
+    )  # scored AND aggregated as the source distribution
     target_feats = hashed_ngram_features(
         target, id_col, text_col, num_buckets, portable=portable
     )
-    scores = dsir_scores(raw_feats, target_feats, raw_feats, num_buckets)
+    scores = dsir_scores(
+        raw_feats, target_feats, raw_feats, num_buckets, normalize=normalize
+    )
     return gumbel_topk(scores, k, temperature=temperature, seed=seed)

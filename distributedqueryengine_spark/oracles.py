@@ -461,12 +461,15 @@ ORACLES["dsir_scores"] = _DSIR_SCORES_CTE + r"""
 
 ORACLES["dsir_select"] = _DSIR_SCORES_CTE + r"""
         , keyed AS (
+            -- round(gkey, 6) before ranking, ties by id: mirrors
+            -- gumbel_topk's quantize=6 so a 1-ulp libm ln() spread
+            -- between engines cannot flip the rank-k boundary
             SELECT id, lang, n_grams,
-                   score / 1.0 - ln(-ln(
+                   round(score / 1.0 - ln(-ln(
                        (CAST(CAST('0x' || substr(
                             md5('7:' || CAST(id AS VARCHAR)), 1, 15)
                         AS BIGINT) AS DOUBLE) + 0.5)
-                       / 1152921504606846976.0)) AS gkey
+                       / 1152921504606846976.0)), 6) AS gkey
             FROM scored)
         SELECT id, lang, n_grams
         FROM keyed ORDER BY gkey DESC, id ASC LIMIT 300

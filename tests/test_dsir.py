@@ -175,3 +175,83 @@ def test_scores_match_python_reference_randomized(spark):
         assert set(got) == set(exp), f"seed {seed}: id sets differ"
         for i, s in exp.items():
             assert got[i] == pytest.approx(s, rel=1e-9, abs=1e-12), f"seed {seed} doc {i}"
+
+
+def test_unnormalized_scores_match_paper_form(spark):
+    """normalize=False is the paper-faithful unnormalized
+    Σ cnt·log_ratio (ADVICE r12): differential vs the python
+    reference WITHOUT the /n, and long near-duplicate docs outscore
+    short ones under it (length ∝ score) while the normalized default
+    scores them equal to float noise."""
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(1, base), (2, " ".join([base] * 8))]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    b = 64
+    raw_f = hashed_ngram_features(raw, "doc_id", "text", b, portable=True)
+    tgt_f = hashed_ngram_features(target, "doc_id", "text", b, portable=True)
+
+    raw_py = _py_feats({i: t for i, t in rows}, b)
+    tgt_py = _py_feats({10: base}, b)
+    exp_norm = _py_scores(raw_py, tgt_py, b)
+
+    got_raw = {
+        r.id: r.score
+        for r in dsir_scores(raw_f, tgt_f, raw_f, b, normalize=False).collect()
+    }
+    for i in (1, 2):
+        n = sum(raw_py[i].values())
+        assert got_raw[i] == pytest.approx(exp_norm[i] * n, rel=1e-9)
+    # unnormalized magnitude scales with length, normalized ties
+    assert abs(got_raw[2]) > abs(got_raw[1]) * 4
+    got_norm = {
+        r.id: r.score for r in dsir_scores(raw_f, tgt_f, raw_f, b).collect()
+    }
+    # near-tie (the 8x concat's seam bigram "dog the" shifts doc 2's
+    # per-gram distribution a few percent — not the 8x of unnormalized)
+    assert got_norm[1] == pytest.approx(got_norm[2], rel=0.1)
+
+
+def test_gumbel_key_quantized_for_cross_engine_ranking(spark):
+    """quantize=6 (default) rounds the key before ranking so a 1-ulp
+    libm difference cannot flip the rank-k boundary; quantize=None
+    keeps raw keys. Selection must agree between the two on a
+    well-separated fixture, and the emitted key must be the rounded
+    value."""
+    scores = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(300)], "id long, score double"
+    )
+    q = gumbel_topk(scores, 40, seed=11).collect()
+    raw = gumbel_topk(scores, 40, seed=11, quantize=None).collect()
+    assert sorted(r.id for r in q) == sorted(r.id for r in raw)
+    for r in q:
+        assert r.gumbel_key == pytest.approx(round(r.gumbel_key, 6), abs=0)
+
+
+def test_importance_resample_no_net_cache_growth(spark):
+    """r12 verdict item: the public entry's internal persist is
+    FIFO-scoped — repeated calls hold a bounded cache, never one
+    cached stage per call."""
+    from distributedqueryengine_spark.functions import dsir as DS
+
+    def n_persistent(spark):
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    DS._drain_pipeline_cache()
+    baseline = n_persistent(spark)
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(1000, "alpha beta gamma")], "doc_id long, text string"
+    )
+    for _ in range(10):
+        df = DS.importance_resample(
+            raw, target, "doc_id", "text", k=5, num_buckets=64, portable=True
+        )
+        df.write.format("noop").mode("overwrite").save()
+        assert n_persistent(spark) <= baseline + DS._CACHE_MAX
+    assert len(DS._PIPELINE_CACHE) <= DS._CACHE_MAX
+    DS._drain_pipeline_cache()
+    assert n_persistent(spark) <= baseline
