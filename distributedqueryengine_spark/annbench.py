@@ -61,6 +61,51 @@ def _topk_sets(df: DataFrame) -> dict[int, set[int]]:
     return out
 
 
+def ivf_build_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_rows: int = 1310720,
+    dim: int = 64,
+    seed: int = 42,
+    n_cells: int | None = None,
+) -> dict:
+    """Time ONLY the IVF train+build over a ~corpus_rows replica —
+    identical sizing/partitioning to ann_lifecycle. Run in a FRESH JVM
+    (tools/ann_build_probe.py) this is the canonical build number: the
+    in-session build wall moved 2.5-3x with the memory pressure of
+    whatever ran before it in the bench session (r12 verdict item 4),
+    while probe/brute timings are stable — so bench.py records the
+    fresh-JVM build as build_ivf_s and keeps the in-session one under
+    an explicit label."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base_n = emb.count()
+    mult = max(1, math.ceil(corpus_rows / base_n))
+    n_part = spark.sparkContext.defaultParallelism * 2
+    corpus = _replicate(emb, mult, "vec_id").repartition(n_part).persist()
+    n = corpus.count()
+    if n_cells is None:
+        n_cells = max(16, int(4 * math.sqrt(n)))
+    train_stats: dict = {}
+    t0 = time.monotonic()
+    centroids = train_ivf_centroids(
+        corpus, n_cells=n_cells, sample_per_cell=8, stats=train_stats
+    )
+    t_train = time.monotonic() - t0
+    t0 = time.monotonic()
+    ivf_idx = build_ivf_index(corpus, centroids).persist()
+    ivf_idx.count()
+    t_build = t_train + (time.monotonic() - t0)
+    ivf_idx.unpersist()
+    corpus.unpersist()
+    return {
+        "corpus_rows": n,
+        "n_cells": n_cells,
+        "train_ivf_s": round(t_train, 3),
+        "build_ivf_s": round(t_build, 3),
+        "ivf_train_stats": train_stats,
+    }
+
+
 def ann_lifecycle(
     spark: SparkSession,
     sf_dir: str,

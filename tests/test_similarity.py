@@ -661,3 +661,18 @@ def test_mine_hard_negatives_candidates_reuse(spark):
             queries, corpus, positives, k=1,
             candidates=cands.drop("cos"),
         )
+
+
+def test_ivf_build_probe_shape(spark):
+    """The fresh-JVM canonical-build probe (bench.py r13) reports the
+    same sizing ann_lifecycle uses and a fully-populated stage split."""
+    import math
+
+    from distributedqueryengine_spark.annbench import ivf_build_probe
+
+    r = ivf_build_probe(spark, "/root/testdata/sf0.001", corpus_rows=2000)
+    assert r["corpus_rows"] >= 2000
+    assert r["n_cells"] == max(16, int(4 * math.sqrt(r["corpus_rows"])))
+    assert 0 < r["train_ivf_s"] <= r["build_ivf_s"]
+    st = r["ivf_train_stats"]
+    assert {"sample_rows", "kmeans_iters", "kmeans_s"} <= set(st)
