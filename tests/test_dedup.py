@@ -540,3 +540,57 @@ def test_pipeline_cache_bounded(spark, tables):
         )
     D._drain_pipeline_cache()
     assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= base
+
+
+def test_staged_parity_randomized_sweep(spark):
+    """r12 verdict item 6: property-differential the staged default —
+    10 seeded corpora sweeping (num_perm, bands, min_jaccard incl. the
+    degenerate >1.0, planted exact-group sizes incl. sub-shingle and
+    empty docs, near-dup mutations). staged must equal unstaged pair
+    for pair, jaccard for jaccard, on every configuration."""
+    import random
+
+    from distributedqueryengine_spark.functions.dedup import (
+        minhash_near_duplicates,
+    )
+
+    vocab = [f"tok{j}" for j in range(18)]
+    perm_bands = [(8, 2), (16, 4), (32, 8), (16, 8), (8, 8)]
+    thresholds = [0.0, 0.3, 0.7, 1.0, 1.2]
+
+    for seed in range(10):
+        rng = random.Random(seed * 104729 + 7)
+        rows, nid = [], 0
+        for base in range(10):
+            # lengths below ngram=3 (0,1,2) plant zero-shingle docs
+            n = rng.choice([0, 1, 2, 3, 4, 8, 14])
+            text = " ".join(rng.choice(vocab) for _ in range(n))
+            gsize = rng.choice([1, 1, 2, 3, 5])
+            for _ in range(gsize):  # exact-duplicate group
+                rows.append((nid, text))
+                nid += 1
+            if n >= 4 and rng.random() < 0.7:  # near-dup variant
+                toks = text.split(" ")
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                rows.append((nid, " ".join(toks)))
+                nid += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        num_perm, bands = perm_bands[seed % len(perm_bands)]
+        mj = thresholds[seed % len(thresholds)]
+        portable = seed % 2 == 0
+
+        def pairs(staged):
+            got = minhash_near_duplicates(
+                df, "doc_id", "text", ngram=3, num_perm=num_perm,
+                bands=bands, min_jaccard=mj, portable=portable,
+                staged=staged,
+            ).collect()
+            return {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in got}
+
+        un, st = pairs(False), pairs(True)
+        assert st == un, (
+            f"seed={seed} perm={num_perm} bands={bands} mj={mj} "
+            f"portable={portable}: staged^unstaged={st ^ un}"
+        )
+        if mj > 1.0:
+            assert st == set()
