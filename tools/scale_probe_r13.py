@@ -1,0 +1,104 @@
+"""Round-13 scale probe (r12 verdict item 7): DSIR importance
+resampling at 1x/10x/100x documents, BOTH hash paths recorded side by
+side — `portable=True` (md5-derived 60-bit hash, the oracle-parity
+path the driver value-checks) and `portable=False` (xxhash64, the
+production path a 100 TB pipeline would run). The number that matters
+at scale is the xxhash row; recording both prices the md5 parity tax
+explicitly.
+
+Methodology matches scale_probe_r12.py: min-of-2 wall with
+clearCache, shuffle-write bytes from the UI API, replicas key-shifted
+so ids stay unique while content (and the en target subset) replicate.
+
+Usage:  SPARK_GRAFT_UI=true python tools/scale_probe_r13.py
+Writes SCALE_PROBE_r13.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from distributedqueryengine_spark.session import get_spark, load_table  # noqa: E402
+from tools.scale_probe_pipelines import shuffle_write_bytes  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+SHIFT = 10_000_000
+OUT = "/root/repo/SCALE_PROBE_r13.json"
+
+
+def replicate_docs(spark, n: int) -> str:
+    out = f"/tmp/spark_graft_r13_docs_{n}x"
+    if os.path.isdir(out):
+        return out
+    df = load_table(spark, SF_DIR, "documents")
+    if n > 1:
+        copies = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+        df = (
+            df.select("*", copies)
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("rep").cast("long") * SHIFT
+            )
+            .drop("rep")
+        )
+    df.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
+def timed(spark, fn, runs: int = 2):
+    best = (float("inf"), 0.0, -1)
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        s0 = shuffle_write_bytes(spark)
+        t0 = time.monotonic()
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        shuf = (shuffle_write_bytes(spark) - s0) / 1e6
+        if wall < best[0]:
+            nrows = df.count()
+            best = (round(wall, 2), round(shuf, 1), nrows)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("scale-probe-r13")
+    assert spark.sparkContext.uiWebUrl, "needs SPARK_GRAFT_UI=true (fresh JVM)"
+
+    from distributedqueryengine_spark.functions.dsir import importance_resample
+
+    results: dict[str, dict] = {}
+    for n in (1, 10, 100):
+        path = replicate_docs(spark, n)
+        docs = spark.read.parquet(path)
+        for key, portable in (("dsir_xxhash", False), ("dsir_portable_md5", True)):
+            wall, shuf, rows = timed(
+                spark,
+                lambda p=portable: importance_resample(
+                    docs, docs.filter(F.col("lang") == "en"),
+                    "doc_id", "text", k=1000, num_buckets=4096, portable=p,
+                ),
+            )
+            results.setdefault(key, {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"{key} @{n}x: {wall}s, {shuf} MB, {rows} rows", flush=True)
+
+    merged = {}
+    if os.path.isfile(OUT):  # partial re-runs extend, never clobber
+        with open(OUT) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(OUT, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
