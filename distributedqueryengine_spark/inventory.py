@@ -253,17 +253,31 @@ def q_set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / sampling / similarity / multimodal composites
 # --------------------------------------------------------------------------
 
-_DEDUP_EXACT_S = [("id", "bigint"), ("n", "bigint"), ("lang", "string"), ("source", "string")]
+_DEDUP_EXACT_S = [
+    ("id", "bigint"), ("n", "bigint"), ("lang", "string"),
+    ("source", "string"), ("s", "bigint"), ("e", "bigint"),
+    ("txt", "string"),
+]
 
 
 def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup under one driver row: fingerprint groups
-    (canonical_id, n_copies) AND the surviving full rows."""
+    (canonical_id, n_copies), the surviving full rows, and (r13) the
+    exact-SUBSTRING family (ExactSubstr, Lee et al. 2022 at token
+    8-gram granularity): duplicated-span report + keep-first stripped
+    text — the passages that repeat inside otherwise unique docs,
+    which document-level fingerprints cannot see."""
     return _union([
         _tagged("groups", Q.q_dedup_exact(spark, sf_dir),
                 {"id": "canonical_id", "n": "n_copies"}, _DEDUP_EXACT_S),
         _tagged("rows", Q.q_dedup_exact_rows(spark, sf_dir),
                 {"id": "doc_id", "n": "n_chars", "lang": "lang", "source": "source"},
+                _DEDUP_EXACT_S),
+        _tagged("substr_spans", Q.q_dedup_substr_spans(spark, sf_dir),
+                {"id": "id", "n": "n_grams", "s": "start_tok", "e": "end_tok"},
+                _DEDUP_EXACT_S),
+        _tagged("substr_strip", Q.q_dedup_substr_strip(spark, sf_dir),
+                {"id": "id", "n": "n_removed", "s": "n_tokens", "txt": "clean_text"},
                 _DEDUP_EXACT_S),
     ])
 
@@ -1302,6 +1316,12 @@ COMPOSITE_ORACLES["dedup_exact_suite"] = _sql_union([
     _sql_tagged("rows", ORACLES["dedup_exact_rows"],
                 {"id": "doc_id", "n": "n_chars", "lang": "lang", "source": "source"},
                 _DEDUP_EXACT_S),
+    _sql_tagged("substr_spans", ORACLES["dedup_substr_spans"],
+                {"id": "id", "n": "n_grams", "s": "start_tok", "e": "end_tok"},
+                _DEDUP_EXACT_S),
+    _sql_tagged("substr_strip", ORACLES["dedup_substr_strip"],
+                {"id": "id", "n": "n_removed", "s": "n_tokens", "txt": "clean_text"},
+                _DEDUP_EXACT_S),
 ])
 
 COMPOSITE_ORACLES["multimodal_pipeline"] = _sql_union([
@@ -1810,6 +1830,16 @@ def _dedup_clusters_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _substr_strip_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributedqueryengine_spark.functions import substr_dedup as SD
+    from distributedqueryengine_spark.queries import _t
+
+    return SD.strip_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_count=2, portable=False,
+    )
+
+
 BENCH_SPLITS: dict[str, dict[str, object]] = {
     "order_limit_suite": {
         "topk": Q.q_topk_orders_per_customer,
@@ -1832,6 +1862,15 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         "cos": _sim_cos_branch,
         "rrf": _sim_rrf_branch,
         "hardneg": _sim_hardneg_branch,
+    },
+    "dedup_exact_suite": {
+        # the r13 ExactSubstr branches standalone (the original two
+        # branches are ms-scale fingerprint groupBys), plus the
+        # production xxhash64 strip — the oracled branches pay md5
+        # portable hashing for DuckDB parity
+        "substr_spans": Q.q_dedup_substr_spans,
+        "substr_strip": Q.q_dedup_substr_strip,
+        "substr_strip_xxhash64_production": _substr_strip_production,
     },
     "dedup_near_suite": {
         "pairs_md5_portable": lambda s, d: _near_dup_pairs(s, d, True),

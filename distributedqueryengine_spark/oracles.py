@@ -289,6 +289,88 @@ ORACLES["dedup_exact"] = r"""
                count(*) AS n_copies
         FROM documents GROUP BY 1
     """
+# Exact-substring dedup (functions/substr_dedup.py — ExactSubstr,
+# Lee et al. 2022 at token 8-gram granularity) in SQL: identical
+# tokenization (normalize + split + empty filter), identical 60-bit
+# md5 gram hashes, identical (doc_id, pos) canonical rule and interval
+# merge. Positions are 1-based inclusive on both engines.
+_SUBSTR_CTE = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split(
+                           regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                           ' '),
+                       x -> len(x) > 0) AS t
+            FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   CAST('0x' || substr(md5(
+                       array_to_string(list_slice(t, i, i + 7), ' ')
+                   ), 1, 15) AS BIGINT) AS h
+            FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        dup AS (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY h) AS n_occ,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                       = 1 AS is_canonical
+            FROM occ)
+"""
+
+_SUBSTR_MERGE = r"""
+        seg AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1) + 1
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM hits),
+        seg2 AS (
+            SELECT doc_id, pos,
+                   sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND CURRENT ROW) AS seg
+            FROM seg),
+        spans AS (
+            SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok,
+                   count(*) AS n_grams
+            FROM seg2 GROUP BY doc_id, seg)
+"""
+
+ORACLES["dedup_substr_spans"] = _SUBSTR_CTE + r"""
+        , hits AS (SELECT doc_id, pos FROM dup WHERE n_occ >= 2),
+""" + _SUBSTR_MERGE + r"""
+        SELECT doc_id AS id, start_tok, end_tok, n_grams FROM spans
+    """
+
+ORACLES["dedup_substr_strip"] = _SUBSTR_CTE + r"""
+        , hits AS (SELECT doc_id, pos FROM dup
+                   WHERE n_occ >= 2 AND NOT is_canonical),
+""" + _SUBSTR_MERGE + r"""
+        , tokpos AS (
+            SELECT doc_id, i AS tpos, t[i] AS tok
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        kept AS (
+            SELECT tp.doc_id, tp.tpos, tp.tok
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.tpos BETWEEN s.start_tok AND s.end_tok)),
+        clean AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+        base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+        SELECT b.doc_id AS id,
+               coalesce(clean_text, '') AS clean_text,
+               n_tokens,
+               n_tokens - coalesce(n_kept, 0) AS n_removed
+        FROM base b LEFT JOIN clean USING (doc_id)
+    """
+
 ORACLES["sim_bruteforce_topk"] = r"""
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                    FROM embeddings WHERE vec_id % 10 = 0),

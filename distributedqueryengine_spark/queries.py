@@ -480,6 +480,33 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (ExactSubstr, Lee et al.
+    2022 at token 8-gram granularity): maximal token spans per
+    document covered by corpus-duplicated 8-grams — the passages that
+    repeat across (or within) otherwise unique documents. Portable
+    hashing so every stage mirrors in the DuckDB oracle."""
+    from distributedqueryengine_spark.functions import substr_dedup as SD
+
+    return SD.duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_count=2, portable=True,
+    )
+
+
+def q_dedup_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr keep-first stripping: every duplicated passage
+    removed except its corpus-first occurrence (min (doc_id, pos) —
+    deterministic, engine-portable); returns the cleaned normalized
+    text with token accounting for EVERY document."""
+    from distributedqueryengine_spark.functions import substr_dedup as SD
+
+    return SD.strip_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=8, min_count=2, portable=True,
+    )
+
+
 def q_dedup_minhash(
     spark: SparkSession, sf_dir: str, portable: bool = False
 ) -> DataFrame:

@@ -72,23 +72,47 @@ def main() -> None:
     assert spark.sparkContext.uiWebUrl, "needs SPARK_GRAFT_UI=true (fresh JVM)"
 
     from distributedqueryengine_spark.functions.dsir import importance_resample
+    from distributedqueryengine_spark.functions.substr_dedup import (
+        strip_duplicated_spans,
+    )
 
+    only = set(sys.argv[1:]) or {"dsir", "substr"}
     results: dict[str, dict] = {}
     for n in (1, 10, 100):
         path = replicate_docs(spark, n)
         docs = spark.read.parquet(path)
-        for key, portable in (("dsir_xxhash", False), ("dsir_portable_md5", True)):
+        if "dsir" in only:
+            for key, portable in (("dsir_xxhash", False), ("dsir_portable_md5", True)):
+                wall, shuf, rows = timed(
+                    spark,
+                    lambda p=portable: importance_resample(
+                        docs, docs.filter(F.col("lang") == "en"),
+                        "doc_id", "text", k=1000, num_buckets=4096, portable=p,
+                    ),
+                )
+                results.setdefault(key, {})[f"{n}x"] = {
+                    "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+                }
+                print(f"{key} @{n}x: {wall}s, {shuf} MB, {rows} rows", flush=True)
+        if "substr" in only:
+            # ExactSubstr keep-first strip (r13 family), production
+            # xxhash64 path. Replication is its adversarial worst case:
+            # at 100x EVERY 8-gram is corpus-duplicated (100 copies),
+            # so the removable-span volume is maximal — the probe
+            # prices the per-hash count + per-doc window + token
+            # reconstruction under total duplication, not a friendly
+            # mostly-unique corpus.
             wall, shuf, rows = timed(
                 spark,
-                lambda p=portable: importance_resample(
-                    docs, docs.filter(F.col("lang") == "en"),
-                    "doc_id", "text", k=1000, num_buckets=4096, portable=p,
+                lambda: strip_duplicated_spans(
+                    docs, "doc_id", "text", k=8, min_count=2, portable=False,
                 ),
             )
-            results.setdefault(key, {})[f"{n}x"] = {
+            results.setdefault("substr_strip_xxhash", {})[f"{n}x"] = {
                 "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
             }
-            print(f"{key} @{n}x: {wall}s, {shuf} MB, {rows} rows", flush=True)
+            print(f"substr_strip_xxhash @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
 
     merged = {}
     if os.path.isfile(OUT):  # partial re-runs extend, never clobber
