@@ -135,13 +135,16 @@ def duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     portable: bool = False,
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """(id, start_tok, end_tok, n_grams): maximal token spans covered
     by corpus-duplicated k-grams — EVERY occurrence, canonical
     included (the reporting view: 'which passages of this document
     appear elsewhere'). Token indices are 1-based inclusive over
-    normalized tokens."""
-    occ = duplicated_ngram_occurrences(
+    normalized tokens. Pass `occurrences` (a — typically persisted —
+    duplicated_ngram_occurrences result for the SAME df/k/min_count)
+    to share the corpus-sized detection pass with a sibling strip."""
+    occ = occurrences if occurrences is not None else duplicated_ngram_occurrences(
         df, id_col, text_col, k, min_count, portable=portable
     )
     return _merge_spans(occ, k)
@@ -154,14 +157,16 @@ def strip_duplicated_spans(
     k: int = 8,
     min_count: int = 2,
     portable: bool = False,
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """(id, clean_text, n_tokens, n_removed): the corpus with every
     duplicated passage removed EXCEPT its corpus-first occurrence
     (ExactSubstr's keep-one rule, deterministic via min (id, pos)).
     clean_text is the surviving normalized tokens re-joined with
     single spaces; documents with nothing to remove pass through with
-    n_removed=0 (normalized)."""
-    occ = duplicated_ngram_occurrences(
+    n_removed=0 (normalized). `occurrences` shares the detection pass
+    as in duplicated_spans."""
+    occ = occurrences if occurrences is not None else duplicated_ngram_occurrences(
         df, id_col, text_col, k, min_count, portable=portable
     )
     rm_spans = _merge_spans(occ.filter(~F.col("is_canonical")), k)

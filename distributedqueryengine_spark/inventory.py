@@ -267,16 +267,37 @@ def q_dedup_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-gram granularity): duplicated-span report + keep-first stripped
     text — the passages that repeat inside otherwise unique docs,
     which document-level fingerprints cannot see."""
+    from distributedqueryengine_spark.functions import substr_dedup as SD
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+    from distributedqueryengine_spark.queries import _t
+
+    # ONE corpus-sized occurrence-detection pass feeds both substr
+    # branches (scoped persist — same FIFO discipline and same motive
+    # as dedup_near_suite's shared shingle pass).
+    docs = _t(spark, sf_dir, "documents")
+    occ = _scoped_persist(
+        SD.duplicated_ngram_occurrences(
+            docs, "doc_id", "text", k=8, min_count=2, portable=True
+        )
+    )
+    spans = SD.duplicated_spans(
+        docs, "doc_id", "text", k=8, min_count=2, portable=True,
+        occurrences=occ,
+    )
+    strip = SD.strip_duplicated_spans(
+        docs, "doc_id", "text", k=8, min_count=2, portable=True,
+        occurrences=occ,
+    )
     return _union([
         _tagged("groups", Q.q_dedup_exact(spark, sf_dir),
                 {"id": "canonical_id", "n": "n_copies"}, _DEDUP_EXACT_S),
         _tagged("rows", Q.q_dedup_exact_rows(spark, sf_dir),
                 {"id": "doc_id", "n": "n_chars", "lang": "lang", "source": "source"},
                 _DEDUP_EXACT_S),
-        _tagged("substr_spans", Q.q_dedup_substr_spans(spark, sf_dir),
+        _tagged("substr_spans", spans,
                 {"id": "id", "n": "n_grams", "s": "start_tok", "e": "end_tok"},
                 _DEDUP_EXACT_S),
-        _tagged("substr_strip", Q.q_dedup_substr_strip(spark, sf_dir),
+        _tagged("substr_strip", strip,
                 {"id": "id", "n": "n_removed", "s": "n_tokens", "txt": "clean_text"},
                 _DEDUP_EXACT_S),
     ])

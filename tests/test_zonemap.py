@@ -513,7 +513,7 @@ def test_file_uri_lake_roundtrip(spark, tmp_path):
     # append a file → stats-less → conservatively kept; update_zonemap
     # then refreshes ONLY the delta and restores pruning
     spark.range(10_000, 10_016).select(
-        F.col("id").alias("k"), F.lit(0).alias("v")
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
     ).coalesce(1).write.mode("append").parquet(uri)
     # stats-less appended file: conservatively kept for every predicate,
     # even one its rows cannot match...
