@@ -102,41 +102,6 @@ def main() -> None:
         ann10 = ann_lifecycle(spark, sf_dir, corpus_rows=1310720, n_batches=3)
     except Exception:
         pass
-    # Canonical IVF build numbers from a FRESH JVM (r12 verdict item 4):
-    # the in-session build wall moved 2.5-3x with leftover session
-    # memory pressure while probe/brute stayed stable, so the recorded
-    # amortization horizon depended on which session measured it. A
-    # subprocess probe re-times ONLY train+build per corpus size; the
-    # lifecycle dicts keep their in-session numbers under explicit
-    # labels and recompute the IVF horizon from the canonical build.
-    try:
-        import subprocess
-
-        sizes = [str(r["corpus_rows"]) for r in (ann, ann10) if r]
-        if sizes:
-            here = os.path.dirname(os.path.abspath(__file__))
-            proc = subprocess.run(
-                [sys.executable, os.path.join(here, "tools", "ann_build_probe.py"),
-                 sf_dir, *sizes],
-                capture_output=True, text=True, timeout=1200,
-            )
-            fresh = json.loads(proc.stdout.strip().splitlines()[-1])
-            for res in (ann, ann10):
-                fb = fresh.get(str(res["corpus_rows"])) if res else None
-                if not fb:
-                    continue
-                res["build_ivf_s_in_session"] = res["build_ivf_s"]
-                res["train_ivf_s_in_session"] = res["train_ivf_s"]
-                res["build_ivf_s"] = fb["build_ivf_s"]
-                res["train_ivf_s"] = fb["train_ivf_s"]
-                res["ivf_train_stats_fresh_jvm"] = fb["ivf_train_stats"]
-                res["build_basis"] = "ivf build fresh-JVM canonical; probes/brute in-session"
-                saving = res["bruteforce_batch_s"] - res["probe_ivf_batch_s"]
-                res["batches_to_amortize_ivf"] = (
-                    round(res["build_ivf_s"] / saving, 1) if saving > 0 else None
-                )
-    except Exception:
-        pass
     # approx_sketches split: the oracled row computes sketch AND exact
     # verification values in one plan (the exact side dominates); this
     # times the sketch-only shape — what actually runs at 100 TB — so
@@ -215,6 +180,45 @@ def main() -> None:
     if branch_splits:
         payload["branch_splits"] = branch_splits
     payload["queries"] = timings
+    # Stop the bench JVM BEFORE the fresh-JVM probe below: with both
+    # alive the subprocess competed for the box (measured: 29s vs
+    # 19-21s standalone at 1.3M rows), defeating the point.
+    spark.stop()
+    # Canonical IVF build numbers from a FRESH JVM (r12 verdict item 4):
+    # the in-session build wall moved 2.5-3x with leftover session
+    # memory pressure while probe/brute stayed stable, so the recorded
+    # amortization horizon depended on which session measured it. A
+    # subprocess probe re-times ONLY train+build per corpus size; the
+    # lifecycle dicts keep their in-session numbers under explicit
+    # labels and the IVF horizon recomputes from the canonical build.
+    try:
+        import subprocess
+
+        sizes = [str(r["corpus_rows"]) for r in (ann, ann10) if r]
+        if sizes:
+            here = os.path.dirname(os.path.abspath(__file__))
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "ann_build_probe.py"),
+                 sf_dir, *sizes],
+                capture_output=True, text=True, timeout=1200,
+            )
+            fresh = json.loads(proc.stdout.strip().splitlines()[-1])
+            for res in (ann, ann10):
+                fb = fresh.get(str(res["corpus_rows"])) if res else None
+                if not fb:
+                    continue
+                res["build_ivf_s_in_session"] = res["build_ivf_s"]
+                res["train_ivf_s_in_session"] = res["train_ivf_s"]
+                res["build_ivf_s"] = fb["build_ivf_s"]
+                res["train_ivf_s"] = fb["train_ivf_s"]
+                res["ivf_train_stats_fresh_jvm"] = fb["ivf_train_stats"]
+                res["build_basis"] = "ivf build fresh-JVM canonical; probes/brute in-session"
+                saving = res["bruteforce_batch_s"] - res["probe_ivf_batch_s"]
+                res["batches_to_amortize_ivf"] = (
+                    round(res["build_ivf_s"] / saving, 1) if saving > 0 else None
+                )
+    except Exception:
+        pass
     # Belt and braces: the full payload also lands in a repo file, so
     # even a truncated stdout capture leaves the complete record.
     try:
@@ -224,7 +228,6 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(payload))
-    spark.stop()
 
 
 if __name__ == "__main__":

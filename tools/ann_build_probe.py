@@ -28,15 +28,24 @@ def main() -> None:
     sf_dir = args[0] if args and not args[0].isdigit() else "/root/testdata/sf0.1"
     sizes = [int(a) for a in args if a.isdigit()] or [131072, 1310720]
     spark = get_spark("ann-build-probe")
-    # warm-up: the process's FIRST build pays JVM start + python-UDF
-    # worker spinup (~14s measured at 131k) that a long-running cluster
-    # amortizes to zero; a throwaway tiny build absorbs it so each
-    # measured size times the build, not the cold start.
-    ivf_build_probe(spark, sf_dir, corpus_rows=4096)
+    # warm-up AT THE LARGEST TARGET SIZE: a tiny warm-up absorbs JVM
+    # start + python-UDF spinup but not the large-scale path (JIT for
+    # the bigger loops, Arrow batch sizing, page cache) — measured:
+    # the first 1.3M build in a JVM runs ~13s, every later one ~7.5s.
+    # One discarded full-size build puts all measured runs in the
+    # converged regime a long-running cluster lives in.
+    ivf_build_probe(spark, sf_dir, corpus_rows=max(sizes))
     out = {}
     for rows in sizes:
-        r = ivf_build_probe(spark, sf_dir, corpus_rows=rows)
-        out[str(r["corpus_rows"])] = r
+        # min-of-3 (the baseline_min3 noise discipline): single-shot
+        # build walls on a shared box spread ~1.5x — the driver-side
+        # k-means matmul is at the mercy of GC/page-cache state — and
+        # the min is the number independent probe invocations converge
+        # on. All raw runs are recorded for transparency.
+        runs = [ivf_build_probe(spark, sf_dir, corpus_rows=rows) for _ in range(3)]
+        best = min(runs, key=lambda r: r["build_ivf_s"])
+        best["build_runs_s"] = [r["build_ivf_s"] for r in runs]
+        out[str(best["corpus_rows"])] = best
     print(json.dumps(out))
     spark.stop()
 
