@@ -212,6 +212,7 @@ def main() -> None:
                 res["build_ivf_s"] = fb["build_ivf_s"]
                 res["train_ivf_s"] = fb["train_ivf_s"]
                 res["ivf_train_stats_fresh_jvm"] = fb["ivf_train_stats"]
+                res["build_ivf_runs_fresh_s"] = fb.get("build_runs_s")
                 res["build_basis"] = "ivf build fresh-JVM canonical; probes/brute in-session"
                 saving = res["bruteforce_batch_s"] - res["probe_ivf_batch_s"]
                 res["batches_to_amortize_ivf"] = (
