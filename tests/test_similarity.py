@@ -676,3 +676,88 @@ def test_ivf_build_probe_shape(spark):
     assert 0 < r["train_ivf_s"] <= r["build_ivf_s"]
     st = r["ivf_train_stats"]
     assert {"sample_rows", "kmeans_iters", "kmeans_s"} <= set(st)
+
+
+def test_saved_ivf_index_roundtrip_and_pruned_probe(spark, tables, tmp_path):
+    """functions/ann_store.py: a saved IVF index probes identically to
+    the in-memory build across a save/load boundary, and the per-batch
+    probe reads only the probed cells' files (verified via
+    inputFiles), never the whole index."""
+    import numpy as np
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    centroids = train_ivf_centroids(emb, n_cells=16, sample_per_cell=8)
+    idx = build_ivf_index(emb, centroids)
+    path = str(tmp_path / "ivf_store")
+    AS.save_ivf_index(idx, centroids, path, n_buckets=8)
+
+    # load: centroids bit-identical, index row set identical
+    idx2, cent2 = AS.load_ivf_index(spark, path)
+    assert np.array_equal(centroids, cent2)
+    a = {(r.neighbor_id, r.cell) for r in idx.select("neighbor_id", "cell").collect()}
+    b = {(r.neighbor_id, r.cell) for r in idx2.select("neighbor_id", "cell").collect()}
+    assert a == b
+
+    queries = emb.filter(F.col("vec_id") % 17 == 0).limit(24)
+    mem = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in probe_ivf_index(idx, emb, queries, centroids, 5).collect()
+    }
+    saved = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path, queries, 5).collect()
+    }
+    assert saved == mem and saved
+
+    # pruning: the probe's index slice reads a strict subset of files
+    full_files = set(spark.read.parquet(path + "/index").inputFiles())
+    from distributedqueryengine_spark.functions.similarity import (
+        _nearest_cells_udf,
+        as_double,
+    )
+
+    qc = _nearest_cells_udf(cent2, 4)
+    cells = sorted(
+        r["cell"]
+        for r in queries.select(F.explode(qc(as_double("embedding"))).alias("cell"))
+        .distinct().collect()
+    )
+    buckets = sorted({c % 8 for c in cells})
+    pruned = spark.read.parquet(path + "/index").filter(
+        F.col("cell_bucket").isin(buckets) & F.col("cell").isin(cells)
+    )
+    if len(buckets) < 8:  # the batch usually misses some buckets
+        assert set(pruned.inputFiles()) < full_files
+
+
+def test_saved_ivf_index_rejects_vectorless_and_future_version(spark, tables, tmp_path):
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(200)
+    centroids = train_ivf_centroids(emb, n_cells=4, sample_per_cell=8)
+    bare = build_ivf_index(emb, centroids, with_vectors=False)
+    with _pytest.raises(ValueError, match="vector-carrying"):
+        AS.save_ivf_index(bare, centroids, str(tmp_path / "x"))
+
+    path = str(tmp_path / "ok")
+    AS.save_ivf_index(build_ivf_index(emb, centroids), centroids, path)
+    # simulate a future-format index: reader must refuse, not misread
+    spark.createDataFrame(
+        [(64, 4, 8, True, 99)],
+        "dim int, n_cells int, n_buckets int, with_vectors boolean, version int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    with _pytest.raises(ValueError, match="version"):
+        AS.load_ivf_index(spark, path)
