@@ -16,6 +16,7 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
+from distributedqueryengine_spark.functions import substr_dedup as SD
 from distributedqueryengine_spark.functions.substr_dedup import (
     duplicated_ngram_occurrences,
     duplicated_spans,
@@ -209,3 +210,54 @@ def test_min_count_validation(spark, planted):
     _, df = planted
     with pytest.raises(ValueError):
         duplicated_ngram_occurrences(df, "doc_id", "text", min_count=1)
+
+
+def test_randomized_cross_engine_oracle_differential(spark):
+    """The driver checks the oracle SQL on the documents fixture only;
+    this runs the SAME pinned SQL (k=8, min_count=2, portable md5)
+    against 4 GENERATED corpora in DuckDB and compares with the Spark
+    operators value-for-value — shared pasted chunks, same-doc
+    repetition, empty docs, mixed casing/whitespace."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from distributedqueryengine_spark.oracles import ORACLES
+
+    for seed in range(4):
+        rng = random.Random(seed * 52361 + 11)
+        vocab = [f"word{j}" for j in range(60)]
+        chunk = " ".join(rng.choice(vocab) for _ in range(11))  # > k=8
+        docs = []
+        for i in range(30):
+            n = rng.choice([0, 3, 9, 15, 30])
+            body = [rng.choice(vocab) for _ in range(n)]
+            if rng.random() < 0.5:
+                at = rng.randint(0, len(body))
+                body[at:at] = chunk.upper().split() if rng.random() < 0.3 else chunk.split()
+            text = "  ".join(body) if rng.random() < 0.2 else " ".join(body)
+            docs.append((i, text))
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        got_spans = {
+            tuple(r)
+            for r in SD.duplicated_spans(
+                df, "doc_id", "text", k=8, min_count=2, portable=True
+            ).select("id", "start_tok", "end_tok", "n_grams").collect()
+        }
+        exp_spans = {tuple(r) for r in con.execute(ORACLES["dedup_substr_spans"]).fetchall()}
+        assert got_spans == exp_spans, f"seed={seed} spans"
+
+        got_strip = {
+            tuple(r)
+            for r in SD.strip_duplicated_spans(
+                df, "doc_id", "text", k=8, min_count=2, portable=True
+            ).select("id", "clean_text", "n_tokens", "n_removed").collect()
+        }
+        exp_strip = {tuple(r) for r in con.execute(ORACLES["dedup_substr_strip"]).fetchall()}
+        assert got_strip == exp_strip, f"seed={seed} strip"
+        con.close()
