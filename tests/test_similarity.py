@@ -761,3 +761,35 @@ def test_saved_ivf_index_rejects_vectorless_and_future_version(spark, tables, tm
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
     with _pytest.raises(ValueError, match="version"):
         AS.load_ivf_index(spark, path)
+
+
+def test_saved_ivf_index_file_uri(spark, tables, tmp_path):
+    """The ann_store layout works on scheme-qualified lake paths (the
+    r13 zonemap/monitor-state theme): save, load, and the cell-pruned
+    probe all through a file: URI."""
+    import numpy as np
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        probe_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(400)
+    centroids = train_ivf_centroids(emb, n_cells=8, sample_per_cell=8)
+    idx = build_ivf_index(emb, centroids)
+    uri = "file://" + str(tmp_path / "ivf_uri")
+    AS.save_ivf_index(idx, centroids, uri, n_buckets=4)
+    idx2, cent2 = AS.load_ivf_index(spark, uri)
+    assert np.array_equal(centroids, cent2)
+    queries = emb.limit(8)
+    mem = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in probe_ivf_index(idx, emb, queries, centroids, 3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, uri, queries, 3).collect()
+    }
+    assert got == mem and got
