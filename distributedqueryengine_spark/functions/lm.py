@@ -161,3 +161,166 @@ def score_perplexity(
             F.round(F.exp("avg_neg_logprob"), 6).alias("perplexity"),
         )
     )
+
+
+def _framed(df: DataFrame, text_col: str, id_col: str, vocab_arr, n_bos: int):
+    """(id, toks) with n_bos BOS markers, UNK mapping, one EOS."""
+    base = _normalized_tokens(df, text_col, id_col)
+    return base.select(
+        "id",
+        F.concat(
+            F.array(*[F.lit(BOS)] * n_bos),
+            _map_unk(F.col("toks"), vocab_arr),
+            F.array(F.lit(EOS)),
+        ).alias("toks"),
+    )
+
+
+def _grams(framed: DataFrame, n: int, names: list[str]) -> DataFrame:
+    """(id, <names...>) — one row per n-gram of the framed tokens,
+    via the zip_with/slice codegen formulation (no HOF re-evaluation,
+    no python)."""
+    size = F.size("toks") - (n - 1)
+    cols = [F.slice(F.col("toks"), i + 1, size) for i in range(n)]
+    if n == 2:
+        z = F.zip_with(cols[0], cols[1],
+                       lambda a, b: F.struct(a.alias(names[0]), b.alias(names[1])))
+    else:
+        z = F.zip_with(
+            F.zip_with(cols[0], cols[1],
+                       lambda a, b: F.struct(a.alias("x"), b.alias("y"))),
+            cols[2],
+            lambda ab, c: F.struct(
+                ab["x"].alias(names[0]), ab["y"].alias(names[1]), c.alias(names[2])
+            ),
+        )
+    return framed.select("id", F.explode(z).alias("g")).select(
+        "id", *[F.col(f"g.{m}") for m in names]
+    )
+
+
+def train_trigram_lm(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    vocab_size: int = 10_000,
+) -> dict:
+    """Stupid-backoff trigram model (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the score the web-scale
+    MT LMs used precisely BECAUSE it needs only raw counts, no
+    discounting pass): returns {'vocab', 'v', 'n_tokens',
+    'trigrams'/'bigrams'/'unigrams' count DataFrames}. All three
+    count tables come from ONE tokenize+frame pass (two BOS + one EOS
+    so every real token heads exactly one trigram) and stay
+    distributed; only the vocabulary collects (bounded by
+    vocab_size)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    base = _normalized_tokens(corpus, text_col, id_col)
+    counts = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab_rows = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
+        vocab_size
+    ).collect()  # bounded by vocab_size BY CONTRACT
+    vocab = sorted(r.w for r in vocab_rows)
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+
+    framed = _framed(corpus, text_col, id_col, vocab_arr, n_bos=2)
+    tri = (
+        _grams(framed, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        _grams(framed, 2, ["w1", "w2"])
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = (
+        framed.select(F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = uni.agg(F.sum("c")).collect()[0][0]
+    return {
+        "vocab": vocab,
+        "v": len(vocab) + 3,  # + unk + bos + eos
+        "n_tokens": int(n_tokens),
+        "trigrams": tri,
+        "bigrams": bi,
+        "unigrams": uni,
+    }
+
+
+def score_stupid_backoff(
+    docs: DataFrame,
+    text_col: str,
+    lm: dict,
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """(id, n_trigrams, avg_neg_logscore, pseudo_perplexity) under the
+    fitted trigram model with stupid backoff:
+
+        S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if trigram seen
+                    = a * c(w2w3)/c(w2)            elif bigram seen
+                    = a^2 * (c(w3)+1)/(N+V)        else (add-one floor
+                                                   keeps unseen finite)
+
+    The backoff score is NOT a normalized probability (the paper's
+    point — hence "pseudo"-perplexity), but it ranks fluent vs
+    gibberish text the same way and trains/score with nothing but the
+    three count joins below: trigram (w1,w2,w3), its context (w1,w2),
+    backoff bigram (w2,w3) + its context (w2), and the unigram floor
+    (w3). Spark broadcasts the count tables when small; everything
+    stays JVM-side."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    vocab_arr = F.array(*[F.lit(w) for w in lm["vocab"]])
+    v, n_tok = int(lm["v"]), int(lm["n_tokens"])
+    framed = _framed(docs, text_col, id_col, vocab_arr, n_bos=2)
+    g = _grams(framed, 3, ["w1", "w2", "w3"])
+
+    tri = lm["trigrams"].withColumnRenamed("c", "__ct")
+    bi12 = lm["bigrams"].withColumnRenamed("c", "__cb12")
+    bi23 = (
+        lm["bigrams"]
+        .select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("c").alias("__cb23"))
+    )
+    uni2 = lm["unigrams"].select(F.col("w").alias("w2"), F.col("c").alias("__cu2"))
+    uni3 = lm["unigrams"].select(F.col("w").alias("w3"), F.col("c").alias("__cu3"))
+    joined = (
+        g.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi12, ["w1", "w2"], "left")
+        .join(bi23, ["w2", "w3"], "left")
+        .join(uni2, ["w2"], "left")
+        .join(uni3, ["w3"], "left")
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("__ct").isNotNull() & F.col("__cb12").isNotNull(),
+            F.col("__ct") / F.col("__cb12"),
+        )
+        .when(
+            F.col("__cb23").isNotNull() & F.col("__cu2").isNotNull(),
+            a * F.col("__cb23") / F.col("__cu2"),
+        )
+        .otherwise(
+            a * a * (F.coalesce(F.col("__cu3"), F.lit(0)) + 1) / F.lit(n_tok + v)
+        )
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(-F.avg(F.log(score)), 6).alias("avg_neg_logscore"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_trigrams",
+            "avg_neg_logscore",
+            F.round(F.exp("avg_neg_logscore"), 6).alias("pseudo_perplexity"),
+        )
+    )

@@ -107,3 +107,131 @@ def test_perplexity_orders_fluency(spark, tables):
     assert got[1].perplexity < got[2].perplexity
     assert got[3].n_bigrams == 1  # <s> -> </s> only
     assert all(got[i].avg_neg_logprob > 0 for i in (1, 2, 3))
+
+
+def _py_backoff(train_docs, score_docs, vocab_size, alpha=0.4):
+    """Pure-python stupid-backoff reference mirroring train_trigram_lm
+    + score_stupid_backoff exactly (framing, UNK, tie-broken vocab,
+    add-one unigram floor)."""
+    import math
+
+    def toks(t):
+        return [w for w in " ".join(t.lower().split()).split(" ") if w]
+
+    raw = {}
+    for t in train_docs.values():
+        for w in toks(t):
+            raw[w] = raw.get(w, 0) + 1
+    vocab = set(
+        w for w, _ in sorted(raw.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    )
+
+    def frame(t):
+        return ["<s>", "<s>"] + [w if w in vocab else "<unk>" for w in toks(t)] + ["</s>"]
+
+    tri, bi, uni = {}, {}, {}
+    for t in train_docs.values():
+        f = frame(t)
+        for w in f:
+            uni[w] = uni.get(w, 0) + 1
+        for p in zip(f, f[1:]):
+            bi[p] = bi.get(p, 0) + 1
+        for p in zip(f, f[1:], f[2:]):
+            tri[p] = tri.get(p, 0) + 1
+    n_tok, v = sum(uni.values()), len(vocab) + 3
+    out = {}
+    for i, t in score_docs.items():
+        f = frame(t)
+        ss = []
+        for w1, w2, w3 in zip(f, f[1:], f[2:]):
+            if (w1, w2, w3) in tri and (w1, w2) in bi:
+                s = tri[(w1, w2, w3)] / bi[(w1, w2)]
+            elif (w2, w3) in bi and w2 in uni:
+                s = alpha * bi[(w2, w3)] / uni[w2]
+            else:
+                s = alpha * alpha * (uni.get(w3, 0) + 1) / (n_tok + v)
+            ss.append(-math.log(s))
+        out[i] = (len(ss), round(sum(ss) / len(ss), 6))
+    return out
+
+
+def test_stupid_backoff_matches_python_reference(spark):
+    """Randomized differential: train on corpus A, score corpus B
+    (overlapping + novel vocab, empty docs) — every per-doc
+    (n_trigrams, avg_neg_logscore) must match the reference, at
+    several vocab cutoffs and alphas."""
+    import random
+
+    from distributedqueryengine_spark.functions.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed * 7907 + 1)
+        vocab = [f"t{j}" for j in range(25)]
+        train = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+            for i in range(25)
+        }
+        score = {
+            100 + i: " ".join(
+                rng.choice(vocab + ["novelword", "zzz"]) for _ in range(rng.randint(0, 15))
+            )
+            for i in range(12)
+        }
+        vs = rng.choice([5, 12, 100])
+        alpha = rng.choice([0.4, 0.7])
+        tdf = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+        sdf = spark.createDataFrame(list(score.items()), "doc_id long, text string")
+        lm = train_trigram_lm(tdf, "text", vocab_size=vs)
+        got = {
+            r.doc_id: (r.n_trigrams, r.avg_neg_logscore)
+            for r in score_stupid_backoff(sdf, "text", lm, alpha=alpha).collect()
+        }
+        exp = _py_backoff(train, score, vs, alpha)
+        assert got == exp, f"seed={seed} vs={vs} alpha={alpha}"
+
+
+def test_stupid_backoff_orders_fluency(spark, tables):
+    """Trained on real documents, text stitched from the corpus's own
+    common phrases must out-score (lower pseudo-perplexity than)
+    shuffled gibberish of the same tokens."""
+    from distributedqueryengine_spark.functions.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    docs = tables["documents"]
+    lm = train_trigram_lm(docs, "text", vocab_size=2000)
+    sample = " ".join(
+        r.text for r in docs.select("text").limit(3).collect()
+    ).split()[:40]
+    fluent = " ".join(sample)
+    import random
+
+    shuf = sample[:]
+    random.Random(5).shuffle(shuf)
+    gibberish = " ".join(shuf)
+    probe = spark.createDataFrame(
+        [(1, fluent), (2, gibberish)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.pseudo_perplexity
+        for r in score_stupid_backoff(probe, "text", lm).collect()
+    }
+    assert got[1] < got[2]
+
+
+def test_stupid_backoff_validation(spark, tables):
+    from distributedqueryengine_spark.functions.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        train_trigram_lm(tables["documents"], "text", vocab_size=0)
+    lm = train_trigram_lm(tables["documents"].limit(20), "text", vocab_size=50)
+    with _pytest.raises(ValueError):
+        score_stupid_backoff(tables["documents"], "text", lm, alpha=0.0)
