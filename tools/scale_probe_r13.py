@@ -76,7 +76,7 @@ def main() -> None:
         strip_duplicated_spans,
     )
 
-    only = set(sys.argv[1:]) or {"dsir", "substr"}
+    only = set(sys.argv[1:]) or {"dsir", "substr", "lm", "bpe"}
     results: dict[str, dict] = {}
     for n in (1, 10, 100):
         path = replicate_docs(spark, n)
@@ -112,6 +112,45 @@ def main() -> None:
                 "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
             }
             print(f"substr_strip_xxhash @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+        if "lm" in only:
+            # stupid-backoff trigram (r13): train on the replica AND
+            # score the whole replica — both halves scale with the
+            # corpus (three count aggs; scoring joins against count
+            # tables that stay vocabulary-sized regardless of scale).
+            from distributedqueryengine_spark.functions.lm import (
+                score_stupid_backoff,
+                train_trigram_lm,
+            )
+
+            def lm_end_to_end():
+                lm = train_trigram_lm(docs, "text", vocab_size=10_000)
+                return score_stupid_backoff(docs, "text", lm)
+
+            wall, shuf, rows = timed(spark, lm_end_to_end)
+            results.setdefault("trigram_backoff_train_score", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"trigram_backoff @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+        if "bpe" in only:
+            # BPE (r13): induction's corpus-sized half is the word
+            # count (the merge loop sees only the capped type table —
+            # constant in corpus size by design); application is the
+            # memoized Arrow UDF over every document.
+            from distributedqueryengine_spark.functions.bpe import (
+                apply_bpe,
+                learn_bpe,
+            )
+
+            merges = learn_bpe(docs, "text", n_merges=512)
+            wall, shuf, rows = timed(
+                spark, lambda: apply_bpe(docs, "doc_id", "text", merges)
+            )
+            results.setdefault("bpe_apply_512merges", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"bpe_apply @{n}x: {wall}s, {shuf} MB, {rows} rows",
                   flush=True)
 
     merged = {}
