@@ -102,9 +102,15 @@ def concat_pack_layout(
     # The prefix sum runs three jobs (corpus stats, bucket totals, the
     # laid-out result); persist the 16-byte (id, t) projection so the
     # token-count scan — the only per-document work — runs once, wide.
-    src = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), tokens.cast("long").alias("t")
-    ).persist()
+    # Scoped (dedup's bounded FIFO): repeated calls in a long session
+    # must not accumulate one cached projection per call (r12 lesson).
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+
+    src = _scoped_persist(
+        ensure_parallelism(df).select(
+            F.col(id_col).alias("id"), tokens.cast("long").alias("t")
+        )
+    )
     laid = _prefix_sum(src, df.sparkSession, rows_per_bucket)
     return laid.select(
         F.col("id").alias(id_col),

@@ -1313,8 +1313,10 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total"))
-        .persist()
     )
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+
+    rev = _scoped_persist(rev)  # two consumers (max + join); bounded FIFO
     best = rev.agg(F.max("total").alias("max_total"))
     top = rev.join(F.broadcast(best), F.col("total") == F.col("max_total"))
     return (
