@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from distributedqueryengine_spark import queries as Q
 from distributedqueryengine_spark.oracles import ORACLES
+from distributedqueryengine_spark.functions.dedup import _scoped_persist as _fifo_persist
 
 # (name, spark_type, duckdb_type) triples keyed per composite schema.
 _DUCK = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE", "string": "VARCHAR"}
@@ -122,10 +123,9 @@ def q_agg_multi_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-column orders projection instead of two independent parquet scans
     (judge r6 item 5 — same pattern as q_agg_mixed_suite below): plan
     shows 2 FileScans for the whole suite (lineitem + orders)."""
-    shared_o = (
+    shared_o = _fifo_persist(
         Q._t(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_orderpriority", "o_totalprice")
-        .persist()
     )
     return _union([
         _tagged("rollup", Q.q_agg_rollup(spark, sf_dir),
@@ -155,10 +155,9 @@ def q_agg_mixed_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar batch (plan: 1 FileScan + InMemoryTableScans instead of 4
     FileScans). persist (lazy) not localCheckpoint (eager) so merely
     constructing the query stays job-free."""
-    shared_o = (
+    shared_o = _fifo_persist(
         Q._t(spark, sf_dir, "orders")
         .select("o_orderstatus", "o_custkey", "o_totalprice")
-        .persist()
     )
     cond = Q.q_agg_conditional(spark, sf_dir).select(
         "l_linestatus", "n",
@@ -415,12 +414,11 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-deriving the explode per consumer.
     g = DC.doc_ngram_fingerprints(d, "doc_id", "text", n=3).localCheckpoint()
     ev_g = g.filter(F.col("id") % 97 == 0).select("g").distinct()
-    bad = (
+    bad = _fifo_persist(
         g.filter(F.col("id") % 97 != 0)
         .join(F.broadcast(ev_g), "g", "left_semi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
-        .persist()
     )
     clean = train.join(bad, "doc_id", "left_anti")
     return _union([
@@ -1773,7 +1771,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
     from distributedqueryengine_spark.session import load_table
 
     d = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(d, "doc_id", "text", 3, portable=portable).persist()
+    sh = _fifo_persist(D.shingles(d, "doc_id", "text", 3, portable=portable))
     sigs = D.minhash_signatures(sh, 32, portable=portable)
     cand = D.lsh_candidate_pairs(sigs, 32, 8, portable=portable)
     return D.jaccard_on_pairs(cand, sh)
