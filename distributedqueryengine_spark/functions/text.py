@@ -1008,3 +1008,77 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .select(F.col("id").alias(id_col), "score", "rnk")
     )
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent bigrams by PMI.
+
+    PMI(a,b) = ln( P(ab) / (P(a) P(b)) ) with P(ab) over the corpus
+    bigram total and P(a), P(b) over the unigram total — the classic
+    phrase-mining statistic (Church & Hanks 1990) used to seed
+    tokenizer merge lists and multiword vocab entries. Extends the
+    reference's aggregation surface (RPC.cs:343-375 scan->agg) with a
+    corpus-statistics operator it never had.
+
+    Scale shape: one tokenize pass; bigrams come from
+    arrays_zip(slice, slice) — pure codegen, no interpreted HOF lambda
+    (the r11/r12 repetition-profile lesson applied proactively). Both
+    count tables are partial-aggregated hash aggs (vocab-sized, not
+    corpus-sized, after the map-side combine); the two corpus totals
+    are 1-row broadcasts; unigram lookups join the bigram table against
+    the (smaller) unigram table keyed by token. Nothing corpus-sized is
+    ever reshuffled, so the plan is scan-dominated at 100 TB.
+
+    Determinism: PMI rounds to 6dp BEFORE ranking on both engines (the
+    DSIR Gumbel lesson — a 1-ulp ln() spread cannot flip the rank-k
+    boundary); residual ties break lexicographically.
+
+    Returns ``(term, n, score)`` — term is "a b", n the bigram count,
+    score the rounded PMI — ordered by (score desc, term asc), k rows.
+    """
+    toks = df.select(
+        F.split(normalize_text(text_col), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    # adjacent pairs via two slices zipped — codegen'd, no HOF lambda
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("a"),
+                F.slice("t", 2, F.size("t") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tot_b = big.agg(F.sum("n_ab").alias("__nb"))
+    tot_u = uni.agg(F.sum("n_tok").alias("__nu"))
+    scored = (
+        big.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "a")
+                          .withColumnRenamed("n_tok", "n_a")), "a")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "b")
+                          .withColumnRenamed("n_tok", "n_b")), "b")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("term"),
+            F.col("n_ab").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("__nb"))
+                    / ((F.col("n_a") / F.col("__nu")) * (F.col("n_b") / F.col("__nu")))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(k)

@@ -1698,7 +1698,7 @@ INVENTORY = {
     "fn_collections": Q.q_fn_collections,
     # text / dedup / similarity / multimodal (north star)
     "text_doc_profile": Q.q_text_doc_profile,
-    "text_wordcount": Q.q_fn_array_explode,
+    "text_wordcount": Q.q_text_wordcount_suite,
     "text_chunking": Q.q_text_chunking,
     "pack_sequences": Q.q_pack_sequences,
     "greedy_pack": q_greedy_pack,
@@ -1744,7 +1744,7 @@ for _name in INVENTORY:
     elif _name in SUITE_ORACLES:
         INVENTORY_ORACLES[_name] = SUITE_ORACLES[_name]
     elif _name == "text_wordcount":
-        INVENTORY_ORACLES[_name] = ORACLES["fn_array_explode"]
+        INVENTORY_ORACLES[_name] = ORACLES["text_wordcount_suite"]
     elif _name == "pivot_unpivot":
         INVENTORY_ORACLES[_name] = ORACLES["unpivot_events"]
     else:
@@ -1814,6 +1814,37 @@ def _sim_hardneg_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mine_hard_negatives(qdf, emb, pos, k=3, candidates=bf)
 
 
+def _sim_knn_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone kNN majority-vote classification (r13) — its own
+    brute-force pass over the labeled train split."""
+    from distributedqueryengine_spark.functions.classify import knn_classify
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    return knn_classify(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+        k=5,
+    )
+
+
+def _sim_centroid_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone nearest-centroid assignment (r13)."""
+    from distributedqueryengine_spark.functions.classify import nearest_centroid
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    return nearest_centroid(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+    )
+
+
+def _text_pmi_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone PMI collocation mining (r13)."""
+    from distributedqueryengine_spark.functions.text import collocations_pmi
+
+    return collocations_pmi(Q._t(spark, sf_dir, "documents"), "text")
+
+
 def _repetition_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from distributedqueryengine_spark.functions.text import repetition_profile
     from distributedqueryengine_spark.session import load_table
@@ -1881,6 +1912,16 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         "cos": _sim_cos_branch,
         "rrf": _sim_rrf_branch,
         "hardneg": _sim_hardneg_branch,
+        # r13 classification branches standalone — both re-run the
+        # brute-force pass the suite shares, so their standalone cost
+        # exceeds their marginal suite cost
+        "knn": _sim_knn_branch,
+        "centroid": _sim_centroid_branch,
+    },
+    "text_wordcount": {
+        # the r13 PMI collocation branch standalone (the unigram branch
+        # is the original ms-scale top-20 count)
+        "pmi": _text_pmi_branch,
     },
     "dedup_exact_suite": {
         # the r13 ExactSubstr branches standalone (the original two

@@ -443,13 +443,94 @@ ORACLES["sim_bruteforce_topk"] = r"""
                           AS INTEGER) AS rnk
                FROM s ANTI JOIN pos1 p
                  ON s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
-               QUALIFY rnk <= 3)
+               QUALIFY rnk <= 3),
+             -- 'knn' branch (r13): majority vote over the cosine top-5
+             -- among the labeled train split (vec_id % 10 <> 0); vote
+             -- ties break by smallest label
+             ct AS (SELECT vec_id AS neighbor_id, CAST(label AS BIGINT) AS lbl,
+                           CAST(embedding AS DOUBLE[]) AS cv
+                    FROM embeddings WHERE vec_id % 10 <> 0),
+             st AS (SELECT query_id, neighbor_id, lbl,
+                           round(list_dot_product(qv, cv)
+                                 / (sqrt(list_dot_product(qv, qv))
+                                    * sqrt(list_dot_product(cv, cv))), 6) AS cos
+                    FROM q JOIN ct ON query_id <> neighbor_id),
+             rt AS (SELECT query_id, lbl, cos,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS trnk
+                    FROM st),
+             votes AS (SELECT query_id, lbl, count(*) AS n
+                       FROM rt WHERE trnk <= 5 GROUP BY 1, 2),
+             knnb AS (
+               SELECT 'knn' AS branch, query_id, lbl AS neighbor_id,
+                      CAST(n AS DOUBLE) AS score, CAST(1 AS INTEGER) AS rnk,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY n DESC, lbl ASC) AS rn
+               FROM votes QUALIFY rn = 1),
+             -- 'centroid' branch (r13): nearest per-label mean vector
+             -- by cosine, rounded to 6dp before the argmax
+             dims AS (SELECT lbl, i, avg(cv[i]) AS m
+                      FROM ct, UNNEST(range(1, len(cv) + 1)) AS rr(i)
+                      GROUP BY lbl, i),
+             cent AS (SELECT lbl, list(m ORDER BY i) AS centv FROM dims GROUP BY lbl),
+             cs AS (SELECT query_id, lbl,
+                           round(list_dot_product(qv, centv)
+                                 / (sqrt(list_dot_product(qv, qv))
+                                    * sqrt(list_dot_product(centv, centv))), 6) AS cos
+                    FROM q CROSS JOIN cent),
+             centb AS (
+               SELECT 'centroid' AS branch, query_id, lbl AS neighbor_id,
+                      cos AS score, CAST(1 AS INTEGER) AS rnk,
+                      row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, lbl ASC) AS rn
+               FROM cs QUALIFY rn = 1)
         SELECT 'cos' AS branch, query_id, neighbor_id, cos AS score, rnk
         FROM r WHERE rnk <= 5
         UNION ALL
         SELECT * FROM rrfb
         UNION ALL
         SELECT * FROM hneg
+        UNION ALL
+        SELECT branch, query_id, neighbor_id, score, rnk FROM knnb
+        UNION ALL
+        SELECT branch, query_id, neighbor_id, score, rnk FROM centb
+    """
+ORACLES["text_wordcount_suite"] = r"""
+        WITH toks AS (
+            SELECT string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+            FROM documents),
+             uni AS (
+            SELECT u.tok, count(*) AS n_tok
+            FROM (SELECT unnest(t) AS tok FROM toks) u GROUP BY u.tok),
+             nu AS (SELECT sum(n_tok) AS nu FROM uni),
+             unib AS (
+            SELECT 'unigram' AS branch, tok AS term, n_tok AS n,
+                   round(n_tok / nu, 6) AS score,
+                   row_number() OVER (ORDER BY n_tok DESC, tok ASC) AS rn
+            FROM uni CROSS JOIN nu QUALIFY rn <= 20),
+             -- 'pmi' branch (r13): top-20 adjacent bigrams by pointwise
+             -- mutual information (min count 5), PMI rounded to 6dp
+             -- BEFORE ranking so a 1-ulp ln() spread cannot flip the
+             -- rank-k boundary; residual ties break lexicographically
+             pairs AS (
+            SELECT t[i] AS a, t[i+1] AS b
+            FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            WHERE len(t) >= 2),
+             big AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+             nb AS (SELECT sum(n_ab) AS nb FROM big),
+             pmib AS (
+            SELECT 'pmi' AS branch, big.a || ' ' || big.b AS term,
+                   n_ab AS n,
+                   round(ln((n_ab / nb.nb) / ((ua.n_tok / nu.nu) * (ub.n_tok / nu.nu))), 6) AS score
+            FROM big
+            JOIN uni ua ON ua.tok = big.a
+            JOIN uni ub ON ub.tok = big.b
+            CROSS JOIN nb CROSS JOIN nu
+            WHERE n_ab >= 5
+            QUALIFY row_number() OVER (ORDER BY score DESC, term ASC) <= 20)
+        SELECT branch, term, n, score FROM unib
+        UNION ALL
+        SELECT branch, term, n, score FROM pmib
     """
 ORACLES["multimodal_features"] = r"""
         SELECT doc_id AS media_id,

@@ -609,7 +609,36 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").alias("score"),
         "rnk",
     )
-    return cos.unionByName(fused).unionByName(hardneg)
+    # 'knn' + 'centroid' branches (r13): embedding-space classification
+    # — label propagation by kNN majority vote and prototype (Rocchio)
+    # assignment against per-label mean vectors, both over the labeled
+    # train split (vec_id % 10 != 0, disjoint from the queries).
+    from distributedqueryengine_spark.functions.classify import (
+        knn_classify,
+        nearest_centroid,
+    )
+
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    knn = knn_classify(queries_df, train, k=5).select(
+        F.lit("knn").alias("branch"),
+        "query_id",
+        F.col("pred_label").alias("neighbor_id"),
+        F.col("votes").cast("double").alias("score"),
+        F.lit(1).cast("int").alias("rnk"),
+    )
+    cent = nearest_centroid(queries_df, train).select(
+        F.lit("centroid").alias("branch"),
+        "query_id",
+        F.col("pred_label").alias("neighbor_id"),
+        F.col("cos").alias("score"),
+        F.lit(1).cast("int").alias("rnk"),
+    )
+    return (
+        cos.unionByName(fused)
+        .unionByName(hardneg)
+        .unionByName(knn)
+        .unionByName(cent)
+    )
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,6 +1070,40 @@ def q_fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split(normalize_text("text"), " ")).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+
+
+def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics as a tagged union (r13): the 'unigram'
+    branch is the classic word-count top-20 (explode + two-level hash
+    agg, score = corpus relative frequency), the 'pmi' branch is
+    collocation mining — top-20 adjacent bigrams by pointwise mutual
+    information (functions/text.collocations_pmi). Both are one-scan,
+    partial-aggregated shapes whose shuffled state is vocabulary-sized,
+    not corpus-sized."""
+    from distributedqueryengine_spark.functions.text import (
+        collocations_pmi,
+        normalize_text,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__nu"))
+    unigram = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.lit("unigram").alias("branch"),
+            F.col("tok").alias("term"),
+            "n",
+            F.round(F.col("n") / F.col("__nu"), 6).alias("score"),
+        )
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+    pmi = collocations_pmi(d, "text", min_count=5, k=20).select(
+        F.lit("pmi").alias("branch"), "term", "n", "score"
+    )
+    return unigram.unionByName(pmi)
 
 
 def q_sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,8 +23,9 @@ NESTED_LOOP_OK = {
     "join_special",      # contains the explicit cross-join branch (cartesian by definition)
     "order_limit_suite",  # limit/offset exchange can plan BNLJ-free variants; none expected but offset plans vary
     "agg_stats_suite",   # r10: roc_auc_df's 1-row (auc, n_pos, n_neg) broadcast-crossed into the 3-row stats
-    "sim_bruteforce_topk",  # r10 rrf branch: bm25's 1-row (N, avgdl) corpus stats broadcast-crossed into term hits
+    "sim_bruteforce_topk",  # r10 rrf branch: bm25's 1-row (N, avgdl) corpus stats broadcast-crossed into term hits; r13 centroid branch: the label-cardinality (10-row, KB at any corpus size) centroid table broadcast-crossed into the queries
     "sample_suite",      # r12 dsir branches: the 1-row target/source gram totals broadcast-crossed into the ratio/score joins
+    "text_wordcount",    # r13 pmi/unigram branches: the 1-row corpus unigram/bigram totals broadcast-crossed into the count tables
 }
 
 def _plan(df) -> str:

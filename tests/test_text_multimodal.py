@@ -672,3 +672,78 @@ def test_dataset_fingerprint_portable_and_invariant(spark, tables):
         """
     ).fetchone()
     assert (base.n_rows, base.fingerprint) == got
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining (r13, functions/text.collocations_pmi)
+# --------------------------------------------------------------------------
+
+def _py_pmi(texts, min_count=2, k=5):
+    """Pure-python reference of the identical PMI math."""
+    import math
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in texts:
+        # mirrors normalize_text: lowercase + collapse whitespace
+        toks = " ".join(t.lower().split()).split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    nu = sum(uni.values())
+    nb = sum(big.values())
+    scored = []
+    for (a, b), n in big.items():
+        if n < min_count:
+            continue
+        pmi = round(math.log((n / nb) / ((uni[a] / nu) * (uni[b] / nu))), 6)
+        scored.append((f"{a} {b}", n, pmi))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]
+
+
+def test_collocations_pmi_matches_python_reference(spark):
+    from distributedqueryengine_spark.functions.text import collocations_pmi
+
+    texts = [
+        "new york is a big city",
+        "new york has new parks",
+        "big city life in new york",
+        "the city is big and the parks are new",
+        "york is not new but new york is",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = [(r["term"], r["n"], r["score"])
+           for r in collocations_pmi(df, "text", min_count=2, k=5).collect()]
+    assert got == _py_pmi(texts, min_count=2, k=5)
+
+
+def test_collocations_pmi_randomized_differential(spark):
+    import random
+
+    from distributedqueryengine_spark.functions.text import collocations_pmi
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for seed in range(5):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string"
+        )
+        got = [(r["term"], r["n"], r["score"])
+               for r in collocations_pmi(df, "text", min_count=3, k=10).collect()]
+        assert got == _py_pmi(texts, min_count=3, k=10), f"seed {seed}"
+
+
+def test_collocations_pmi_planted_phrase_wins(spark):
+    from distributedqueryengine_spark.functions.text import collocations_pmi
+
+    # 'foo bar' always adjacent and exclusive; filler words are common
+    # everywhere — the planted phrase must take rank 1 by PMI.
+    texts = ["foo bar " + " ".join(["the"] * 5) for _ in range(10)]
+    texts += [" ".join(["the", "a"] * 10) for _ in range(10)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    top = collocations_pmi(df, "text", min_count=5, k=3).collect()
+    assert top[0]["term"] == "foo bar"
