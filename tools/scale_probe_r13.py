@@ -51,6 +51,24 @@ def replicate_docs(spark, n: int) -> str:
     return out
 
 
+def replicate_embeddings(spark, n: int) -> str:
+    out = f"/tmp/spark_graft_r13_emb_{n}x"
+    if os.path.isdir(out):
+        return out
+    df = load_table(spark, SF_DIR, "embeddings")
+    if n > 1:
+        copies = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+        df = (
+            df.select("*", copies)
+            .withColumn(
+                "vec_id", F.col("vec_id") + F.col("rep").cast("long") * SHIFT
+            )
+            .drop("rep")
+        )
+    df.repartition(32).write.mode("overwrite").parquet(out)
+    return out
+
+
 def timed(spark, fn, runs: int = 2):
     best = (float("inf"), 0.0, -1)
     for _ in range(runs):
@@ -76,7 +94,7 @@ def main() -> None:
         strip_duplicated_spans,
     )
 
-    only = set(sys.argv[1:]) or {"dsir", "substr", "lm", "bpe"}
+    only = set(sys.argv[1:]) or {"dsir", "substr", "lm", "bpe", "pmi", "classify"}
     results: dict[str, dict] = {}
     for n in (1, 10, 100):
         path = replicate_docs(spark, n)
@@ -151,6 +169,54 @@ def main() -> None:
                 "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
             }
             print(f"bpe_apply @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+
+        if "pmi" in only:
+            # PMI collocation mining (r13): one tokenize pass, two
+            # vocab-sized count aggs. Replication multiplies counts but
+            # NOT vocabulary, so shuffle should stay near-flat and wall
+            # scan-dominated.
+            from distributedqueryengine_spark.functions.text import (
+                collocations_pmi,
+            )
+
+            wall, shuf, rows = timed(
+                spark, lambda: collocations_pmi(docs, "text", min_count=5, k=20)
+            )
+            results.setdefault("pmi_collocations", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"pmi_collocations @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+        if "classify" in only:
+            # Embedding classification (r13): the labeled corpus
+            # replicates (vec ids shifted), the 500-query batch stays
+            # fixed — the 100 TB shape is "propagate a label set to an
+            # ever-bigger corpus". kNN's shuffled intermediate is
+            # O(partitions x queries x k); centroid's is (labels x dim)
+            # partial aggs — both should be corpus-scan-dominated.
+            from distributedqueryengine_spark.functions.classify import (
+                knn_classify,
+                nearest_centroid,
+            )
+
+            epath = replicate_embeddings(spark, n)
+            emb = spark.read.parquet(epath)
+            q = emb.filter(
+                (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < SHIFT)
+            )
+            train = emb.filter(F.col("vec_id") % 10 != 0)
+            wall, shuf, rows = timed(spark, lambda: knn_classify(q, train, k=5))
+            results.setdefault("knn_classify", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"knn_classify @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+            wall, shuf, rows = timed(spark, lambda: nearest_centroid(q, train))
+            results.setdefault("nearest_centroid", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"nearest_centroid @{n}x: {wall}s, {shuf} MB, {rows} rows",
                   flush=True)
 
     merged = {}
