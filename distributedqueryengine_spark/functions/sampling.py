@@ -161,3 +161,95 @@ def leakage_safe_split_embeddings(
     split = (expr.otherwise(F.lit(names[-1]))
              if expr is not None else F.lit(names[-1]))
     return keyed.withColumn("split", split).drop("__rep")
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "id",
+    weight_col: str = "w",
+    score_col: str = "score",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Maximal-prefix selection under a weight budget: take rows in
+    (score desc, id asc) order while the running weight total stays
+    <= budget — "the best documents until the token budget is full",
+    the standard curation step when assembling a fixed-size training
+    set from a scored corpus.
+
+    Distributed exact prefix sum WITHOUT a global sort (the
+    packing._prefix_sum two-phase shape, re-keyed to the ranking
+    order): rows bucket by fixed-width score ranges (descending, so
+    bucket index is monotone in rank order), bucket totals aggregate
+    map-side to <= n_buckets rows, the driver computes the exclusive
+    cumsum over those totals (bounded work), and each bucket finishes
+    its own window cumsum in parallel. Because the inclusive running
+    total is monotone along the rank order, ``cum <= budget`` IS the
+    maximal prefix — no second pass to find the cut point. Skew
+    contract: rows sharing one score value land in one bucket's
+    window; a corpus where most mass has literally identical scores
+    degrades that window to a hot partition (then: pre-quantize less,
+    or spread ties by bucketing on id — which this does automatically
+    when ALL scores are equal, since rank order degenerates to id).
+
+    Returns the selected rows as (id, score, weight, cum) with cum the
+    inclusive running total, deterministic on any cluster layout.
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(score_col).cast("double").alias("score"),
+        F.col(weight_col).cast("long").alias("wt"),
+    )
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("score").alias("lo_s"),
+        F.max("score").alias("hi_s"),
+        F.min("id").alias("lo_i"),
+        F.max("id").alias("hi_i"),
+    ).collect()[0]
+    empty = src.withColumn("cum", F.lit(0).cast("long")).limit(0)
+    if stats["n"] == 0:
+        return empty.withColumnRenamed("wt", "weight")
+    if stats["hi_s"] > stats["lo_s"]:
+        width = (stats["hi_s"] - stats["lo_s"]) / float(n_buckets)
+        bkt = F.least(
+            F.floor((F.lit(stats["hi_s"]) - F.col("score")) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("long")
+    else:
+        # all scores equal → rank order is id asc; bucket by id ranges
+        span = stats["hi_i"] - stats["lo_i"] + 1
+        width_i = max(1, -(-span // n_buckets))
+        bkt = ((F.col("id") - F.lit(stats["lo_i"])) / F.lit(width_i)).cast("long")
+    b = src.withColumn("bkt", bkt)
+    totals = {
+        r["bkt"]: r["tot"]
+        for r in b.groupBy("bkt").agg(F.sum("wt").alias("tot")).collect()
+    }
+    base, acc = {}, 0
+    for kb in sorted(totals):
+        base[kb] = acc
+        acc += totals[kb]
+        if base[kb] > budget:
+            # every row at or past this bucket starts beyond the
+            # budget — prune the scan early (partition-pruning analog)
+            break
+    keep = [(kb, off) for kb, off in base.items()]
+    bases = df.sparkSession.createDataFrame(keep, "bkt long, base long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        b.join(F.broadcast(bases), "bkt")
+        .withColumn(
+            "cum",
+            F.col("base") + F.coalesce(F.sum("wt").over(w), F.lit(0)) + F.col("wt"),
+        )
+        .filter(F.col("cum") <= budget)
+        .select("id", "score", F.col("wt").alias("weight"), "cum")
+    )
+    return out

@@ -808,6 +808,9 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"key": F.col("doc_id").cast("string"), "lang": "lang"}, _SAMPLE_S),
         _tagged("mixture", Q.q_sample_mixture(spark, sf_dir),
                 {"key": F.col("doc_id").cast("string"), "lang": "source"}, _SAMPLE_S),
+        _tagged("budget", Q.q_sample_budget(spark, sf_dir),
+                {"key": F.col("doc_id").cast("string"), "lang": "lang",
+                 "n": "cum_tokens", "avg_chars": "quality"}, _SAMPLE_S),
         _tagged("dsir_score", Q.dsir_score_branch(scored),
                 {"key": F.col("id").cast("string"), "lang": "lang",
                  "n": "n_grams", "avg_chars": "score"}, _SAMPLE_S),
@@ -1361,6 +1364,9 @@ COMPOSITE_ORACLES["sample_suite"] = _sql_union([
                 {"key": "CAST(doc_id AS VARCHAR)", "lang": "lang"}, _SAMPLE_S),
     _sql_tagged("mixture", ORACLES["sample_mixture"],
                 {"key": "CAST(doc_id AS VARCHAR)", "lang": "source"}, _SAMPLE_S),
+    _sql_tagged("budget", ORACLES["sample_budget"],
+                {"key": "CAST(doc_id AS VARCHAR)", "lang": "lang",
+                 "n": "cum_tokens", "avg_chars": "quality"}, _SAMPLE_S),
     _sql_tagged("dsir_score", ORACLES["dsir_scores"],
                 {"key": "CAST(id AS VARCHAR)", "lang": "lang",
                  "n": "n_grams", "avg_chars": "score"}, _SAMPLE_S),
@@ -1953,5 +1959,7 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         "dsir_score": Q.q_dsir_scores,
         "dsir_sel": Q.q_dsir_select,
         "dsir_production_xxhash": _dsir_production_branch,
+        # r13 token-budget selection standalone
+        "budget": Q.q_sample_budget,
     },
 }

@@ -548,6 +548,28 @@ ORACLES["sample_hash_split"] = r"""
         SELECT split, count(*) AS n, round(avg(n_chars), 2) AS avg_chars
         FROM d GROUP BY split
     """
+ORACLES["sample_budget"] = r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round((least(len(toks) / 50.0, 1.0)
+                          + least(5.0 * CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE) / len(toks), 1.0)
+                          + CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+                                 THEN 1.0 ELSE 0.3 END) / 3.0, 4) AS quality
+            FROM t),
+        c AS (
+            SELECT doc_id, lang, quality,
+                   sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS cum_tokens
+            FROM s)
+        SELECT doc_id, lang, quality, cum_tokens
+        FROM c WHERE cum_tokens <= 8000
+    """
 ORACLES["sample_stratified"] = r"""
         WITH r AS (
             SELECT doc_id, lang,

@@ -764,6 +764,44 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (r13): take documents in quality
+    order until an 8,000-token budget fills — the maximal prefix under
+    (quality desc, doc_id asc) whose running token total stays within
+    budget (functions/sampling.select_until_budget: two-phase prefix
+    sum, no global sort). Output keeps the running total so the cut is
+    value-checkable, plus lang for the suite tag."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+    from distributedqueryengine_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        token_count("text").cast("long").alias("nt"),
+    )
+    sel = select_until_budget(
+        scored, budget=8000, id_col="doc_id", weight_col="nt", score_col="q"
+    )
+    langs = d.select("doc_id", "lang")
+    return (
+        F.broadcast(sel)
+        .withColumnRenamed("id", "doc_id")
+        .join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("score").alias("quality"),
+            F.col("cum").alias("cum_tokens"),
+        )
+    )
+
+
 # standalone q_dsir_* constructions scope their internal persists
 # here (drained on the next construction — same no-net-growth
 # discipline as inventory's sketch registry); the sample_suite passes

@@ -135,3 +135,84 @@ def test_leakage_safe_split_embeddings(spark, tables):
     }
     assert again == split_of
     emb.unpersist()
+
+
+# --------------------------------------------------------------------------
+# select_until_budget (r13): maximal-prefix token-budget selection
+# --------------------------------------------------------------------------
+
+def _py_budget(rows, budget):
+    """(id, score, w) rows -> selected [(id, score, w, cum)] reference."""
+    out, cum = [], 0
+    for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += w
+        if cum > budget:
+            break
+        out.append((i, s, w, cum))
+    return out
+
+
+def test_budget_matches_python_reference_randomized(spark):
+    import random
+
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(1, 400)
+        rows = [
+            (i, round(rng.random() * rng.choice([1, 1, 5]), 2), rng.randint(1, 50))
+            for i in range(n)
+        ]
+        budget = rng.randint(0, sum(w for _, _, w in rows))
+        df = spark.createDataFrame(rows, "id long, score double, w long")
+        got = sorted(
+            (r["id"], r["score"], r["weight"], r["cum"])
+            for r in select_until_budget(df, budget, n_buckets=7).collect()
+        )
+        assert got == sorted(_py_budget(rows, budget)), f"seed {seed}"
+
+
+def test_budget_all_scores_equal_uses_id_order(spark):
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    rows = [(i, 1.0, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    got = select_until_budget(df, 55, n_buckets=4).collect()
+    # ids 0..4 fit (50 tokens); id 5 would overflow to 60
+    assert sorted(r["id"] for r in got) == [0, 1, 2, 3, 4]
+    assert max(r["cum"] for r in got) == 50
+
+
+def test_budget_boundary_and_empty(spark):
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 5), (2, 0.8, 5), (3, 0.7, 5)], "id long, score double, w long"
+    )
+    assert select_until_budget(df, 0).count() == 0  # nothing fits
+    exact = select_until_budget(df, 15).collect()  # exactly all
+    assert sorted(r["id"] for r in exact) == [1, 2, 3]
+    empty = spark.createDataFrame([], "id long, score double, w long")
+    out = select_until_budget(empty, 100)
+    assert out.count() == 0
+    assert out.columns == ["id", "score", "weight", "cum"]
+
+
+def test_budget_big_first_doc_blocks_prefix(spark):
+    """Strict-prefix semantics: an oversized best doc blocks everything
+    after it (this is take-until-overflow, not knapsack skip)."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 1000), (2, 0.8, 5)], "id long, score double, w long"
+    )
+    assert select_until_budget(df, 100).count() == 0
