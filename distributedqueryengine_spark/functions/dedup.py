@@ -827,3 +827,55 @@ def dedup_clusters(
         df, id_col, text_col, min_jaccard=min_jaccard, portable=portable
     )
     return connected_components(pairs)
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Pairwise content overlap between corpus groups (sources, dumps,
+    snapshots): for every group pair a < b, the distinct word-n-gram
+    intersection size and Jaccard similarity — the corpus-governance
+    report that catches "dump X is 40% dump Y" before training double
+    counts it, and the source-level cousin of per-document near-dup.
+
+    Scale shape: ONE shingle pass keyed by group (map-side distinct
+    into (group, hash) rows — content never shuffles, only 8-byte
+    hashes), group set sizes from a partial-agg count, intersections
+    from a self-join ON the shingle hash. Per shingle the join emits
+    at most groups² rows, so the blow-up is bounded by the (small)
+    group cardinality, never by corpus size; skewed mega-shingles
+    can't exist because inputs are distinct per group.
+
+    Returns (src_a, src_b, n_a, n_b, n_common, jaccard) with jaccard
+    rounded to 6dp, one row per unordered pair with any overlap.
+    """
+    sh = shingles(df, group_col, text_col, n=n, portable=portable)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_set"))
+    a = sh.select(F.col("id").alias("src_a"), "sh")
+    b = sh.select(F.col("id").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("id", "src_a")
+                        .withColumnRenamed("n_set", "n_a")), "src_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("id", "src_b")
+                        .withColumnRenamed("n_set", "n_b")), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Hashed-ngram logistic quality classifier (fastText-shaped linear
+model) — distributed full-batch training + corpus scoring.
+
+The model-in-the-loop filtering step every large pretraining corpus
+uses (CCNet/RefinedWeb/GPT-3 style): train a cheap linear classifier
+on a small labeled seed (good vs bad documents), score the whole
+corpus, keep by threshold or quantile. Extends the reference's
+scan->agg algebra (RPC.cs:343-375) with the one ML primitive the
+LLM-data pipeline genuinely needs in-engine.
+
+Spark-first design — the model moves, the corpus doesn't:
+
+- Features are the DSIR featurizer's hashed unigram+bigram counts
+  (``dsir.hashed_ngram_features`` — arrays_zip codegen, one scan),
+  tf-normalized per document; the featurized table is persisted ONCE
+  and every training iteration reads the cache.
+- The weight vector is dense but tiny (num_buckets + bias, <=4096
+  doubles) and lives on the driver; each full-batch GD iteration
+  broadcasts it as a (bucket, w) table, computes per-doc logits with a
+  broadcast join + hash agg (pure JVM, no UDF), and reduces the
+  gradient back to <=num_buckets rows. Per-iteration shuffle is
+  O(docs x distinct-buckets-per-doc) count rows — never text, never
+  the corpus.
+- Scoring is the same broadcast-join + agg over any corpus, one scan.
+
+Determinism: float partial sums reduce in partition order, so weights
+agree with a serial reference only to ~1e-9 relative — tests compare
+with tolerance and pin the induced ordering/decisions, not bits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from distributedqueryengine_spark.functions.dsir import hashed_ngram_features
+
+__all__ = ["LogRegModel", "fit_hashed_logreg", "score_hashed_logreg"]
+
+
+class LogRegModel(NamedTuple):
+    weights: np.ndarray  # shape (num_buckets,)
+    bias: float
+    num_buckets: int
+    portable: bool
+    losses: tuple  # per-iteration mean log-loss (driver-computed)
+
+
+def _tf_features(
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int, portable: bool
+) -> DataFrame:
+    """(id, bucket, tf): per-doc hashed-ngram counts, tf-normalized."""
+    feats = hashed_ngram_features(
+        df, id_col, text_col, num_buckets=num_buckets, portable=portable
+    )
+    tot = feats.groupBy("id").agg(F.sum("cnt").alias("__tot"))
+    return feats.join(tot, "id").select(
+        "id", "bucket", (F.col("cnt") / F.col("__tot")).alias("tf")
+    )
+
+
+def fit_hashed_logreg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 1024,
+    iters: int = 30,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+    portable: bool = False,
+) -> LogRegModel:
+    """Full-batch gradient-descent logistic regression on hashed
+    n-gram tf features. `label_col` must be 0/1.
+
+    Each iteration is one broadcast-join + two hash aggs over the
+    persisted feature table; the gradient collect is <= num_buckets+1
+    rows. iters scans of a CACHED vocab-bounded table — at 100 TB the
+    seed set this trains on is small by construction (labels are
+    expensive); the corpus-sized pass is scoring, which is one scan.
+    """
+    spark = df.sparkSession
+    labels = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
+    )
+    feats = (
+        _tf_features(df, id_col, text_col, num_buckets, portable)
+        .join(labels, "id")
+        .persist()
+    )
+    n = labels.count()
+    if n == 0:
+        raise ValueError("fit_hashed_logreg: empty training set")
+    w = np.zeros(num_buckets, dtype=np.float64)
+    b = 0.0
+    losses = []
+    try:
+        for _ in range(iters):
+            wt = spark.createDataFrame(
+                [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0]
+                or [(0, 0.0)],
+                "bucket long, w double",
+            )
+            z = (
+                feats.join(F.broadcast(wt), "bucket", "left")
+                .groupBy("id", "y")
+                .agg(
+                    F.sum(
+                        F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf")
+                    ).alias("dot")
+                )
+                .select(
+                    "id",
+                    "y",
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("dot") + F.lit(b))))).alias("p"),
+                )
+            )
+            # residuals r = p - y drive both gradient halves; loss is a
+            # 1-row agg off the same plan
+            r = z.select("id", "y", (F.col("p") - F.col("y")).alias("r"), "p")
+            agg = r.agg(
+                F.sum("r").alias("gb"),
+                F.avg(
+                    -(
+                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                        + (1 - F.col("y"))
+                        * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+                    )
+                ).alias("loss"),
+            ).collect()[0]
+            gw_rows = (
+                feats.join(F.broadcast(r.select("id", "r")), "id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("tf") * F.col("r")).alias("g"))
+                .collect()
+            )
+            gw = np.zeros(num_buckets, dtype=np.float64)
+            for row in gw_rows:
+                gw[row["bucket"]] = row["g"]
+            w -= lr * (gw / n + l2 * w)
+            b -= lr * (agg["gb"] / n)
+            losses.append(float(agg["loss"]))
+    finally:
+        feats.unpersist()
+    return LogRegModel(w, float(b), num_buckets, portable, tuple(losses))
+
+
+def score_hashed_logreg(
+    df: DataFrame, id_col: str, text_col: str, model: LogRegModel
+) -> DataFrame:
+    """Score a corpus with a trained model: (id, score) with score the
+    positive-class probability. One featurize scan + a broadcast join
+    against the (<=num_buckets)-row weight table — the corpus never
+    reshuffles beyond the per-doc feature agg."""
+    spark = df.sparkSession
+    wt = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(model.weights) if v != 0.0]
+        or [(0, 0.0)],
+        "bucket long, w double",
+    )
+    feats = _tf_features(
+        df, id_col, text_col, model.num_buckets, model.portable
+    )
+    return (
+        feats.join(F.broadcast(wt), "bucket", "left")
+        .groupBy("id")
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf")).alias("dot"))
+        .select(
+            "id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("dot") + F.lit(model.bias))))
+            ).alias("score"),
+        )
+    )

@@ -359,6 +359,19 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
         _tagged("winnow", Q.q_text_winnow(spark, sf_dir, portable=True),
                 {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
+        # r13: corpus-governance source overlap — pairwise distinct-
+        # 3-gram Jaccard between the 20 `source` groups (hash-keyed
+        # self-join; per-shingle blow-up bounded by groups², never by
+        # corpus size)
+        _tagged(
+            "src_overlap",
+            D.source_overlap_matrix(d, "source", "text", n=3, portable=True)
+            .select(
+                F.expr("CAST(substring(src_a, 4) AS BIGINT)").alias("a_id"),
+                F.expr("CAST(substring(src_b, 4) AS BIGINT)").alias("b_id"),
+                "jaccard",
+            ),
+            {"a": "a_id", "b": "b_id", "v": "jaccard"}, _DEDUP_NEAR_S),
     ])
 
 
@@ -1237,7 +1250,19 @@ def _dedup_near_oracle() -> str:
                          count(*) OVER (PARTITION BY id) AS n_grams
                   FROM ph) wf
               WHERE pos <= n_grams - 4 OR pos = 0),
-    winnow AS (SELECT id AS doc_id, count(*) AS n_fingerprints FROM winfp GROUP BY id)"""
+    winnow AS (SELECT id AS doc_id, count(*) AS n_fingerprints FROM winfp GROUP BY id),
+    stoks AS (SELECT source, string_split({norm}, ' ') AS t FROM documents),
+    ssh AS (SELECT DISTINCT source, {h60("array_to_string(t[i:i+2], ' ')")} AS sh
+            FROM (SELECT source, t, unnest(range(1, greatest(len(t)-1, 1))) AS i FROM stoks)),
+    ssizes AS (SELECT source, count(*) AS n_set FROM ssh GROUP BY source),
+    sinter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS nc
+               FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+               GROUP BY 1, 2),
+    soverlap AS (SELECT CAST(substring(sa, 4) AS BIGINT) AS a_id,
+                        CAST(substring(sb, 4) AS BIGINT) AS b_id,
+                        round(CAST(nc AS DOUBLE) / (za.n_set + zb.n_set - nc), 6) AS jac
+                 FROM sinter JOIN ssizes za ON za.source = sa
+                             JOIN ssizes zb ON zb.source = sb)"""
     branches = _sql_union([
         _sql_tagged("minhash", "SELECT * FROM minhash_pairs",
                     {"a": "id_a", "b": "id_b", "v": "jaccard"}, _DEDUP_NEAR_S),
@@ -1249,6 +1274,8 @@ def _dedup_near_oracle() -> str:
                     {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
         _sql_tagged("winnow", "SELECT * FROM winnow",
                     {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
+        _sql_tagged("src_overlap", "SELECT * FROM soverlap",
+                    {"a": "a_id", "b": "b_id", "v": "jac"}, _DEDUP_NEAR_S),
     ])
     return "WITH RECURSIVE" + ctes + "\n" + branches
 

@@ -594,3 +594,64 @@ def test_staged_parity_randomized_sweep(spark):
         )
         if mj > 1.0:
             assert st == set()
+
+
+# --------------------------------------------------------------------------
+# source_overlap_matrix (r13): pairwise distinct-ngram Jaccard by group
+# --------------------------------------------------------------------------
+
+def _py_overlap(rows, n=3):
+    """(group, text) rows -> {(a,b): (na, nb, common, jaccard)}."""
+    sets: dict[str, set] = {}
+    for g, t in rows:
+        toks = " ".join(t.lower().split()).split(" ")
+        grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        sets.setdefault(g, set()).update(grams)
+    out = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b and sets[a] & sets[b]:
+                c = len(sets[a] & sets[b])
+                jac = round(c / (len(sets[a]) + len(sets[b]) - c), 6)
+                out[(a, b)] = (len(sets[a]), len(sets[b]), c, jac)
+    return out
+
+
+def test_source_overlap_matches_python_reference(spark):
+    import random
+
+    from distributedqueryengine_spark.functions.dedup import (
+        source_overlap_matrix,
+    )
+
+    vocab = ["w%d" % i for i in range(30)]
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        for g in ["ga", "gb", "gc"]:
+            for _ in range(15):
+                rows.append(
+                    (g, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+                )
+        df = spark.createDataFrame(rows, "src string, text string")
+        got = {
+            (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+            for r in source_overlap_matrix(df, "src", "text", n=3).collect()
+        }
+        assert got == _py_overlap(rows), f"seed {seed}"
+
+
+def test_source_overlap_disjoint_and_identical(spark):
+    from distributedqueryengine_spark.functions.dedup import (
+        source_overlap_matrix,
+    )
+
+    rows = [
+        ("a", "one two three four"),
+        ("b", "one two three four"),   # identical to a
+        ("c", "five six seven eight"), # disjoint from both
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {(r["src_a"], r["src_b"]): r["jaccard"]
+           for r in source_overlap_matrix(df, "src", "text", n=3).collect()}
+    assert got == {("a", "b"): 1.0}  # disjoint pairs are absent, identical = 1.0
