@@ -91,6 +91,24 @@ def hashed_ngram_features(
     Tokens are the normalized whitespace tokens (lowercase, collapsed
     whitespace — text.normalize_text); n-grams hash into num_buckets
     via non-negative 64-bit hashes, so Spark pmod == DuckDB %."""
+    return (
+        hashed_ngram_occurrences(df, id_col, text_col, num_buckets, portable)
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hashed_ngram_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """One (id, bucket) row per unigram/bigram OCCURRENCE — the
+    pre-aggregation form of :func:`hashed_ngram_features`, for
+    consumers (e.g. quality_clf scoring) that fold occurrences into a
+    per-doc agg directly and never need the (id, bucket, cnt) table."""
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     toks = F.filter(
@@ -108,11 +126,7 @@ def hashed_ngram_features(
     )
     grams = uni.unionByName(bi)
     h = portable_hash64(F.col("g")) if portable else F.xxhash64(F.col("g"))
-    return (
-        grams.select("id", F.pmod(h, F.lit(num_buckets)).alias("bucket"))
-        .groupBy("id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    return grams.select("id", F.pmod(h, F.lit(num_buckets)).alias("bucket"))
 
 
 def _bucket_totals(feats: DataFrame, prefix: str) -> tuple[DataFrame, DataFrame]:

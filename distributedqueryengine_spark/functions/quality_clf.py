@@ -35,7 +35,10 @@ from typing import NamedTuple
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from distributedqueryengine_spark.functions.dsir import hashed_ngram_features
+from distributedqueryengine_spark.functions.dsir import (
+    hashed_ngram_features,
+    hashed_ngram_occurrences as _gram_buckets,
+)
 
 __all__ = ["LogRegModel", "fit_hashed_logreg", "score_hashed_logreg"]
 
@@ -151,27 +154,39 @@ def score_hashed_logreg(
     df: DataFrame, id_col: str, text_col: str, model: LogRegModel
 ) -> DataFrame:
     """Score a corpus with a trained model: (id, score) with score the
-    positive-class probability. One featurize scan + a broadcast join
-    against the (<=num_buckets)-row weight table — the corpus never
-    reshuffles beyond the per-doc feature agg."""
+    positive-class probability.
+
+    Fused single-shuffle plan: because the features are tf-normalized,
+    sum_b (cnt_b / tot) * w_b == (sum over gram occurrences of
+    w[bucket(gram)]) / n_grams — so scoring skips the per-(id, bucket)
+    count table entirely: explode grams, map-side broadcast-join the
+    (<=num_buckets)-row weight table, ONE partial-aggregated hash agg
+    per doc (sum w, count). The corpus shuffles once, as (id, two
+    doubles) partials, never as a feature table. (The r13 probe on the
+    pre-fusion three-shuffle plan measured 735 MB shuffle at 100x;
+    this plan moves only the per-doc partials.)"""
     spark = df.sparkSession
     wt = spark.createDataFrame(
         [(int(i), float(v)) for i, v in enumerate(model.weights) if v != 0.0]
         or [(0, 0.0)],
         "bucket long, w double",
     )
-    feats = _tf_features(
-        df, id_col, text_col, model.num_buckets, model.portable
-    )
+    grams = _gram_buckets(df, id_col, text_col, model.num_buckets, model.portable)
     return (
-        feats.join(F.broadcast(wt), "bucket", "left")
+        grams.join(F.broadcast(wt), "bucket", "left")
         .groupBy("id")
-        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf")).alias("dot"))
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("sw"),
+            F.count(F.lit(1)).alias("ng"),
+        )
         .select(
             "id",
             (
                 F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-(F.col("dot") + F.lit(model.bias))))
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.col("sw") / F.col("ng") + F.lit(model.bias)))
+                )
             ).alias("score"),
         )
     )

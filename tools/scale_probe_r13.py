@@ -94,7 +94,10 @@ def main() -> None:
         strip_duplicated_spans,
     )
 
-    only = set(sys.argv[1:]) or {"dsir", "substr", "lm", "bpe", "pmi", "classify"}
+    only = set(sys.argv[1:]) or {
+        "dsir", "substr", "lm", "bpe", "pmi", "classify",
+        "overlap", "qclf", "budget",
+    }
     results: dict[str, dict] = {}
     for n in (1, 10, 100):
         path = replicate_docs(spark, n)
@@ -217,6 +220,81 @@ def main() -> None:
                 "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
             }
             print(f"nearest_centroid @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+
+        if "overlap" in only:
+            # source overlap (r13): replication multiplies per-source
+            # document counts but NOT distinct shingles (copies dedup in
+            # the per-group distinct), so the self-join input is
+            # scale-invariant past the scan.
+            from distributedqueryengine_spark.functions.dedup import (
+                source_overlap_matrix,
+            )
+
+            wall, shuf, rows = timed(
+                spark,
+                lambda: source_overlap_matrix(docs, "source", "text", n=3),
+            )
+            results.setdefault("source_overlap", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"source_overlap @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+        if "qclf" in only:
+            # quality classifier (r13): train ONCE on the fixed sf0.1
+            # seed (labels are expensive at any scale), score the
+            # replica — the corpus-sized half is scoring.
+            from distributedqueryengine_spark.functions.quality_clf import (
+                fit_hashed_logreg,
+                score_hashed_logreg,
+            )
+
+            seed_docs = load_table(spark, SF_DIR, "documents").withColumn(
+                "label", (F.col("doc_id") % 2 == 0).cast("int")
+            )
+            model = fit_hashed_logreg(
+                seed_docs, "doc_id", "text", "label",
+                num_buckets=2048, iters=5,
+            )
+            wall, shuf, rows = timed(
+                spark,
+                lambda: score_hashed_logreg(docs, "doc_id", "text", model),
+            )
+            results.setdefault("quality_clf_score", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"quality_clf_score @{n}x: {wall}s, {shuf} MB, {rows} rows",
+                  flush=True)
+        if "budget" in only:
+            # token-budget selection (r13): budget scales with the
+            # corpus (10% of tokens) so the selected prefix grows too;
+            # the interesting number is how much the bucket pruning
+            # saves when 90% of buckets start beyond the budget.
+            from distributedqueryengine_spark.functions.sampling import (
+                select_until_budget,
+            )
+            from distributedqueryengine_spark.functions.text import (
+                quality_score,
+                token_count,
+            )
+
+            scored_docs = docs.select(
+                "doc_id",
+                quality_score("text").alias("q"),
+                token_count("text").cast("long").alias("nt"),
+            )
+            total_toks = scored_docs.agg(F.sum("nt")).collect()[0][0]
+            wall, shuf, rows = timed(
+                spark,
+                lambda: select_until_budget(
+                    scored_docs, int(total_toks * 0.1),
+                    id_col="doc_id", weight_col="nt", score_col="q",
+                ),
+            )
+            results.setdefault("budget_select_10pct", {})[f"{n}x"] = {
+                "wall_s": wall, "shuffle_mb": shuf, "out_rows": rows,
+            }
+            print(f"budget_select @{n}x: {wall}s, {shuf} MB, {rows} rows",
                   flush=True)
 
     merged = {}
