@@ -102,3 +102,37 @@ def test_empty_training_raises(spark):
     empty = spark.createDataFrame([], "id long, text string, label int")
     with pytest.raises(ValueError):
         fit_hashed_logreg(empty, "id", "text", "label", num_buckets=B, iters=1)
+
+
+def test_streaming_scoring_matches_batch(spark, planted, tmp_path):
+    """Model-in-the-loop filtering on a stream: scoring is stateless
+    per microbatch (foreachBatch), so streamed scores must equal the
+    batch run exactly and every arriving doc must be scored once."""
+    model = fit_hashed_logreg(
+        planted, "id", "text", "label", num_buckets=B, iters=5, lr=2.0
+    )
+    src = str(tmp_path / "src")
+    planted.select("id", "text").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got: dict[int, float] = {}
+
+    def sink(df, epoch_id):
+        for r in score_hashed_logreg(df, "id", "text", model).collect():
+            got[r["id"]] = r["score"]
+
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    want = {
+        r["id"]: r["score"]
+        for r in score_hashed_logreg(planted, "id", "text", model).collect()
+    }
+    assert set(got) == set(want)
+    for i, s in want.items():
+        assert abs(got[i] - s) < 1e-12
