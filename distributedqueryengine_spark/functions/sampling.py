@@ -195,10 +195,19 @@ def select_until_budget(
     Returns the selected rows as (id, score, weight, cum) with cum the
     inclusive running total, deterministic on any cluster layout.
     """
-    src = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.col(score_col).cast("double").alias("score"),
-        F.col(weight_col).cast("long").alias("wt"),
+    # the function runs three jobs over this projection (corpus stats,
+    # bucket totals, the final windowed pass) — persist it through the
+    # shared bounded registry so the upstream scoring expressions (often
+    # expensive, e.g. quality heuristics) evaluate ONCE, with the same
+    # no-net-growth discipline as dedup's pipeline cache
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+
+    src = _scoped_persist(
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(score_col).cast("double").alias("score"),
+            F.col(weight_col).cast("long").alias("wt"),
+        )
     )
     stats = src.agg(
         F.count(F.lit(1)).alias("n"),
