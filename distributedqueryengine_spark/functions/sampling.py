@@ -262,3 +262,103 @@ def select_until_budget(
         .select("id", "score", F.col("wt").alias("weight"), "cum")
     )
     return out
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 1.0,
+    weight_col: Column | str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling rates per group (the multilingual /
+    multi-source mixing rule: p_g ∝ size_g^(1/T), then rate_g =
+    p_g · total / size_g, capped at 1.0). T=1 reproduces natural
+    proportions; T→∞ approaches uniform over groups; T<1 sharpens
+    toward the head. Returns (group, n_rows, p_target, rate) — a
+    groups-sized table to feed mixture resampling.
+
+    One partial-aggregated count per group; everything after is
+    arithmetic on a groups-sized table (never corpus-sized).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    w = (
+        F.count(F.lit(1)).alias("n_rows")
+        if weight_col is None
+        else F.sum(
+            F.col(weight_col) if isinstance(weight_col, str) else weight_col
+        ).alias("n_rows")
+    )
+    sizes = df.groupBy(F.col(group_col).alias("group")).agg(w)
+    powed = sizes.select(
+        "group", "n_rows",
+        F.pow(F.col("n_rows").cast("double"), F.lit(1.0 / temperature)).alias("pw"),
+    )
+    tot = powed.agg(
+        F.sum("pw").alias("__z"), F.sum("n_rows").alias("__n")
+    )
+    return (
+        powed.crossJoin(F.broadcast(tot))
+        .select(
+            "group",
+            "n_rows",
+            F.round(F.col("pw") / F.col("__z"), 6).alias("p_target"),
+            F.round(
+                F.least(
+                    (F.col("pw") / F.col("__z")) * F.col("__n") / F.col("n_rows"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    n_epochs: int = 1,
+    seed: int = 0,
+    curriculum_col: Column | str | None = None,
+    curriculum_epochs: int = 0,
+) -> DataFrame:
+    """Deterministic training-order assignment: for each epoch, every
+    row gets a position from a content-independent md5 permutation of
+    (seed, epoch, id) — reshuffled every epoch, reproducible on any
+    cluster layout, no rand(). With a curriculum column, the first
+    `curriculum_epochs` epochs order by (curriculum asc, perm) instead
+    — easy examples first — and later epochs are fully shuffled.
+
+    Output: one row per (epoch, id) with `pos` (0-based within epoch).
+    The permutation key is a pure function of (seed, epoch, id), so
+    shards can be materialized independently per epoch; position comes
+    from a window over the epoch — at 100 TB you'd range-partition by
+    the key and keep per-partition offsets (packing._prefix_sum shape)
+    instead of ranking, which this implementation does NOT need at
+    fixture scale but the key construction already supports.
+    """
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    from pyspark.sql.window import Window
+
+    epochs = df.sparkSession.range(n_epochs).withColumnRenamed("id", "epoch")
+    base = df.select(F.col(id_col).alias("id"), *(
+        [(F.col(curriculum_col) if isinstance(curriculum_col, str)
+          else curriculum_col).alias("__cur")] if curriculum_col is not None else []
+    ))
+    crossed = base.crossJoin(F.broadcast(epochs))
+    perm = F.md5(
+        F.concat_ws("§", F.lit(str(seed)), F.col("epoch").cast("string"),
+                    F.col("id").cast("string"))
+    )
+    if curriculum_col is not None and curriculum_epochs > 0:
+        order = [
+            F.when(F.col("epoch") < curriculum_epochs, F.col("__cur")).otherwise(F.lit(0.0)),
+            perm,
+            F.col("id"),
+        ]
+    else:
+        order = [perm, F.col("id")]
+    w = Window.partitionBy("epoch").orderBy(*order)
+    out = crossed.withColumn("pos", F.row_number().over(w) - 1)
+    return out.select("epoch", "id", "pos")

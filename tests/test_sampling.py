@@ -216,3 +216,88 @@ def test_budget_big_first_doc_blocks_prefix(spark):
         [(1, 0.9, 1000), (2, 0.8, 5)], "id long, score double, w long"
     )
     assert select_until_budget(df, 100).count() == 0
+
+
+# --------------------------------------------------------------------------
+# temperature_mixture_rates + training_order (r13)
+# --------------------------------------------------------------------------
+
+def test_temperature_rates_match_python(spark):
+    import math
+
+    from distributedqueryengine_spark.functions.sampling import (
+        temperature_mixture_rates,
+    )
+
+    counts = {"big": 800, "mid": 150, "small": 50}
+    rows = [(g, i) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "src string, id long")
+    for T in (1.0, 2.0, 5.0, 0.5):
+        got = {r["group"]: (r["n_rows"], r["p_target"], r["rate"])
+               for r in temperature_mixture_rates(df, "src", T).collect()}
+        z = sum(n ** (1.0 / T) for n in counts.values())
+        tot = sum(counts.values())
+        for g, n in counts.items():
+            p = n ** (1.0 / T) / z
+            assert got[g][0] == n
+            assert abs(got[g][1] - round(p, 6)) < 1e-9, (T, g)
+            assert abs(got[g][2] - round(min(p * tot / n, 1.0), 6)) < 1e-9
+    # T=1 reproduces natural proportions: every rate is exactly 1.0
+    nat = temperature_mixture_rates(df, "src", 1.0).collect()
+    assert all(r["rate"] == 1.0 for r in nat)
+    # higher T downweights the head, upweights (capped) the tail
+    t5 = {r["group"]: r["rate"]
+          for r in temperature_mixture_rates(df, "src", 5.0).collect()}
+    assert t5["big"] < 1.0 and t5["small"] == 1.0
+
+
+def test_temperature_rates_guards(spark):
+    import pytest as _pytest
+
+    from distributedqueryengine_spark.functions.sampling import (
+        temperature_mixture_rates,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "src string, id long")
+    with _pytest.raises(ValueError):
+        temperature_mixture_rates(df, "src", 0.0)
+
+
+def test_training_order_permutation_and_determinism(spark):
+    from distributedqueryengine_spark.functions.sampling import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc long")
+    a = training_order(df, "doc", n_epochs=3, seed=7).collect()
+    b = training_order(df, "doc", n_epochs=3, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    by_epoch: dict[int, list] = {}
+    for r in a:
+        by_epoch.setdefault(r["epoch"], []).append((r["pos"], r["id"]))
+    assert set(by_epoch) == {0, 1, 2}
+    orders = []
+    for e, rows in by_epoch.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(200))  # complete 0..n-1
+        assert len({i for _, i in rows}) == 200           # a permutation
+        orders.append(tuple(i for _, i in rows))
+    assert len(set(orders)) == 3  # epochs reshuffle
+    c = training_order(df, "doc", n_epochs=1, seed=8).collect()
+    assert tuple(r["id"] for r in sorted(c, key=lambda r: r["pos"])) != orders[0]
+
+
+def test_training_order_curriculum_first_epochs_sorted(spark):
+    from distributedqueryengine_spark.functions.sampling import training_order
+
+    rows = [(i, float(i % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc long, difficulty double")
+    out = training_order(
+        df, "doc", n_epochs=2, seed=3,
+        curriculum_col="difficulty", curriculum_epochs=1,
+    ).collect()
+    difficulty = {i: float(i % 10) for i in range(100)}
+    e0 = [difficulty[r["id"]] for r in sorted(
+        (r for r in out if r["epoch"] == 0), key=lambda r: r["pos"])]
+    assert e0 == sorted(e0)  # curriculum epoch: easy -> hard
+    e1 = [difficulty[r["id"]] for r in sorted(
+        (r for r in out if r["epoch"] == 1), key=lambda r: r["pos"])]
+    assert e1 != sorted(e1)  # later epoch: fully shuffled
