@@ -835,6 +835,7 @@ def source_overlap_matrix(
     text_col: str,
     n: int = 3,
     portable: bool = False,
+    group_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Pairwise content overlap between corpus groups (sources, dumps,
     snapshots): for every group pair a < b, the distinct word-n-gram
@@ -852,8 +853,18 @@ def source_overlap_matrix(
 
     Returns (src_a, src_b, n_a, n_b, n_common, jaccard) with jaccard
     rounded to 6dp, one row per unordered pair with any overlap.
+
+    `group_shingles` (columns id=group, sh) skips the tokenize pass —
+    a pipeline that already holds per-DOCUMENT distinct shingles (the
+    near-dup spine) derives it exactly via a doc→group join + distinct,
+    since the union of per-doc distinct sets IS the per-group distinct
+    set (the suite's candidate-reuse pattern).
     """
-    sh = shingles(df, group_col, text_col, n=n, portable=portable)
+    sh = (
+        group_shingles
+        if group_shingles is not None
+        else shingles(df, group_col, text_col, n=n, portable=portable)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_set"))
     a = sh.select(F.col("id").alias("src_a"), "sh")
     b = sh.select(F.col("id").alias("src_b"), "sh")

@@ -340,6 +340,16 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(sh, 32, portable=True)
     cand = D.lsh_candidate_pairs(sigs, 32, 8, portable=True)
     scored = D.jaccard_on_pairs(cand, sh).localCheckpoint()
+    # r13 src_overlap reuse: per-source distinct shingles derive from
+    # the CACHED doc-level pass (union of per-doc distinct sets IS the
+    # per-source distinct set) — materialized here, while sh is still
+    # cached, so the branch never re-tokenizes the corpus.
+    src_sh = (
+        sh.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select(F.col("source").alias("id"), "sh")
+        .distinct()
+        .localCheckpoint()
+    )
     sh.unpersist()
     minhash_pairs = scored.filter(F.col("jaccard") >= 0.5)
     ngram_pairs = scored.filter(F.col("jaccard") >= 0.3)
@@ -365,7 +375,10 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus size)
         _tagged(
             "src_overlap",
-            D.source_overlap_matrix(d, "source", "text", n=3, portable=True)
+            D.source_overlap_matrix(
+                d, "source", "text", n=3, portable=True,
+                group_shingles=src_sh,
+            )
             .select(
                 F.expr("CAST(substring(src_a, 4) AS BIGINT)").alias("a_id"),
                 F.expr("CAST(substring(src_b, 4) AS BIGINT)").alias("b_id"),

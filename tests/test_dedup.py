@@ -655,3 +655,24 @@ def test_source_overlap_disjoint_and_identical(spark):
     got = {(r["src_a"], r["src_b"]): r["jaccard"]
            for r in source_overlap_matrix(df, "src", "text", n=3).collect()}
     assert got == {("a", "b"): 1.0}  # disjoint pairs are absent, identical = 1.0
+
+
+def test_source_overlap_shingle_reuse_path_identical(spark, tables):
+    """The suite's reuse path (per-group distinct derived from the
+    cached doc-level shingle pass) must equal the direct tokenize."""
+    from distributedqueryengine_spark.functions import dedup as D
+
+    d = tables["documents"]
+    direct = D.source_overlap_matrix(d, "source", "text", n=3, portable=True)
+    sh = D.shingles(d, "doc_id", "text", 3, portable=True)
+    src_sh = (
+        sh.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select(F.col("source").alias("id"), "sh")
+        .distinct()
+    )
+    reused = D.source_overlap_matrix(
+        d, "source", "text", n=3, portable=True, group_shingles=src_sh
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, reused.collect()))
+    assert a == b
