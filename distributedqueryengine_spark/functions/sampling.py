@@ -208,6 +208,15 @@ def select_until_budget(
             F.col(score_col).cast("double").alias("score"),
             F.col(weight_col).cast("long").alias("wt"),
         )
+        # null score/weight/id rows have no place in the rank order and
+        # would poison the running total (and the driver-side bucket
+        # sort) — they are never selectable, drop them up front
+        .filter(
+            F.col("id").isNotNull()
+            & F.col("score").isNotNull()
+            & ~F.isnan("score")
+            & F.col("wt").isNotNull()
+        )
     )
     stats = src.agg(
         F.count(F.lit(1)).alias("n"),

@@ -301,3 +301,20 @@ def test_training_order_curriculum_first_epochs_sorted(spark):
     e1 = [difficulty[r["id"]] for r in sorted(
         (r for r in out if r["epoch"] == 1), key=lambda r: r["pos"])]
     assert e1 != sorted(e1)  # later epoch: fully shuffled
+
+
+def test_budget_null_and_nan_rows_dropped(spark):
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    rows = [
+        (1, 0.9, 10),
+        (2, None, 10),            # null score: unrankable
+        (3, float("nan"), 10),    # NaN score: unrankable
+        (4, 0.8, None),           # null weight: unsummable
+        (5, 0.7, 10),
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    got = sorted(r["id"] for r in select_until_budget(df, 100).collect())
+    assert got == [1, 5]
