@@ -40,7 +40,12 @@ from distributedqueryengine_spark.functions.dsir import (
     hashed_ngram_occurrences as _gram_buckets,
 )
 
-__all__ = ["LogRegModel", "fit_hashed_logreg", "score_hashed_logreg"]
+__all__ = [
+    "LogRegModel",
+    "fit_hashed_logreg",
+    "score_hashed_logreg",
+    "explain_hashed_logreg",
+]
 
 
 class LogRegModel(NamedTuple):
@@ -189,4 +194,95 @@ def score_hashed_logreg(
                 )
             ).alias("score"),
         )
+    )
+
+
+def explain_hashed_logreg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: LogRegModel,
+    k: int = 20,
+) -> DataFrame:
+    """Model introspection: the top-k most positive and most negative
+    n-grams, resolved from hash buckets back to grams actually observed
+    in `df` (hashing is one-way; the corpus is the dictionary). For
+    each surviving gram: its bucket weight, corpus occurrence count,
+    and how many distinct grams share its bucket (collision context —
+    a heavy bucket's weight is attributable only up to its collision
+    set, which this column makes explicit).
+
+    One gram scan (the same arrays_zip codegen pass as the featurizer),
+    a vocab-sized distinct count, a broadcast join against the nonzero
+    weights (<= num_buckets rows), and two TakeOrdered top-k's — the
+    corpus-sized stage map-side-combines into vocabulary-sized state.
+
+    Returns (direction, gram, bucket, weight, n_occurrences,
+    n_grams_in_bucket) with direction in {'positive', 'negative'},
+    each side ordered by |weight| desc then gram asc.
+    """
+    spark = df.sparkSession
+    wt = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(model.weights) if v != 0.0]
+        or [(0, 0.0)],
+        "bucket long, w double",
+    )
+    occ = _gram_occurrence_counts(
+        df, id_col, text_col, model.num_buckets, model.portable
+    )
+    per_bucket = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_grams_in_bucket")
+    )
+    scored = (
+        occ.join(F.broadcast(wt), "bucket")
+        .join(F.broadcast(per_bucket), "bucket")
+        .select(
+            "gram", "bucket", F.col("w").alias("weight"),
+            "n_occurrences", "n_grams_in_bucket",
+        )
+    )
+    pos = (
+        scored.filter(F.col("weight") > 0)
+        .orderBy(F.col("weight").desc(), F.col("gram").asc())
+        .limit(k)
+        .select(F.lit("positive").alias("direction"), "*")
+    )
+    neg = (
+        scored.filter(F.col("weight") < 0)
+        .orderBy(F.col("weight").asc(), F.col("gram").asc())
+        .limit(k)
+        .select(F.lit("negative").alias("direction"), "*")
+    )
+    return pos.unionByName(neg)
+
+
+def _gram_occurrence_counts(
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int, portable: bool
+) -> DataFrame:
+    """(gram, bucket, n_occurrences): corpus-wide counts per distinct
+    unigram/bigram, with the model's bucket assignment."""
+    from distributedqueryengine_spark.functions.dedup import portable_hash64
+    from distributedqueryengine_spark.functions.text import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(text_col), " "), lambda t: F.length(t) > 0
+    )
+    base = df.select(toks.alias("t"))
+    uni = base.select(F.explode("t").alias("g"))
+    n_bi = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(F.col("t"), 1, n_bi).alias("a"),
+        F.slice(F.col("t"), 2, n_bi).alias("b"),
+    )
+    bi = base.select(F.explode(zipped).alias("z")).select(
+        F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("g")
+    )
+    grams = uni.unionByName(bi).groupBy(F.col("g").alias("gram")).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    h = (
+        portable_hash64(F.col("gram")) if portable else F.xxhash64(F.col("gram"))
+    )
+    return grams.select(
+        "gram", F.pmod(h, F.lit(num_buckets)).alias("bucket"), "n_occurrences"
     )

@@ -136,3 +136,34 @@ def test_streaming_scoring_matches_batch(spark, planted, tmp_path):
     assert set(got) == set(want)
     for i, s in want.items():
         assert abs(got[i] - s) < 1e-12
+
+
+def test_explain_surfaces_planted_vocab(spark, planted):
+    from distributedqueryengine_spark.functions.quality_clf import (
+        explain_hashed_logreg,
+    )
+
+    model = fit_hashed_logreg(
+        planted, "id", "text", "label", num_buckets=4096, iters=25, lr=2.0
+    )
+    out = explain_hashed_logreg(planted, "id", "text", model, k=10).collect()
+    good_vocab = {"the", "model", "learns", "clean", "prose", "here"}
+    bad_vocab = {"zz", "spam", "buy", "now", "click"}
+    # a colliding bucket legitimately lists grams from BOTH vocabularies
+    # (that is what n_grams_in_bucket flags); the precise claim is about
+    # collision-FREE rows: their vocabulary must match their direction
+    pos = [r["gram"] for r in out
+           if r["direction"] == "positive" and r["n_grams_in_bucket"] == 1]
+    neg = [r["gram"] for r in out
+           if r["direction"] == "negative" and r["n_grams_in_bucket"] == 1]
+    for g in pos:
+        assert all(w in good_vocab for w in g.split()), g
+    for g in neg:
+        assert all(w in bad_vocab for w in g.split()), g
+    assert pos and neg
+    # weights ordered by |w| desc on each side; counts are real
+    pw = [r["weight"] for r in out if r["direction"] == "positive"]
+    nw = [r["weight"] for r in out if r["direction"] == "negative"]
+    assert pw == sorted(pw, reverse=True) and all(w > 0 for w in pw)
+    assert nw == sorted(nw) and all(w < 0 for w in nw)
+    assert all(r["n_occurrences"] >= 1 and r["n_grams_in_bucket"] >= 1 for r in out)
