@@ -747,3 +747,88 @@ def test_collocations_pmi_planted_phrase_wins(spark):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
     top = collocations_pmi(df, "text", min_count=5, k=3).collect()
     assert top[0]["term"] == "foo bar"
+
+
+# --------------------------------------------------------------------------
+# dataset_diff (r13): snapshot-over-snapshot corpus diff
+# --------------------------------------------------------------------------
+
+def test_dataset_diff_planted(spark):
+    from distributedqueryengine_spark.functions.text import dataset_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "a"),       # unchanged
+            (2, "delta eps", "a"),              # changed content
+            (3, "to be removed entirely", "b"), # removed
+            (4, "Same   TEXT here", "b"),       # unchanged modulo normalization
+        ],
+        "doc_id long, text string, src string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "a"),
+            (2, "delta eps zeta eta", "a"),     # +2 tokens
+            (4, "same text  HERE", "b"),        # normalized-equal: unchanged
+            (5, "brand new doc", "b"),          # added (3 tokens)
+        ],
+        "doc_id long, text string, src string",
+    )
+    got = {r["group"]: r.asDict() for r in
+           dataset_diff(old, new, "doc_id", "text", group_col="src").collect()}
+    assert got["a"]["n_added"] == 0 and got["a"]["n_removed"] == 0
+    assert got["a"]["n_changed"] == 1 and got["a"]["n_unchanged"] == 1
+    assert got["a"]["tokens_delta"] == 2
+    assert got["b"]["n_added"] == 1 and got["b"]["n_removed"] == 1
+    assert got["b"]["n_changed"] == 0 and got["b"]["n_unchanged"] == 1
+    assert got["b"]["tokens_delta"] == 3 - 4  # +new doc(3) -removed(4)
+
+
+def test_dataset_diff_all_group_and_identity(spark, tables):
+    from distributedqueryengine_spark.functions.text import dataset_diff
+
+    docs = tables["documents"].select("doc_id", "text")
+    same = dataset_diff(docs, docs).collect()
+    assert len(same) == 1
+    r = same[0]
+    assert r["group"] == "__all__"
+    assert r["n_added"] == r["n_removed"] == r["n_changed"] == 0
+    assert r["n_unchanged"] == docs.count()
+    assert r["tokens_delta"] == 0
+
+
+def test_dataset_diff_python_differential(spark):
+    import random
+
+    from distributedqueryengine_spark.functions.text import dataset_diff
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    mk = lambda: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+    old_rows = {i: mk() for i in range(80)}
+    new_rows = {}
+    for i, t in old_rows.items():
+        p = rng.random()
+        if p < 0.2:
+            continue                 # removed
+        new_rows[i] = mk() if p < 0.5 else t  # maybe changed
+    for i in range(80, 100):
+        new_rows[i] = mk()           # added
+    tok = lambda t: len(t.split())
+    exp = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0, "dt": 0}
+    for i in set(old_rows) | set(new_rows):
+        o, n = old_rows.get(i), new_rows.get(i)
+        if o is None:
+            exp["added"] += 1; exp["dt"] += tok(n)
+        elif n is None:
+            exp["removed"] += 1; exp["dt"] -= tok(o)
+        elif o == n:
+            exp["unchanged"] += 1
+        else:
+            exp["changed"] += 1; exp["dt"] += tok(n) - tok(o)
+    old_df = spark.createDataFrame(list(old_rows.items()), "doc_id long, text string")
+    new_df = spark.createDataFrame(list(new_rows.items()), "doc_id long, text string")
+    r = dataset_diff(old_df, new_df).collect()[0]
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"],
+            r["tokens_delta"]) == (
+        exp["added"], exp["removed"], exp["changed"], exp["unchanged"], exp["dt"])
