@@ -371,3 +371,38 @@ def training_order(
     w = Window.partitionBy("epoch").orderBy(*order)
     out = crossed.withColumn("pos", F.row_number().over(w) - 1)
     return out.select("epoch", "id", "pos")
+
+
+def apply_mixture_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    group_col: str,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize a mixture: keep exactly ceil(rate_g * n_g) rows of
+    each group, chosen by a content-independent md5 rank (pure function
+    of (seed, id) — deterministic across engines, reruns, and cluster
+    layouts). `rates` is a (group, rate) table, e.g. from
+    :func:`temperature_mixture_rates`; groups absent from it keep
+    nothing, rates >= 1 keep everything.
+
+    One broadcast join (rates is groups-sized) + one window shuffle on
+    the group key — the rank-quota shape q_sample_mixture uses, with
+    the rates now data-driven instead of hard-coded.
+    """
+    from pyspark.sql.window import Window
+
+    r = rates.select(F.col("group").alias(group_col), "rate")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    cw = Window.partitionBy(group_col)
+    return (
+        df.join(F.broadcast(r), group_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("__rn") <= F.ceil(F.col("rate") * F.col("__n")))
+        .drop("__rn", "__n", "rate")
+    )

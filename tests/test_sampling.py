@@ -318,3 +318,54 @@ def test_budget_null_and_nan_rows_dropped(spark):
     df = spark.createDataFrame(rows, "id long, score double, w long")
     got = sorted(r["id"] for r in select_until_budget(df, 100).collect())
     assert got == [1, 5]
+
+
+def test_apply_mixture_rates_exact_quotas_and_determinism(spark):
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+        temperature_mixture_rates,
+    )
+
+    counts = {"big": 400, "mid": 100, "small": 20}
+    rows = [(g, g + str(i)) for g, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(
+        [(g, i, k) for i, (g, k) in enumerate(rows)],
+        "src string, id long, key string",
+    )
+    rates = temperature_mixture_rates(df, "src", temperature=3.0)
+    out = apply_mixture_rates(df, rates, "src", "id", seed=5)
+    got = {r["src"]: 0 for r in out.select("src").distinct().collect()}
+    for r in out.groupBy("src").count().collect():
+        got[r["src"]] = r["count"]
+    rmap = {r["group"]: r["rate"] for r in rates.collect()}
+    import math
+
+    for g, n in counts.items():
+        assert got[g] == math.ceil(rmap[g] * n), g
+    # deterministic: identical selection on rerun
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(
+        r["id"] for r in apply_mixture_rates(df, rates, "src", "id", seed=5).collect()
+    )
+    assert a == b
+    # different seed selects a different (same-sized) subset
+    c = sorted(
+        r["id"] for r in apply_mixture_rates(df, rates, "src", "id", seed=6).collect()
+    )
+    assert len(c) == len(a) and c != a
+
+
+def test_apply_mixture_rates_edge_rates(spark):
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 100 + i) for i in range(10)],
+        "src string, id long",
+    )
+    rates = spark.createDataFrame(
+        [("a", 1.0)], "group string, rate double"  # b absent → dropped
+    )
+    out = apply_mixture_rates(df, rates, "src", "id")
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))
