@@ -115,3 +115,97 @@ def groups_frame_agg(
     for name, expr in agg_exprs.items():
         out = out.withColumn(name, expr.over(w_groups))
     return out.drop("_dr")
+
+
+def distributed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    ascending: bool = True,
+    n_buckets: int = 1024,
+    out: str = "rnk",
+    percentile: str | None = None,
+) -> DataFrame:
+    """Exact global row_number over (value, id) WITHOUT the
+    single-partition window Spark plans for an unpartitioned
+    ``row_number().over(Window.orderBy(...))`` — the shape that
+    silently serializes a 100 TB rank through one task.
+
+    Two-phase (the packing/_prefix_sum family): rows bucket by
+    fixed-width value ranges (monotone in the global order), per-bucket
+    counts partial-aggregate to <= n_buckets rows, the driver computes
+    the exclusive prefix over bucket counts (bounded work), and each
+    bucket ranks its own rows in parallel with the bucket base added.
+    Ties on value break by id, so the rank is total and deterministic
+    on any cluster layout. Degenerate distributions (all values equal)
+    fall back to id-range bucketing, which IS the order there.
+
+    With ``percentile=<name>``, also emits (rank-1)/(n-1) — the exact
+    percentile_rank, same semantics as F.percent_rank over the global
+    window (0 for the first row, 1 for the last; 0.0 when n == 1).
+
+    NULL values sort first when ascending (last when descending) —
+    matching Spark's default NULL ordering — via a driver-checked
+    sentinel bucket.
+    """
+    src = df.withColumn("__v", F.col(value_col).cast("double"))
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        F.min(id_col).alias("lo_i"),
+        F.max(id_col).alias("hi_i"),
+        F.sum(F.col("__v").isNull().cast("long")).alias("n_null"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        res = src.withColumn(out, F.lit(0).cast("long")).drop("__v").limit(0)
+        if percentile:
+            res = res.withColumn(percentile, F.lit(0.0))
+        return res
+    # NULLs: Spark orders them FIRST ascending / LAST descending.
+    null_bkt = F.lit(-1) if ascending else F.lit(n_buckets)
+    if stats["hi"] is not None and stats["hi"] > stats["lo"]:
+        width = (stats["hi"] - stats["lo"]) / float(n_buckets)
+        pos = (
+            (F.col("__v") - F.lit(stats["lo"]))
+            if ascending
+            else (F.lit(stats["hi"]) - F.col("__v"))
+        )
+        val_bkt = F.least(
+            F.floor(pos / F.lit(width)), F.lit(n_buckets - 1)
+        ).cast("long")
+    else:
+        span = (stats["hi_i"] - stats["lo_i"]) + 1 if stats["hi_i"] is not None else 1
+        width_i = max(1, -(-span // n_buckets))
+        val_bkt = ((F.col(id_col) - F.lit(stats["lo_i"])) / F.lit(width_i)).cast("long")
+    b = src.withColumn(
+        "__bkt", F.when(F.col("__v").isNull(), null_bkt).otherwise(val_bkt)
+    )
+    totals = {
+        r["__bkt"]: r["c"]
+        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base, acc = {}, 0
+    for kb in sorted(totals):
+        base[kb] = acc
+        acc += totals[kb]
+    bases = df.sparkSession.createDataFrame(
+        list(base.items()), "__bkt long, __base long"
+    )
+    order = (
+        [F.col("__v").asc_nulls_first(), F.col(id_col).asc()]
+        if ascending
+        else [F.col("__v").desc_nulls_last(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("__bkt").orderBy(*order)
+    res = (
+        b.join(F.broadcast(bases), "__bkt")
+        .withColumn(out, (F.col("__base") + F.row_number().over(w)).cast("long"))
+        .drop("__bkt", "__base", "__v")
+    )
+    if percentile:
+        denom = max(stats["n"] - 1, 1)
+        res = res.withColumn(
+            percentile, (F.col(out) - 1) / F.lit(float(denom))
+        )
+    return res
