@@ -340,37 +340,55 @@ def training_order(
 
     Output: one row per (epoch, id) with `pos` (0-based within epoch).
     The permutation key is a pure function of (seed, epoch, id), so
-    shards can be materialized independently per epoch; position comes
-    from a window over the epoch — at 100 TB you'd range-partition by
-    the key and keep per-partition offsets (packing._prefix_sum shape)
-    instead of ranking, which this implementation does NOT need at
-    fixture scale but the key construction already supports.
+    shards can be materialized independently per epoch — and they ARE:
+    shuffled epochs rank through
+    :func:`operators.windows.distributed_global_rank` (value-range
+    buckets + driver prefix, one call per epoch, each fully parallel),
+    never through a one-partition-per-epoch window. Curriculum epochs
+    (a composite (difficulty, perm) order) use a per-epoch window —
+    acceptable while the curriculum phase is a handful of epochs, and
+    documented as the remaining fixture-scale path.
     """
     if n_epochs < 1:
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     from pyspark.sql.window import Window
 
-    epochs = df.sparkSession.range(n_epochs).withColumnRenamed("id", "epoch")
+    from distributedqueryengine_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
     base = df.select(F.col(id_col).alias("id"), *(
         [(F.col(curriculum_col) if isinstance(curriculum_col, str)
           else curriculum_col).alias("__cur")] if curriculum_col is not None else []
     ))
-    crossed = base.crossJoin(F.broadcast(epochs))
-    perm = F.md5(
-        F.concat_ws("§", F.lit(str(seed)), F.col("epoch").cast("string"),
-                    F.col("id").cast("string"))
-    )
-    if curriculum_col is not None and curriculum_epochs > 0:
-        order = [
-            F.when(F.col("epoch") < curriculum_epochs, F.col("__cur")).otherwise(F.lit(0.0)),
-            perm,
-            F.col("id"),
-        ]
-    else:
-        order = [perm, F.col("id")]
-    w = Window.partitionBy("epoch").orderBy(*order)
-    out = crossed.withColumn("pos", F.row_number().over(w) - 1)
-    return out.select("epoch", "id", "pos")
+    n_curr = curriculum_epochs if curriculum_col is not None else 0
+    parts = []
+    for e in range(n_epochs):
+        u = _uniform01(F.col("id").cast("string"), seed=seed * 1_000_003 + e)
+        if e < n_curr:
+            w = Window.orderBy(F.col("__cur").asc(), u.asc(), F.col("id").asc())
+            parts.append(
+                base.select(
+                    F.lit(e).cast("long").alias("epoch"),
+                    "id",
+                    (F.row_number().over(w) - 1).alias("pos"),
+                )
+            )
+        else:
+            ranked = distributed_global_rank(
+                base.select("id", u.alias("__u")), "__u", "id", out="__r"
+            )
+            parts.append(
+                ranked.select(
+                    F.lit(e).cast("long").alias("epoch"),
+                    "id",
+                    (F.col("__r") - 1).alias("pos"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def apply_mixture_rates(
