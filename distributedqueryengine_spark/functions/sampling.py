@@ -177,39 +177,48 @@ def select_until_budget(
     the standard curation step when assembling a fixed-size training
     set from a scored corpus.
 
-    Distributed exact prefix sum WITHOUT a global sort (the
-    packing._prefix_sum two-phase shape, re-keyed to the ranking
-    order): rows bucket by fixed-width score ranges (descending, so
-    bucket index is monotone in rank order), bucket totals aggregate
-    map-side to <= n_buckets rows, the driver computes the exclusive
-    cumsum over those totals (bounded work), and each bucket finishes
-    its own window cumsum in parallel. Because the inclusive running
-    total is monotone along the rank order, ``cum <= budget`` IS the
-    maximal prefix — no second pass to find the cut point. Skew
-    contract: rows sharing one score value land in one bucket's
-    window; a corpus where most mass has literally identical scores
-    degrades that window to a hot partition (then: pre-quantize less,
-    or spread ties by bucketing on id — which this does automatically
-    when ALL scores are equal, since rank order degenerates to id).
+    Distributed exact prefix sum WITHOUT a global sort, skew-adaptive:
+    rows segment monotonically in rank order via
+    operators.windows._rank_segments (fixed-width score ranges
+    descending; heavy segments refine by finer ranges, and segments
+    dominated by ONE tied score — the realistic quality-heuristic
+    distribution where 40% of a corpus scores exactly 0.0 — split at
+    sampled id boundaries, which stay monotone because ties order by
+    id). Segment weight totals aggregate map-side to a driver-bounded
+    table, the driver computes the exclusive cumsum (and prunes every
+    segment whose base already exceeds the budget — a partition-
+    pruning analog), and each surviving segment finishes its own
+    window cumsum in parallel. Because the inclusive running total is
+    monotone along the rank order, ``cum <= budget`` IS the maximal
+    prefix — no second pass to find the cut point, and the selection
+    is invariant to where segment boundaries land.
 
-    Returns the selected rows as (id, score, weight, cum) with cum the
-    inclusive running total, deterministic on any cluster layout.
+    The id column keeps its NATIVE type (any orderable type works —
+    string doc-ids included; r13 ADVICE fixed the silent cast-to-long
+    that nulled them out). Rows with NULL id/score/weight or NaN score
+    are never selectable and are dropped up front. Returns the
+    selected rows as (id, score, weight, cum) with cum the inclusive
+    running total, deterministic on any cluster layout.
     """
-    # the function runs three jobs over this projection (corpus stats,
-    # bucket totals, the final windowed pass) — persist it through the
-    # shared bounded registry so the upstream scoring expressions (often
-    # expensive, e.g. quality heuristics) evaluate ONCE, with the same
-    # no-net-growth discipline as dedup's pipeline cache
+    from pyspark.sql.window import Window
+
+    # the function runs a handful of bounded jobs over this projection
+    # (segment stats, optional refinement, the final windowed pass) —
+    # persist it through the shared bounded registry so the upstream
+    # scoring expressions (often expensive, e.g. quality heuristics)
+    # evaluate ONCE, with the same no-net-growth discipline as dedup's
+    # pipeline cache
     from distributedqueryengine_spark.functions.dedup import _scoped_persist
+    from distributedqueryengine_spark.operators.windows import _rank_segments
 
     src = _scoped_persist(
         df.select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col(id_col).alias("id"),
             F.col(score_col).cast("double").alias("score"),
             F.col(weight_col).cast("long").alias("wt"),
         )
         # null score/weight/id rows have no place in the rank order and
-        # would poison the running total (and the driver-side bucket
+        # would poison the running total (and the driver-side segment
         # sort) — they are never selectable, drop them up front
         .filter(
             F.col("id").isNotNull()
@@ -218,59 +227,41 @@ def select_until_budget(
             & F.col("wt").isNotNull()
         )
     )
-    stats = src.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("score").alias("lo_s"),
-        F.max("score").alias("hi_s"),
-        F.min("id").alias("lo_i"),
-        F.max("id").alias("hi_i"),
-    ).collect()[0]
-    empty = src.withColumn("cum", F.lit(0).cast("long")).limit(0)
-    if stats["n"] == 0:
-        return empty.withColumnRenamed("wt", "weight")
-    if stats["hi_s"] > stats["lo_s"]:
-        width = (stats["hi_s"] - stats["lo_s"]) / float(n_buckets)
-        bkt = F.least(
-            F.floor((F.lit(stats["hi_s"]) - F.col("score")) / F.lit(width)),
-            F.lit(n_buckets - 1),
-        ).cast("long")
-    else:
-        # all scores equal → rank order is id asc; bucket by id ranges
-        span = stats["hi_i"] - stats["lo_i"] + 1
-        width_i = max(1, -(-span // n_buckets))
-        bkt = ((F.col("id") - F.lit(stats["lo_i"])) / F.lit(width_i)).cast("long")
-    b = src.withColumn("bkt", bkt)
-    totals = {
-        r["bkt"]: r["tot"]
-        for r in b.groupBy("bkt").agg(F.sum("wt").alias("tot")).collect()
-    }
-    base, acc = {}, 0
-    for kb in sorted(totals):
-        base[kb] = acc
-        acc += totals[kb]
-        if base[kb] > budget:
-            # every row at or past this bucket starts beyond the
-            # budget — prune the scan early (partition-pruning analog)
-            break
-    keep = [(kb, off) for kb, off in base.items()]
-    bases = df.sparkSession.createDataFrame(keep, "bkt long, base long")
-    from pyspark.sql.window import Window
-
+    # rank order is (score desc, id asc) → ascending key = -score
+    ksrc = src.withColumn("__k", -F.col("score"))
+    b, segs = _rank_segments(
+        ksrc, "id", n_buckets, F.sum("wt"), nulls_first=True
+    )
+    if not segs:
+        return (
+            src.withColumnRenamed("wt", "weight")
+            .withColumn("cum", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    base_rows, acc = [], 0
+    for seg_id, _cnt, wsum in segs:
+        if acc <= budget:
+            # segments whose exclusive base already exceeds the budget
+            # can never contribute — prune them before the scan
+            base_rows.append((seg_id, acc))
+        acc += int(wsum)
+    bases = df.sparkSession.createDataFrame(base_rows, "__seg long, __base long")
     w = (
-        Window.partitionBy("bkt")
+        Window.partitionBy("__seg")
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = (
-        b.join(F.broadcast(bases), "bkt")
+    return (
+        b.join(F.broadcast(bases), "__seg")
         .withColumn(
             "cum",
-            F.col("base") + F.coalesce(F.sum("wt").over(w), F.lit(0)) + F.col("wt"),
+            F.col("__base")
+            + F.coalesce(F.sum("wt").over(w), F.lit(0))
+            + F.col("wt"),
         )
         .filter(F.col("cum") <= budget)
         .select("id", "score", F.col("wt").alias("weight"), "cum")
     )
-    return out
 
 
 def temperature_mixture_rates(

@@ -551,12 +551,18 @@ ORACLES["sample_hash_split"] = r"""
 ORACLES["sample_budget"] = r"""
         WITH t AS (
             SELECT doc_id, lang,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   -- blank-text guard (mirrors Spark token_count = 0;
+                   -- split('') is [''] len 1 in BOTH engines, so the
+                   -- stop/word-len ratio terms below need no guard)
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                   END AS nt
             FROM documents),
         s AS (
             SELECT doc_id, lang,
-                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                   round((least(len(toks) / 50.0, 1.0)
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   round((least(nt / 50.0, 1.0)
                           + least(5.0 * CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE) / len(toks), 1.0)
                           + CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
                                  THEN 1.0 ELSE 0.3 END) / 3.0, 4) AS quality

@@ -369,3 +369,99 @@ def test_apply_mixture_rates_edge_rates(spark):
     )
     out = apply_mixture_rates(df, rates, "src", "id")
     assert sorted(r["id"] for r in out.collect()) == list(range(10))
+
+
+# --------------------------------------------------------------------------
+# r14: tie-skew + native-id-type contracts for select_until_budget
+# --------------------------------------------------------------------------
+
+def test_budget_tie_skew_dominant_score(spark):
+    """40%-of-the-corpus-scores-exactly-0.0 shape (the r13 verdict's
+    realistic quality-heuristic distribution): the tied mass must rank
+    through balanced refined segments and still produce the exact
+    maximal prefix."""
+    import random
+
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(3000):
+        s = 0.0 if rng.random() < 0.4 else round(rng.random(), 3)
+        rows.append((i, s, rng.randint(1, 5)))
+    budget = sum(w for _, _, w in rows) * 2 // 3
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    got = sorted(
+        (r["id"], r["score"], r["weight"], r["cum"])
+        for r in select_until_budget(df, budget, n_buckets=16).collect()
+    )
+    assert got == sorted(_py_budget(rows, budget))
+
+
+def test_budget_string_ids_native_type(spark):
+    """r13 ADVICE: the old implementation cast ids to long and silently
+    dropped every row with a string id (empty selection). Native-typed
+    ids must now select correctly, ties ordered by string id."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+    )
+
+    rows = [(f"doc-{i:04d}", 1.0, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, score double, w long")
+    got = select_until_budget(df, 55).collect()
+    assert sorted(r["id"] for r in got) == [f"doc-{i:04d}" for i in range(5)]
+    assert max(r["cum"] for r in got) == 50
+    assert dict(df.dtypes)["id"] == "string"
+    assert {type(r["id"]) for r in got} == {str}
+
+
+def test_sample_budget_oracle_parity_with_blank_docs(spark, tmp_path):
+    """r13 ADVICE: blank text made the sample_budget oracle diverge
+    (DuckDB split('') is [''] len 1; Spark token_count is 0). The
+    oracle now carries the same blank-guard as pack_sequences — pin
+    the parity on a planted corpus WITH blank/whitespace docs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributedqueryengine_spark.oracles import ORACLES
+    from distributedqueryengine_spark.queries import q_sample_budget
+
+    rows = [
+        (1, "the cat sat on the mat and it was a fine day for all of us", "en"),
+        (2, "", "en"),
+        (3, "   ", "xx"),
+        (4, "short text with a few words in it for the test", "en"),
+        (5, "another document of reasonable prose that is long enough", "xx"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array([r[2] for r in rows]),
+                "source": pa.array(["s1"] * len(rows)),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"], round(r["quality"], 4), r["cum_tokens"])
+        for r in q_sample_budget(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ref = sorted(
+        (r[0], r[1], round(r[2], 4), r[3])
+        for r in con.execute(ORACLES["sample_budget"]).fetchall()
+    )
+    # all five docs fit the 8000-token budget, so the blank docs ARE in
+    # the compared output — the pre-fix oracle diverges on them
+    assert len(got) == 5
+    assert got == ref
