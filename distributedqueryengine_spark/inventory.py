@@ -231,6 +231,9 @@ def q_order_limit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tagged("skyline", Q.q_skyline_orders(spark, sf_dir),
                 {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
                  "s": "o_orderstatus", "ts_epoch": "ts_epoch"}, _TOPK_S),
+        _tagged("global_rank", Q.q_global_rank_orders(spark, sf_dir),
+                {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
+                 "rn": "g_rnk"}, _TOPK_S),
     ])
 
 
@@ -843,7 +846,28 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tagged("dsir_sel", Q.dsir_select_branch(scored),
                 {"key": F.col("id").cast("string"), "lang": "lang",
                  "n": "n_grams"}, _SAMPLE_S),
+        _tagged("mixture_applied", _mixture_applied(spark, sf_dir),
+                {"key": F.col("doc_id").cast("string"), "lang": "source"},
+                _SAMPLE_S),
     ])
+
+
+def _mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven mixture materialization (r14 driver promotion):
+    temperature_mixture_rates at T=0.5 (sharpen toward large sources;
+    pow(n, 2) keeps the rate arithmetic bit-identical across engines)
+    feeding apply_mixture_rates — the ceil(rate·n) md5-rank quota per
+    source (functions/sampling.py:276,394)."""
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+        temperature_mixture_rates,
+    )
+
+    d = Q._t(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(d, "source", temperature=0.5)
+    return apply_mixture_rates(d, rates, "source", "doc_id", seed=0).select(
+        "doc_id", "source"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1007,6 +1031,9 @@ COMPOSITE_ORACLES["order_limit_suite"] = _sql_union([
     _sql_tagged("skyline", ORACLES["skyline_orders"],
                 {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
                  "s": "o_orderstatus", "ts_epoch": "ts_epoch"}, _TOPK_S),
+    _sql_tagged("global_rank", ORACLES["global_rank_orders"],
+                {"key": "o_custkey", "id": "o_orderkey", "v": "o_totalprice",
+                 "rn": "g_rnk"}, _TOPK_S),
 ])
 
 # Bench/baseline-only oracle substitutions. The driver's sf0.01
@@ -1035,6 +1062,9 @@ BASELINE_ORACLE_OVERRIDES: dict[str, str] = {
                     {"key": "o_custkey", "id": "o_orderkey",
                      "v": "o_totalprice", "s": "o_orderstatus",
                      "ts_epoch": "ts_epoch"}, _TOPK_S),
+        _sql_tagged("global_rank", ORACLES["global_rank_orders"],
+                    {"key": "o_custkey", "id": "o_orderkey",
+                     "v": "o_totalprice", "rn": "g_rnk"}, _TOPK_S),
     ]),
 }
 
@@ -1413,6 +1443,9 @@ COMPOSITE_ORACLES["sample_suite"] = _sql_union([
     _sql_tagged("dsir_sel", ORACLES["dsir_select"],
                 {"key": "CAST(id AS VARCHAR)", "lang": "lang",
                  "n": "n_grams"}, _SAMPLE_S),
+    _sql_tagged("mixture_applied", ORACLES["sample_mixture_applied"],
+                {"key": "CAST(doc_id AS VARCHAR)", "lang": "source"},
+                _SAMPLE_S),
 ])
 
 COMPOSITE_ORACLES["stream_windows_suite"] = _sql_union([

@@ -527,10 +527,105 @@ ORACLES["text_wordcount_suite"] = r"""
             JOIN uni ub ON ub.tok = big.b
             CROSS JOIN nb CROSS JOIN nu
             WHERE n_ab >= 5
-            QUALIFY row_number() OVER (ORDER BY score DESC, term ASC) <= 20)
+            QUALIFY row_number() OVER (ORDER BY score DESC, term ASC) <= 20),
+             -- 'diff' branch (r14): dataset_diff — old snapshot = docs
+             -- with doc_id % 7 != 0, planted ' extra tail' edit on
+             -- doc_id % 5 == 0; change detection by md5 of normalized
+             -- text, token counts blank-guarded like pack_sequences
+             oldd AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0 THEN text || ' extra tail'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 7 <> 0),
+             po AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                   END AS nt
+            FROM oldd),
+             pn AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                   END AS nt
+            FROM documents),
+             dj AS (
+            SELECT COALESCE(pn.source, po.source) AS grp,
+                   CASE WHEN po.fp IS NULL THEN 'added'
+                        WHEN pn.fp IS NULL THEN 'removed'
+                        WHEN po.fp = pn.fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   COALESCE(pn.nt, 0) - COALESCE(po.nt, 0) AS dt
+            FROM po FULL OUTER JOIN pn USING (doc_id)),
+             dagg AS (
+            SELECT grp,
+                   sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+                   sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+                   sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+                   sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+                   sum(dt) AS tok_delta
+            FROM dj GROUP BY grp),
+             diffb AS (
+            SELECT 'diff' AS branch, grp || '|added' AS term,
+                   CAST(n_added AS BIGINT) AS n,
+                   CAST(NULL AS DOUBLE) AS score FROM dagg
+            UNION ALL
+            SELECT 'diff', grp || '|removed', CAST(n_removed AS BIGINT),
+                   NULL FROM dagg
+            UNION ALL
+            SELECT 'diff', grp || '|changed', CAST(n_changed AS BIGINT),
+                   NULL FROM dagg
+            UNION ALL
+            SELECT 'diff', grp || '|unchanged', CAST(n_unchanged AS BIGINT),
+                   NULL FROM dagg
+            UNION ALL
+            SELECT 'diff', grp || '|tok_delta', CAST(tok_delta AS BIGINT),
+                   NULL FROM dagg),
+             -- 'clf_pos'/'clf_neg' branches (r14): explain_hashed_logreg
+             -- over the deterministic synthetic model
+             -- w[b] = ((b·2654435761) mod 2048 − 1024)/1024 (exact in
+             -- doubles, bijective over buckets → tie-free weights).
+             -- Grams = nonempty unigrams + adjacent bigrams; bucket =
+             -- portable 60-bit md5 hash mod 1024; collision context =
+             -- distinct grams per bucket
+             cg AS (
+            SELECT tok AS gram, n_tok AS n_occ FROM uni WHERE tok <> ''
+            UNION ALL
+            SELECT a || ' ' || b AS gram, n_ab FROM big),
+             cgb AS (
+            SELECT gram, n_occ,
+                   CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 1024 AS bucket
+            FROM cg),
+             cgw AS (
+            SELECT gram, n_occ, bucket,
+                   ((bucket * 2654435761) % 2048 - 1024) / 1024.0 AS w,
+                   count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+            FROM cgb),
+             clfp AS (
+            SELECT 'clf_pos' AS branch,
+                   gram || '|' || CAST(bucket AS VARCHAR) || '|'
+                        || CAST(n_in_bucket AS VARCHAR) AS term,
+                   n_occ AS n, w AS score
+            FROM cgw WHERE w > 0
+            QUALIFY row_number() OVER (ORDER BY w DESC, gram ASC) <= 20),
+             clfn AS (
+            SELECT 'clf_neg' AS branch,
+                   gram || '|' || CAST(bucket AS VARCHAR) || '|'
+                        || CAST(n_in_bucket AS VARCHAR) AS term,
+                   n_occ AS n, w AS score
+            FROM cgw WHERE w < 0
+            QUALIFY row_number() OVER (ORDER BY w ASC, gram ASC) <= 20)
         SELECT branch, term, n, score FROM unib
         UNION ALL
         SELECT branch, term, n, score FROM pmib
+        UNION ALL
+        SELECT branch, term, n, score FROM diffb
+        UNION ALL
+        SELECT branch, term, n, score FROM clfp
+        UNION ALL
+        SELECT branch, term, n, score FROM clfn
     """
 ORACLES["multimodal_features"] = r"""
         SELECT doc_id AS media_id,
@@ -594,6 +689,41 @@ ORACLES["sample_mixture"] = r"""
                         THEN 0.2 ELSE 0.6 END AS rate
             FROM documents)
         SELECT doc_id, source FROM r WHERE rn <= ceil(rate * n_src)
+    """
+
+# apply_mixture_rates ∘ temperature_mixture_rates (functions/
+# sampling.py) at T = 0.5: rate_g = round(least((n²/Σn²)·Σn/n, 1), 6)
+# — pow(n, 2) is exact in doubles and the divisions follow the same
+# operand order as the Spark expression, so the rounded rates match
+# bit-for-bit; membership = md5-rank quota ceil(rate·n) per source
+# with the seed-0 '0§' key prefix (concat_ws mirror)
+ORACLES["sample_mixture_applied"] = r"""
+        WITH s AS (SELECT source, count(*) AS n_src
+                   FROM documents GROUP BY source),
+        z AS (SELECT sum(pow(n_src, 2.0)) AS z, sum(n_src) AS tot FROM s),
+        rt AS (SELECT source,
+                      round(least((pow(n_src, 2.0) / z.z) * z.tot / n_src,
+                                  1.0), 6) AS rate
+               FROM s CROSS JOIN z),
+        d AS (SELECT doc_id, dd.source, rate,
+                     row_number() OVER (PARTITION BY dd.source
+                         ORDER BY md5('0§' || CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS rn,
+                     count(*) OVER (PARTITION BY dd.source) AS n_src
+              FROM documents dd JOIN rt USING (source))
+        SELECT doc_id, source FROM d WHERE rn <= ceil(rate * n_src)
+    """
+
+# distributed_global_rank over orders: the oracle IS the global
+# window the Spark side refuses to plan (DuckDB can afford it at
+# sf0.01/0.1); thinned to every 37th rank to bound the compare
+ORACLES["global_rank_orders"] = r"""
+        SELECT o_orderkey, o_custkey, o_totalprice, g_rnk
+        FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                     row_number() OVER (ORDER BY o_totalprice ASC,
+                                        o_orderkey ASC) AS g_rnk
+              FROM orders)
+        WHERE (g_rnk - 1) % 37 = 0
     """
 
 # DSIR (functions/dsir.py) — the full hashed-ngram importance pipeline

@@ -1111,15 +1111,30 @@ def q_fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token statistics as a tagged union (r13): the 'unigram'
-    branch is the classic word-count top-20 (explode + two-level hash
-    agg, score = corpus relative frequency), the 'pmi' branch is
-    collocation mining — top-20 adjacent bigrams by pointwise mutual
-    information (functions/text.collocations_pmi). Both are one-scan,
-    partial-aggregated shapes whose shuffled state is vocabulary-sized,
-    not corpus-sized."""
+    """Corpus token statistics as a tagged union (r13/r14): the
+    'unigram' branch is the classic word-count top-20 (explode + two-
+    level hash agg, score = corpus relative frequency), the 'pmi'
+    branch is collocation mining — top-20 adjacent bigrams by pointwise
+    mutual information (functions/text.collocations_pmi), the 'diff'
+    branch is the snapshot-over-snapshot corpus diff
+    (functions/text.dataset_diff — old snapshot simulated as a
+    deterministic subset with planted text edits, so added/changed/
+    token-delta accounting is value-checkable), and the 'clf_pos'/
+    'clf_neg' branches are classifier introspection
+    (functions/quality_clf.explain_hashed_logreg over a deterministic
+    synthetic weight vector — term encodes gram|bucket|collision-set
+    size, n the corpus occurrence count, score the bucket weight).
+    All are one-scan, partial-aggregated shapes whose shuffled state is
+    vocabulary-sized, not corpus-sized."""
+    import numpy as np
+
+    from distributedqueryengine_spark.functions.quality_clf import (
+        LogRegModel,
+        explain_hashed_logreg,
+    )
     from distributedqueryengine_spark.functions.text import (
         collocations_pmi,
+        dataset_diff,
         normalize_text,
     )
 
@@ -1141,7 +1156,53 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pmi = collocations_pmi(d, "text", min_count=5, k=20).select(
         F.lit("pmi").alias("branch"), "term", "n", "score"
     )
-    return unigram.unionByName(pmi)
+    # 'diff' (r14): old snapshot = docs with doc_id % 7 != 0, with a
+    # planted edit on doc_id % 5 == 0 — so added/changed/unchanged and
+    # the token delta are all exercised with nonzero counts
+    old = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" extra tail")),
+        ).otherwise(F.col("text")),
+    )
+    diff = dataset_diff(old, d, "doc_id", "text", group_col="source").select(
+        F.lit("diff").alias("branch"),
+        "group",
+        F.expr(
+            "stack(5, 'added', n_added, 'removed', n_removed,"
+            " 'changed', n_changed, 'unchanged', n_unchanged,"
+            " 'tok_delta', tokens_delta) AS (metric, val)"
+        ),
+    ).select(
+        "branch",
+        F.concat_ws("|", "group", "metric").alias("term"),
+        F.col("val").alias("n"),
+        F.lit(None).cast("double").alias("score"),
+    )
+    # 'clf_pos'/'clf_neg' (r14): explain over a deterministic synthetic
+    # model (w[b] = ((b·2654435761) mod 2048 − 1024)/1024, exact in
+    # doubles and bijective over buckets, so weights are tie-free) —
+    # value-checks the gram scan, portable bucket hash, collision
+    # context, and both top-k sides without needing SQL to train
+    wts = np.array(
+        [((b * 2654435761) % 2048 - 1024) / 1024.0 for b in range(1024)]
+    )
+    model = LogRegModel(wts, 0.0, 1024, True, ())
+    ex = explain_hashed_logreg(d, "doc_id", "text", model, k=20).select(
+        F.when(F.col("direction") == "positive", F.lit("clf_pos"))
+        .otherwise(F.lit("clf_neg"))
+        .alias("branch"),
+        F.concat_ws(
+            "|",
+            "gram",
+            F.col("bucket").cast("string"),
+            F.col("n_grams_in_bucket").cast("string"),
+        ).alias("term"),
+        F.col("n_occurrences").alias("n"),
+        F.col("weight").alias("score"),
+    )
+    return unigram.unionByName(pmi).unionByName(diff).unionByName(ex)
 
 
 def q_sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2155,6 +2216,28 @@ def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(10)
         .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global value rank over ALL orders (r14 driver promotion)
+    via operators.windows.distributed_global_rank — the two-phase
+    skew-adaptive rank with NO single-partition window (the shape a
+    naive row_number().over(Window.orderBy(...)) would plan). Output
+    is thinned to every 37th rank so the driver compare stays bounded
+    while still checking rank values across the entire range (a wrong
+    segment prefix anywhere shifts every downstream rank and fails the
+    value hash)."""
+    from distributedqueryengine_spark.operators.windows import (
+        distributed_global_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ranked = distributed_global_rank(o, "o_totalprice", "o_orderkey", out="g_rnk")
+    return ranked.filter((F.col("g_rnk") - 1) % 37 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "g_rnk"
     )
 
 
