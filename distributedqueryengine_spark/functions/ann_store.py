@@ -34,9 +34,17 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["save_ivf_index", "load_ivf_index", "probe_saved_ivf_index"]
+__all__ = [
+    "save_ivf_index",
+    "load_ivf_index",
+    "probe_saved_ivf_index",
+    "append_to_ivf_index",
+    "ivf_index_staleness",
+]
 
-_VERSION = 1
+# v2 (r14): adds occupancy/ — the build-time per-cell row counts that
+# ivf_index_staleness compares against. v1 layouts still load/probe.
+_VERSION = 2
 
 
 def save_ivf_index(
@@ -67,6 +75,16 @@ def save_ivf_index(
     spark.createDataFrame(
         cent_rows, "cell int, vector array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(base + "/centroids")
+    # build-time per-cell occupancy (read back what actually landed):
+    # the staleness baseline ivf_index_staleness compares against
+    (
+        spark.read.parquet(base + "/index")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(base + "/occupancy")
+    )
     spark.createDataFrame(
         [(int(dim), int(n_cells), int(n_buckets), True, _VERSION)],
         "dim int, n_cells int, n_buckets int, with_vectors boolean, version int",
@@ -168,3 +186,113 @@ def probe_saved_ivf_index(
         queries, centroids, k,
         id_col=id_col, vec_col=vec_col, n_probe=n_probe,
     )
+
+
+def append_to_ivf_index(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally extend a saved IVF index (r14): assign a batch of
+    new corpus vectors to the EXISTING centroids and append the rows
+    into the cell-bucketed layout — production ingest without the full
+    rebuild that a write-once index forces. Returns the number of
+    cells the batch touched.
+
+    The append is one `build_ivf_index` pass over the batch (batch ×
+    n_cells × dim assignment matmul) plus a partitioned parquet
+    append; existing files are never rewritten, and per-file cell
+    ranges stay tight because the batch is re-sorted within buckets.
+    Probes see appended rows with no API change — pruning filters by
+    cell value, not file lineage.
+
+    Contracts: ids must not repeat across appends (the index has no
+    upsert — re-appending a batch after a mid-write failure can leave
+    duplicate rows; dedup on neighbor_id downstream or re-save). The
+    BASELINE occupancy (``occupancy/``) is intentionally left at
+    build time — :func:`ivf_index_staleness` measures drift of the
+    current index against it, and says when the centroids themselves
+    deserve a retrain."""
+    spark = new_vectors.sparkSession
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+    )
+
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    _, centroids = load_ivf_index(spark, base)
+    idx = build_ivf_index(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col,
+        with_vectors=True,
+    )
+    (
+        idx.withColumn(
+            "cell_bucket", F.pmod(F.col("cell"), F.lit(int(meta["n_buckets"])))
+        )
+        .repartition("cell_bucket")
+        .sortWithinPartitions("cell")
+        .write.mode("append")
+        .partitionBy("cell_bucket")
+        .parquet(base + "/index")
+    )
+    return idx.select("cell").distinct().count()
+
+
+def ivf_index_staleness(
+    spark: SparkSession,
+    path: str,
+    tvd_threshold: float = 0.2,
+    growth_threshold: float = 1.0,
+) -> dict:
+    """Is the saved index still well-shaped, or have appends drifted it
+    far enough from the build-time distribution that the centroids
+    deserve retraining? Compares CURRENT per-cell occupancy (one
+    count-by-cell agg over the index — the only full read here, and
+    it moves 8-byte cells, not vectors) against the build-time
+    baseline in ``occupancy/``.
+
+    Returns {n_base, n_now, growth, tvd, max_cell_share, retrain}:
+    growth = n_now/n_base − 1; tvd = total-variation distance between
+    the normalized occupancy distributions (0 = identical shape,
+    1 = disjoint); max_cell_share = the largest cell's fraction now
+    (a hot cell degrades probe pruning). ``retrain`` fires when
+    tvd > tvd_threshold OR growth > growth_threshold — a planted
+    distribution shift concentrates appends in few cells and moves
+    tvd long before growth alone would."""
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    if meta["version"] < 2:
+        raise ValueError(
+            f"saved IVF index at {path} is v{meta['version']} (no "
+            "occupancy baseline) — re-save with save_ivf_index to "
+            "enable staleness checks"
+        )
+    baseline = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(base + "/occupancy").collect()
+    }
+    now = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(base + "/index")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_base = sum(baseline.values())
+    n_now = sum(now.values())
+    cells = set(baseline) | set(now)
+    tvd = 0.5 * sum(
+        abs(now.get(c, 0) / n_now - baseline.get(c, 0) / n_base)
+        for c in cells
+    )
+    growth = n_now / n_base - 1.0
+    max_share = max(now.values()) / n_now if now else 0.0
+    return {
+        "n_base": int(n_base),
+        "n_now": int(n_now),
+        "growth": float(growth),
+        "tvd": float(tvd),
+        "max_cell_share": float(max_share),
+        "retrain": bool(tvd > tvd_threshold or growth > growth_threshold),
+    }

@@ -79,23 +79,47 @@ def fit_hashed_logreg(
     lr: float = 2.0,
     l2: float = 1e-4,
     portable: bool = False,
+    tol: float = 0.0,
 ) -> LogRegModel:
     """Full-batch gradient-descent logistic regression on hashed
     n-gram tf features. `label_col` must be 0/1.
 
-    Each iteration is one broadcast-join + two hash aggs over the
-    persisted feature table; the gradient collect is <= num_buckets+1
-    rows. iters scans of a CACHED vocab-bounded table — at 100 TB the
-    seed set this trains on is small by construction (labels are
-    expensive); the corpus-sized pass is scoring, which is one scan.
+    Each iteration is ONE action (r14 — was two): the per-doc logit is
+    a window sum over the doc's feature rows (no residual join-back,
+    no second broadcast), and the per-bucket gradient + the mean
+    log-loss collect together as ONE ≤ num_buckets+1-row aggregation —
+    so an iteration schedules exactly 2 jobs (the model-table
+    broadcast exchange and the gradient collect; r13 paid 4). The
+    bias is an intercept FEATURE (synthetic bucket ``num_buckets``,
+    tf = 1.0, added for every labeled doc): its per-bucket gradient
+    row IS the bias gradient, its group's mean per-doc log-loss IS
+    the training loss, and — closing the r13 ADVICE gap — docs whose
+    text produces zero n-grams (blank/whitespace) still carry their
+    intercept row, so they contribute r = sigmoid(b) − y to the bias
+    gradient and loss instead of silently vanishing while inflating
+    the denominator. No l2 is applied to the bias.
+
+    ``tol`` > 0 enables early stopping: iteration halts once the
+    absolute loss delta between consecutive iterations drops below
+    tol (``iters`` becomes a maximum). Default 0.0 = fixed count.
+
+    At 100 TB the seed set this trains on is small by construction
+    (labels are expensive); the corpus-sized pass is scoring, which
+    is one scan.
     """
     spark = df.sparkSession
     labels = df.select(
         F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("y")
     )
+    intercept = labels.select(
+        "id", F.lit(num_buckets).cast("long").alias("bucket"),
+        F.lit(1.0).alias("tf"), "y",
+    )
     feats = (
         _tf_features(df, id_col, text_col, num_buckets, portable)
         .join(labels, "id")
+        .select("id", "bucket", "tf", "y")
+        .unionByName(intercept)
         .persist()
     )
     n = labels.count()
@@ -104,52 +128,61 @@ def fit_hashed_logreg(
     w = np.zeros(num_buckets, dtype=np.float64)
     b = 0.0
     losses = []
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy("id")
     try:
         for _ in range(iters):
+            # bias always ships (bucket = num_buckets), features only
+            # when nonzero — the broadcast stays ≤ num_buckets+1 rows
             wt = spark.createDataFrame(
-                [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0]
-                or [(0, 0.0)],
+                [(num_buckets, float(b))]
+                + [(int(i), float(v)) for i, v in enumerate(w) if v != 0.0],
                 "bucket long, w double",
             )
-            z = (
+            dot = F.sum(
+                F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf")
+            ).over(w_doc)
+            scored = (
                 feats.join(F.broadcast(wt), "bucket", "left")
-                .groupBy("id", "y")
-                .agg(
-                    F.sum(
-                        F.coalesce(F.col("w"), F.lit(0.0)) * F.col("tf")
-                    ).alias("dot")
+                .withColumn(
+                    "p", F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
                 )
-                .select(
-                    "id",
-                    "y",
-                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("dot") + F.lit(b))))).alias("p"),
-                )
+                .withColumn("r", F.col("p") - F.col("y"))
             )
-            # residuals r = p - y drive both gradient halves; loss is a
-            # 1-row agg off the same plan
-            r = z.select("id", "y", (F.col("p") - F.col("y")).alias("r"), "p")
-            agg = r.agg(
-                F.sum("r").alias("gb"),
-                F.avg(
-                    -(
-                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
-                        + (1 - F.col("y"))
-                        * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
-                    )
-                ).alias("loss"),
-            ).collect()[0]
-            gw_rows = (
-                feats.join(F.broadcast(r.select("id", "r")), "id")
-                .groupBy("bucket")
-                .agg(F.sum(F.col("tf") * F.col("r")).alias("g"))
+            # per-bucket gradient; the intercept group (every doc has
+            # exactly one intercept row) doubles as the per-doc loss
+            # average — one aggregation, ONE action per iteration
+            rows = (
+                scored.groupBy("bucket")
+                .agg(
+                    F.sum(F.col("tf") * F.col("r")).alias("g"),
+                    F.avg(
+                        -(
+                            F.col("y")
+                            * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                            + (1 - F.col("y"))
+                            * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+                        )
+                    ).alias("l"),
+                )
                 .collect()
             )
             gw = np.zeros(num_buckets, dtype=np.float64)
-            for row in gw_rows:
-                gw[row["bucket"]] = row["g"]
+            gb = 0.0
+            loss = float("nan")
+            for row in rows:
+                bk = row["bucket"]
+                if bk == num_buckets:
+                    gb = float(row["g"])
+                    loss = float(row["l"])
+                else:
+                    gw[bk] = row["g"]
             w -= lr * (gw / n + l2 * w)
-            b -= lr * (agg["gb"] / n)
-            losses.append(float(agg["loss"]))
+            b -= lr * (gb / n)
+            losses.append(loss)
+            if tol > 0 and len(losses) >= 2 and abs(losses[-2] - losses[-1]) < tol:
+                break
     finally:
         feats.unpersist()
     return LogRegModel(w, float(b), num_buckets, portable, tuple(losses))

@@ -17,6 +17,7 @@ no global sort, no driver materialization beyond n rows' keys.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -388,6 +389,7 @@ def apply_mixture_rates(
     group_col: str,
     id_col: str,
     seed: int = 0,
+    max_driver_groups: int = 1024,
 ) -> DataFrame:
     """Materialize a mixture: keep exactly ceil(rate_g * n_g) rows of
     each group, chosen by a content-independent md5 rank (pure function
@@ -396,22 +398,93 @@ def apply_mixture_rates(
     :func:`temperature_mixture_rates`; groups absent from it keep
     nothing, rates >= 1 keep everything.
 
-    One broadcast join (rates is groups-sized) + one window shuffle on
-    the group key — the rank-quota shape q_sample_mixture uses, with
-    the rates now data-driven instead of hard-coded.
+    Scale shape (r14): a mixture typically has FEW groups (a handful
+    of sources/languages), so the obvious
+    ``row_number over (partition by group)`` serializes the whole
+    corpus through #groups tasks — the hot-partition shape
+    distributed_global_rank exists to kill. When the group count fits
+    the driver (≤ ``max_driver_groups``), ranking goes two-phase
+    instead: the md5 rank key is uniform in (0,1) and tie-free by
+    construction, so fixed hash-range sub-buckets per group are both
+    monotone in the rank order AND balanced (no value-skew refinement
+    needed); per-(group, bucket) counts aggregate map-side to a
+    driver-bounded table, quotas and exclusive prefixes are driver
+    arithmetic, sub-buckets entirely past their group's quota are
+    pruned before the scan, and each surviving sub-bucket finishes
+    its own bounded window. High-cardinality group columns (where the
+    per-group window parallelizes fine on its own) keep the one-window
+    path. Both paths return IDENTICAL rows (pinned in
+    tests/test_sampling.py).
     """
     from pyspark.sql.window import Window
 
     r = rates.select(F.col("group").alias(group_col), "rate")
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string"))),
-        F.col(id_col),
+    key = F.md5(
+        F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string"))
     )
-    cw = Window.partitionBy(group_col)
+    rate_rows = r.limit(max_driver_groups + 1).collect()
+    if len(rate_rows) > max_driver_groups:
+        w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+        cw = Window.partitionBy(group_col)
+        return (
+            df.join(F.broadcast(r), group_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(cw))
+            .filter(F.col("__rn") <= F.ceil(F.col("rate") * F.col("__n")))
+            .drop("__rn", "__n", "rate")
+        )
+    rate_by_group = {row[group_col]: row["rate"] for row in rate_rows}
+    if not rate_by_group:
+        return df.join(F.broadcast(r), group_col).drop("rate").limit(0)
+    n_buckets = max(8, min(256, 65536 // len(rate_by_group)))
+    # u = the md5 key's 60-bit prefix: monotone in (md5, id) order —
+    # hex strings compare like their numeric value — so hash-range
+    # buckets are monotone in the per-group rank, and uniform, so no
+    # skew refinement is needed (contrast _rank_segments, whose value
+    # domain is adversarial)
+    u = F.conv(F.substring(key, 1, 15), 16, 10).cast("double") / F.lit(_TWO60)
+    b = df.join(F.broadcast(r.select(group_col)), group_col).withColumn(
+        "__mb",
+        F.least(F.floor(u * F.lit(n_buckets)), F.lit(n_buckets - 1)).cast("long"),
+    )
+    counts = (
+        b.groupBy(group_col, "__mb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_group: dict = {}
+    for row in counts:
+        per_group.setdefault(row[group_col], {})[row["__mb"]] = row["c"]
+    base_rows = []
+    for g, buckets in per_group.items():
+        n_g = sum(buckets.values())
+        quota = math.ceil(rate_by_group[g] * n_g)
+        acc = 0
+        for mb in sorted(buckets):
+            if acc < quota:
+                # sub-buckets whose exclusive base already meets the
+                # quota can never contribute — prune pre-scan
+                base_rows.append((g, mb, acc, quota))
+            acc += buckets[mb]
+    if not base_rows:
+        return b.drop("__mb").limit(0)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    bases = df.sparkSession.createDataFrame(
+        base_rows,
+        StructType(
+            [
+                StructField(group_col, b.schema[group_col].dataType),
+                StructField("__mb", LongType()),
+                StructField("__base", LongType()),
+                StructField("__quota", LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy(group_col, "__mb").orderBy(key, F.col(id_col))
     return (
-        df.join(F.broadcast(r), group_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(cw))
-        .filter(F.col("__rn") <= F.ceil(F.col("rate") * F.col("__n")))
-        .drop("__rn", "__n", "rate")
+        b.join(F.broadcast(bases), [group_col, "__mb"])
+        .withColumn("__rn", F.col("__base") + F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__mb", "__base", "__quota", "__rn")
     )

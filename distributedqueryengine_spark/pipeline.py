@@ -1,0 +1,219 @@
+"""End-to-end training-corpus curation: the production stage order as
+ONE library function.
+
+Every stage exists (and is probed) individually — this module is the
+composition a data team actually runs between "raw crawl" and
+"training manifest", in the canonical order:
+
+    quality/lang filter → exact dedup → staged near-dup collapse →
+    ExactSubstr strip → benchmark decontamination → quality-classifier
+    filter → temperature mixture → pack → training order
+
+Extends the reference's scan→σ→π→⋈ algebra (RPC.cs:311-375) the way
+its fragment catalog composes fragments (QueryService.asmx.cs:310-427)
+— except the stages here are corpus operators, not table fragments.
+
+Design rules the composition enforces (each learned from a probe):
+
+- **Row accounting is part of the output.** Each stage reports
+  (rows_in, rows_out); silent attrition is how pipelines lose 30% of
+  a corpus to a mis-tuned threshold without anyone noticing. The
+  accounting is returned, not logged.
+- **Stage outputs are persisted through the shared bounded FIFO**
+  (`dedup._scoped_persist`) exactly while two consumers need them
+  (the count + the next stage), so a 9-stage run does not stack nine
+  corpus-sized caches (the r12 persist-leak lesson).
+- **Text shrinks as early as possible.** After the ExactSubstr strip
+  the pipeline carries `clean_text`; decontamination and classifier
+  scoring run on the stripped text (what training would actually
+  consume).
+- **Every heavy stage keeps its own scale shape**: staged near-dup
+  (collapse first), broadcast eval grams, driver-held classifier
+  model, two-phase pack prefix sum, distributed_global_rank epochs —
+  the composition adds no new shuffle beyond its stages.
+
+Measured 1×/10×/100× by tools/scale_probe_pipeline_full.py; see
+SCALING.md §curation-pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from distributedqueryengine_spark.functions.dedup import _scoped_persist
+
+__all__ = ["curate_corpus"]
+
+
+def _stage(acc: list, name: str, rows_in: int, df: DataFrame) -> tuple[DataFrame, int]:
+    """Persist a stage output (bounded FIFO), count it, record it."""
+    out = _scoped_persist(df)
+    n = out.count()
+    acc.append({"stage": name, "rows_in": int(rows_in), "rows_out": int(n)})
+    return out, n
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    labeled: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    near_dup_jaccard: float = 0.5,
+    substr_k: int = 8,
+    decontam_n: int = 5,
+    clf_threshold: float = 0.5,
+    clf_buckets: int = 1024,
+    clf_iters: int = 12,
+    temperature: float = 0.7,
+    seq_len: int = 512,
+    n_epochs: int = 1,
+    seed: int = 0,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the full curation pipeline over `docs`; return
+    (training manifest, per-stage row accounting).
+
+    The manifest has one row per (epoch, surviving doc):
+    (epoch, pos, doc_id, group, n_tokens, tok_offset, seq_first,
+    seq_last, n_seqs) — pos is the epoch's deterministic shuffle
+    position (distributed_global_rank, no single-partition window),
+    offsets are the concat-pack layout over doc_id order.
+
+    Optional stages skip cleanly: no `eval_df` → no decontamination
+    row; no `labeled` seed → no classifier row. The accounting list
+    has one dict per EXECUTED stage: {stage, rows_in, rows_out} —
+    `rows_in` of each stage equals `rows_out` of the previous, so the
+    composition is reconcilable against running the stages by hand
+    (pinned in tests/test_pipeline_e2e.py).
+    """
+    from distributedqueryengine_spark.functions import text as T
+    from distributedqueryengine_spark.functions.decontam import contaminated_ids
+    from distributedqueryengine_spark.functions.dedup import (
+        dedup_clusters,
+        dedup_exact,
+    )
+    from distributedqueryengine_spark.functions.packing import concat_pack_layout
+    from distributedqueryengine_spark.functions.quality_clf import (
+        fit_hashed_logreg,
+        score_hashed_logreg,
+    )
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+        temperature_mixture_rates,
+        training_order,
+    )
+    from distributedqueryengine_spark.functions.substr_dedup import (
+        strip_duplicated_spans,
+    )
+
+    acc: list[dict] = []
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        F.col(group_col).alias("grp"),
+    )
+    n0 = base.count()
+
+    # 1. quality / language heuristics — fused into the scan
+    pred = T.quality_score("text") >= min_quality
+    if lang is not None:
+        pred = pred & (T.lang_id("text") == lang)
+    cur, n = _stage(acc, "quality_filter", n0, base.filter(pred))
+
+    # 2. exact dedup (min-id survivor per content fingerprint)
+    cur, n = _stage(acc, "exact_dedup", n, dedup_exact(cur, "id", "text"))
+
+    # 3. near-dup collapse: staged MinHash-LSH pairs → connected
+    # components → keep each cluster's representative (min id)
+    cc = dedup_clusters(cur, "id", "text", min_jaccard=near_dup_jaccard)
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    cur, n = _stage(acc, "near_dedup", n, cur.join(losers, "id", "left_anti"))
+
+    # 4. ExactSubstr: strip duplicated passages, keep corpus-first —
+    # rows survive (possibly shorter); training text is clean_text
+    stripped = strip_duplicated_spans(cur, "id", "text", k=substr_k)
+    cur, n = _stage(
+        acc,
+        "substr_strip",
+        n,
+        cur.drop("text").join(
+            stripped.select("id", F.col("clean_text").alias("text")), "id"
+        ),
+    )
+
+    # 5. benchmark decontamination (word n-gram overlap, broadcast
+    # eval grams) — against the STRIPPED text, what training consumes
+    if eval_df is not None:
+        ev = eval_df.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        bad = contaminated_ids(cur, ev, "id", "text", n=decontam_n)
+        cur, n = _stage(acc, "decontam", n, cur.join(bad, "id", "left_anti"))
+
+    # 6. model-in-the-loop quality filter: fit on the labeled seed,
+    # score the survivors, keep by threshold
+    if labeled is not None:
+        lab = labeled.select(
+            F.col(id_col).alias("id"), F.col("label").alias("label")
+        ).join(cur.select("id", "text"), "id")
+        model = fit_hashed_logreg(
+            lab, "id", "text", "label",
+            num_buckets=clf_buckets, iters=clf_iters, tol=1e-6,
+        )
+        scores = score_hashed_logreg(cur, "id", "text", model)
+        cur, n = _stage(
+            acc,
+            "clf_filter",
+            n,
+            cur.join(
+                scores.filter(F.col("score") >= clf_threshold).select("id"),
+                "id",
+                "left_semi",
+            ),
+        )
+
+    # 7. temperature mixture over groups (sizes measured post-cleaning)
+    rates = temperature_mixture_rates(
+        cur.withColumnRenamed("grp", "group"), "group", temperature=temperature
+    )
+    cur, n = _stage(
+        acc,
+        "mixture",
+        n,
+        apply_mixture_rates(cur, rates, "grp", "id", seed=seed),
+    )
+
+    # 8. concat-pack layout (two-phase prefix sum, doc_id order)
+    pack = concat_pack_layout(
+        cur, T.token_count("text"), id_col="id", seq_len=seq_len
+    )
+
+    # 9. per-epoch deterministic training order (global rank, no
+    # single-partition window)
+    order = training_order(cur, "id", n_epochs=n_epochs, seed=seed)
+
+    manifest = (
+        order.join(pack, "id")
+        .join(cur.select("id", "grp"), "id")
+        .select(
+            "epoch",
+            "pos",
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "tok_offset",
+            "seq_first",
+            "seq_last",
+            "n_seqs",
+        )
+    )
+    acc.append(
+        {"stage": "manifest", "rows_in": int(n), "rows_out": int(n) * n_epochs}
+    )
+    return manifest, acc

@@ -204,3 +204,83 @@ def test_operators_handle_empty_inputs(spark, tables):
     )
 
     assert remove_boilerplate_lines(empty, "doc_id", "text").count() == 0
+
+
+def test_curate_corpus_accounting_reconciles(spark):
+    """r14: the ONE-function composition (pipeline.curate_corpus) must
+    produce per-stage row accounting that reconciles exactly with
+    running the stages by hand in the same order with the same
+    parameters — the composition adds plumbing, never rows — and the
+    manifest must be internally consistent (epochs × survivors rows,
+    each epoch a 0..n-1 permutation, pack offsets contiguous)."""
+    from distributedqueryengine_spark.functions import decontam as DCF
+    from distributedqueryengine_spark.functions import dedup as DD
+    from distributedqueryengine_spark.functions.substr_dedup import (
+        strip_duplicated_spans,
+    )
+    from distributedqueryengine_spark.pipeline import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).limit(20)
+    manifest, acc = curate_corpus(
+        docs, eval_df=ev, n_epochs=2, temperature=0.7, seed=3
+    )
+    by = {a["stage"]: a for a in acc}
+    assert list(by) == [
+        "quality_filter", "exact_dedup", "near_dedup", "substr_strip",
+        "decontam", "mixture", "manifest",
+    ]
+    # chain consistency: each stage consumes exactly what the previous
+    # stage produced
+    stages = list(by.values())
+    for prev, nxt in zip(stages, stages[1:]):
+        assert nxt["rows_in"] == prev["rows_out"], (prev, nxt)
+
+    # by-hand per-stage replication (same params, same order)
+    base = docs.select(
+        F.col("doc_id").alias("id"), "text", F.col("source").alias("grp")
+    )
+    q = base.filter(
+        (T.quality_score("text") >= 0.5) & (T.lang_id("text") == "en")
+    )
+    assert by["quality_filter"]["rows_in"] == docs.count()
+    assert by["quality_filter"]["rows_out"] == q.count()
+    e = DD.dedup_exact(q, "id", "text")
+    assert by["exact_dedup"]["rows_out"] == e.count()
+    cc = DD.dedup_clusters(e, "id", "text", min_jaccard=0.5)
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    nd = e.join(losers, "id", "left_anti")
+    assert by["near_dedup"]["rows_out"] == nd.count()
+    st = nd.drop("text").join(
+        strip_duplicated_spans(nd, "id", "text", k=8)
+        .select("id", F.col("clean_text").alias("text")),
+        "id",
+    )
+    assert by["substr_strip"]["rows_out"] == st.count()
+    bad = DCF.contaminated_ids(
+        st, ev.select(F.col("doc_id").alias("id"), "text"), "id", "text", n=5
+    )
+    dc = st.join(bad, "id", "left_anti")
+    assert by["decontam"]["rows_out"] == dc.count()
+
+    # manifest invariants
+    n_final = by["mixture"]["rows_out"]
+    assert by["manifest"]["rows_out"] == 2 * n_final
+    assert manifest.count() == 2 * n_final
+    for ep in (0, 1):
+        pos = sorted(
+            r["pos"] for r in manifest.filter(F.col("epoch") == ep).collect()
+        )
+        assert pos == list(range(n_final)), f"epoch {ep} not a permutation"
+    # pack layout: offsets are the exclusive prefix of n_tokens in
+    # doc_id order (epoch-independent)
+    rows = (
+        manifest.filter(F.col("epoch") == 0)
+        .select("doc_id", "n_tokens", "tok_offset")
+        .orderBy("doc_id")
+        .collect()
+    )
+    off = 0
+    for r in rows:
+        assert r["tok_offset"] == off, r
+        off += r["n_tokens"]

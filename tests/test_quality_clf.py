@@ -167,3 +167,95 @@ def test_explain_surfaces_planted_vocab(spark, planted):
     assert pw == sorted(pw, reverse=True) and all(w > 0 for w in pw)
     assert nw == sorted(nw) and all(w < 0 for w in nw)
     assert all(r["n_occurrences"] >= 1 and r["n_grams_in_bucket"] >= 1 for r in out)
+
+
+# --------------------------------------------------------------------------
+# r14: one action per GD iteration, early stop, zero-gram labeled docs
+# --------------------------------------------------------------------------
+
+def test_one_job_per_iteration(spark, planted):
+    """Each GD iteration must schedule exactly ONE action — measured
+    as 2 jobs: the ≤num_buckets+1-row model-table broadcast exchange
+    plus the unified gradient+loss collect. r13 paid 4 (two collects,
+    two broadcasts — the per-doc residual frame no longer ships at
+    all; logits are a window sum over the cached feature rows). Fixed
+    overhead (featurize, count, persist) cancels by differencing two
+    run lengths, the pagerank probe pattern."""
+    sc = spark.sparkContext
+
+    def jobs_for(n_iter):
+        group = f"clf_jobs_{n_iter}"
+        sc.setJobGroup(group, "clf job-count probe")
+        try:
+            fit_hashed_logreg(
+                planted, "id", "text", "label",
+                num_buckets=B, iters=n_iter, lr=1.0,
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        per_iter = (jobs_for(9) - jobs_for(3)) / 6
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert per_iter == 2.0, per_iter
+
+
+def test_early_stop_on_loss_plateau(spark, planted):
+    """tol > 0 halts once the loss delta flattens: strictly fewer
+    iterations than the cap, and the delta at the stopping point is
+    below tol; tol = 0 (default) keeps the full count."""
+    model = fit_hashed_logreg(
+        planted, "id", "text", "label",
+        num_buckets=B, iters=120, lr=1.5, tol=5e-3,
+    )
+    assert 2 <= len(model.losses) < 120
+    assert abs(model.losses[-2] - model.losses[-1]) < 5e-3
+    assert model.losses[-1] < model.losses[0]
+    # the early-stopped model already ranks good above bad on average
+    got = {r["id"]: r["score"]
+           for r in score_hashed_logreg(planted, "id", "text", model).collect()}
+    good = [got[i] for i in range(60) if i % 2 == 0]
+    bad = [got[i] for i in range(60) if i % 2 == 1]
+    assert sum(good) / len(good) > sum(bad) / len(bad)
+
+
+def test_blank_docs_contribute_to_bias(spark):
+    """r13 ADVICE: labeled docs producing zero n-grams vanished from
+    the feature table but still inflated n — the bias gradient and
+    loss silently diverged from full-batch GD over the labeled set.
+    With the intercept-feature fix, the distributed fit must match a
+    numpy reference whose design matrix keeps the blank rows (all-zero
+    feature rows, intercept only)."""
+    rows = []
+    for i in range(24):
+        if i % 4 == 0:
+            text = "" if i % 8 == 0 else "   "  # blank / whitespace
+            label = 1  # all-blank docs labeled positive: shifts bias UP
+        else:
+            good = i % 2 == 0
+            text = " ".join(
+                (["the", "model", "learns"] if good else ["zz", "spam", "buy"])
+                [(i + j) % 3] for j in range(12)
+            )
+            label = 1 if good else 0
+        rows.append((i, text, label))
+    df = spark.createDataFrame(rows, "id long, text string, label int")
+    model = fit_hashed_logreg(
+        df, "id", "text", "label", num_buckets=B, iters=12, lr=1.5, l2=1e-3
+    )
+    feat_rows = hashed_ngram_features(df, "id", "text", num_buckets=B).collect()
+    X = np.zeros((24, B))
+    for r in feat_rows:
+        X[r["id"], r["bucket"]] = r["cnt"]
+    sums = X.sum(axis=1, keepdims=True)
+    X = np.divide(X, sums, out=np.zeros_like(X), where=sums > 0)
+    y = np.array([r["label"] for r in df.orderBy("id").collect()], float)
+    w_ref, b_ref = _np_fit(X, y, iters=12, lr=1.5, l2=1e-3)
+    assert np.allclose(model.weights, w_ref, atol=1e-8)
+    assert abs(model.bias - b_ref) < 1e-8
+    # six positive-labeled blank docs must push the bias positive —
+    # the pre-fix code gave them zero pull
+    assert model.bias > 0

@@ -465,3 +465,64 @@ def test_sample_budget_oracle_parity_with_blank_docs(spark, tmp_path):
     # the compared output — the pre-fix oracle diverges on them
     assert len(got) == 5
     assert got == ref
+
+
+def test_apply_mixture_two_phase_equals_window_path(spark):
+    """r14: the driver-bounded two-phase mixture rank (hash-range
+    sub-buckets per group — no corpus-through-#groups-tasks window)
+    must return EXACTLY the window path's rows, including quota
+    boundaries, empty groups, rate >= 1, and absent-group drops."""
+    import random
+
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, f"src{rng.randint(0, 4)}") for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    rates = spark.createDataFrame(
+        [("src0", 0.25), ("src1", 1.0), ("src2", 1.5), ("src3", 0.001)],
+        "group string, rate double",
+    )  # src4 absent → dropped entirely
+    two_phase = apply_mixture_rates(df, rates, "g", "id", seed=7)
+    windowed = apply_mixture_rates(
+        df, rates, "g", "id", seed=7, max_driver_groups=0
+    )
+    a = sorted((r["id"], r["g"]) for r in two_phase.collect())
+    b = sorted((r["id"], r["g"]) for r in windowed.collect())
+    assert a == b and a
+    # exact quotas per group
+    from collections import Counter
+    import math as _m
+
+    n_by_g = Counter(g for _, g in rows)
+    got_by_g = Counter(g for _, g in a)
+    assert got_by_g["src0"] == _m.ceil(0.25 * n_by_g["src0"])
+    assert got_by_g["src1"] == n_by_g["src1"]
+    assert got_by_g["src2"] == n_by_g["src2"]  # rate >= 1 keeps all
+    assert got_by_g["src3"] == 1               # ceil(0.001 · n) = 1
+    assert "src4" not in got_by_g
+
+
+def test_apply_mixture_no_group_window_in_plan(spark):
+    """The two-phase path's plan must not window-partition by the bare
+    group column (the #groups-tasks hot shape) — only by
+    (group, sub-bucket)."""
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "id long, g string"
+    )
+    rates = spark.createDataFrame(
+        [(f"s{j}", 0.5) for j in range(3)], "group string, rate double"
+    )
+    out = apply_mixture_rates(df, rates, "g", "id", seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = [p.strip() for p in spec.split(",")[:2]]
+        assert any("__mb" in h for h in head), spec

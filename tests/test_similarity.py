@@ -820,3 +820,91 @@ def test_saved_ivf_probe_with_preloaded_centroids(spark, tables, tmp_path):
         ).collect()
     }
     assert a == b and a
+
+
+def test_ivf_append_equals_fresh_build(spark, tables, tmp_path):
+    """r14 incremental maintenance: probing a (saved + appended) index
+    returns EXACTLY the rows of a fresh full build over the combined
+    corpus with the same centroids — appends extend the layout, never
+    change semantics — and the pre-append baseline occupancy plus
+    meta stay intact."""
+    import numpy as np
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base_c = emb.filter(F.col("vec_id") % 3 != 0)   # initial corpus
+    newc = emb.filter(F.col("vec_id") % 3 == 0)     # ingested batch
+    centroids = train_ivf_centroids(base_c, n_cells=16, sample_per_cell=8)
+
+    path = str(tmp_path / "ivf_inc")
+    AS.save_ivf_index(build_ivf_index(base_c, centroids), centroids, path,
+                      n_buckets=8)
+    occ_before = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(path + "/occupancy").collect()
+    }
+    touched = AS.append_to_ivf_index(path, newc)
+    assert touched >= 1
+
+    path2 = str(tmp_path / "ivf_full")
+    AS.save_ivf_index(build_ivf_index(emb, centroids), centroids, path2,
+                      n_buckets=8)
+
+    queries = emb.filter(F.col("vec_id") % 13 == 0).limit(24)
+    inc = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path, queries, 5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path2, queries, 5).collect()
+    }
+    assert inc == full and inc
+    # centroids and the build-time baseline are untouched by appends
+    _, cent_after = AS.load_ivf_index(spark, path)
+    assert np.array_equal(centroids, cent_after)
+    occ_after = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(path + "/occupancy").collect()
+    }
+    assert occ_after == occ_before
+
+
+def test_ivf_staleness_fires_on_planted_shift(spark, tables, tmp_path):
+    """r14 staleness signal: appending a batch concentrated in one
+    region moves the occupancy distribution — tvd rises and `retrain`
+    fires — while a no-append index reads as fresh (tvd = 0)."""
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    centroids = train_ivf_centroids(emb, n_cells=16, sample_per_cell=8)
+    path = str(tmp_path / "ivf_drift")
+    AS.save_ivf_index(build_ivf_index(emb, centroids), centroids, path,
+                      n_buckets=8)
+
+    fresh = AS.ivf_index_staleness(spark, path)
+    assert fresh["tvd"] == 0.0 and fresh["growth"] == 0.0
+    assert not fresh["retrain"]
+
+    # planted shift: clone ONE existing vector many times with new ids
+    # — every appended row lands in a single cell
+    donor = emb.limit(1).collect()[0]
+    n0 = fresh["n_base"]
+    shift = spark.createDataFrame(
+        [(10_000_000 + i, donor["embedding"]) for i in range(n0)],
+        "vec_id long, embedding array<float>",
+    )
+    AS.append_to_ivf_index(path, shift)
+    stale = AS.ivf_index_staleness(spark, path)
+    assert stale["n_now"] == 2 * n0
+    assert stale["tvd"] > 0.2 and stale["retrain"]
+    assert stale["max_cell_share"] > 0.5
