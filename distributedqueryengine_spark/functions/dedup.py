@@ -830,9 +830,9 @@ def dedup_clusters(
 
 
 def source_overlap_matrix(
-    df: DataFrame,
-    group_col: str,
-    text_col: str,
+    df: DataFrame | None = None,
+    group_col: str | None = None,
+    text_col: str | None = None,
     n: int = 3,
     portable: bool = False,
     group_shingles: DataFrame | None = None,
@@ -858,13 +858,29 @@ def source_overlap_matrix(
     a pipeline that already holds per-DOCUMENT distinct shingles (the
     near-dup spine) derives it exactly via a doc→group join + distinct,
     since the union of per-doc distinct sets IS the per-group distinct
-    set (the suite's candidate-reuse pattern).
+    set (the suite's candidate-reuse pattern). Pass `df` XOR
+    `group_shingles`: on the reuse path `df`/`text_col`/`n`/`portable`
+    are NOT consulted — the caller's shingle table defines the n-gram
+    size and hash mode, and supplying mismatched values here would
+    silently misdescribe the result (r13 ADVICE) — so mixing the two
+    input styles raises instead.
     """
-    sh = (
-        group_shingles
-        if group_shingles is not None
-        else shingles(df, group_col, text_col, n=n, portable=portable)
-    )
+    if group_shingles is not None:
+        if df is not None:
+            raise ValueError(
+                "source_overlap_matrix: pass df XOR group_shingles — "
+                "the reuse path ignores df/group_col/text_col/n/"
+                "portable, so supplying both hides which shingle "
+                "definition produced the numbers"
+            )
+        sh = group_shingles
+    else:
+        if df is None or group_col is None or text_col is None:
+            raise ValueError(
+                "source_overlap_matrix needs (df, group_col, text_col) "
+                "or a prebuilt group_shingles table"
+            )
+        sh = shingles(df, group_col, text_col, n=n, portable=portable)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_set"))
     a = sh.select(F.col("id").alias("src_a"), "sh")
     b = sh.select(F.col("id").alias("src_b"), "sh")

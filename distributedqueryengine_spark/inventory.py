@@ -378,10 +378,9 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus size)
         _tagged(
             "src_overlap",
-            D.source_overlap_matrix(
-                d, "source", "text", n=3, portable=True,
-                group_shingles=src_sh,
-            )
+            # reuse path: the shingle table DEFINES n/hash mode (df
+            # XOR group_shingles — r14 contract)
+            D.source_overlap_matrix(group_shingles=src_sh)
             .select(
                 F.expr("CAST(substring(src_a, 4) AS BIGINT)").alias("a_id"),
                 F.expr("CAST(substring(src_b, 4) AS BIGINT)").alias("b_id"),
@@ -867,6 +866,41 @@ def _mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = temperature_mixture_rates(d, "source", temperature=0.5)
     return apply_mixture_rates(d, rates, "source", "doc_id", seed=0).select(
         "doc_id", "source"
+    )
+
+
+def _wordcount_diff_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 dataset_diff branch standalone (same planted old
+    snapshot as the suite) for bench attribution."""
+    from distributedqueryengine_spark.functions.text import dataset_diff
+
+    d = Q._t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" extra tail")),
+        ).otherwise(F.col("text")),
+    )
+    return dataset_diff(old, d, "doc_id", "text", group_col="source")
+
+
+def _wordcount_clf_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 explain_hashed_logreg branches standalone (same
+    synthetic bijective weights as the suite) for bench attribution."""
+    import numpy as np
+
+    from distributedqueryengine_spark.functions.quality_clf import (
+        LogRegModel,
+        explain_hashed_logreg,
+    )
+
+    d = Q._t(spark, sf_dir, "documents")
+    wts = np.array(
+        [((b * 2654435761) % 2048 - 1024) / 1024.0 for b in range(1024)]
+    )
+    return explain_hashed_logreg(
+        d, "doc_id", "text", LogRegModel(wts, 0.0, 1024, True, ()), k=20
     )
 
 
@@ -2034,5 +2068,49 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         "dsir_production_xxhash": _dsir_production_branch,
         # r13 token-budget selection standalone
         "budget": Q.q_sample_budget,
+        # r14 data-driven mixture materialization standalone
+        "mixture_applied": _mixture_applied,
+    },
+}
+
+# r14 additions to existing split groups (defined above as dict
+# literals; extended here to keep the r11-r13 blocks diff-stable)
+BENCH_SPLITS["order_limit_suite"]["global_rank"] = Q.q_global_rank_orders
+BENCH_SPLITS["text_wordcount"]["diff"] = _wordcount_diff_branch
+BENCH_SPLITS["text_wordcount"]["clf_explain"] = _wordcount_clf_branch
+
+# Per-branch DuckDB timings (r13 verdict item 7): the bench aggregate
+# keeps drifting as suites absorb new ms-scale-in-DuckDB branches, so
+# attribution needs the ORACLE side split too. Rows exist only where a
+# branch has its own standalone oracle (suite-embedded branches like
+# wordcount pmi/diff/clf have none — their SQL shares suite CTEs);
+# tools/baseline_min3.py records spark AND duckdb for these and
+# spark-only for the rest.
+BENCH_SPLIT_ORACLES: dict[str, dict[str, str]] = {
+    "order_limit_suite": {
+        "topk": ORACLES["topk_orders_per_customer"],
+        "argmax": ORACLES["argmax_latest_event"],
+        "top25": ORACLES["sort_limit"],
+        "page2": ORACLES["sort_limit_offset"],
+        "skyline": ORACLES["skyline_orders_scalable"],
+        "global_rank": ORACLES["global_rank_orders"],
+    },
+    "io_roundtrip": {
+        "csv": ORACLES["source_csv_roundtrip"],
+        "partitioned": ORACLES["sink_partitioned_roundtrip"],
+        "zonemap": ORACLES["sink_zonemap_roundtrip"],
+    },
+    "agg_stats_suite": {
+        "mode": ORACLES["agg_mode"],
+    },
+    "dedup_exact_suite": {
+        "substr_spans": ORACLES["dedup_substr_spans"],
+        "substr_strip": ORACLES["dedup_substr_strip"],
+    },
+    "sample_suite": {
+        "dsir_score": ORACLES["dsir_scores"],
+        "dsir_sel": ORACLES["dsir_select"],
+        "budget": ORACLES["sample_budget"],
+        "mixture_applied": ORACLES["sample_mixture_applied"],
     },
 }

@@ -670,9 +670,15 @@ def test_source_overlap_shingle_reuse_path_identical(spark, tables):
         .select(F.col("source").alias("id"), "sh")
         .distinct()
     )
-    reused = D.source_overlap_matrix(
-        d, "source", "text", n=3, portable=True, group_shingles=src_sh
-    )
+    reused = D.source_overlap_matrix(group_shingles=src_sh)
     a = sorted(map(tuple, direct.collect()))
     b = sorted(map(tuple, reused.collect()))
     assert a == b
+    # r14 contract: df XOR group_shingles — passing both (or neither)
+    # raises instead of silently ignoring n/portable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="XOR"):
+        D.source_overlap_matrix(d, "source", "text", group_shingles=src_sh)
+    with _pytest.raises(ValueError, match="needs"):
+        D.source_overlap_matrix(n=3)

@@ -98,6 +98,49 @@ def main():
             per_query[name] = {"spark": round(ts, 3), "duckdb": None,
                                "ratio": None}
 
+    # Per-branch split with BOTH engines (r13 verdict item 7): the raw
+    # aggregate drifts as suites absorb new ms-scale-in-DuckDB branches;
+    # recording spark AND duckdb per branch makes next round's
+    # attribution automatic instead of narrative. Spark side = the
+    # BENCH_SPLITS standalone builders (min-of-2); DuckDB side = the
+    # branch's standalone oracle where one exists (suite-embedded
+    # branches share suite CTEs and have none — recorded as null).
+    from distributedqueryengine_spark.inventory import (
+        BENCH_SPLIT_ORACLES,
+        BENCH_SPLITS,
+    )
+
+    branch_splits: dict[str, dict] = {}
+    for suite, branches in BENCH_SPLITS.items():
+        if suite not in per_query:
+            continue
+        split: dict[str, dict] = {}
+        for bname, fn in branches.items():
+            row: dict = {"spark": None, "duckdb": None}
+            try:
+                ts = float("inf")
+                for _ in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.monotonic()
+                    force(fn(spark, sf_dir))
+                    ts = min(ts, time.monotonic() - t0)
+                row["spark"] = round(ts, 3)
+            except Exception:
+                row["spark"] = -1.0  # branch failed; visible, not fatal
+            sql = BENCH_SPLIT_ORACLES.get(suite, {}).get(bname)
+            if sql is not None:
+                try:
+                    td = float("inf")
+                    for _ in range(2):
+                        t0 = time.monotonic()
+                        con.execute(sql).fetchall()
+                        td = min(td, time.monotonic() - t0)
+                    row["duckdb"] = round(td, 3)
+                except Exception:
+                    row["duckdb"] = -1.0
+            split[bname] = row
+        branch_splits[suite] = split
+
     drift = {}
     for name in watch:
         if name in per_query:
@@ -129,6 +172,7 @@ def main():
         "trimmed_duckdb_sec": round(tr_d, 2),
         "aggregate_ratio_trimmed": round(tr_s / max(tr_d, 1e-9), 2),
         "queries": per_query,
+        "branch_splits": branch_splits,
         "noise_max_over_min": spread,
         "watched_drift": drift,
     }
