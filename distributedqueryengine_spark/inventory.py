@@ -2078,6 +2078,7 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
 BENCH_SPLITS["order_limit_suite"]["global_rank"] = Q.q_global_rank_orders
 BENCH_SPLITS["text_wordcount"]["diff"] = _wordcount_diff_branch
 BENCH_SPLITS["text_wordcount"]["clf_explain"] = _wordcount_clf_branch
+BENCH_SPLITS["text_wordcount"]["lm"] = Q.q_lm_backoff_scores
 
 # Per-branch DuckDB timings (r13 verdict item 7): the bench aggregate
 # keeps drifting as suites absorb new ms-scale-in-DuckDB branches, so
@@ -2102,6 +2103,9 @@ BENCH_SPLIT_ORACLES: dict[str, dict[str, str]] = {
     },
     "agg_stats_suite": {
         "mode": ORACLES["agg_mode"],
+    },
+    "text_wordcount": {
+        "lm": ORACLES["lm_backoff_scores"],
     },
     "dedup_exact_suite": {
         "substr_spans": ORACLES["dedup_substr_spans"],

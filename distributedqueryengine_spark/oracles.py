@@ -495,6 +495,74 @@ ORACLES["sim_bruteforce_topk"] = r"""
         UNION ALL
         SELECT branch, query_id, neighbor_id, score, rnk FROM centb
     """
+# Stupid-backoff trigram LM scoring (functions/lm.py, Brants 2007)
+# standalone: vocab top-500 (count desc, token asc), 2xBOS+EOS
+# framing, OOV -> <unk>, counts from the FULL corpus, scores over
+# the doc_id %% 7 subsample. Literal arithmetic mirrors the Spark
+# expression order (0.4 * 0.4 * ..., left-assoc) so doubles agree
+# bit-for-bit; avg-neg-logscore rounds to 6dp BEFORE exp, as in
+# score_stupid_backoff.
+_LM_SQL = r"""
+        WITH
+             lmtok AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               t -> length(t) > 0) AS toks
+            FROM documents),
+             lmwc AS (
+            SELECT u.w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM lmtok) u GROUP BY u.w),
+             lmvoc AS (
+            SELECT w FROM lmwc
+            QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 500),
+             lmvl AS (SELECT list(w) AS vs, count(*) AS nv FROM lmvoc),
+             lmframed AS (
+            SELECT doc_id,
+                   ['<s>', '<s>']
+                   || list_transform(toks, t -> CASE WHEN list_contains(lmvl.vs, t)
+                                                     THEN t ELSE '<unk>' END)
+                   || ['</s>'] AS f
+            FROM lmtok CROSS JOIN lmvl),
+             lmtri_all AS (
+            SELECT doc_id, f[i] AS w1, f[i+1] AS w2, f[i+2] AS w3
+            FROM lmframed, UNNEST(range(1, len(f) - 1)) AS r(i)),
+             lmtric AS (
+            SELECT w1, w2, w3, count(*) AS c FROM lmtri_all GROUP BY 1, 2, 3),
+             lmbic AS (
+            SELECT w1, w2, count(*) AS c
+            FROM (SELECT f[i] AS w1, f[i+1] AS w2
+                  FROM lmframed, UNNEST(range(1, len(f))) AS r(i))
+            GROUP BY 1, 2),
+             lmunic AS (
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(f) AS w FROM lmframed) GROUP BY 1),
+             lmn AS (SELECT sum(len(f)) AS n_tok FROM lmframed),
+             lmsc AS (
+            SELECT g.doc_id,
+                   CASE WHEN t.c IS NOT NULL AND b12.c IS NOT NULL
+                             THEN t.c / b12.c
+                        WHEN b23.c IS NOT NULL AND u2.c IS NOT NULL
+                             THEN 0.4 * b23.c / u2.c
+                        ELSE 0.4 * 0.4 * (COALESCE(u3.c, 0) + 1)
+                             / (lmn.n_tok + lmvl.nv + 3)
+                   END AS s
+            FROM (SELECT * FROM lmtri_all WHERE doc_id % 7 = 0) g
+            LEFT JOIN lmtric t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+            LEFT JOIN lmbic b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+            LEFT JOIN lmbic b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+            LEFT JOIN lmunic u2 ON g.w2 = u2.w
+            LEFT JOIN lmunic u3 ON g.w3 = u3.w
+            CROSS JOIN lmn CROSS JOIN lmvl),
+             lmb AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(-avg(ln(s)), 6) AS avg_neg_logscore
+            FROM lmsc GROUP BY doc_id)
+        SELECT doc_id, n_trigrams, avg_neg_logscore,
+               round(exp(avg_neg_logscore), 6) AS pseudo_perplexity
+        FROM lmb
+    """
+ORACLES["lm_backoff_scores"] = _LM_SQL
+
 ORACLES["text_wordcount_suite"] = r"""
         WITH toks AS (
             SELECT string_split(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
@@ -626,6 +694,12 @@ ORACLES["text_wordcount_suite"] = r"""
         SELECT branch, term, n, score FROM clfp
         UNION ALL
         SELECT branch, term, n, score FROM clfn
+        UNION ALL
+        SELECT 'lm' AS branch, CAST(doc_id AS VARCHAR) AS term,
+               n_trigrams AS n, avg_neg_logscore AS score
+        FROM (
+""" + _LM_SQL + """
+        ) lmq
     """
 ORACLES["multimodal_features"] = r"""
         SELECT doc_id AS media_id,

@@ -1202,7 +1202,18 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_occurrences").alias("n"),
         F.col("weight").alias("score"),
     )
-    return unigram.unionByName(pmi).unionByName(diff).unionByName(ex)
+    # 'lm' (r14): stupid-backoff trigram scores over the doc_id % 7
+    # subsample, model trained on the full corpus (q_lm_backoff_scores)
+    lm = q_lm_backoff_scores(spark, sf_dir).select(
+        F.lit("lm").alias("branch"),
+        F.col("doc_id").cast("string").alias("term"),
+        F.col("n_trigrams").alias("n"),
+        F.col("avg_neg_logscore").alias("score"),
+    )
+    return (
+        unigram.unionByName(pmi).unionByName(diff).unionByName(ex)
+        .unionByName(lm)
+    )
 
 
 def q_sql_cte_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2217,6 +2228,27 @@ def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+def q_lm_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (r14 driver promotion of the
+    r13 family — functions/lm.py, Brants 2007): train the three count
+    tables on the FULL documents corpus (vocab = top-500 tokens,
+    deterministic (count desc, token asc) cut), score the doc_id % 7
+    subsample. Backoff weights, add-one floor, UNK/BOS/EOS framing and
+    the 6dp-rounded avg-neg-logscore are all mirrored line-for-line in
+    the DuckDB oracle — the one LM piece that is NOT SQL-expressible
+    (nothing here; stupid backoff needs only raw counts) stays empty,
+    which is exactly why Brants chose it for web-scale corpora."""
+    from distributedqueryengine_spark.functions.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lm = train_trigram_lm(d, "text", "doc_id", vocab_size=500)
+    sub = d.filter(F.col("doc_id") % 7 == 0)
+    return score_stupid_backoff(sub, "text", lm, "doc_id")
 
 
 def q_global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
