@@ -337,15 +337,22 @@ def training_order(
     :func:`operators.windows.distributed_global_rank` (value-range
     buckets + driver prefix, one call per epoch, each fully parallel),
     never through a one-partition-per-epoch window. Curriculum epochs
-    (a composite (difficulty, perm) order) use a per-epoch window —
-    acceptable while the curriculum phase is a handful of epochs, and
-    documented as the remaining fixture-scale path.
+    (r14 — previously the remaining fixture-scale single-window path)
+    rank through the same skew-adaptive segment machinery
+    (`_rank_segments`): the curriculum value (numeric-castable) is the
+    segment key, and the tie-break id is the md5-hex permutation key
+    concatenated with the stringified id — orderable, unique, and
+    exactly the (difficulty asc, shuffle, id) order the curriculum
+    wants. Difficulty columns with FEW distinct levels (the common
+    case) are maximally tie-heavy, which is precisely the distribution
+    the r14 id-boundary refinement balances.
     """
     if n_epochs < 1:
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     from pyspark.sql.window import Window
 
     from distributedqueryengine_spark.operators.windows import (
+        _rank_segments,
         distributed_global_rank,
     )
 
@@ -358,12 +365,44 @@ def training_order(
     for e in range(n_epochs):
         u = _uniform01(F.col("id").cast("string"), seed=seed * 1_000_003 + e)
         if e < n_curr:
-            w = Window.orderBy(F.col("__cur").asc(), u.asc(), F.col("id").asc())
+            # full md5 hex ‖ id: ordering by this string equals
+            # ordering by (u, …, id-string) — hex compares numerically
+            # at fixed length — so the shuffle-within-difficulty stays
+            # a pure function of (seed, epoch, id)
+            perm_key = F.md5(
+                F.concat_ws(
+                    "§",
+                    F.lit(str(seed * 1_000_003 + e)),
+                    F.col("id").cast("string"),
+                )
+            )
+            sid = F.concat_ws("§", perm_key, F.col("id").cast("string"))
+            ksrc = base.select(
+                "id",
+                F.col("__cur").cast("double").alias("__k"),
+                sid.alias("__sid"),
+            )
+            b, segs = _rank_segments(
+                ksrc, "__sid", 1024, None, nulls_first=True
+            )
+            if not segs:
+                continue
+            base_rows, acc2 = [], 0
+            for seg_id, cnt, _m in segs:
+                base_rows.append((seg_id, acc2))
+                acc2 += cnt
+            bases = df.sparkSession.createDataFrame(
+                base_rows, "__seg long, __base long"
+            )
+            w = Window.partitionBy("__seg").orderBy(
+                F.col("__k").asc_nulls_first(), F.col("__sid").asc()
+            )
             parts.append(
-                base.select(
+                b.join(F.broadcast(bases), "__seg")
+                .select(
                     F.lit(e).cast("long").alias("epoch"),
                     "id",
-                    (F.row_number().over(w) - 1).alias("pos"),
+                    (F.col("__base") + F.row_number().over(w) - 1).alias("pos"),
                 )
             )
         else:
@@ -377,6 +416,10 @@ def training_order(
                     (F.col("__r") - 1).alias("pos"),
                 )
             )
+    if not parts:  # empty input, all-curriculum epochs
+        return df.sparkSession.createDataFrame(
+            [], "epoch long, id string, pos long"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -526,3 +526,37 @@ def test_apply_mixture_no_group_window_in_plan(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = [p.strip() for p in spec.split(",")[:2]]
         assert any("__mb" in h for h in head), spec
+
+
+def test_curriculum_epoch_no_single_partition_window(spark):
+    """r14: curriculum epochs rank through the skew-adaptive segment
+    machinery — the plan must not contain a SinglePartition exchange
+    (the old per-epoch global window), and a FEW-distinct-levels
+    difficulty column (maximally tie-heavy) must still order
+    easy→hard with a deterministic within-level shuffle."""
+    from distributedqueryengine_spark.functions.sampling import training_order
+
+    rows = [(i, float(i % 3)) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc long, difficulty double")
+    out = training_order(
+        df, "doc", n_epochs=1, seed=11,
+        curriculum_col="difficulty", curriculum_epochs=1,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    got = out.collect()
+    assert sorted(r["pos"] for r in got) == list(range(900))
+    by_pos = [r["id"] for r in sorted(got, key=lambda r: r["pos"])]
+    levels = [i % 3 for i in by_pos]
+    assert levels == sorted(levels)  # easy -> hard, every tied level
+    # deterministic: same seed reproduces the identical order
+    again = training_order(
+        df, "doc", n_epochs=1, seed=11,
+        curriculum_col="difficulty", curriculum_epochs=1,
+    ).collect()
+    assert {(r["id"], r["pos"]) for r in again} == {
+        (r["id"], r["pos"]) for r in got
+    }
+    # and within a level the order is shuffled, not id order
+    lvl0 = [i for i in by_pos if i % 3 == 0]
+    assert lvl0 != sorted(lvl0)
