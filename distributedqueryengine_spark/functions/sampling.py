@@ -171,6 +171,7 @@ def select_until_budget(
     weight_col: str = "w",
     score_col: str = "score",
     n_buckets: int = 1024,
+    min_heavy: int = 65536,
 ) -> DataFrame:
     """Maximal-prefix selection under a weight budget: take rows in
     (score desc, id asc) order while the running weight total stays
@@ -231,7 +232,8 @@ def select_until_budget(
     # rank order is (score desc, id asc) → ascending key = -score
     ksrc = src.withColumn("__k", -F.col("score"))
     b, segs = _rank_segments(
-        ksrc, "id", n_buckets, F.sum("wt"), nulls_first=True
+        ksrc, "id", n_buckets, F.sum("wt"), nulls_first=True,
+        min_heavy=min_heavy,
     )
     if not segs:
         return (

@@ -124,7 +124,7 @@ def _rank_segments(
     measure: Column | None,
     nulls_first: bool,
     heavy_factor: float = 4.0,
-    min_heavy: int = 64,
+    min_heavy: int = 65536,
     max_rounds: int = 3,
     sub_cap: int = 4096,
 ) -> tuple[DataFrame, list[tuple[int, int, float]]]:
@@ -158,6 +158,13 @@ def _rank_segments(
     round is one bounded-size aggregation (≤ #segments rows collected)
     plus, when tied segments exist, one ~2k-id-per-segment sample job;
     the uniform no-skew case stays at the original single stats pass.
+    ``min_heavy`` (default 65,536) is an ABSOLUTE floor under which a
+    segment is never refined: a one-task window over <64k (value, id)
+    pairs is a few MB of sort — refinement jobs would cost more than
+    they save at any cluster size, and fixture-scale corpora stay on
+    the cheap two-job plan. The relative threshold dominates at scale
+    (4·n/n_buckets passes the floor once n > ~16M with the default
+    1024 buckets).
     Segment assignment is embedded as literals/broadcast params, so
     the counting pass and the final window see identical assignments,
     and the OUTPUT rank is invariant to where the boundaries land —
@@ -325,6 +332,7 @@ def distributed_global_rank(
     out: str = "rnk",
     percentile: str | None = None,
     nulls_first: bool | None = None,
+    min_heavy: int = 65536,
 ) -> DataFrame:
     """Exact global row_number over (value, id) WITHOUT the
     single-partition window Spark plans for an unpartitioned
@@ -352,8 +360,9 @@ def distributed_global_rank(
     when descending (Spark's default); pass ``nulls_first=True/False``
     to force either placement (e.g. Spark's ``asc_nulls_last``).
     ``n_buckets`` (default 1024) is the TARGET parallelism of the
-    rank stage — segments stay within ~4× n/n_buckets rows after
-    refinement; raise it for wider clusters.
+    rank stage — segments stay within ~max(4·n/n_buckets, min_heavy)
+    rows after refinement; raise it for wider clusters. ``min_heavy``
+    is the absolute never-refine floor (see :func:`_rank_segments`).
 
     Caller contract: ``id_col`` unique + non-null; ``value_col`` must
     not contain NaN/±Inf (filter or remap upstream — IEEE specials
@@ -365,7 +374,9 @@ def distributed_global_rank(
     ksrc = src.withColumn(
         "__k", F.col("__v") if ascending else -F.col("__v")
     )
-    b, segs = _rank_segments(ksrc, id_col, n_buckets, None, nulls_first)
+    b, segs = _rank_segments(
+        ksrc, id_col, n_buckets, None, nulls_first, min_heavy=min_heavy
+    )
     if not segs:
         res = src.withColumn(out, F.lit(0).cast("long")).drop("__v").limit(0)
         if percentile:

@@ -109,7 +109,8 @@ def _skewed_df(spark, n=4000, frac_tied=0.9):
 def test_tie_skew_matches_global_window(spark):
     df = _skewed_df(spark)
     got = {r["id"]: r["rnk"]
-           for r in distributed_global_rank(df, "v", "id", n_buckets=16).collect()}
+           for r in distributed_global_rank(
+               df, "v", "id", n_buckets=16, min_heavy=64).collect()}
     ref = {r["id"]: r["ref"] for r in _reference(df, "v", "id", True).collect()}
     assert got == ref
 
@@ -124,7 +125,9 @@ def test_tie_skew_segments_are_balanced(spark):
     n, n_buckets = 4000, 16
     df = _skewed_df(spark, n=n)
     ksrc = df.withColumn("__v", F.col("v")).withColumn("__k", F.col("v"))
-    _, segs = _rank_segments(ksrc, "id", n_buckets, None, nulls_first=True)
+    _, segs = _rank_segments(
+        ksrc, "id", n_buckets, None, nulls_first=True, min_heavy=64
+    )
     counts = {seg: cnt for seg, cnt, _ in segs}
     assert sum(counts.values()) == n
     mean = n / n_buckets
@@ -141,7 +144,8 @@ def test_tied_values_with_string_ids(spark):
     rows = [(f"doc-{i:05d}", 1.0) for i in range(300)]
     df = spark.createDataFrame(rows, "id string, v double")
     got = {r["id"]: r["rnk"]
-           for r in distributed_global_rank(df, "v", "id", n_buckets=8).collect()}
+           for r in distributed_global_rank(
+               df, "v", "id", n_buckets=8, min_heavy=64).collect()}
     ref = {r["id"]: r["ref"] for r in _reference(df, "v", "id", True).collect()}
     assert got == ref
 
@@ -154,7 +158,8 @@ def test_null_heavy_corpus(spark):
     for ascending in (True, False):
         got = {r["id"]: r["rnk"]
                for r in distributed_global_rank(
-                   df, "v", "id", ascending=ascending, n_buckets=8).collect()}
+                   df, "v", "id", ascending=ascending, n_buckets=8,
+                   min_heavy=64).collect()}
         ref = {r["id"]: r["ref"]
                for r in _reference(df, "v", "id", ascending).collect()}
         assert got == ref, f"ascending={ascending}"

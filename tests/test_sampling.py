@@ -395,7 +395,8 @@ def test_budget_tie_skew_dominant_score(spark):
     df = spark.createDataFrame(rows, "id long, score double, w long")
     got = sorted(
         (r["id"], r["score"], r["weight"], r["cum"])
-        for r in select_until_budget(df, budget, n_buckets=16).collect()
+        for r in select_until_budget(
+            df, budget, n_buckets=16, min_heavy=64).collect()
     )
     assert got == sorted(_py_budget(rows, budget))
 
@@ -410,7 +411,7 @@ def test_budget_string_ids_native_type(spark):
 
     rows = [(f"doc-{i:04d}", 1.0, 10) for i in range(100)]
     df = spark.createDataFrame(rows, "id string, score double, w long")
-    got = select_until_budget(df, 55).collect()
+    got = select_until_budget(df, 55, min_heavy=64).collect()
     assert sorted(r["id"] for r in got) == [f"doc-{i:04d}" for i in range(5)]
     assert max(r["cum"] for r in got) == 50
     assert dict(df.dtypes)["id"] == "string"
