@@ -533,3 +533,81 @@ def apply_mixture_rates(
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__mb", "__base", "__quota", "__rn")
     )
+
+
+def select_until_budget_grouped(
+    df: DataFrame,
+    budgets: dict,
+    group_col: str = "group",
+    id_col: str = "id",
+    weight_col: str = "w",
+    score_col: str = "score",
+    n_buckets: int = 1024,
+    min_heavy: int = 65536,
+    max_driver_groups: int = 64,
+) -> DataFrame:
+    """Per-group maximal-prefix budget selection: for each group g,
+    take rows in (score desc, id asc) order while the group's running
+    weight total stays <= budgets[g] — "the best documents per
+    LANGUAGE until each language's token budget is full", the
+    multilingual form of :func:`select_until_budget` (a single global
+    budget starves low-resource languages; per-language budgets are
+    how multilingual mixes are actually specified).
+
+    Shape: one driver loop over the budgeted groups (bounded by
+    ``max_driver_groups`` — budget dicts are hand-written, small by
+    construction), each iteration the skew-adaptive two-phase prefix
+    on that group's rows. Group count is a DRIVER concept here, not a
+    data concept: jobs scale with #groups, and each group's selection
+    is exactly select_until_budget's (same segments, same pruning,
+    same tie contract). Groups absent from `budgets` select nothing;
+    a group absent from the data contributes nothing. Returns
+    (group, id, score, weight, cum) with cum the within-group running
+    total.
+
+    The input projection is persisted ONCE through the shared bounded
+    registry, so the per-group passes share one evaluation of the
+    upstream scoring expressions.
+    """
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+
+    if len(budgets) > max_driver_groups:
+        raise ValueError(
+            f"select_until_budget_grouped is a driver loop over groups "
+            f"({len(budgets)} > max_driver_groups={max_driver_groups}); "
+            "for high-cardinality grouping use a rate-based mixture "
+            "(apply_mixture_rates) instead"
+        )
+    src = _scoped_persist(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("double").alias("score"),
+            F.col(weight_col).cast("long").alias("w"),
+        ).filter(F.col("grp").isin(list(budgets)))
+    )
+    parts = []
+    for g, budget in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+        sel = select_until_budget(
+            src.filter(F.col("grp") == g),
+            int(budget),
+            id_col="id",
+            weight_col="w",
+            score_col="score",
+            n_buckets=n_buckets,
+            min_heavy=min_heavy,
+        )
+        parts.append(sel.select(F.lit(g).alias(group_col), "id", "score",
+                                "weight", "cum"))
+    if not parts:
+        return (
+            src.select(
+                F.col("grp").alias(group_col), "id", "score",
+                F.col("w").alias("weight"),
+                F.lit(0).cast("long").alias("cum"),
+            ).limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

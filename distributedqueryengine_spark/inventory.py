@@ -848,7 +848,41 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tagged("mixture_applied", _mixture_applied(spark, sf_dir),
                 {"key": F.col("doc_id").cast("string"), "lang": "source"},
                 _SAMPLE_S),
+        _tagged("budget_grouped", _budget_grouped(spark, sf_dir),
+                {"key": F.col("id").cast("string"), "lang": "lang",
+                 "n": "cum", "avg_chars": "score"}, _SAMPLE_S),
     ])
+
+
+def _budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token budgets (r14): select_until_budget_grouped
+    over the same quality/token scoring as sample_budget — 'en' gets a
+    6,000-token budget and 'zh' 1,500, so a low-resource language
+    keeps guaranteed slots instead of losing a single global budget to
+    the head language; unbudgeted languages select nothing (the
+    absent-group contract). Two budgeted groups keep the bench cost of
+    the per-group driver loop bounded (jobs scale with #groups — the
+    function's documented shape); the 4-group form is exercised in
+    tests/test_sampling.py."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget_grouped,
+    )
+    from distributedqueryengine_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
+    d = Q._t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("q"),
+        token_count("text").cast("long").alias("nt"),
+    )
+    return select_until_budget_grouped(
+        scored, {"en": 6000, "zh": 1500}, group_col="lang",
+        id_col="doc_id", weight_col="nt", score_col="q",
+    )
 
 
 def _mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1480,6 +1514,9 @@ COMPOSITE_ORACLES["sample_suite"] = _sql_union([
     _sql_tagged("mixture_applied", ORACLES["sample_mixture_applied"],
                 {"key": "CAST(doc_id AS VARCHAR)", "lang": "source"},
                 _SAMPLE_S),
+    _sql_tagged("budget_grouped", ORACLES["sample_budget_grouped"],
+                {"key": "CAST(doc_id AS VARCHAR)", "lang": "lang",
+                 "n": "cum", "avg_chars": "quality"}, _SAMPLE_S),
 ])
 
 COMPOSITE_ORACLES["stream_windows_suite"] = _sql_union([
@@ -2070,6 +2107,8 @@ BENCH_SPLITS: dict[str, dict[str, object]] = {
         "budget": Q.q_sample_budget,
         # r14 data-driven mixture materialization standalone
         "mixture_applied": _mixture_applied,
+        # r14 per-language budget selection standalone
+        "budget_grouped": _budget_grouped,
     },
 }
 
@@ -2116,5 +2155,6 @@ BENCH_SPLIT_ORACLES: dict[str, dict[str, str]] = {
         "dsir_sel": ORACLES["dsir_select"],
         "budget": ORACLES["sample_budget"],
         "mixture_applied": ORACLES["sample_mixture_applied"],
+        "budget_grouped": ORACLES["sample_budget_grouped"],
     },
 }

@@ -765,6 +765,38 @@ ORACLES["sample_mixture"] = r"""
         SELECT doc_id, source FROM r WHERE rn <= ceil(rate * n_src)
     """
 
+# Per-language budget selection (sampling.select_until_budget_grouped):
+# identical scoring to sample_budget, per-lang running totals, 'en'
+# budget 6000 / others 1500 — the multilingual budget form
+ORACLES["sample_budget_grouped"] = r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+                   END AS nt
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   CAST(nt AS BIGINT) AS n_tokens,
+                   round((least(nt / 50.0, 1.0)
+                          + least(5.0 * CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','on','for','with','as','at','by','from','it','this'], x))) AS DOUBLE) / len(toks), 1.0)
+                          + CASE WHEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+                                 THEN 1.0 ELSE 0.3 END) / 3.0, 4) AS quality
+            FROM t),
+        c AS (
+            SELECT doc_id, lang, quality,
+                   sum(n_tokens) OVER (PARTITION BY lang
+                                       ORDER BY quality DESC, doc_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS cum
+            FROM s)
+        SELECT doc_id, lang, quality, cum
+        FROM c
+        WHERE (lang = 'en' AND cum <= 6000)
+           OR (lang = 'zh' AND cum <= 1500)
+    """
+
 # apply_mixture_rates ∘ temperature_mixture_rates (functions/
 # sampling.py) at T = 0.5: rate_g = round(least((n²/Σn²)·Σn/n, 1), 6)
 # — pow(n, 2) is exact in doubles and the divisions follow the same

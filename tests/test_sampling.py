@@ -561,3 +561,52 @@ def test_curriculum_epoch_no_single_partition_window(spark):
     # and within a level the order is shuffled, not id order
     lvl0 = [i for i in by_pos if i % 3 == 0]
     assert lvl0 != sorted(lvl0)
+
+
+def test_grouped_budget_matches_per_group_python(spark):
+    """select_until_budget_grouped: each group's selection must equal
+    the python maximal-prefix reference for that group's budget;
+    unbudgeted groups select nothing; budget 0 selects nothing."""
+    import random
+
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget_grouped,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (i, f"lang{rng.randint(0, 3)}", round(rng.random(), 3),
+         rng.randint(1, 20))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, score double, w long")
+    budgets = {"lang0": 400, "lang1": 0, "lang2": 10_000_000}
+    got = {}
+    for r in select_until_budget_grouped(
+        df, budgets, group_col="lang", min_heavy=64
+    ).collect():
+        got.setdefault(r["lang"], []).append(
+            (r["id"], r["score"], r["weight"], r["cum"])
+        )
+    for g, budget in budgets.items():
+        grows = [(i, s, w) for i, lg, s, w in rows if lg == g]
+        exp = _py_budget(grows, budget)
+        assert sorted(got.get(g, [])) == sorted(exp), g
+    assert "lang3" not in got          # unbudgeted → nothing
+    assert "lang1" not in got          # zero budget → nothing
+    assert len(got["lang2"]) == sum(1 for r in rows if r[1] == "lang2")
+
+
+def test_grouped_budget_group_cap(spark):
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget_grouped,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0, 1)], "id long, g string, score double, w long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_driver_groups"):
+        select_until_budget_grouped(
+            df, {f"g{i}": 1 for i in range(99)}, group_col="g",
+            max_driver_groups=10,
+        )
