@@ -72,6 +72,7 @@ def curate_corpus(
     clf_buckets: int = 1024,
     clf_iters: int = 12,
     temperature: float = 0.7,
+    group_budgets: dict | None = None,
     seq_len: int = 512,
     n_epochs: int = 1,
     seed: int = 0,
@@ -86,7 +87,11 @@ def curate_corpus(
     offsets are the concat-pack layout over doc_id order.
 
     Optional stages skip cleanly: no `eval_df` → no decontamination
-    row; no `labeled` seed → no classifier row. The accounting list
+    row; no `labeled` seed → no classifier row. With `group_budgets`
+    (a {group: token budget} dict), stage 7 becomes per-group
+    maximal-prefix budget selection by quality
+    (sampling.select_until_budget_grouped — the multilingual budget
+    form) instead of the temperature mixture. The accounting list
     has one dict per EXECUTED stage: {stage, rows_in, rows_out} —
     `rows_in` of each stage equals `rows_out` of the previous, so the
     composition is reconcilable against running the stages by hand
@@ -105,6 +110,7 @@ def curate_corpus(
     )
     from distributedqueryengine_spark.functions.sampling import (
         apply_mixture_rates,
+        select_until_budget_grouped,
         temperature_mixture_rates,
         training_order,
     )
@@ -178,16 +184,32 @@ def curate_corpus(
             ),
         )
 
-    # 7. temperature mixture over groups (sizes measured post-cleaning)
-    rates = temperature_mixture_rates(
-        cur.withColumnRenamed("grp", "group"), "group", temperature=temperature
-    )
-    cur, n = _stage(
-        acc,
-        "mixture",
-        n,
-        apply_mixture_rates(cur, rates, "grp", "id", seed=seed),
-    )
+    # 7. corpus sizing: per-group token budgets (quality-ordered
+    # maximal prefix) when given, else the temperature mixture
+    if group_budgets is not None:
+        scored7 = cur.select(
+            "id", "grp",
+            T.quality_score("text").alias("__q"),
+            T.token_count("text").cast("long").alias("__nt"),
+        )
+        picked = select_until_budget_grouped(
+            scored7, group_budgets, group_col="grp", id_col="id",
+            weight_col="__nt", score_col="__q",
+        ).select("id")
+        cur, n = _stage(
+            acc, "budget_select", n, cur.join(picked, "id", "left_semi")
+        )
+    else:
+        rates = temperature_mixture_rates(
+            cur.withColumnRenamed("grp", "group"), "group",
+            temperature=temperature,
+        )
+        cur, n = _stage(
+            acc,
+            "mixture",
+            n,
+            apply_mixture_rates(cur, rates, "grp", "id", seed=seed),
+        )
 
     # 8. concat-pack layout (two-phase prefix sum, doc_id order)
     pack = concat_pack_layout(

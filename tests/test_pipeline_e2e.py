@@ -284,3 +284,31 @@ def test_curate_corpus_accounting_reconciles(spark):
     for r in rows:
         assert r["tok_offset"] == off, r
         off += r["n_tokens"]
+
+
+def test_curate_corpus_with_group_budgets(spark):
+    """r14: group_budgets swaps stage 7 for per-group maximal-prefix
+    budget selection — the budget_select accounting row appears, the
+    per-group token totals respect the budgets, and unbudgeted groups
+    vanish."""
+    from distributedqueryengine_spark.pipeline import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budgets = {"src1": 2000, "src2": 800}
+    manifest, acc = curate_corpus(
+        docs, group_budgets=budgets, n_epochs=1, seed=5, lang=None,
+        min_quality=0.0,
+    )
+    by = {a["stage"]: a for a in acc}
+    assert "budget_select" in by and "mixture" not in by
+    rows = manifest.collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], 0)
+        by_src[r["source"]] += r["n_tokens"]
+    assert set(by_src) <= set(budgets)
+    # token totals are measured on the STRIPPED text the manifest
+    # packs, which is what the budget scored — never above budget
+    for g, tot in by_src.items():
+        assert tot <= budgets[g], (g, tot)
