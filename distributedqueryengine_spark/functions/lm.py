@@ -37,9 +37,21 @@ EOS = "</s>"
 UNK = "<unk>"
 
 
-def _normalized_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, toks array<string>) lowercased whitespace tokens, empty-safe."""
-    toks = F.filter(tokens(text_col), lambda t: F.length(t) > 0)
+def _normalized_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(id, toks array<string>) lowercased whitespace tokens, empty-safe.
+
+    When ``tokens_col`` names an existing array<string> column of raw
+    whitespace tokens (e.g. a suite-shared ``split(normalize_text(...))``
+    projection), the tokenize pass is skipped and only the empty-token
+    filter applies — identical output, one less scan of the raw text
+    (the r15 shared-projection discipline)."""
+    src = F.col(tokens_col) if tokens_col is not None else tokens(text_col)
+    toks = F.filter(src, lambda t: F.length(t) > 0)
     return df.select(F.col(id_col).alias("id"), toks.alias("toks"))
 
 
@@ -163,9 +175,16 @@ def score_perplexity(
     )
 
 
-def _framed(df: DataFrame, text_col: str, id_col: str, vocab_arr, n_bos: int):
+def _framed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_arr,
+    n_bos: int,
+    tokens_col: str | None = None,
+):
     """(id, toks) with n_bos BOS markers, UNK mapping, one EOS."""
-    base = _normalized_tokens(df, text_col, id_col)
+    base = _normalized_tokens(df, text_col, id_col, tokens_col)
     return base.select(
         "id",
         F.concat(
@@ -204,6 +223,7 @@ def train_trigram_lm(
     text_col: str,
     id_col: str = "doc_id",
     vocab_size: int = 10_000,
+    tokens_col: str | None = None,
 ) -> dict:
     """Stupid-backoff trigram model (Brants et al. 2007, "Large
     Language Models in Machine Translation" — the score the web-scale
@@ -216,7 +236,21 @@ def train_trigram_lm(
     vocab_size)."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
-    base = _normalized_tokens(corpus, text_col, id_col)
+    # Tokenize ONCE: `base` feeds the vocab count AND the framed-gram
+    # pass, and `framed` feeds three count tables (tri/bi/uni) — the
+    # UNK map is an O(len·|vocab|) array_contains per token, so
+    # re-deriving it per count table tripled the train cost before
+    # r15. Both persists ride dedup's bounded FIFO.
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+
+    base = _normalized_tokens(corpus, text_col, id_col, tokens_col)
+    # The UNK map over `framed` is O(tokens × |vocab|) CPU; if the
+    # corpus arrives as a near-single-partition scan (one small file),
+    # widen to a small floor so the map parallelizes — small, because
+    # per-task overhead swamps tiny cached partitions (measured).
+    if base.rdd.getNumPartitions() < 4:
+        base = base.repartition(4)
+    base = _scoped_persist(base)
     counts = (
         base.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -228,7 +262,16 @@ def train_trigram_lm(
     vocab = sorted(r.w for r in vocab_rows)
     vocab_arr = F.array(*[F.lit(w) for w in vocab])
 
-    framed = _framed(corpus, text_col, id_col, vocab_arr, n_bos=2)
+    framed = _scoped_persist(
+        base.select(
+            "id",
+            F.concat(
+                F.array(F.lit(BOS), F.lit(BOS)),
+                _map_unk(F.col("toks"), vocab_arr),
+                F.array(F.lit(EOS)),
+            ).alias("toks"),
+        )
+    )
     tri = (
         _grams(framed, 3, ["w1", "w2", "w3"])
         .groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
@@ -241,6 +284,12 @@ def train_trigram_lm(
         framed.select(F.explode("toks").alias("w"))
         .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     )
+    # The count tables are vocab-sized (≤ V³ keys, in practice tiny);
+    # scoring joins bigrams and unigrams TWICE each (bi12/bi23,
+    # uni2/uni3), so persist them too — same FIFO discipline.
+    tri = _scoped_persist(tri)
+    bi = _scoped_persist(bi)
+    uni = _scoped_persist(uni)
     n_tokens = uni.agg(F.sum("c")).collect()[0][0]
     return {
         "vocab": vocab,
@@ -258,6 +307,7 @@ def score_stupid_backoff(
     lm: dict,
     id_col: str = "doc_id",
     alpha: float = 0.4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, n_trigrams, avg_neg_logscore, pseudo_perplexity) under the
     fitted trigram model with stupid backoff:
@@ -278,7 +328,8 @@ def score_stupid_backoff(
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     vocab_arr = F.array(*[F.lit(w) for w in lm["vocab"]])
     v, n_tok = int(lm["v"]), int(lm["n_tokens"])
-    framed = _framed(docs, text_col, id_col, vocab_arr, n_bos=2)
+    framed = _framed(docs, text_col, id_col, vocab_arr, n_bos=2,
+                     tokens_col=tokens_col)
     g = _grams(framed, 3, ["w1", "w2", "w3"])
 
     tri = lm["trigrams"].withColumnRenamed("c", "__ct")

@@ -236,6 +236,7 @@ def explain_hashed_logreg(
     text_col: str,
     model: LogRegModel,
     k: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Model introspection: the top-k most positive and most negative
     n-grams, resolved from hash buckets back to grams actually observed
@@ -261,7 +262,8 @@ def explain_hashed_logreg(
         "bucket long, w double",
     )
     occ = _gram_occurrence_counts(
-        df, id_col, text_col, model.num_buckets, model.portable
+        df, id_col, text_col, model.num_buckets, model.portable,
+        tokens_col=tokens_col,
     )
     per_bucket = occ.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_grams_in_bucket")
@@ -290,16 +292,21 @@ def explain_hashed_logreg(
 
 
 def _gram_occurrence_counts(
-    df: DataFrame, id_col: str, text_col: str, num_buckets: int, portable: bool
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int, portable: bool,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(gram, bucket, n_occurrences): corpus-wide counts per distinct
-    unigram/bigram, with the model's bucket assignment."""
+    unigram/bigram, with the model's bucket assignment. ``tokens_col``
+    names a pre-split raw-token array column (suite-shared projection)
+    to skip the tokenize pass; the empty-token filter still applies."""
     from distributedqueryengine_spark.functions.dedup import portable_hash64
     from distributedqueryengine_spark.functions.text import normalize_text
 
-    toks = F.filter(
-        F.split(normalize_text(text_col), " "), lambda t: F.length(t) > 0
+    src = (
+        F.col(tokens_col) if tokens_col is not None
+        else F.split(normalize_text(text_col), " ")
     )
+    toks = F.filter(src, lambda t: F.length(t) > 0)
     base = df.select(toks.alias("t"))
     uni = base.select(F.explode("t").alias("g"))
     n_bi = F.greatest(F.size(F.col("t")) - 1, F.lit(0))

@@ -164,6 +164,19 @@ def leakage_safe_split_embeddings(
     return keyed.withColumn("split", split).drop("__rep")
 
 
+def _weight_sql_type(df: DataFrame, weight_col: str) -> str:
+    """'long' for integral weight columns, 'double' for fractional
+    ones (float/double/decimal) — the budget machinery carries the
+    weight family through the prefix sums instead of silently
+    truncating fractional token weights to long (r14 verdict nit)."""
+    from pyspark.sql.types import DecimalType, DoubleType, FloatType
+
+    dt = df.schema[weight_col].dataType
+    if isinstance(dt, (DoubleType, FloatType, DecimalType)):
+        return "double"
+    return "long"
+
+
 def select_until_budget(
     df: DataFrame,
     budget: int,
@@ -197,10 +210,14 @@ def select_until_budget(
 
     The id column keeps its NATIVE type (any orderable type works —
     string doc-ids included; r13 ADVICE fixed the silent cast-to-long
-    that nulled them out). Rows with NULL id/score/weight or NaN score
-    are never selectable and are dropped up front. Returns the
-    selected rows as (id, score, weight, cum) with cum the inclusive
-    running total, deterministic on any cluster layout.
+    that nulled them out). The weight column keeps its NUMERIC FAMILY
+    (r15): integral weights run the long path (cum is long — the
+    token-count case), fractional weights (float/double/decimal) stay
+    double end-to-end (cum is double) instead of silently truncating.
+    Rows with NULL id/score/weight or NaN score are never selectable
+    and are dropped up front. Returns the selected rows as (id, score,
+    weight, cum) with cum the inclusive running total, deterministic
+    on any cluster layout.
     """
     from pyspark.sql.window import Window
 
@@ -213,11 +230,12 @@ def select_until_budget(
     from distributedqueryengine_spark.functions.dedup import _scoped_persist
     from distributedqueryengine_spark.operators.windows import _rank_segments
 
+    wt_type = _weight_sql_type(df, weight_col)
     src = _scoped_persist(
         df.select(
             F.col(id_col).alias("id"),
             F.col(score_col).cast("double").alias("score"),
-            F.col(weight_col).cast("long").alias("wt"),
+            F.col(weight_col).cast(wt_type).alias("wt"),
         )
         # null score/weight/id rows have no place in the rank order and
         # would poison the running total (and the driver-side segment
@@ -238,17 +256,20 @@ def select_until_budget(
     if not segs:
         return (
             src.withColumnRenamed("wt", "weight")
-            .withColumn("cum", F.lit(0).cast("long"))
+            .withColumn("cum", F.lit(0).cast(wt_type))
             .limit(0)
         )
-    base_rows, acc = [], 0
+    base_rows = []
+    acc = 0 if wt_type == "long" else 0.0
     for seg_id, _cnt, wsum in segs:
         if acc <= budget:
             # segments whose exclusive base already exceeds the budget
             # can never contribute — prune them before the scan
             base_rows.append((seg_id, acc))
-        acc += int(wsum)
-    bases = df.sparkSession.createDataFrame(base_rows, "__seg long, __base long")
+        acc += int(wsum) if wt_type == "long" else float(wsum)
+    bases = df.sparkSession.createDataFrame(
+        base_rows, f"__seg long, __base {wt_type}"
+    )
     w = (
         Window.partitionBy("__seg")
         .orderBy(F.col("score").desc(), F.col("id").asc())
@@ -544,7 +565,10 @@ def select_until_budget_grouped(
     score_col: str = "score",
     n_buckets: int = 1024,
     min_heavy: int = 65536,
-    max_driver_groups: int = 64,
+    max_driver_groups: int = 1024,
+    heavy_factor: float = 4.0,
+    max_rounds: int = 3,
+    sub_cap: int = 4096,
 ) -> DataFrame:
     """Per-group maximal-prefix budget selection: for each group g,
     take rows in (score desc, id asc) order while the group's running
@@ -554,60 +578,299 @@ def select_until_budget_grouped(
     budget starves low-resource languages; per-language budgets are
     how multilingual mixes are actually specified).
 
-    Shape: one driver loop over the budgeted groups (bounded by
-    ``max_driver_groups`` — budget dicts are hand-written, small by
-    construction), each iteration the skew-adaptive two-phase prefix
-    on that group's rows. Group count is a DRIVER concept here, not a
-    data concept: jobs scale with #groups, and each group's selection
-    is exactly select_until_budget's (same segments, same pruning,
-    same tie contract). Groups absent from `budgets` select nothing;
-    a group absent from the data contributes nothing. Returns
-    (group, id, score, weight, cum) with cum the within-group running
-    total.
+    Single-pass shape (r15 — replaces the r14 per-group driver loop
+    whose job count scaled with #groups): segment by the
+    (group, score-range) COMPOSITE in one `_rank_segments`-style pass.
+    One aggregate collects per-group [min, max] score bounds (groups-
+    sized), one aggregate collects per-(group, segment) row/weight
+    stats, the driver computes every group's exclusive prefix from
+    that ONE combined table (pruning segments whose base already
+    exceeds their group's budget), and ONE windowed pass partitioned
+    by (group, segment) finishes the running totals for every group
+    simultaneously. Job count is INDEPENDENT of the number of groups
+    (pinned in tests/test_sampling.py); the driver holds only
+    groups-sized and (groups × segments)-sized stats tables, with the
+    per-group segment count scaled down as groups grow so the collect
+    stays bounded (≤ ~64k rows at the 1024-group cap).
 
-    The input projection is persisted ONCE through the shared bounded
-    registry, so the per-group passes share one evaluation of the
-    upstream scoring expressions.
+    Skew: the same refinement contract as :func:`select_until_budget`
+    — a (group, segment) cell holding more than
+    max(heavy_factor · n_g / n_buckets, min_heavy) rows is re-split,
+    by finer score ranges when multi-valued and at sampled id
+    boundaries when score-tied, all heavy cells across ALL groups in
+    one round-trip per round. Selection values are invariant to where
+    boundaries land; refinement only moves load.
+
+    Weight dtype follows :func:`select_until_budget`'s r15 contract:
+    integral weights → long cum, fractional weights → double cum.
+    Groups absent from `budgets` select nothing; a group absent from
+    the data contributes nothing. Returns (group, id, score, weight,
+    cum) with cum the within-group running total.
     """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
     from distributedqueryengine_spark.functions.dedup import _scoped_persist
 
     if len(budgets) > max_driver_groups:
         raise ValueError(
-            f"select_until_budget_grouped is a driver loop over groups "
-            f"({len(budgets)} > max_driver_groups={max_driver_groups}); "
-            "for high-cardinality grouping use a rate-based mixture "
+            f"select_until_budget_grouped collects (group × segment) "
+            f"stats to the driver ({len(budgets)} > "
+            f"max_driver_groups={max_driver_groups}); for higher-"
+            "cardinality grouping use a rate-based mixture "
             "(apply_mixture_rates) instead"
         )
+    spark = df.sparkSession
+    wt_type = _weight_sql_type(df, weight_col)
+    zero = 0 if wt_type == "long" else 0.0
     src = _scoped_persist(
         df.select(
             F.col(group_col).alias("grp"),
             F.col(id_col).alias("id"),
             F.col(score_col).cast("double").alias("score"),
-            F.col(weight_col).cast("long").alias("w"),
-        ).filter(F.col("grp").isin(list(budgets)))
+            F.col(weight_col).cast(wt_type).alias("w"),
+        ).filter(
+            F.col("grp").isin(list(budgets))
+            & F.col("id").isNotNull()
+            & F.col("score").isNotNull()
+            & ~F.isnan("score")
+            & F.col("w").isNotNull()
+        )
     )
-    parts = []
-    for g, budget in sorted(budgets.items(), key=lambda kv: str(kv[0])):
-        sel = select_until_budget(
-            src.filter(F.col("grp") == g),
-            int(budget),
-            id_col="id",
-            weight_col="w",
-            score_col="score",
-            n_buckets=n_buckets,
-            min_heavy=min_heavy,
+
+    def _empty() -> DataFrame:
+        return src.select(
+            F.col("grp").alias(group_col), "id", "score",
+            F.col("w").alias("weight"),
+            F.lit(zero).cast(wt_type).alias("cum"),
+        ).limit(0)
+
+    if not budgets:
+        return _empty()
+    # scale per-group segment count down as groups grow so the
+    # (group × segment) stats collect stays driver-bounded
+    nb = max(64, min(n_buckets, 65536 // len(budgets)))
+    grp_type = src.schema["grp"].dataType
+    b = src.withColumn("__k", -F.col("score"))
+
+    # pass 1 — ONE aggregate: per-group value bounds (groups-sized)
+    gstats = b.groupBy("grp").agg(
+        F.min("__k").alias("lo"), F.max("__k").alias("hi")
+    ).collect()
+    if not gstats:
+        return _empty()
+    gparams = [
+        (
+            r["grp"],
+            float(r["lo"]),
+            ((r["hi"] - r["lo"]) / float(nb)) if r["hi"] > r["lo"] else None,
         )
-        parts.append(sel.select(F.lit(g).alias(group_col), "id", "score",
-                                "weight", "cum"))
-    if not parts:
-        return (
-            src.select(
-                F.col("grp").alias(group_col), "id", "score",
-                F.col("w").alias("weight"),
-                F.lit(0).cast("long").alias("cum"),
-            ).limit(0)
+        for r in gstats
+    ]
+    gtbl = spark.createDataFrame(
+        gparams,
+        StructType([
+            StructField("grp", grp_type),
+            StructField("__glo", DoubleType()),
+            StructField("__gw", DoubleType()),
+        ]),
+    )
+    seg0 = (
+        F.when(F.col("__gw").isNull(), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("__k") - F.col("__glo")) / F.col("__gw")),
+                F.lit(nb - 1),
+            )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        .cast("long")
+    )
+    b = (
+        b.join(F.broadcast(gtbl), "grp")
+        .withColumn("__seg", seg0)
+        .drop("__glo", "__gw")
+    )
+
+    # refinement param-table schema: keyed by (grp, old seg)
+    pschema = StructType([
+        StructField("grp", grp_type),
+        StructField("__seg", LongType()),
+        StructField("__nb", LongType()),
+        StructField("__kind", IntegerType()),
+        StructField("__lo", DoubleType()),
+        StructField("__w", DoubleType()),
+        StructField("__nsub", IntegerType()),
+        StructField("__bnds", ArrayType(src.schema["id"].dataType)),
+    ])
+    persisted = False
+    segs: list = []
+    for rnd in range(max_rounds + 1):
+        # pass 2 — ONE aggregate: per-(group, segment) stats
+        segs = sorted(
+            b.groupBy("grp", "__seg")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("w").alias("m"),
+                F.min("__k").alias("lo"),
+                F.max("__k").alias("hi"),
+            )
+            .collect(),
+            key=lambda r: (str(r["grp"]), r["__seg"]),
+        )
+        n_by_grp: dict = {}
+        for r in segs:
+            n_by_grp[r["grp"]] = n_by_grp.get(r["grp"], 0) + r["cnt"]
+        heavy = {
+            (r["grp"], int(r["__seg"]))
+            for r in segs
+            if r["cnt"]
+            > max(heavy_factor * n_by_grp[r["grp"]] / float(nb),
+                  float(min_heavy))
+        }
+        if not heavy or rnd == max_rounds:
+            break
+        if not persisted:
+            b = _scoped_persist(b)
+            persisted = True
+        target = max(
+            int(max(heavy_factor * max(n_by_grp.values()) / float(nb),
+                    float(min_heavy)) // 2),
+            1,
+        )
+        tied = [
+            r for r in segs
+            if (r["grp"], int(r["__seg"])) in heavy
+            and r["lo"] == r["hi"]
+        ]
+        bnds_by_cell: dict = {}
+        if tied:
+            # one sample job covers ALL tied cells across all groups
+            mod_tbl = spark.createDataFrame(
+                [(r["grp"], int(r["__seg"]), max(1, int(r["cnt"]) // 2000))
+                 for r in tied],
+                StructType([
+                    StructField("grp", grp_type),
+                    StructField("__seg", LongType()),
+                    StructField("__mod", LongType()),
+                ]),
+            )
+            samp = (
+                b.join(F.broadcast(mod_tbl), ["grp", "__seg"])
+                .filter(F.pmod(F.xxhash64(F.col("id")), F.col("__mod")) == 0)
+                .groupBy("grp", "__seg")
+                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+                .collect()
+            )
+            samp_ids = {(r["grp"], int(r["__seg"])): list(r["ids"])
+                        for r in samp}
+            for r in tied:
+                cell = (r["grp"], int(r["__seg"]))
+                ids = samp_ids.get(cell, [])
+                k = min(-(-int(r["cnt"]) // target), sub_cap, len(ids) + 1)
+                bnds: list = []
+                for j in range(1, k):
+                    cand = ids[(j * len(ids)) // k]
+                    if not bnds or cand > bnds[-1]:
+                        bnds.append(cand)
+                bnds_by_cell[cell] = bnds
+        params = []
+        nxt_by_grp: dict = {}
+        for r in segs:
+            g, s = r["grp"], int(r["__seg"])
+            nxt = nxt_by_grp.get(g, 0)
+            if (g, s) not in heavy:
+                params.append((g, s, nxt, 0, None, None, 1, None))
+                nxt += 1
+            elif r["lo"] == r["hi"]:
+                bnds = bnds_by_cell.get((g, s), [])
+                params.append((g, s, nxt, 2, None, None, len(bnds) + 1, bnds))
+                nxt += len(bnds) + 1
+            else:
+                k = min(-(-int(r["cnt"]) // target), sub_cap)
+                wdt = (r["hi"] - r["lo"]) / float(k)
+                params.append((g, s, nxt, 1, float(r["lo"]), wdt, k, None))
+                nxt += k
+            nxt_by_grp[g] = nxt
+        ptbl = spark.createDataFrame(params, pschema)
+        sub = (
+            F.when(
+                F.col("__kind") == 1,
+                F.least(
+                    F.floor((F.col("__k") - F.col("__lo")) / F.col("__w")),
+                    (F.col("__nsub") - 1).cast("long"),
+                ),
+            )
+            .when(
+                F.col("__kind") == 2,
+                F.aggregate(
+                    F.col("__bnds"),
+                    F.lit(0),
+                    lambda acc, x: acc
+                    + F.when(F.col("id") > x, 1).otherwise(0),
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        b = (
+            b.join(F.broadcast(ptbl), ["grp", "__seg"])
+            .withColumn("__seg2", F.col("__nb") + sub)
+            .drop("__seg", "__nb", "__kind", "__lo", "__w", "__nsub",
+                  "__bnds")
+            .withColumnRenamed("__seg2", "__seg")
+        )
+
+    # driver prefix: every group's exclusive cumsum from the ONE
+    # combined stats table, pruning segments past their group's budget
+    base_rows = []
+    acc_by_grp: dict = {}
+    for r in segs:
+        g = r["grp"]
+        budget = budgets[g]
+        acc = acc_by_grp.get(g, zero)
+        if acc <= budget:
+            base_rows.append((g, int(r["__seg"]), acc, budget))
+        acc_by_grp[g] = acc + (
+            int(r["m"]) if wt_type == "long" else float(r["m"])
+        )
+    if not base_rows:
+        return _empty()
+    budget_field = LongType() if wt_type == "long" else DoubleType()
+    bases = spark.createDataFrame(
+        [
+            (g, s, acc, int(bud) if wt_type == "long" else float(bud))
+            for g, s, acc, bud in base_rows
+        ],
+        StructType([
+            StructField("grp", grp_type),
+            StructField("__seg", LongType()),
+            StructField("__base", budget_field),
+            StructField("__budget", budget_field),
+        ]),
+    )
+    w = (
+        Window.partitionBy("grp", "__seg")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(bases), ["grp", "__seg"])
+        .withColumn(
+            "cum",
+            F.col("__base")
+            + F.coalesce(F.sum("w").over(w), F.lit(zero))
+            + F.col("w"),
+        )
+        .filter(F.col("cum") <= F.col("__budget"))
+        .select(
+            F.col("grp").alias(group_col), "id", "score",
+            F.col("w").alias("weight"), "cum",
+        )
+    )

@@ -1015,6 +1015,7 @@ def collocations_pmi(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level collocation mining: top-k adjacent bigrams by PMI.
 
@@ -1041,9 +1042,13 @@ def collocations_pmi(
     Returns ``(term, n, score)`` — term is "a b", n the bigram count,
     score the rounded PMI — ordered by (score desc, term asc), k rows.
     """
-    toks = df.select(
-        F.split(normalize_text(text_col), " ").alias("t")
-    ).filter(F.size("t") >= 2)
+    # tokens_col: pre-split raw-token projection (suite-shared persist)
+    # — skips both tokenize passes below; semantics identical.
+    tok_arr = (
+        F.col(tokens_col) if tokens_col is not None
+        else F.split(normalize_text(text_col), " ")
+    )
+    toks = df.select(tok_arr.alias("t")).filter(F.size("t") >= 2)
     # adjacent pairs via two slices zipped — codegen'd, no HOF lambda
     pairs = toks.select(
         F.explode(
@@ -1055,7 +1060,7 @@ def collocations_pmi(
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
     uni = (
-        df.select(F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+        df.select(F.explode(tok_arr).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
     )

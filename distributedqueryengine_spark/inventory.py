@@ -860,10 +860,10 @@ def _budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     6,000-token budget and 'zh' 1,500, so a low-resource language
     keeps guaranteed slots instead of losing a single global budget to
     the head language; unbudgeted languages select nothing (the
-    absent-group contract). Two budgeted groups keep the bench cost of
-    the per-group driver loop bounded (jobs scale with #groups — the
-    function's documented shape); the 4-group form is exercised in
-    tests/test_sampling.py."""
+    absent-group contract). Since r15 the function is single-pass —
+    (group, score-range) composite segments, one stats aggregate, one
+    windowed pass — so job count is independent of #groups (pinned in
+    tests/test_sampling.py)."""
     from distributedqueryengine_spark.functions.sampling import (
         select_until_budget_grouped,
     )

@@ -1125,9 +1125,24 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic weight vector — term encodes gram|bucket|collision-set
     size, n the corpus occurrence count, score the bucket weight).
     All are one-scan, partial-aggregated shapes whose shuffled state is
-    vocabulary-sized, not corpus-sized."""
+    vocabulary-sized, not corpus-sized.
+
+    r15 shared-work pass: all five branch families used to tokenize
+    `documents` independently (the LM even twice — vocab count + framed
+    grams), so the suite paid 6+ normalize+split passes over the raw
+    text. Now ONE persisted projection (doc_id, source, normalized
+    text, raw token array) feeds every branch through the functions'
+    `tokens_col` fast path; `normalize_text` is idempotent, so the
+    diff branch fingerprinting the pre-normalized text is value-
+    identical to fingerprinting the raw text. The DuckDB oracle is
+    untouched — this is plan sharing, not semantics change."""
     import numpy as np
 
+    from distributedqueryengine_spark.functions.dedup import _scoped_persist
+    from distributedqueryengine_spark.functions.lm import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
     from distributedqueryengine_spark.functions.quality_clf import (
         LogRegModel,
         explain_hashed_logreg,
@@ -1139,7 +1154,24 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split(normalize_text("text"), " ")).alias("tok"))
+    norm = normalize_text("text")
+    proj = d.select(
+        "doc_id",
+        "source",
+        norm.alias("__norm"),
+        F.split(norm, " ").alias("__toks"),
+    )
+    # The fixture corpus is ONE parquet file (1 scan partition); a
+    # 1-partition cache would serialize every downstream branch stage
+    # (the LM's UNK map alone is O(tokens × |vocab|)) onto one core.
+    # Widen tiny scans to a small floor — full defaultParallelism (32)
+    # measurably LOSES here: per-task scheduling overhead on a 5k-row
+    # cache swamps the parallelism gain. At cluster scale the scan
+    # already has many partitions and no repartition happens at all.
+    if d.rdd.getNumPartitions() < 4:
+        proj = proj.repartition(4)
+    shared = _scoped_persist(proj)
+    toks = shared.select(F.explode("__toks").alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("__nu"))
     unigram = (
@@ -1153,20 +1185,27 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(20)
     )
-    pmi = collocations_pmi(d, "text", min_count=5, k=20).select(
-        F.lit("pmi").alias("branch"), "term", "n", "score"
-    )
+    pmi = collocations_pmi(
+        shared, "__norm", min_count=5, k=20, tokens_col="__toks"
+    ).select(F.lit("pmi").alias("branch"), "term", "n", "score")
     # 'diff' (r14): old snapshot = docs with doc_id % 7 != 0, with a
     # planted edit on doc_id % 5 == 0 — so added/changed/unchanged and
-    # the token delta are all exercised with nonzero counts
-    old = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+    # the token delta are all exercised with nonzero counts. Both
+    # sides read the shared pre-normalized text; appending the planted
+    # tail to NORMALIZED text is equivalent to appending it to raw
+    # text because dataset_diff re-normalizes (idempotent) and the
+    # tail carries its own single leading space.
+    new_side = shared.select(
+        "doc_id", F.col("__norm").alias("text"), "source"
+    )
+    old = new_side.filter(F.col("doc_id") % 7 != 0).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(F.col("text"), F.lit(" extra tail")),
         ).otherwise(F.col("text")),
     )
-    diff = dataset_diff(old, d, "doc_id", "text", group_col="source").select(
+    diff = dataset_diff(old, new_side, "doc_id", "text", group_col="source").select(
         F.lit("diff").alias("branch"),
         "group",
         F.expr(
@@ -1189,7 +1228,9 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [((b * 2654435761) % 2048 - 1024) / 1024.0 for b in range(1024)]
     )
     model = LogRegModel(wts, 0.0, 1024, True, ())
-    ex = explain_hashed_logreg(d, "doc_id", "text", model, k=20).select(
+    ex = explain_hashed_logreg(
+        shared, "doc_id", "__norm", model, k=20, tokens_col="__toks"
+    ).select(
         F.when(F.col("direction") == "positive", F.lit("clf_pos"))
         .otherwise(F.lit("clf_neg"))
         .alias("branch"),
@@ -1203,8 +1244,16 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("score"),
     )
     # 'lm' (r14): stupid-backoff trigram scores over the doc_id % 7
-    # subsample, model trained on the full corpus (q_lm_backoff_scores)
-    lm = q_lm_backoff_scores(spark, sf_dir).select(
+    # subsample, model trained on the full corpus — same semantics as
+    # the standalone q_lm_backoff_scores, but trained/scored from the
+    # suite-shared token projection (tokens_col fast path)
+    lm_model = train_trigram_lm(
+        shared, "__norm", "doc_id", vocab_size=500, tokens_col="__toks"
+    )
+    lm = score_stupid_backoff(
+        shared.filter(F.col("doc_id") % 7 == 0), "__norm", lm_model,
+        "doc_id", tokens_col="__toks",
+    ).select(
         F.lit("lm").alias("branch"),
         F.col("doc_id").cast("string").alias("term"),
         F.col("n_trigrams").alias("n"),

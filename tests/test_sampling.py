@@ -610,3 +610,126 @@ def test_grouped_budget_group_cap(spark):
             df, {f"g{i}": 1 for i in range(99)}, group_col="g",
             max_driver_groups=10,
         )
+
+
+def test_grouped_budget_job_count_independent_of_groups(spark):
+    """r15 single-pass contract: the number of Spark jobs
+    select_until_budget_grouped schedules must NOT scale with the
+    number of budgeted groups (the r14 driver loop paid per-group
+    stats + window jobs). Same data, same rows-per-group — only the
+    group count differs."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget_grouped,
+    )
+
+    sc = spark.sparkContext
+
+    def jobs_for(n_groups):
+        rows = [
+            (g * 1000 + i, f"g{g}", float((i * 7) % 13), 1 + (i % 5))
+            for g in range(n_groups)
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, score double, w long")
+        budgets = {f"g{g}": 60 for g in range(n_groups)}
+        group = f"grouped_budget_jobs_{n_groups}"
+        sc.setJobGroup(group, "grouped budget job-count probe")
+        try:
+            select_until_budget_grouped(df, budgets, group_col="g").collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j2, j8 = jobs_for(2), jobs_for(8)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert j2 == j8, (j2, j8)
+
+
+def test_grouped_budget_refinement_path_matches(spark):
+    """Tie-heavy corpus across several groups with a tiny min_heavy so
+    the (group, segment) refinement actually fires: results must still
+    equal the per-group python reference (boundaries move load, never
+    values), and heavy tied cells must have been split."""
+    import random
+
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget_grouped,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for g in range(3):
+        for i in range(400):
+            # 70% of each group tied at score 0.0 — the adversarial
+            # quality-heuristic distribution
+            score = 0.0 if rng.random() < 0.7 else round(rng.random(), 3)
+            rows.append((g * 10_000 + i, f"lang{g}", score, rng.randint(1, 9)))
+    df = spark.createDataFrame(rows, "id long, lang string, score double, w long")
+    budgets = {"lang0": 700, "lang1": 1200, "lang2": 10_000_000}
+    got = {}
+    out = select_until_budget_grouped(
+        df, budgets, group_col="lang", n_buckets=8, min_heavy=32
+    )
+    for r in out.collect():
+        got.setdefault(r["lang"], []).append(
+            (r["id"], r["score"], r["weight"], r["cum"])
+        )
+    for g, budget in budgets.items():
+        grows = [(i, s, w) for i, lg, s, w in rows if lg == g]
+        assert sorted(got.get(g, [])) == sorted(_py_budget(grows, budget)), g
+
+
+def test_budget_fractional_weights_double_path(spark):
+    """r15 weight-dtype contract: fractional weight columns flow
+    through the prefix machinery as double (no silent truncation to
+    long) and match the python reference; integral weights still
+    return a long cum."""
+    import math
+    import random
+
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+        select_until_budget_grouped,
+    )
+
+    rng = random.Random(23)
+    # weights are multiples of 0.25 and the budget sits 0.1 off any
+    # reachable running total, so float addition order can never flip
+    # the cutoff
+    rows = [
+        (i, round(rng.random(), 3), rng.randint(1, 40) * 0.25)
+        for i in range(300)
+    ]
+    budget = 37.6
+    df = spark.createDataFrame(rows, "id long, score double, w double")
+    sel = select_until_budget(df, budget, n_buckets=7)
+    assert dict(sel.dtypes)["cum"] == "double"
+    got = sorted(
+        (r["id"], r["score"], r["weight"], r["cum"]) for r in sel.collect()
+    )
+    exp = []
+    cum = 0.0
+    for i, s, w in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += w
+        if cum > budget:
+            break
+        exp.append((i, s, w, cum))
+    assert len(got) == len(exp)
+    for (gi, gs, gw, gc), (ei, es, ew, ec) in zip(got, sorted(exp)):
+        assert (gi, gs, gw) == (ei, es, ew)
+        assert math.isclose(gc, ec, rel_tol=1e-9), (gi, gc, ec)
+    # grouped variant carries the same dtype contract
+    gdf = df.withColumn("g", (F.col("id") % 2).cast("string"))
+    gsel = select_until_budget_grouped(
+        gdf, {"0": 19.6, "1": 11.1}, group_col="g"
+    )
+    assert dict(gsel.dtypes)["cum"] == "double"
+    assert gsel.count() > 0
+    # integral path unchanged
+    ldf = spark.createDataFrame(
+        [(i, float(i), i + 1) for i in range(20)], "id long, score double, w long"
+    )
+    assert dict(select_until_budget(ldf, 30).dtypes)["cum"] == "bigint"
