@@ -281,6 +281,17 @@ def ivf_index_staleness(
     }
     n_base = sum(baseline.values())
     n_now = sum(now.values())
+    if n_base == 0 or n_now == 0:
+        # an index saved from an empty build (or a corrupted/empty
+        # occupancy dir) has no distribution to compare — fail with a
+        # diagnosable error instead of a ZeroDivisionError (r14 ADVICE)
+        raise ValueError(
+            f"IVF index at {path} has an empty "
+            f"{'baseline occupancy' if n_base == 0 else 'current index'} "
+            f"(n_base={n_base}, n_now={n_now}) — rebuild the index with "
+            "save_ivf_index over a non-empty corpus before checking "
+            "staleness"
+        )
     cells = set(baseline) | set(now)
     tvd = 0.5 * sum(
         abs(now.get(c, 0) / n_now - baseline.get(c, 0) / n_base)

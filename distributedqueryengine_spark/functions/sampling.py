@@ -384,6 +384,26 @@ def training_order(
           else curriculum_col).alias("__cur")] if curriculum_col is not None else []
     ))
     n_curr = curriculum_epochs if curriculum_col is not None else 0
+    if n_curr > 0:
+        # the curriculum segments on cast("double"); a non-numeric
+        # curriculum (string tiers like 'easy'/'hard') would cast to
+        # NULL and silently degrade ordering to a pure shuffle — fail
+        # loudly instead (r14 ADVICE). One bounded existence probe.
+        bad = (
+            base.filter(
+                F.col("__cur").isNotNull()
+                & F.col("__cur").try_cast("double").isNull()
+            )
+            .select("__cur")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "curriculum_col values must be numeric-castable; got "
+                f"{bad[0]['__cur']!r}. Map categorical difficulty tiers "
+                "to numbers first (e.g. dense_rank over the tier order)."
+            )
     parts = []
     for e in range(n_epochs):
         u = _uniform01(F.col("id").cast("string"), seed=seed * 1_000_003 + e)
@@ -439,10 +459,14 @@ def training_order(
                     (F.col("__r") - 1).alias("pos"),
                 )
             )
-    if not parts:  # empty input, all-curriculum epochs
-        return df.sparkSession.createDataFrame(
-            [], "epoch long, id string, pos long"
-        )
+    if not parts:  # empty input, all-curriculum epochs — keep the
+        # input's NATIVE id type so downstream joins/unions line up
+        # (r14 ADVICE: the hardcoded `id string` diverged for long ids)
+        return base.select(
+            F.lit(0).cast("long").alias("epoch"),
+            "id",
+            F.lit(0).cast("long").alias("pos"),
+        ).limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -462,7 +486,9 @@ def apply_mixture_rates(
     of (seed, id) — deterministic across engines, reruns, and cluster
     layouts). `rates` is a (group, rate) table, e.g. from
     :func:`temperature_mixture_rates`; groups absent from it keep
-    nothing, rates >= 1 keep everything.
+    nothing, rates >= 1 keep everything. `rates` must have ONE row per
+    group — duplicates raise (r15: the two rank paths would otherwise
+    disagree on them).
 
     Scale shape (r14): a mixture typically has FEW groups (a handful
     of sources/languages), so the obvious
@@ -490,6 +516,25 @@ def apply_mixture_rates(
     )
     rate_rows = r.limit(max_driver_groups + 1).collect()
     if len(rate_rows) > max_driver_groups:
+        # duplicate groups in `rates` would duplicate every row of the
+        # group through the broadcast join (while the driver-dict path
+        # would collapse them) — the 'both paths return IDENTICAL
+        # rows' contract requires unique group keys, so validate here
+        # too (one tiny job over the groups-sized rate table; r14
+        # ADVICE)
+        dup = (
+            r.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"rates has duplicate rows for group "
+                f"{dup[0][group_col]!r}; dedup the rate table (one row "
+                "per group) before applying"
+            )
         w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
         cw = Window.partitionBy(group_col)
         return (
@@ -498,6 +543,16 @@ def apply_mixture_rates(
             .withColumn("__n", F.count(F.lit(1)).over(cw))
             .filter(F.col("__rn") <= F.ceil(F.col("rate") * F.col("__n")))
             .drop("__rn", "__n", "rate")
+        )
+    if len({row[group_col] for row in rate_rows}) < len(rate_rows):
+        seen: set = set()
+        dup_g = next(
+            row[group_col] for row in rate_rows
+            if row[group_col] in seen or seen.add(row[group_col])
+        )
+        raise ValueError(
+            f"rates has duplicate rows for group {dup_g!r}; dedup the "
+            "rate table (one row per group) before applying"
         )
     rate_by_group = {row[group_col]: row["rate"] for row in rate_rows}
     if not rate_by_group:

@@ -733,3 +733,65 @@ def test_budget_fractional_weights_double_path(spark):
         [(i, float(i), i + 1) for i in range(20)], "id long, score double, w long"
     )
     assert dict(select_until_budget(ldf, 30).dtypes)["cum"] == "bigint"
+
+
+def test_training_order_rejects_non_numeric_curriculum(spark):
+    """r15: a string curriculum that cast("double")s to NULL must fail
+    loudly instead of silently degrading to a pure shuffle."""
+    from distributedqueryengine_spark.functions.sampling import (
+        training_order,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "easy"), (2, "hard")], "doc long, tier string"
+    )
+    with pytest.raises(ValueError, match="numeric-castable"):
+        training_order(
+            df, "doc", n_epochs=1, curriculum_col="tier",
+            curriculum_epochs=1,
+        )
+    # numeric-as-string is castable and fine
+    ok = spark.createDataFrame(
+        [(1, "1.5"), (2, "0.5")], "doc long, tier string"
+    )
+    got = training_order(
+        ok, "doc", n_epochs=1, curriculum_col="tier", curriculum_epochs=1
+    ).collect()
+    by_pos = [r["id"] for r in sorted(got, key=lambda r: r["pos"])]
+    assert by_pos == [2, 1]
+
+
+def test_training_order_empty_input_keeps_native_id_type(spark):
+    """r15: the empty all-curriculum fallback must carry the input's
+    id type (long here), not a hardcoded string."""
+    from distributedqueryengine_spark.functions.sampling import (
+        training_order,
+    )
+
+    df = spark.createDataFrame([], "doc long, difficulty double")
+    out = training_order(
+        df, "doc", n_epochs=1, curriculum_col="difficulty",
+        curriculum_epochs=1,
+    )
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"epoch": "bigint", "id": "bigint",
+                                "pos": "bigint"}
+
+
+def test_apply_mixture_rates_rejects_duplicate_groups(spark):
+    """r15: duplicate group rows in `rates` raise on BOTH rank paths
+    (driver-dict and window) instead of silently diverging."""
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(20)], "id long, src string"
+    )
+    dup = spark.createDataFrame(
+        [("s0", 0.5), ("s0", 1.0), ("s1", 0.5)], "group string, rate double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_mixture_rates(df, dup, "src", "id").collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_mixture_rates(df, dup, "src", "id", max_driver_groups=1).collect()

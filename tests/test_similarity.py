@@ -908,3 +908,29 @@ def test_ivf_staleness_fires_on_planted_shift(spark, tables, tmp_path):
     assert stale["n_now"] == 2 * n0
     assert stale["tvd"] > 0.2 and stale["retrain"]
     assert stale["max_cell_share"] > 0.5
+
+
+def test_ivf_staleness_empty_index_raises(spark, tmp_path):
+    """r15: staleness over an empty/corrupt occupancy baseline raises
+    a diagnosable ValueError, not ZeroDivisionError."""
+    import pyspark.sql.functions as F
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+
+    path = str(tmp_path / "ivf_empty")
+    # fabricate a v2 layout whose occupancy sums to zero
+    spark.createDataFrame([(0, 0)], "cell int, n long").filter(
+        F.lit(False)
+    ).write.parquet(path + "/occupancy")
+    spark.createDataFrame([(0,)], "cell int").write.parquet(path + "/index")
+    spark.createDataFrame(
+        [(2,)], "version int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    try:
+        AS.ivf_index_staleness(spark, path)
+    except ValueError as e:
+        assert "empty" in str(e)
+    except Exception as e:  # pragma: no cover
+        raise AssertionError(f"expected ValueError, got {type(e)}") from e
+    else:  # pragma: no cover
+        raise AssertionError("expected ValueError")
