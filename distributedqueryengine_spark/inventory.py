@@ -1393,6 +1393,218 @@ def _dedup_near_oracle() -> str:
 
 COMPOSITE_ORACLES["dedup_near_suite"] = _dedup_near_oracle()
 
+
+def _pipeline_curate_oracle() -> str:
+    """DuckDB mirror of q_pipeline_curate — the ENTIRE composed
+    curation pipeline (pipeline.curate_corpus with portable=True) as
+    ONE recursive-CTE chain: quality/lang filter (q1) → exact dedup
+    (q2) → minhash-LSH pairs → connected components → representative
+    survivors (q3) → ExactSubstr strip to clean text (q4) → 5-gram
+    benchmark decontamination (q5) → temperature mixture T=0.5 (q7)
+    → concat-pack layout → two md5-permutation training epochs.
+
+    Every hash is the portable md5 form the Spark side uses under
+    portable=True (same perm_coeffs universal-hash constants, same
+    60-bit prefixes), every rounding matches (jaccard 4dp before the
+    threshold, rates 6dp before the quota), and every stage reads the
+    PREVIOUS stage's CTE — so survivorship, offsets, and (epoch, pos)
+    order are all covered by the one value hash."""
+    from distributedqueryengine_spark.functions.dedup import P31, perm_coeffs
+
+    def h60(expr: str) -> str:
+        return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+    num_perm, bands, r = 32, 8, 4
+    mins = ",\n               ".join(
+        f"min(((sh % {P31}) * {a} + {b}) % {P31}) AS m{i}"
+        for i, (a, b) in enumerate(perm_coeffs(num_perm))
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT id, {b} AS band, {h} AS bh FROM nsig".format(
+            b=b,
+            h=h60(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    norm = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+    stop = ("['the','a','an','and','or','of','to','in','is','are','was',"
+            "'on','for','with','as','at','by','from','it','this']")
+    stop_ratio = (
+        f"CAST(len(list_filter(tk, x -> list_contains({stop}, x))) "
+        "AS DOUBLE) / len(tk)"
+    )
+    quality = (
+        "round((least(len(tk) / 50.0, 1.0)"
+        f" + least(5.0 * {stop_ratio}, 1.0)"
+        " + CASE WHEN CAST(list_sum(list_transform(tk, x -> length(x)))"
+        " AS DOUBLE) / len(tk) BETWEEN 3.0 AND 10.0"
+        " THEN 1.0 ELSE 0.3 END) / 3.0, 4)"
+    )
+    return f"""
+    WITH RECURSIVE
+    pcorpus AS MATERIALIZED (SELECT doc_id, text, source FROM documents
+                WHERE doc_id % 97 <> 0),
+    pevdocs AS MATERIALIZED (SELECT text FROM documents WHERE doc_id % 97 = 0),
+    pt1 AS MATERIALIZED (SELECT doc_id, text, source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS tk
+            FROM pcorpus),
+    q1 AS MATERIALIZED (SELECT doc_id, text, source FROM pt1
+           WHERE {quality} >= 0.5 AND {stop_ratio} >= 0.08),
+    q2 AS MATERIALIZED (SELECT doc_id, text, source FROM q1
+           QUALIFY row_number() OVER (
+               PARTITION BY md5({norm}) ORDER BY doc_id) = 1),
+    ntoks AS MATERIALIZED (SELECT doc_id, string_split({norm}, ' ') AS t FROM q2),
+    nsh AS MATERIALIZED (SELECT DISTINCT doc_id AS id,
+                   {h60("array_to_string(t[i:i+2], ' ')")} AS sh
+            FROM (SELECT doc_id, t,
+                         unnest(range(1, greatest(len(t)-1, 1))) AS i
+                  FROM ntoks)),
+    nsig AS MATERIALIZED (SELECT id,
+               {mins}
+             FROM nsh GROUP BY id),
+    nbanded AS MATERIALIZED (
+        {band_selects}),
+    ncand AS MATERIALIZED (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM nbanded a JOIN nbanded b
+                ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+    nsizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM nsh GROUP BY id),
+    ninter AS MATERIALIZED (SELECT c.id_a, c.id_b, count(*) AS n_inter
+               FROM ncand c
+               JOIN nsh x ON x.id = c.id_a
+               JOIN nsh y ON y.id = c.id_b AND y.sh = x.sh
+               GROUP BY c.id_a, c.id_b),
+    npairs AS MATERIALIZED (SELECT c.id_a, c.id_b
+               FROM ncand c
+               LEFT JOIN ninter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+               JOIN nsizes sa ON sa.id = c.id_a
+               JOIN nsizes sb ON sb.id = c.id_b
+               WHERE round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                     / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)), 4) >= 0.5),
+    nedges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM npairs
+               UNION SELECT id_b, id_a FROM npairs),
+    nreach(a, b) AS (
+        SELECT src, dst FROM nedges
+        UNION
+        SELECT rr.a, e.dst FROM nreach rr JOIN nedges e ON rr.b = e.src),
+    ncomp AS MATERIALIZED (SELECT a AS id, least(a, min(b)) AS component
+              FROM nreach GROUP BY a),
+    q3 AS MATERIALIZED (SELECT doc_id, text, source FROM q2
+           WHERE doc_id NOT IN (SELECT id FROM ncomp WHERE id <> component)),
+    stoks AS MATERIALIZED (SELECT doc_id,
+                     list_filter(string_split({norm}, ' '),
+                                 x -> len(x) > 0) AS t
+              FROM q3),
+    socc AS MATERIALIZED (SELECT doc_id, i AS pos,
+                    {h60("array_to_string(list_slice(t, i, i + 7), ' ')")} AS h
+             FROM stoks, UNNEST(range(1, len(t) - 6)) AS rng(i)),
+    sdup AS MATERIALIZED (SELECT doc_id, pos,
+                    count(*) OVER (PARTITION BY h) AS n_occ,
+                    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                        = 1 AS is_canonical
+             FROM socc),
+    shits AS MATERIALIZED (SELECT doc_id, pos FROM sdup
+              WHERE n_occ >= 2 AND NOT is_canonical),
+    sseg AS MATERIALIZED (SELECT doc_id, pos,
+                    CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                             PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), -1) + 1
+                         THEN 1 ELSE 0 END AS new_seg
+             FROM shits),
+    sseg2 AS MATERIALIZED (SELECT doc_id, pos,
+                     sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS seg
+              FROM sseg),
+    sspans AS MATERIALIZED (SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+               FROM sseg2 GROUP BY doc_id, seg),
+    stokpos AS MATERIALIZED (SELECT doc_id, i AS tpos, t[i] AS tok
+                FROM stoks, UNNEST(range(1, len(t) + 1)) AS rng(i)),
+    skept AS MATERIALIZED (SELECT tp.doc_id, tp.tpos, tp.tok
+              FROM stokpos tp
+              WHERE NOT EXISTS (
+                  SELECT 1 FROM sspans s
+                  WHERE s.doc_id = tp.doc_id
+                    AND tp.tpos BETWEEN s.start_tok AND s.end_tok)),
+    sclean AS MATERIALIZED (SELECT doc_id,
+                      string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+               FROM skept GROUP BY doc_id),
+    q4 AS MATERIALIZED (SELECT q3.doc_id, coalesce(c.clean_text, '') AS text, q3.source
+           FROM q3 LEFT JOIN sclean c USING (doc_id)),
+    dtoks AS MATERIALIZED (SELECT doc_id, string_split({norm}, ' ') AS tku FROM q4),
+    dtg AS MATERIALIZED (SELECT DISTINCT doc_id,
+                   md5(array_to_string(tku[i:i+4], ' ')) AS g
+            FROM (SELECT doc_id, tku,
+                         unnest(range(1, greatest(len(tku)-3, 1))) AS i
+                  FROM dtoks)),
+    detoks AS MATERIALIZED (SELECT string_split({norm}, ' ') AS tku FROM pevdocs),
+    deg AS MATERIALIZED (SELECT DISTINCT md5(array_to_string(tku[i:i+4], ' ')) AS g
+            FROM (SELECT tku,
+                         unnest(range(1, greatest(len(tku)-3, 1))) AS i
+                  FROM detoks)),
+    dbad AS MATERIALIZED (SELECT DISTINCT doc_id FROM dtg
+             WHERE g IN (SELECT g FROM deg)),
+    q5 AS MATERIALIZED (SELECT doc_id, text, source FROM q4
+           WHERE doc_id NOT IN (SELECT doc_id FROM dbad)),
+    ms AS MATERIALIZED (SELECT source, count(*) AS n_src FROM q5 GROUP BY source),
+    mz AS MATERIALIZED (SELECT sum(pow(n_src, 2.0)) AS z, sum(n_src) AS tot FROM ms),
+    mrt AS MATERIALIZED (SELECT source,
+                   round(least((pow(n_src, 2.0) / mz.z) * mz.tot / n_src,
+                               1.0), 6) AS rate
+            FROM ms CROSS JOIN mz),
+    mr AS MATERIALIZED (SELECT q5.doc_id, q5.source, rate,
+                  row_number() OVER (PARTITION BY q5.source
+                      ORDER BY md5('0§' || CAST(q5.doc_id AS VARCHAR)),
+                               q5.doc_id) AS rn,
+                  count(*) OVER (PARTITION BY q5.source) AS nn
+           FROM q5 JOIN mrt USING (source)),
+    q7 AS MATERIALIZED (SELECT doc_id, text, source FROM q5
+           WHERE doc_id IN (SELECT doc_id FROM mr
+                            WHERE rn <= ceil(rate * nn))),
+    pk AS MATERIALIZED (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(lower(text)),
+                                                   '\\s+')) END AS nt
+           FROM q7),
+    po AS MATERIALIZED (SELECT doc_id, nt,
+                  CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS off
+           FROM pk),
+    ppack AS MATERIALIZED (SELECT doc_id,
+                     CAST(nt AS BIGINT) AS n_tokens,
+                     off AS tok_offset,
+                     CAST(floor(off / 512.0) AS BIGINT) AS seq_first,
+                     CAST(floor((off + greatest(nt, 1) - 1) / 512.0)
+                          AS BIGINT) AS seq_last,
+                     CAST(floor((off + greatest(nt, 1) - 1) / 512.0)
+                          - floor(off / 512.0) + 1 AS BIGINT) AS n_seqs
+              FROM po),
+    pep AS MATERIALIZED (SELECT unnest([0, 1]) AS epoch),
+    pord AS MATERIALIZED (SELECT pep.epoch, q7.doc_id,
+                    row_number() OVER (PARTITION BY pep.epoch
+                        ORDER BY substr(md5(CAST(pep.epoch AS VARCHAR)
+                                 || '§' || CAST(q7.doc_id AS VARCHAR)),
+                                 1, 15),
+                                 q7.doc_id) - 1 AS pos
+             FROM q7 CROSS JOIN pep)
+    SELECT CAST(o.epoch AS BIGINT) AS epoch,
+           CAST(o.pos AS BIGINT) AS pos,
+           o.doc_id,
+           f.source,
+           p.n_tokens, p.tok_offset, p.seq_first, p.seq_last, p.n_seqs
+    FROM pord o
+    JOIN ppack p USING (doc_id)
+    JOIN q7 f USING (doc_id)
+    """
+
+
+COMPOSITE_ORACLES["pipeline_curate"] = _pipeline_curate_oracle()
+
 # Fused ANN: deterministic hyperplanes + unrolled query-trained k-means
 # are fully expressible in DuckDB (see ann_oracle.py).
 from distributedqueryengine_spark.ann_oracle import sim_ann_oracle_sql  # noqa: E402
@@ -1860,7 +2072,12 @@ INVENTORY = {
     "sim_ann_topk": q_sim_ann_topk,
     "multimodal_pipeline": q_multimodal_pipeline,
     "sample_suite": q_sample_suite,
-    "pipeline_clean_corpus": Q.q_pipeline_clean_corpus,
+    # r15: the COMPOSED curate_corpus pipeline replaces the r4
+    # 3-stage mini-pipeline (whose quality/lang/exact-dedup stages are
+    # a strict subset of pipeline_curate's q1/q2 CTEs — nothing lost,
+    # the full 8-stage composition gained; q_pipeline_clean_corpus and
+    # its oracle remain in the library for direct use)
+    "pipeline_curate": Q.q_pipeline_curate,
     # streaming / temporal joins
     "stream_windows_suite": q_stream_windows_suite,
     "stream_interval_join": Q.q_stream_interval_join,

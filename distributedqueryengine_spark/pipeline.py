@@ -47,9 +47,15 @@ from distributedqueryengine_spark.functions.dedup import _scoped_persist
 __all__ = ["curate_corpus"]
 
 
-def _stage(acc: list, name: str, rows_in: int, df: DataFrame) -> tuple[DataFrame, int]:
-    """Persist a stage output (bounded FIFO), count it, record it."""
+def _stage(
+    acc: list | None, name: str, rows_in: int, df: DataFrame
+) -> tuple[DataFrame, int]:
+    """Persist a stage output (bounded FIFO); when accounting is on
+    (acc is a list), count it and record it — the count is the eager
+    synchronization point, so acc=None keeps the chain lazy."""
     out = _scoped_persist(df)
+    if acc is None:
+        return out, -1
     n = out.count()
     acc.append({"stage": name, "rows_in": int(rows_in), "rows_out": int(n)})
     return out, n
@@ -76,6 +82,8 @@ def curate_corpus(
     seq_len: int = 512,
     n_epochs: int = 1,
     seed: int = 0,
+    portable: bool = False,
+    account: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """Run the full curation pipeline over `docs`; return
     (training manifest, per-stage row accounting).
@@ -96,6 +104,20 @@ def curate_corpus(
     `rows_in` of each stage equals `rows_out` of the previous, so the
     composition is reconcilable against running the stages by hand
     (pinned in tests/test_pipeline_e2e.py).
+
+    `account=False` skips the per-stage row counts (the accounting
+    list returns empty): each count is a serial synchronization job,
+    and a latency-sensitive caller that only needs the manifest (the
+    driver-oracled `pipeline_curate` row, a scheduled production run
+    whose accounting comes from the sink's own row counts) saves ~9
+    round-trips. Stage persists remain — they are correctness-neutral
+    and still serve the multi-consumer tail.
+
+    `portable=True` switches the near-dup and ExactSubstr hash spines
+    to the md5-based engine-portable mode (slower than xxhash64, but
+    bit-identical in DuckDB) — this is what lets the ENTIRE composed
+    pipeline be driver-oracled end to end (the `pipeline_curate`
+    inventory row mirrors every stage in one SQL chain).
     """
     from distributedqueryengine_spark.functions import text as T
     from distributedqueryengine_spark.functions.decontam import contaminated_ids
@@ -118,13 +140,13 @@ def curate_corpus(
         strip_duplicated_spans,
     )
 
-    acc: list[dict] = []
+    acc: list[dict] | None = [] if account else None
     base = docs.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
         F.col(group_col).alias("grp"),
     )
-    n0 = base.count()
+    n0 = base.count() if account else -1
 
     # 1. quality / language heuristics — fused into the scan
     pred = T.quality_score("text") >= min_quality
@@ -137,13 +159,18 @@ def curate_corpus(
 
     # 3. near-dup collapse: staged MinHash-LSH pairs → connected
     # components → keep each cluster's representative (min id)
-    cc = dedup_clusters(cur, "id", "text", min_jaccard=near_dup_jaccard)
+    # staged=False: stage 2 already removed exact duplicates, so the
+    # staged pipeline's exact-collapse pre-stage (fingerprint groupBy
+    # + canonical map-back, ~3 extra shuffles) would find nothing
+    cc = dedup_clusters(cur, "id", "text", min_jaccard=near_dup_jaccard,
+                        portable=portable, staged=False)
     losers = cc.filter(F.col("id") != F.col("component")).select("id")
     cur, n = _stage(acc, "near_dedup", n, cur.join(losers, "id", "left_anti"))
 
     # 4. ExactSubstr: strip duplicated passages, keep corpus-first —
     # rows survive (possibly shorter); training text is clean_text
-    stripped = strip_duplicated_spans(cur, "id", "text", k=substr_k)
+    stripped = strip_duplicated_spans(cur, "id", "text", k=substr_k,
+                                      portable=portable)
     cur, n = _stage(
         acc,
         "substr_strip",
@@ -235,7 +262,9 @@ def curate_corpus(
             "n_seqs",
         )
     )
-    acc.append(
-        {"stage": "manifest", "rows_in": int(n), "rows_out": int(n) * n_epochs}
-    )
-    return manifest, acc
+    if acc is not None:
+        acc.append(
+            {"stage": "manifest", "rows_in": int(n),
+             "rows_out": int(n) * n_epochs}
+        )
+    return manifest, acc if acc is not None else []

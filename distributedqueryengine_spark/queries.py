@@ -2598,6 +2598,46 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (pipeline.curate_corpus) as one
+    driver-oracled row (r15 — the r14 composition was pytest-only):
+    quality/lang filter → exact dedup → near-dup CC collapse →
+    ExactSubstr strip → benchmark decontamination → temperature
+    mixture (T=0.5, so the rate arithmetic is pow(n,2) — bit-identical
+    across engines) → concat-pack layout → two deterministic training
+    epochs. Corpus = documents with doc_id % 97 != 0; the held-out
+    doc_id % 97 == 0 rows play the benchmark eval set (same split as
+    decontam_suite). portable=True puts the near-dup and ExactSubstr
+    spines on md5 hashing so DuckDB mirrors every hash bit; the
+    classifier stage is intentionally absent (iterative GD training is
+    not SQL-expressible — its fit/score/explain are value-checked by
+    the text_wordcount clf branches and the numpy differential).
+
+    The DuckDB oracle (inventory._pipeline_curate_oracle) is ONE
+    recursive-CTE chain mirroring all eight stages; the value hash
+    covers (epoch, pos) order, pack offsets, and survivorship of every
+    stage at once — a wrong boundary anywhere shifts everything
+    downstream and fails the row hash."""
+    from distributedqueryengine_spark.pipeline import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    manifest, _acc = curate_corpus(
+        docs,
+        eval_df=ev,
+        labeled=None,
+        temperature=0.5,
+        n_epochs=2,
+        seed=0,
+        portable=True,
+        # the driver value-checks the manifest; the per-stage counts
+        # are 9 serial sync jobs that the pytest e2e covers separately
+        account=False,
+    )
+    return manifest
+
+
 def q_dedup_clusters(
     spark: SparkSession, sf_dir: str, portable: bool = False
 ) -> DataFrame:

@@ -220,10 +220,12 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
+    # driver_edge_cap=0 forces the distributed propagation path (the
+    # r15 union-find fast path would absorb this tiny chain otherwise)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, driver_edge_cap=0)
     # and with enough rounds the same chain is one component
-    ok = connected_components(chain, max_iter=10).collect()
+    ok = connected_components(chain, max_iter=10, driver_edge_cap=0).collect()
     assert {r.component for r in ok} == {0}
 
 
@@ -682,3 +684,26 @@ def test_source_overlap_shingle_reuse_path_identical(spark, tables):
         D.source_overlap_matrix(d, "source", "text", group_shingles=src_sh)
     with _pytest.raises(ValueError, match="needs"):
         D.source_overlap_matrix(n=3)
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """r15 size gate: the union-find fast path must return exactly the
+    distributed min-label result on the same adversarial graph."""
+    from distributedqueryengine_spark.functions.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 17)]
+        + [(100, x) for x in (101, 102, 103)]
+        + [(200, 201), (201, 202), (202, 200), (202, 203)]
+        + [(300, 301), (400, 401), (500, 500)]  # self-loop dropped
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.id, r.component)
+            for r in connected_components(df).collect()}
+    slow = {(r.id, r.component)
+            for r in connected_components(df, driver_edge_cap=0).collect()}
+    assert fast == slow and fast
+    # over-cap input falls back to the distributed path (same answer)
+    mixed = {(r.id, r.component)
+             for r in connected_components(df, driver_edge_cap=3).collect()}
+    assert mixed == slow
