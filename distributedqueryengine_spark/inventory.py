@@ -821,7 +821,20 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     DSIR branches (per-doc importance scores + the Gumbel-top-300
     selected set), which derive from ONE shared scoring stage —
     featurize raw+target once, scored persisted, both consumers read
-    the same cache."""
+    the same cache.
+
+    r15 shared-work pass: the non-DSIR branches used to re-scan
+    `documents` independently (budget and budget_grouped each
+    re-evaluated quality_score + token_count, the suite's two most
+    expensive expressions). Now ONE persisted projection (doc_id,
+    lang, source, n_chars, q, nt) feeds hash_split, stratified,
+    mixture, budget, budget_grouped, and mixture_applied; the DuckDB
+    oracle is untouched (plan sharing, not semantics)."""
+    from distributedqueryengine_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+
     while _SAMPLE_SHARED_CACHE:
         try:
             _SAMPLE_SHARED_CACHE.pop().unpersist()
@@ -829,14 +842,20 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
     scored = Q._dsir_scored(spark, sf_dir, _SAMPLE_SHARED_CACHE).persist()
     _SAMPLE_SHARED_CACHE.append(scored)
+    shared = Q._t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars",
+        quality_score("text").alias("q"),
+        token_count("text").cast("long").alias("nt"),
+    ).persist()
+    _SAMPLE_SHARED_CACHE.append(shared)
     return _union([
-        _tagged("hash_split", Q.q_sample_hash_split(spark, sf_dir),
+        _tagged("hash_split", Q.q_sample_hash_split(spark, sf_dir, shared),
                 {"key": "split", "n": "n", "avg_chars": "avg_chars"}, _SAMPLE_S),
-        _tagged("stratified", Q.q_sample_stratified(spark, sf_dir),
+        _tagged("stratified", Q.q_sample_stratified(spark, sf_dir, shared),
                 {"key": F.col("doc_id").cast("string"), "lang": "lang"}, _SAMPLE_S),
-        _tagged("mixture", Q.q_sample_mixture(spark, sf_dir),
+        _tagged("mixture", Q.q_sample_mixture(spark, sf_dir, shared),
                 {"key": F.col("doc_id").cast("string"), "lang": "source"}, _SAMPLE_S),
-        _tagged("budget", Q.q_sample_budget(spark, sf_dir),
+        _tagged("budget", Q.q_sample_budget(spark, sf_dir, _bscored(shared)),
                 {"key": F.col("doc_id").cast("string"), "lang": "lang",
                  "n": "cum_tokens", "avg_chars": "quality"}, _SAMPLE_S),
         _tagged("dsir_score", Q.dsir_score_branch(scored),
@@ -845,16 +864,24 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tagged("dsir_sel", Q.dsir_select_branch(scored),
                 {"key": F.col("id").cast("string"), "lang": "lang",
                  "n": "n_grams"}, _SAMPLE_S),
-        _tagged("mixture_applied", _mixture_applied(spark, sf_dir),
+        _tagged("mixture_applied", _mixture_applied(spark, sf_dir, shared),
                 {"key": F.col("doc_id").cast("string"), "lang": "source"},
                 _SAMPLE_S),
-        _tagged("budget_grouped", _budget_grouped(spark, sf_dir),
+        _tagged("budget_grouped", _budget_grouped(spark, sf_dir, shared),
                 {"key": F.col("id").cast("string"), "lang": "lang",
                  "n": "cum", "avg_chars": "score"}, _SAMPLE_S),
     ])
 
 
-def _budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bscored(shared):
+    """(doc_id, lang, q, nt) view of the suite-shared projection in
+    q_sample_budget's `scored` contract."""
+    return shared.select("doc_id", "lang", "q", "nt")
+
+
+def _budget_grouped(
+    spark: SparkSession, sf_dir: str, shared: DataFrame | None = None
+) -> DataFrame:
     """Per-language token budgets (r14): select_until_budget_grouped
     over the same quality/token scoring as sample_budget — 'en' gets a
     6,000-token budget and 'zh' 1,500, so a low-resource language
@@ -872,20 +899,25 @@ def _budget_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    d = Q._t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id",
-        "lang",
-        quality_score("text").alias("q"),
-        token_count("text").cast("long").alias("nt"),
-    )
+    if shared is not None:
+        scored = shared.select("doc_id", "lang", "q", "nt")
+    else:
+        d = Q._t(spark, sf_dir, "documents")
+        scored = d.select(
+            "doc_id",
+            "lang",
+            quality_score("text").alias("q"),
+            token_count("text").cast("long").alias("nt"),
+        )
     return select_until_budget_grouped(
         scored, {"en": 6000, "zh": 1500}, group_col="lang",
         id_col="doc_id", weight_col="nt", score_col="q",
     )
 
 
-def _mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mixture_applied(
+    spark: SparkSession, sf_dir: str, shared: DataFrame | None = None
+) -> DataFrame:
     """Data-driven mixture materialization (r14 driver promotion):
     temperature_mixture_rates at T=0.5 (sharpen toward large sources;
     pow(n, 2) keeps the rate arithmetic bit-identical across engines)
@@ -896,7 +928,8 @@ def _mixture_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_mixture_rates,
     )
 
-    d = Q._t(spark, sf_dir, "documents")
+    d = (shared if shared is not None
+         else Q._t(spark, sf_dir, "documents"))
     rates = temperature_mixture_rates(d, "source", temperature=0.5)
     return apply_mixture_rates(d, rates, "source", "doc_id", seed=0).select(
         "doc_id", "source"
