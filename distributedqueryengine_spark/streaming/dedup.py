@@ -170,9 +170,15 @@ def stream_dedup_candidates(
     static corpus index: (new_id, corpus_id, band).
 
     Stream-static inner equi-join on (band, bh): stateless (no
-    watermark needed — nothing is buffered), append-mode, and the
-    static side is re-resolved per micro-batch so a refreshed index
-    table is picked up automatically. A pair colliding in several bands
+    watermark needed — nothing is buffered), append-mode. The static
+    side's FILE LISTING is fixed at query start (the analyzed plan
+    holds its FileIndex — REFRESH TABLE/refreshByPath do NOT reach a
+    running stream's static side; verified empirically r15), so use
+    this form for a FROZEN index snapshot; an index that grows while
+    the stream runs goes through the foreachBatch re-read pattern
+    (`neardup_candidates_foreach_batch` /
+    `incremental_dedup_foreach_batch`), where each epoch builds a
+    fresh DataFrame and therefore a fresh listing. A pair colliding in several bands
     appears once per band; dedup to distinct pairs downstream where
     the verification join wants unique (a, b) anyway (per-batch
     `dropDuplicates` inside foreachBatch — a streaming-global distinct
@@ -325,3 +331,156 @@ def compact_band_index(
     write_bucketed_table(
         idx, table, ["band", "bh"], n_buckets, sort_cols=["band", "bh"]
     )
+
+
+# ---------------------------------------------------------------- lifecycle
+# Persisted band-index layout (r15 — the dedup analogue of
+# functions/ann_store.py's IVF lifecycle): `index/` holds the (id,
+# band, bh) bucket rows, `occupancy/` a build-time COARSE occupancy
+# baseline (band × bh-hash cell, bounded cells), `meta/` the build
+# parameters. Appends go to `index/` only; the baseline stays frozen
+# so staleness is measured against the distribution the index was
+# built (and its join pruning tuned) for.
+
+_BAND_META_VERSION = 1
+_OCC_CELLS = 128  # coarse bh cells per band: 8 bands × 128 = 1k rows
+
+
+def _band_occupancy(index: DataFrame) -> DataFrame:
+    return index.groupBy(
+        "band", F.pmod(F.col("bh"), F.lit(_OCC_CELLS)).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def save_band_index(
+    index: DataFrame,
+    path: str,
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> None:
+    """Persist a band-bucket index (from :func:`build_band_index`)
+    with its occupancy baseline and build meta, so later sessions can
+    probe it, append micro-batches to it, and ask whether it has
+    drifted (``band_index_staleness``)."""
+    base = path.rstrip("/")
+    index.select("id", "band", "bh").write.mode("overwrite").parquet(
+        base + "/index"
+    )
+    saved = index.sparkSession.read.parquet(base + "/index")
+    _band_occupancy(saved).coalesce(1).write.mode("overwrite").parquet(
+        base + "/occupancy"
+    )
+    index.sparkSession.createDataFrame(
+        [(int(_BAND_META_VERSION), int(ngram), int(num_perm), int(bands),
+          bool(portable))],
+        "version int, ngram int, num_perm int, bands int, portable boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+
+
+def append_to_band_index(batch_buckets: DataFrame, path: str) -> None:
+    """Append a micro-batch's (id, band, bh) bucket rows to a saved
+    index layout. The occupancy BASELINE is deliberately untouched —
+    staleness compares current occupancy against build time. Parquet
+    append is idempotent-fact semantics (same caveat as
+    incremental_dedup_foreach_batch); compact periodically with
+    :func:`compact_band_index` over ``path + "/index"``."""
+    batch_buckets.select("id", "band", "bh").write.mode("append").parquet(
+        path.rstrip("/") + "/index"
+    )
+
+
+def load_band_index(spark, path: str) -> DataFrame:
+    """The saved index as a DataFrame. NOTE: a DataFrame's file
+    listing is fixed when it is read — a RUNNING streaming query
+    holding this as its static join side will not see later appends
+    (verified r15; REFRESH TABLE does not reach it either). For an
+    index that grows under a live stream, re-call this per micro-batch
+    inside foreachBatch (`neardup_candidates_foreach_batch`)."""
+    return spark.read.parquet(path.rstrip("/") + "/index")
+
+
+def neardup_candidates_foreach_batch(
+    index_path: str,
+    candidate_handler,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+):
+    """foreachBatch handler for the check-only near-dup tier of the
+    streaming curation front: each epoch re-reads ``index_path`` (a
+    save_band_index layout) FRESH — new appends are picked up on the
+    next micro-batch with no refresh call, because the listing happens
+    at read time inside the batch context — joins the micro-batch
+    against it, and hands (epoch_id, candidates DataFrame) to
+    ``candidate_handler``. Unlike incremental_dedup_foreach_batch it
+    does NOT append the batch to the index: the curation front only
+    FLAGS; index growth is the batch tier's decision (append verified
+    survivors via append_to_band_index, monitor with
+    band_index_staleness, rebuild/compact when it fires)."""
+
+    def handle(batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx = load_band_index(spark, index_path)
+        cands = stream_dedup_candidates(
+            batch_df, idx, id_col, text_col, ngram, num_perm, bands,
+            portable=portable,
+        ).dropDuplicates(["new_id", "corpus_id"])
+        candidate_handler(epoch_id, cands)
+
+    return handle
+
+
+def band_index_staleness(
+    spark,
+    path: str,
+    tvd_threshold: float = 0.2,
+    growth_threshold: float = 1.0,
+) -> dict:
+    """Has ingestion drifted the band index far enough from its
+    build-time shape that the corpus deserves a re-dedup (and the
+    bucketed layout a rebuild)? Same report as
+    ann_store.ivf_index_staleness: {n_base, n_now, growth, tvd,
+    max_cell_share, retrain}, computed over the coarse (band, cell)
+    occupancy distribution — one count-by-cell aggregate over the
+    index (8-byte columns, never text). A shifted crawl (one domain
+    suddenly dominating) concentrates new rows in few cells and moves
+    tvd long before growth alone would."""
+    base = path.rstrip("/")
+    baseline = {
+        (r["band"], r["cell"]): r["n"]
+        for r in spark.read.parquet(base + "/occupancy").collect()
+    }
+    now = {
+        (r["band"], r["cell"]): r["n"]
+        for r in _band_occupancy(
+            spark.read.parquet(base + "/index")
+        ).collect()
+    }
+    n_base = sum(baseline.values())
+    n_now = sum(now.values())
+    if n_base == 0 or n_now == 0:
+        raise ValueError(
+            f"band index at {path} has an empty "
+            f"{'baseline occupancy' if n_base == 0 else 'current index'} "
+            f"(n_base={n_base}, n_now={n_now}) — rebuild with "
+            "save_band_index over a non-empty corpus"
+        )
+    cells = set(baseline) | set(now)
+    tvd = 0.5 * sum(
+        abs(now.get(c, 0) / n_now - baseline.get(c, 0) / n_base)
+        for c in cells
+    )
+    growth = n_now / n_base - 1.0
+    return {
+        "n_base": int(n_base),
+        "n_now": int(n_now),
+        "growth": float(growth),
+        "tvd": float(tvd),
+        "max_cell_share": float(max(now.values()) / n_now),
+        "retrain": bool(tvd > tvd_threshold or growth > growth_threshold),
+    }

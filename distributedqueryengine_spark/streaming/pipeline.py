@@ -5,10 +5,13 @@ A production corpus is not curated only in batch — the crawl ARRIVES
 continuously, and the cheap front of the pipeline (quality heuristics,
 in-window exact dedup, eval-contamination flagging) belongs at
 ingestion so the lake never accumulates obvious junk. The heavy tiers
-(near-dup clustering, ExactSubstr, classifier training, mixture,
-packing) stay batch: they need corpus-global state and run on the
-landed table — exactly the split the batch/stream tier docs in
-streaming/dedup.py describe.
+(near-dup VERIFICATION + clustering, ExactSubstr, classifier training,
+mixture, packing) stay batch: they need corpus-global state and run on
+the landed table — exactly the split the batch/stream tier docs in
+streaming/dedup.py describe. The near-dup CANDIDATE tier, though, is
+stream-shaped (stateless band-bucket join against a batch-built
+index): `curate_stream_with_neardup` adds it as a second output
+stream (r15).
 
 Stage shapes (all existing, composition adds no new state):
 - quality/language filter — stateless per-row expressions
@@ -31,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["curate_stream"]
+__all__ = ["curate_stream", "curate_stream_with_neardup"]
 
 
 def curate_stream(
@@ -100,3 +103,69 @@ def curate_stream(
             ).cast("int").alias("contaminated"),
         )
     )
+
+
+def curate_stream_with_neardup(
+    stream_docs: DataFrame,
+    eval_grams: DataFrame,
+    index_path: str,
+    candidate_handler,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    time_col: str = "ts",
+    min_quality: float = 0.5,
+    lang: str | None = "en",
+    dedup_delay: str = "10 minutes",
+    decontam_n: int = 5,
+    ngram: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> tuple[DataFrame, DataFrame, object]:
+    """The curation front PLUS the near-dup candidate tier (r15):
+    returns (curated, neardup_src, neardup_handler).
+
+    `curated` is exactly :func:`curate_stream`'s output (one state
+    operator — the watermarked exact-dedup; pinned). `neardup_src` is
+    the quality-filtered stream and `neardup_handler` the
+    foreachBatch function for it — start the second sink as::
+
+        neardup_src.writeStream.foreachBatch(neardup_handler).start()
+
+    Per micro-batch the handler re-reads the band index saved at
+    ``index_path`` (streaming.dedup.save_band_index layout) and hands
+    (epoch_id, candidate pairs) to ``candidate_handler`` for batch
+    verification (exact Jaccard) — candidates are the part that must
+    be low-latency; verification needs the corpus shingle table.
+
+    Why foreachBatch and not a stream-static join: a static join
+    side's file listing is FIXED at query start (REFRESH TABLE does
+    not reach a running stream — verified r15), so a static join can
+    only ever see the index snapshot from stream start. The
+    foreachBatch re-read builds a fresh DataFrame per epoch, so
+    out-of-band `append_to_band_index` appends are picked up on the
+    NEXT micro-batch with no restart (pinned over two micro-batches
+    with an append in between in tests/test_streaming_dedup.py);
+    `band_index_staleness` reports when accumulated appends deserve a
+    rebuild instead."""
+    from distributedqueryengine_spark.functions.text import (
+        lang_id,
+        quality_score,
+    )
+    from distributedqueryengine_spark.streaming.dedup import (
+        neardup_candidates_foreach_batch,
+    )
+
+    curated = curate_stream(
+        stream_docs, eval_grams, id_col, text_col, time_col,
+        min_quality, lang, dedup_delay, decontam_n,
+    )
+    pred = quality_score(text_col) >= min_quality
+    if lang is not None:
+        pred = pred & (lang_id(text_col) == lang)
+    neardup_src = stream_docs.filter(pred)
+    handler = neardup_candidates_foreach_batch(
+        index_path, candidate_handler, id_col, text_col,
+        ngram, num_perm, bands, portable=portable,
+    )
+    return curated, neardup_src, handler

@@ -305,3 +305,123 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("SELECT doc_id, fp FROM exact_dedup_out").collect()
     assert len(rows) == 4, f"expired-state re-arrival must re-emit, got {rows}"
     assert {r.doc_id for r in rows} >= {3, 5, 6}
+
+
+def test_stream_candidates_with_index_refresh_between_batches(spark, tmp_path):
+    """r15: two micro-batches with an index APPEND in between — the
+    near-dup tier's foreachBatch re-read must see corpus rows appended
+    after the stream started (no restart, no refresh call), and each
+    batch's candidate set must equal the batch-mode join against the
+    index content current at that batch. Also pins that the curated
+    output still has exactly ONE state operator with the tier wired."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from distributedqueryengine_spark.streaming.decontam import (
+        eval_gram_array,
+    )
+    from distributedqueryengine_spark.streaming.pipeline import (
+        curate_stream_with_neardup,
+    )
+
+    base_txt = ("the quick brown fox jumps over the lazy dog "
+                "again and again every single day in the sunny meadow")
+    alt_txt = ("distributed query engines shuffle partitioned data "
+               "across many executor nodes to answer analytical joins")
+    corpus_a = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [base_txt]})
+    )
+    corpus_b = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": [alt_txt]})
+    )
+    ipath = str(tmp_path / "bandidx")
+    SD.save_band_index(
+        SD.build_band_index(corpus_a, "doc_id", "text"), ipath
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b1 = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [base_txt.replace("sunny", "rainy"),
+                 "unrelated nothing shared with either corpus entry here"],
+        "ts": [t0, t0],
+    })
+    b2 = pd.DataFrame({
+        "doc_id": [20],
+        "text": [alt_txt.replace("joins", "queries")],
+        "ts": [t0],
+    })
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    ev = eval_gram_array(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [99], "text": ["zz qq ww ee rr tt yy"]})
+        ), "doc_id", "text", 5,
+    )
+    per_epoch: dict[int, set] = {}
+
+    def handler(epoch_id, cands):
+        per_epoch.setdefault(epoch_id, set()).update(
+            (r.new_id, r.corpus_id) for r in cands.collect()
+        )
+
+    curated, nd_src, nd_handler = curate_stream_with_neardup(
+        stream, ev, ipath, handler, min_quality=0.0, lang=None,
+    )
+    qc = (curated.writeStream.outputMode("append")
+          .format("memory").queryName("refresh_curated").start())
+    qn = nd_src.writeStream.foreachBatch(nd_handler).start()
+    qc.processAllAvailable(); qn.processAllAvailable()
+    got1 = set().union(*per_epoch.values()) if per_epoch else set()
+    assert (10, 1) in got1 and all(n != 20 for n, _ in got1), got1
+
+    # the curated sink keeps the front's one-state-operator contract
+    prog = qc.lastProgress
+    assert prog and len(prog.get("stateOperators") or []) == 1, prog
+
+    # index grows out-of-band; NO refresh call, NO restart
+    SD.append_to_band_index(
+        SD.build_band_index(corpus_b, "doc_id", "text"), ipath
+    )
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+    qc.processAllAvailable(); qn.processAllAvailable()
+    qc.stop(); qn.stop()
+    got2 = set().union(*per_epoch.values())
+    assert (20, 2) in got2, f"appended index not seen by batch 2: {got2}"
+    # batch-mode mirrors per batch state
+    expect_b1 = {(r.new_id, r.corpus_id) for r in SD.stream_dedup_candidates(
+        spark.createDataFrame(b1),
+        SD.build_band_index(corpus_a, "doc_id", "text"),
+        "doc_id", "text").collect()}
+    expect_b2 = {(r.new_id, r.corpus_id) for r in SD.stream_dedup_candidates(
+        spark.createDataFrame(b2), SD.load_band_index(spark, ipath),
+        "doc_id", "text").collect()}
+    assert got2 == expect_b1 | expect_b2, (got2, expect_b1, expect_b2)
+
+
+def test_band_index_staleness_report(spark, tmp_path):
+    """r15: fresh index reports tvd≈0/no retrain; a skew-concentrated
+    append fires the retrain signal; an empty baseline raises."""
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    ipath = str(tmp_path / "bidx")
+    idx = SD.build_band_index(docs, "doc_id", "text")
+    SD.save_band_index(idx, ipath)
+    fresh = SD.band_index_staleness(spark, ipath)
+    assert fresh["tvd"] < 1e-9 and not fresh["retrain"], fresh
+    # planted shift: every appended row lands in ONE (band, cell)
+    skew = spark.createDataFrame(
+        [(100000 + i, 0, 7) for i in range(900)], "id long, band int, bh long"
+    )
+    SD.append_to_band_index(skew, ipath)
+    stale = SD.band_index_staleness(spark, ipath)
+    assert stale["retrain"] and stale["tvd"] > 0.05, stale
+    # empty baseline raises a diagnosable error
+    epath = str(tmp_path / "bidx_empty")
+    SD.save_band_index(idx.filter("1=0"), epath)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        SD.band_index_staleness(spark, epath)
