@@ -39,6 +39,7 @@ __all__ = [
     "load_ivf_index",
     "probe_saved_ivf_index",
     "append_to_ivf_index",
+    "compact_ivf_index",
     "ivf_index_staleness",
 ]
 
@@ -307,3 +308,34 @@ def ivf_index_staleness(
         "max_cell_share": float(max_share),
         "retrain": bool(tvd > tvd_threshold or growth > growth_threshold),
     }
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    force_unlock: bool = False,
+) -> dict:
+    """Periodic maintenance for an appended IVF index (r15): N calls to
+    `append_to_ivf_index` leave N small parquet files per hot
+    cell_bucket directory, whose open/footer overhead eventually
+    dominates probe latency. Rewrites only the FRAGMENTED bucket
+    directories (sources.sinks.compact_files incremental mode —
+    listing-only inspection, cold buckets never touched, lock + staged
+    swap for crash safety), re-sorting rows by `cell` within the
+    rewritten files so per-file min/max cell ranges stay as tight as
+    the original save and probes keep both their partition pruning
+    (cell_bucket dirs) AND row-group skipping (cell stats). Probe
+    results are bit-identical before/after (pinned in
+    tests/test_similarity.py). Returns compact_files' stats dict."""
+    from distributedqueryengine_spark.sources.sinks import compact_files
+
+    return compact_files(
+        spark,
+        path.rstrip("/") + "/index",
+        target_file_mb=target_file_mb,
+        partition_by=["cell_bucket"],
+        incremental=True,
+        force_unlock=force_unlock,
+        sort_within=["cell"],
+    )

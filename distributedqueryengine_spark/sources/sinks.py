@@ -293,6 +293,7 @@ def _leaf_partition_dirs(jvm, fs, root, depth: int) -> list[str]:
 def _compact_one_dir(
     spark, jvm, hconf, fs, root: str, rel: str, target_file_mb: int, fmt: str,
     zorder_by: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
 ) -> dict:
     """Compact one leaf partition dir `<root>/<rel>`. Staging and backup
     are suffixed SIBLINGS of the dataset root (`<root>__compacting__…`,
@@ -319,6 +320,11 @@ def _compact_one_dir(
         sized = (
             df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
         )
+    if sort_within:
+        # keep per-file min/max footer ranges tight on the listed
+        # columns (e.g. the IVF layout's `cell`) so row-group skipping
+        # survives the rewrite
+        sized = sized.sortWithinPartitions(*sort_within)
 
     staging = root.rstrip("/") + "__compacting__" + _esc_rel(rel)
     sized.write.format(fmt).mode("overwrite").save(staging)
@@ -344,6 +350,7 @@ def _compact_files_impl(
     partition_by: Sequence[str] = (),
     incremental: bool = False,
     zorder_by: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
 ) -> dict:
     """Rewrite a (possibly partitioned) file dataset into ~target-sized
     files — the small-files maintenance op every long-lived lake needs:
@@ -397,7 +404,7 @@ def _compact_files_impl(
             if len(files) > needed:
                 one = _compact_one_dir(
                     spark, jvm, hconf, fs, path, rel, target_file_mb, fmt,
-                    zorder_by=zorder_by,
+                    zorder_by=zorder_by, sort_within=sort_within,
                 )
                 stats["partitions_compacted"] += 1
                 stats["files_after"] += one["files_after"]
@@ -422,6 +429,8 @@ def _compact_files_impl(
         sized = (
             df.coalesce(n_out) if n_out <= cur_parts else df.repartition(n_out)
         )
+    if sort_within:
+        sized = sized.sortWithinPartitions(*sort_within)
 
     staging = path.rstrip("/") + "__compacting"
     writer = sized.write.format(fmt).mode("overwrite")
@@ -687,6 +696,7 @@ def compact_files(
     force_unlock: bool = False,
     zorder_by: Sequence[str] = (),
     zonemap_cols: Sequence[str] = (),
+    sort_within: Sequence[str] = (),
 ) -> dict:
     """Public entry for file compaction (semantics, modes, and swap
     safety per `_compact_files_impl`'s docstring / module docstring),
@@ -703,6 +713,11 @@ def compact_files(
     rewritten partition is clustered independently); costs one range
     shuffle instead of coalesce.
 
+    `sort_within` sorts rows within each rewritten output partition
+    (no extra shuffle) so per-file min/max footer ranges stay tight on
+    the listed columns — what single-column clustered layouts (the IVF
+    index's `cell`) need where zorder_by requires >= 2 columns.
+
     `zonemap_cols` refreshes the file-level zone map
     (sources/zonemap.update_zonemap) after the swap, still inside the
     maintenance lock: rewritten files' stats rows drop, new files get
@@ -715,7 +730,7 @@ def compact_files(
         stats = _compact_files_impl(
             spark, path, target_file_mb=target_file_mb, fmt=fmt,
             partition_by=partition_by, incremental=incremental,
-            zorder_by=zorder_by,
+            zorder_by=zorder_by, sort_within=sort_within,
         )
         if zonemap_cols and fmt == "parquet":
             from distributedqueryengine_spark.sources.zonemap import (

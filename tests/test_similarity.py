@@ -934,3 +934,55 @@ def test_ivf_staleness_empty_index_raises(spark, tmp_path):
         raise AssertionError(f"expected ValueError, got {type(e)}") from e
     else:  # pragma: no cover
         raise AssertionError("expected ValueError")
+
+
+def test_ivf_compaction_preserves_probe_and_prunes(spark, tables, tmp_path):
+    """r15 lifecycle: after several appends fragment the cell-bucketed
+    layout, compact_ivf_index must (a) reduce the data-file count,
+    (b) leave probe results bit-identical, and (c) keep probes
+    cell-bucket-pruned (inputFiles() touches only probed buckets)."""
+    import glob
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base_c = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids = train_ivf_centroids(base_c, n_cells=16, sample_per_cell=8)
+    path = str(tmp_path / "ivf_cmp")
+    AS.save_ivf_index(build_ivf_index(base_c, centroids), centroids, path,
+                      n_buckets=4)
+    for m in (1, 2, 3):  # three append batches -> small files pile up
+        AS.append_to_ivf_index(path, emb.filter(F.col("vec_id") % 4 == m))
+
+    def data_files():
+        return [f for f in glob.glob(path + "/index/**/*.parquet",
+                                     recursive=True)]
+
+    queries = emb.filter(F.col("vec_id") % 13 == 0).limit(24)
+    before_files = len(data_files())
+    before = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path, queries, 5).collect()
+    }
+    stats = AS.compact_ivf_index(spark, path, target_file_mb=128)
+    after_files = len(data_files())
+    assert after_files < before_files, (before_files, after_files, stats)
+    assert stats["partitions_compacted"] >= 1
+    after = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path, queries, 5).collect()
+    }
+    assert after == before and after
+    # pruning still static after the rewrite: the probe's index scan
+    # plans a PartitionFilters entry on cell_bucket (partition dirs
+    # survived the swap) and a pushed cell filter for row-group stats
+    pruned = spark.read.parquet(path + "/index").filter(
+        F.col("cell_bucket").isin([2, 3]) & F.col("cell").isin([2, 3, 6, 7])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_bucket" in plan, plan
+    assert "PushedFilters" in plan and "cell" in plan, plan
