@@ -2376,6 +2376,31 @@ BENCH_SPLITS["text_wordcount"]["lm"] = Q.q_lm_backoff_scores
 # wordcount pmi/diff/clf have none — their SQL shares suite CTEs);
 # tools/baseline_min3.py records spark AND duckdb for these and
 # spark-only for the rest.
+def _cte_prefix(sql: str) -> str:
+    """The WITH-clause prefix of a suite oracle: everything before the
+    FIRST top-level SELECT (the suite's final union/select). CTE bodies
+    sit inside parentheses, so depth-0 SELECT = the main query. Used to
+    derive per-branch TIMING mirrors (baseline_min3 branch_splits) by
+    re-targeting the shared CTEs at one branch's terminal CTE — the
+    values are already driver-verified through the suite oracle; the
+    split rows exist so the DuckDB side of bench attribution covers
+    every oracle-expressible branch (r14 verdict item 7)."""
+    depth = 0
+    i = 0
+    u = sql.upper()
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and u.startswith("SELECT", i)
+              and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))):
+            return sql[:i]
+        i += 1
+    raise ValueError("no top-level SELECT found")
+
+
 BENCH_SPLIT_ORACLES: dict[str, dict[str, str]] = {
     "order_limit_suite": {
         "topk": ORACLES["topk_orders_per_customer"],
@@ -2407,4 +2432,56 @@ BENCH_SPLIT_ORACLES: dict[str, dict[str, str]] = {
         "mixture_applied": ORACLES["sample_mixture_applied"],
         "budget_grouped": ORACLES["sample_budget_grouped"],
     },
+}
+
+# r15 (verdict item 7): close the null-duckdb attribution rows. Every
+# oracle-expressible branch gets a standalone timing mirror derived
+# from its suite oracle's shared CTE prefix; the production-xxhash
+# branches (pairs_xxhash64_production, substr_strip_xxhash64_production,
+# dsir_production_xxhash) stay null BY DESIGN — xxhash64 has no DuckDB
+# equivalent, which is exactly why the portable-md5 twins exist.
+_SIM_PFX = _cte_prefix(ORACLES["sim_bruteforce_topk"])
+BENCH_SPLIT_ORACLES["sim_bruteforce_topk"] = {
+    "cos": _SIM_PFX + "SELECT * FROM r WHERE rnk <= 5",
+    "rrf": _SIM_PFX + "SELECT * FROM rrfb",
+    "hardneg": _SIM_PFX + "SELECT * FROM hneg",
+    "knn": _SIM_PFX + "SELECT * FROM knnb",
+    "centroid": _SIM_PFX + "SELECT * FROM centb",
+}
+_WC_PFX = _cte_prefix(ORACLES["text_wordcount_suite"])
+BENCH_SPLIT_ORACLES["text_wordcount"]["pmi"] = _WC_PFX + "SELECT * FROM pmib"
+BENCH_SPLIT_ORACLES["text_wordcount"]["diff"] = _WC_PFX + "SELECT * FROM diffb"
+BENCH_SPLIT_ORACLES["text_wordcount"]["clf_explain"] = (
+    _WC_PFX + "SELECT * FROM clfp UNION ALL SELECT * FROM clfn"
+)
+_AGG_PFX = _cte_prefix(SUITE_ORACLES["agg_stats_suite"])
+BENCH_SPLIT_ORACLES["agg_stats_suite"]["moments"] = _AGG_PFX + "SELECT * FROM s"
+BENCH_SPLIT_ORACLES["agg_stats_suite"]["roc_auc"] = r"""
+        WITH per AS (
+            SELECT l_quantity AS sc,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+                   sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+            GROUP BY l_quantity),
+        cum AS (
+            SELECT np, nn,
+                   COALESCE(sum(nn) OVER (ORDER BY sc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS below
+            FROM per)
+        SELECT round(sum(np * (below + nn / 2.0))
+                     / (sum(np) * sum(nn)), 6) AS auc_qty_returned
+        FROM cum
+    """
+_DP_PFX = _cte_prefix(SUITE_ORACLES["text_doc_profile"])
+BENCH_SPLIT_ORACLES["text_doc_profile"] = {
+    "repetition": _DP_PFX + "SELECT * FROM rprof",
+}
+_ND_PFX = _cte_prefix(COMPOSITE_ORACLES["dedup_near_suite"])
+BENCH_SPLIT_ORACLES["dedup_near_suite"] = {
+    "pairs_md5_portable": _ND_PFX + "SELECT * FROM scored",
+    "simhash": _ND_PFX + "SELECT * FROM simpairs",
+    "winnow": _ND_PFX + "SELECT * FROM winnow",
+    "clusters": _ND_PFX + "SELECT * FROM clusters",
 }
