@@ -623,6 +623,23 @@ def apply_mixture_rates(
     per_group: dict = {}
     for row in counts:
         per_group.setdefault(row[group_col], {})[row["__mb"]] = row["c"]
+    return _mixture_materialize(
+        b, per_group, rate_by_group, group_col, id_col, key
+    )
+
+
+def _mixture_materialize(
+    b: DataFrame,
+    per_group: dict,
+    rate_by_group: dict,
+    group_col: str,
+    id_col: str,
+    key: Column,
+) -> DataFrame:
+    """Shared tail of the two-phase mixture paths: driver quotas +
+    exclusive prefixes from the (group, bucket) counts, pre-scan
+    pruning of sub-buckets past their quota, one bounded window per
+    surviving sub-bucket. `b` must already carry `__mb`."""
     base_rows = []
     for g, buckets in per_group.items():
         n_g = sum(buckets.values())
@@ -637,8 +654,9 @@ def apply_mixture_rates(
     if not base_rows:
         return b.drop("__mb").limit(0)
     from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
 
-    bases = df.sparkSession.createDataFrame(
+    bases = b.sparkSession.createDataFrame(
         base_rows,
         StructType(
             [
@@ -655,6 +673,81 @@ def apply_mixture_rates(
         .withColumn("__rn", F.col("__base") + F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__mb", "__base", "__quota", "__rn")
+    )
+
+
+def apply_temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    temperature: float = 1.0,
+    seed: int = 0,
+    max_driver_groups: int = 1024,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fused temperature_mixture_rates ∘ apply_mixture_rates (r15):
+    identical output rows, ONE corpus aggregate instead of two.
+
+    The split form pays two full passes — temperature_mixture_rates
+    aggregates group sizes, then apply_mixture_rates aggregates
+    (group, bucket) counts — but the second aggregate already CONTAINS
+    the group sizes (sum over a group's buckets). Here the (group,
+    bucket) counts collect once, the group sizes derive driver-side,
+    and the rate arithmetic re-runs temperature_mixture_rates over a
+    LOCAL groups-sized frame — the same Spark expressions, so the 6dp
+    rate rounding is bit-identical to the split form (python round()
+    is banker's; Spark's is HALF_UP — driver-python rates would
+    diverge on .0000005 boundaries). Materialization reuses the exact
+    two-phase tail, so fused ≡ split is structural (pinned in
+    tests/test_sampling.py).
+
+    Groups beyond ``max_driver_groups`` fall back to the split form's
+    high-cardinality window path (where per-group windows parallelize
+    fine on their own)."""
+    spark = df.sparkSession
+    key = F.md5(
+        F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    u = F.conv(F.substring(key, 1, 15), 16, 10).cast("double") / F.lit(_TWO60)
+    b = df.withColumn(
+        "__mb",
+        F.least(F.floor(u * F.lit(n_buckets)), F.lit(n_buckets - 1)).cast("long"),
+    )
+    counts = (
+        b.groupBy(group_col, "__mb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_group: dict = {}
+    for row in counts:
+        per_group.setdefault(row[group_col], {})[row["__mb"]] = row["c"]
+    if len(per_group) > max_driver_groups:
+        rates = temperature_mixture_rates(
+            df.select(F.col(group_col).alias("group")), "group",
+            temperature=temperature,
+        )
+        return apply_mixture_rates(
+            df, rates, group_col, id_col, seed=seed, max_driver_groups=0
+        )
+    if not per_group:
+        return b.drop("__mb").limit(0)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    local = spark.createDataFrame(
+        [(g, sum(v.values())) for g, v in per_group.items()],
+        StructType([
+            StructField("group", b.schema[group_col].dataType),
+            StructField("n", LongType()),
+        ]),
+    )
+    rate_by_group = {
+        r["group"]: r["rate"]
+        for r in temperature_mixture_rates(
+            local, "group", temperature=temperature, weight_col="n"
+        ).collect()
+    }
+    return _mixture_materialize(
+        b, per_group, rate_by_group, group_col, id_col, key
     )
 
 

@@ -924,16 +924,14 @@ def _mixture_applied(
     feeding apply_mixture_rates — the ceil(rate·n) md5-rank quota per
     source (functions/sampling.py:276,394)."""
     from distributedqueryengine_spark.functions.sampling import (
-        apply_mixture_rates,
-        temperature_mixture_rates,
+        apply_temperature_mixture,
     )
 
     d = (shared if shared is not None
          else Q._t(spark, sf_dir, "documents"))
-    rates = temperature_mixture_rates(d, "source", temperature=0.5)
-    return apply_mixture_rates(d, rates, "source", "doc_id", seed=0).select(
-        "doc_id", "source"
-    )
+    return apply_temperature_mixture(
+        d, "source", "doc_id", temperature=0.5, seed=0
+    ).select("doc_id", "source")
 
 
 def _wordcount_diff_branch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,9 +131,8 @@ def curate_corpus(
         score_hashed_logreg,
     )
     from distributedqueryengine_spark.functions.sampling import (
-        apply_mixture_rates,
+        apply_temperature_mixture,
         select_until_budget_grouped,
-        temperature_mixture_rates,
         training_order,
     )
     from distributedqueryengine_spark.functions.substr_dedup import (
@@ -227,15 +226,16 @@ def curate_corpus(
             acc, "budget_select", n, cur.join(picked, "id", "left_semi")
         )
     else:
-        rates = temperature_mixture_rates(
-            cur.withColumnRenamed("grp", "group"), "group",
-            temperature=temperature,
-        )
+        # fused form (r15): one (group, bucket) aggregate carries both
+        # the rate computation and the quota ranking — identical rows
+        # to temperature_mixture_rates ∘ apply_mixture_rates (pinned)
         cur, n = _stage(
             acc,
             "mixture",
             n,
-            apply_mixture_rates(cur, rates, "grp", "id", seed=seed),
+            apply_temperature_mixture(
+                cur, "grp", "id", temperature=temperature, seed=seed
+            ),
         )
 
     # 8. concat-pack layout (two-phase prefix sum, doc_id order)

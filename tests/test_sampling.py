@@ -795,3 +795,28 @@ def test_apply_mixture_rates_rejects_duplicate_groups(spark):
         apply_mixture_rates(df, dup, "src", "id").collect()
     with pytest.raises(ValueError, match="duplicate"):
         apply_mixture_rates(df, dup, "src", "id", max_driver_groups=1).collect()
+
+
+def test_apply_temperature_mixture_equals_split_form(spark):
+    """r15 fused form: apply_temperature_mixture must return EXACTLY
+    temperature_mixture_rates ∘ apply_mixture_rates, on skewed group
+    sizes, several temperatures, and both seeds."""
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_mixture_rates,
+        apply_temperature_mixture,
+        temperature_mixture_rates,
+    )
+
+    rows = [(i, f"s{min(i % 10, i % 7, 3)}") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    for temp in (0.5, 1.0, 2.0):
+        for seed in (0, 9):
+            rates = temperature_mixture_rates(
+                df.withColumnRenamed("src", "group"), "group",
+                temperature=temp,
+            )
+            split = {(r.id, r.src) for r in apply_mixture_rates(
+                df, rates, "src", "id", seed=seed).collect()}
+            fused = {(r.id, r.src) for r in apply_temperature_mixture(
+                df, "src", "id", temperature=temp, seed=seed).collect()}
+            assert fused == split and fused, (temp, seed)
