@@ -2432,6 +2432,78 @@ BENCH_SPLIT_ORACLES: dict[str, dict[str, str]] = {
     },
 }
 
+
+def _pc_base(spark: SparkSession, sf_dir: str):
+    """Shared prefix builders for the pipeline_curate stage splits —
+    each split times its stage chain standalone so BASELINE branch
+    attribution covers the composed pipeline's tiers (the suite's
+    marginal cost is lower where stages share cached prefixes)."""
+    from distributedqueryengine_spark.functions import text as T
+    from distributedqueryengine_spark.functions.dedup import (
+        _scoped_persist,
+        dedup_exact,
+    )
+
+    d = Q._t(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    base = docs.select(
+        F.col("doc_id").alias("id"), "text", F.col("source").alias("grp")
+    )
+    cur = _scoped_persist(
+        base.filter(
+            (T.quality_score("text") >= 0.5) & (T.lang_id("text") == "en")
+        )
+    )
+    return d, _scoped_persist(dedup_exact(cur, "id", "text"))
+
+
+def _pc_front_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality filter + exact dedup standalone."""
+    _, cur = _pc_base(spark, sf_dir)
+    return cur
+
+
+def _pc_neardup_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the near-dup CC collapse stage standalone (portable spine)."""
+    from distributedqueryengine_spark.functions.dedup import dedup_clusters
+
+    _, cur = _pc_base(spark, sf_dir)
+    cc = dedup_clusters(cur, "id", "text", min_jaccard=0.5,
+                        portable=True, staged=False)
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    return cur.join(losers, "id", "left_anti")
+
+
+def _pc_strip_decontam_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr strip + decontamination over the deduped corpus."""
+    from distributedqueryengine_spark.functions.decontam import (
+        contaminated_ids,
+    )
+    from distributedqueryengine_spark.functions.dedup import (
+        _scoped_persist,
+        dedup_clusters,
+    )
+    from distributedqueryengine_spark.functions.substr_dedup import (
+        strip_duplicated_spans,
+    )
+
+    d, cur = _pc_base(spark, sf_dir)
+    cc = dedup_clusters(cur, "id", "text", min_jaccard=0.5,
+                        portable=True, staged=False)
+    losers = cc.filter(F.col("id") != F.col("component")).select("id")
+    cur = _scoped_persist(cur.join(losers, "id", "left_anti"))
+    stripped = strip_duplicated_spans(cur, "id", "text", k=8, portable=True)
+    cur = _scoped_persist(
+        cur.drop("text").join(
+            stripped.select("id", F.col("clean_text").alias("text")), "id"
+        )
+    )
+    ev = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return cur.join(contaminated_ids(cur, ev, "id", "text", n=5),
+                    "id", "left_anti")
+
 # r15 (verdict item 7): close the null-duckdb attribution rows. Every
 # oracle-expressible branch gets a standalone timing mirror derived
 # from its suite oracle's shared CTE prefix; the production-xxhash
@@ -2482,4 +2554,16 @@ BENCH_SPLIT_ORACLES["dedup_near_suite"] = {
     "simhash": _ND_PFX + "SELECT * FROM simpairs",
     "winnow": _ND_PFX + "SELECT * FROM winnow",
     "clusters": _ND_PFX + "SELECT * FROM clusters",
+}
+
+BENCH_SPLITS["pipeline_curate"] = {
+    "front_quality_exact": _pc_front_branch,
+    "neardup_collapse": _pc_neardup_branch,
+    "strip_decontam": _pc_strip_decontam_branch,
+}
+_PC_PFX = _cte_prefix(COMPOSITE_ORACLES["pipeline_curate"])
+BENCH_SPLIT_ORACLES["pipeline_curate"] = {
+    "front_quality_exact": _PC_PFX + "SELECT * FROM q2",
+    "neardup_collapse": _PC_PFX + "SELECT * FROM q3",
+    "strip_decontam": _PC_PFX + "SELECT * FROM q5",
 }
