@@ -820,3 +820,21 @@ def test_apply_temperature_mixture_equals_split_form(spark):
             fused = {(r.id, r.src) for r in apply_temperature_mixture(
                 df, "src", "id", temperature=temp, seed=seed).collect()}
             assert fused == split and fused, (temp, seed)
+
+
+def test_grouped_budget_plan_partitions_by_group_segment(spark):
+    """r15 plan pin: the single-pass grouped budget's window
+    partitions by (group, segment) — never SinglePartition — so no
+    group ever serializes through one task."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget_grouped,
+    )
+
+    rows = [(i, f"g{i % 3}", float(i % 13), 1 + (i % 5)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, score double, w long")
+    out = select_until_budget_grouped(
+        df, {"g0": 100, "g1": 100, "g2": 100}, group_col="g"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(grp" in plan and "__seg" in plan, plan
