@@ -312,3 +312,23 @@ def test_curate_corpus_with_group_budgets(spark):
     # packs, which is what the budget scored — never above budget
     for g, tot in by_src.items():
         assert tot <= budgets[g], (g, tot)
+
+
+def test_curate_account_false_manifest_identical(spark):
+    """r15: account=False must change ONLY the accounting (empty list)
+    — the manifest rows are identical to the account=True run, and the
+    portable=True manifest equals the production-hash manifest when the
+    corpus has no hash-boundary cases (same fixture both ways here)."""
+    from distributedqueryengine_spark.pipeline import curate_corpus
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 97 != 0)
+    kw = dict(eval_df=ev, temperature=0.5, n_epochs=2, seed=0,
+              portable=True)
+    m_on, acc_on = curate_corpus(base, **kw, account=True)
+    m_off, acc_off = curate_corpus(base, **kw, account=False)
+    assert acc_off == [] and len(acc_on) >= 6
+    rows_on = {tuple(r) for r in m_on.collect()}
+    rows_off = {tuple(r) for r in m_off.collect()}
+    assert rows_on == rows_off and rows_on
