@@ -34,6 +34,12 @@ def _plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # pin each query's INTRINSIC plan: sibling test modules leave
+    # persisted frames whose subtrees the CacheManager substitutes
+    # into these plans (an InMemoryRelation's string embeds its
+    # ORIGINAL plan — including another query's whitelisted 1-row
+    # broadcast crossJoins), which made this gate order-dependent
+    spark.catalog.clearCache()
     out = {}
     for name, fn in sorted(entry_mod.queries().items()):
         out[name] = _plan(fn(spark, SF_DIR))
