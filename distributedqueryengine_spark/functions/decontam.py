@@ -207,3 +207,57 @@ def semantic_decontaminate(
         corpus_emb, eval_emb, tau, id_col=id_col, vec_col=vec_col
     ).select(F.col("id").alias(id_col))
     return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Evidence for every contaminated (train, eval) pair (r15):
+    (train_id, eval_id, n_shared_grams, example_gram) — the AUDIT
+    artifact behind `contaminated_ids`' yes/no. A drop list without
+    evidence is unreviewable: this is what a data team looks at before
+    deciding whether "contamination" is a real benchmark leak or a
+    boilerplate n-gram that should go to a stop-gram list instead.
+
+    Carries the raw gram TEXT (not just its fingerprint) for the
+    lexicographically-first shared gram of each pair. Scale shape:
+    distinct (id, gram) per side, eval side broadcast (the
+    decontamination contract — eval suites are small), matched rows
+    bounded by eval reach, one partial-aggregated count per pair.
+    Fully SQL-portable; oracled as the decontam_suite `report` branch.
+    """
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    if n <= 0:
+        raise ValueError(f"n-gram size must be positive, got {n}")
+
+    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
+        )
+        g = ensure_parallelism(df).select(
+            F.col(id_col).alias(out_id), F.explode(zipped).alias("z")
+        )
+        return g.select(
+            out_id,
+            F.concat_ws(
+                " ", *[F.col(f"z.t{i}") for i in range(n)]
+            ).alias("gram"),
+        ).distinct()
+
+    tg = gram_rows(train, "train_id")
+    eg = gram_rows(eval_df, "eval_id")
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy("train_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.min("gram").alias("example_gram"),
+        )
+    )

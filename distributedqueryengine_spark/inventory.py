@@ -449,10 +449,21 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = train.join(bad, "doc_id", "left_anti")
+    # 'report' (r15): the audit evidence behind the drop list — per
+    # contaminated (train, eval) pair the shared-gram count and the
+    # lexicographically-first gram text (functions/decontam.
+    # contamination_report); eval_id ‖ example gram ride the string
+    # slot
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    rep = DC.contamination_report(train, ev, "doc_id", "text", n=3)
     return _union([
         _tagged("contaminated", bad, {"id": "doc_id"}, _DECON_S),
         _tagged("clean", clean,
                 {"id": "doc_id", "n": "n_chars", "lang": "lang"}, _DECON_S),
+        _tagged("report", rep,
+                {"id": "train_id", "n": "n_shared_grams",
+                 "lang": F.concat_ws("|", F.col("eval_id").cast("string"),
+                                     "example_gram")}, _DECON_S),
     ])
 
 
@@ -1696,6 +1707,26 @@ COMPOSITE_ORACLES["greedy_pack"] = rf"""
     SELECT id AS doc_id, t AS n_tokens, grp, placed AS bin FROM r
 """
 
+_DECON_REPORT = r"""
+    trgt AS (SELECT DISTINCT doc_id AS train_id,
+                    array_to_string(toks[i:i+2], ' ') AS gram
+             FROM (SELECT doc_id, toks,
+                          unnest(range(1, greatest(len(toks)-1, 1))) AS i
+                   FROM tt)),
+    evgt AS (SELECT DISTINCT e.doc_id AS eval_id,
+                    array_to_string(e.toks[i:i+2], ' ') AS gram
+             FROM (SELECT doc_id,
+                          string_split(regexp_replace(trim(lower(text)),
+                                       '\s+', ' ', 'g'), ' ') AS toks
+                   FROM documents WHERE doc_id % 97 = 0) e,
+                  unnest(range(1, greatest(len(e.toks)-1, 1))) AS r(i)),
+    rep AS (SELECT t.train_id, e.eval_id,
+                   count(*) AS n_shared_grams,
+                   min(t.gram) AS example_gram
+            FROM trgt t JOIN evgt e USING (gram)
+            GROUP BY 1, 2)
+"""
+
 COMPOSITE_ORACLES["decontam_suite"] = _sql_union([
     _sql_tagged("contaminated", _DECON_BAD + "SELECT doc_id FROM bad",
                 {"id": "doc_id"}, _DECON_S),
@@ -1704,6 +1735,15 @@ COMPOSITE_ORACLES["decontam_suite"] = _sql_union([
                 + """SELECT doc_id, n_chars, lang FROM train
                      WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
                 {"id": "doc_id", "n": "n_chars", "lang": "lang"}, _DECON_S),
+    _sql_tagged("report",
+                _DECON_BAD + "," + _DECON_REPORT
+                + """SELECT train_id,
+                            n_shared_grams,
+                            CAST(eval_id AS VARCHAR) || '|' || example_gram
+                                AS ev_gram
+                     FROM rep""",
+                {"id": "train_id", "n": "n_shared_grams",
+                 "lang": "ev_gram"}, _DECON_S),
 ])
 
 COMPOSITE_ORACLES["set_ops_suite"] = _sql_union([
@@ -2554,6 +2594,24 @@ BENCH_SPLIT_ORACLES["dedup_near_suite"] = {
     "simhash": _ND_PFX + "SELECT * FROM simpairs",
     "winnow": _ND_PFX + "SELECT * FROM winnow",
     "clusters": _ND_PFX + "SELECT * FROM clusters",
+}
+
+def _decontam_report_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the r15 contamination-evidence report standalone."""
+    from distributedqueryengine_spark.functions import decontam as DC
+    from distributedqueryengine_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return DC.contamination_report(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        "doc_id", "text", n=3,
+    )
+
+
+BENCH_SPLITS["decontam_suite"] = {"report": _decontam_report_branch}
+BENCH_SPLIT_ORACLES["decontam_suite"] = {
+    "report": _DECON_BAD + "," + _DECON_REPORT + "SELECT * FROM rep",
 }
 
 BENCH_SPLITS["pipeline_curate"] = {

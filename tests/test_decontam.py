@@ -218,3 +218,40 @@ def test_bloom_prefiltered_decontam_parity(spark, tables):
         for r in contaminated_ids(train, ev, n=3, use_bloom=True).collect()
     )
     assert plain == bloomed and plain
+
+
+def test_contamination_report_evidence(spark):
+    """r15: the report names WHICH eval doc each contaminated train
+    doc leaks, with the shared-gram count and the lexicographically
+    first gram; disjoint pairs are absent."""
+    from distributedqueryengine_spark.functions.decontam import (
+        contaminated_ids,
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "completely different words only here now"),
+            (3, "alpha beta gamma something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon eta"),
+         (200, "nothing shared at all whatsoever today")],
+        "doc_id long, text string",
+    )
+    rep = {
+        (r.train_id, r.eval_id): (r.n_shared_grams, r.example_gram)
+        for r in contamination_report(train, ev, n=3).collect()
+    }
+    # doc 1 shares 3-grams 'alpha beta gamma', 'beta gamma delta',
+    # 'gamma delta epsilon' with eval 100; doc 3 shares only the first
+    assert rep[(1, 100)] == (3, "alpha beta gamma"), rep
+    assert rep[(3, 100)] == (1, "alpha beta gamma"), rep
+    assert not any(e == 200 for _, e in rep), rep
+    assert set(rep) == {(1, 100), (3, 100)}
+    # evidence set == drop list
+    bad = {r.doc_id for r in contaminated_ids(train, ev, n=3).collect()}
+    assert bad == {t for t, _ in rep}
