@@ -64,6 +64,7 @@ def contaminated_ids(
     use_bloom: bool = False,
     bloom_fpr: float = 0.01,
     bloom_items_hint: int | None = None,
+    stop_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of training documents sharing >= 1 word n-gram with the eval
     set. Eval n-grams are broadcast (the eval set is small — that is
@@ -76,8 +77,21 @@ def contaminated_ids(
     broadcast LEFT SEMI then sees only the ~(match-rate + fpr)
     fraction. Result is EXACTLY the non-bloom result (no false
     negatives); `bloom_items_hint` skips the sizing count when the
-    caller knows the eval gram cardinality."""
+    caller knows the eval gram cardinality.
+
+    `stop_grams` (r15): a 1-column frame of gram TEXTS to EXCLUDE from
+    matching — the boilerplate escape hatch the production suites use
+    (an overly common n-gram like a license header matches half the
+    corpus and would nuke it; `frequent_grams` mines candidates, the
+    contamination_report's example grams adjudicate them). Excluded
+    grams are anti-joined off the EVAL side (eval-set sized, cheap),
+    so the corpus-side stream is untouched."""
     ev = doc_ngram_fingerprints(eval_df, id_col, text_col, n).select("g").distinct()
+    if stop_grams is not None:
+        sg = stop_grams.select(
+            F.md5(normalize_text(stop_grams.columns[0])).alias("g")
+        ).distinct()
+        ev = ev.join(F.broadcast(sg), "g", "left_anti")
     tg = doc_ngram_fingerprints(train, id_col, text_col, n)
     if use_bloom:
         from distributedqueryengine_spark.functions.bloom import (
@@ -260,4 +274,57 @@ def contamination_report(
             F.count(F.lit(1)).alias("n_shared_grams"),
             F.min("gram").alias("example_gram"),
         )
+    )
+
+
+def frequent_grams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Boilerplate n-gram miner (r15): grams appearing in at least
+    ``min_doc_frac`` of documents — license headers, navigation chrome,
+    template sentences. These are the stop-gram CANDIDATES a
+    decontamination pass should usually ignore (feed the `gram` column
+    to `contaminated_ids(stop_grams=...)` after review): an eval
+    suite sharing only boilerplate with a training document is not a
+    leak, and dropping every such document would gut the corpus.
+
+    One gram scan (distinct per doc), one vocab-sized count, a 1-row
+    broadcast total. Returns (gram, n_docs, doc_frac) ordered by
+    n_docs desc, gram asc — gram TEXT, not fingerprints, because the
+    output is a human review list."""
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    if n <= 0:
+        raise ValueError(f"n-gram size must be positive, got {n}")
+    if not 0 < min_doc_frac <= 1:
+        raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+    toks = F.split(normalize_text(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
+    )
+    grams = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
+        .select(
+            "id",
+            F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)]).alias("gram"),
+        )
+        .distinct()
+    )
+    total = df.select(F.countDistinct(id_col).alias("__nd"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_docs") >= F.col("__nd") * min_doc_frac)
+        .select(
+            "gram", "n_docs",
+            F.round(F.col("n_docs") / F.col("__nd"), 6).alias("doc_frac"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
     )

@@ -255,3 +255,39 @@ def test_contamination_report_evidence(spark):
     # evidence set == drop list
     bad = {r.doc_id for r in contaminated_ids(train, ev, n=3).collect()}
     assert bad == {t for t, _ in rep}
+
+
+def test_stop_grams_and_frequent_grams(spark):
+    """r15: a boilerplate gram in stop_grams no longer contaminates;
+    frequent_grams surfaces exactly the grams above the doc-frac bar."""
+    from distributedqueryengine_spark.functions.decontam import (
+        contaminated_ids,
+        frequent_grams,
+    )
+
+    boiler = "all rights reserved worldwide"
+    train = spark.createDataFrame(
+        [
+            (1, f"{boiler} plus unique alpha content"),
+            (2, f"{boiler} and other unique beta content"),
+            (3, "genuine leak of the secret eval answer text"),
+            (4, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, f"{boiler} eval question one"),
+         (200, "the secret eval answer text appears")],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id for r in contaminated_ids(train, ev, n=4).collect()}
+    assert plain == {1, 2, 3}
+    stops = spark.createDataFrame([(boiler,)], "gram string")
+    with_stops = {
+        r.doc_id
+        for r in contaminated_ids(train, ev, n=4, stop_grams=stops).collect()
+    }
+    assert with_stops == {3}, with_stops
+    freq = {r.gram: r.n_docs for r in frequent_grams(
+        train, n=4, min_doc_frac=0.5).collect()}
+    assert freq == {boiler: 2}, freq
