@@ -74,6 +74,7 @@ def curate_corpus(
     near_dup_jaccard: float = 0.5,
     substr_k: int = 8,
     decontam_n: int = 5,
+    stop_grams: DataFrame | None = None,
     clf_threshold: float = 0.5,
     clf_buckets: int = 1024,
     clf_iters: int = 12,
@@ -95,7 +96,10 @@ def curate_corpus(
     offsets are the concat-pack layout over doc_id order.
 
     Optional stages skip cleanly: no `eval_df` → no decontamination
-    row; no `labeled` seed → no classifier row. With `group_budgets`
+    row; no `labeled` seed → no classifier row. `stop_grams` (r15)
+    passes a reviewed boilerplate list through to the decontamination
+    stage (decontam.frequent_grams mines candidates,
+    contamination_report adjudicates them). With `group_budgets`
     (a {group: token budget} dict), stage 7 becomes per-group
     maximal-prefix budget selection by quality
     (sampling.select_until_budget_grouped — the multilingual budget
@@ -185,7 +189,8 @@ def curate_corpus(
         ev = eval_df.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         )
-        bad = contaminated_ids(cur, ev, "id", "text", n=decontam_n)
+        bad = contaminated_ids(cur, ev, "id", "text", n=decontam_n,
+                               stop_grams=stop_grams)
         cur, n = _stage(acc, "decontam", n, cur.join(bad, "id", "left_anti"))
 
     # 6. model-in-the-loop quality filter: fit on the labeled seed,
