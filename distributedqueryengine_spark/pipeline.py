@@ -27,10 +27,12 @@ Design rules the composition enforces (each learned from a probe):
   the pipeline carries `clean_text`; decontamination and classifier
   scoring run on the stripped text (what training would actually
   consume).
-- **Every heavy stage keeps its own scale shape**: staged near-dup
-  (collapse first), broadcast eval grams, driver-held classifier
-  model, two-phase pack prefix sum, distributed_global_rank epochs —
-  the composition adds no new shuffle beyond its stages.
+- **Every heavy stage keeps its own scale shape**: the near-dup spine
+  runs UNSTAGED here (stage 2 already exact-deduped — the staged
+  pre-collapse would find nothing), broadcast eval grams, driver-held
+  classifier model, two-phase pack prefix sum, ONE combined-epoch
+  rank pass (r15) — the composition adds no new shuffle beyond its
+  stages.
 
 Measured 1×/10×/100× by tools/scale_probe_pipeline_full.py; see
 SCALING.md §curation-pipeline.
@@ -92,8 +94,9 @@ def curate_corpus(
     The manifest has one row per (epoch, surviving doc):
     (epoch, pos, doc_id, group, n_tokens, tok_offset, seq_first,
     seq_last, n_seqs) — pos is the epoch's deterministic shuffle
-    position (distributed_global_rank, no single-partition window),
-    offsets are the concat-pack layout over doc_id order.
+    position (one combined two-phase rank across ALL epochs, no
+    single-partition window), offsets are the concat-pack layout over
+    doc_id order.
 
     Optional stages skip cleanly: no `eval_df` → no decontamination
     row; no `labeled` seed → no classifier row. `stop_grams` (r15)
