@@ -203,3 +203,56 @@ def greedy_pack(
             "bin",
         )
     )
+
+
+def write_training_shards(
+    manifest: DataFrame,
+    path: str,
+    shard_size: int = 1024,
+    epoch_col: str = "epoch",
+    pos_col: str = "pos",
+) -> dict:
+    """Materialize a training manifest (pipeline.curate_corpus output
+    or any frame with per-epoch dense 0-based positions) as the shard
+    layout a data loader actually consumes (r15): shard
+    ``pos // shard_size``, one partition directory per (epoch, shard),
+    rows sorted by position within each shard's files.
+
+    Deterministic end to end: shard membership is arithmetic on `pos`
+    (itself a pure function of (seed, epoch, id)), so re-running the
+    pipeline re-produces byte-stable shard contents on any cluster
+    layout — the property that lets a training job resume mid-epoch
+    from shard N without re-reading the corpus. Loader contract: read
+    ``epoch=<e>/shard=<s>`` directories in shard order, rows in pos
+    order (file-internal order is the sort; a paranoid loader can
+    ORDER BY pos — it is in the data).
+
+    One range-free shuffle on (epoch, shard) — no global sort; the
+    final shard of an epoch may be short. Returns {n_rows, n_epochs,
+    n_shards, shards_per_epoch: {epoch: count}} read back from the
+    written layout (write-audit, not plan-side estimates).
+    """
+    if shard_size <= 0:
+        raise ValueError(f"shard_size must be positive, got {shard_size}")
+    out = (
+        manifest.withColumn(
+            "shard", F.floor(F.col(pos_col) / F.lit(shard_size)).cast("long")
+        )
+        .repartition(F.col(epoch_col), F.col("shard"))
+        .sortWithinPartitions(pos_col)
+    )
+    out.write.mode("overwrite").partitionBy(epoch_col, "shard").parquet(path)
+    spark = manifest.sparkSession
+    back = spark.read.parquet(path)
+    per_epoch = {
+        int(r[epoch_col]): int(r["n"])
+        for r in back.groupBy(epoch_col)
+        .agg(F.countDistinct("shard").alias("n"))
+        .collect()
+    }
+    return {
+        "n_rows": back.count(),
+        "n_epochs": len(per_epoch),
+        "n_shards": sum(per_epoch.values()),
+        "shards_per_epoch": per_epoch,
+    }
