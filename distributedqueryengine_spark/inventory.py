@@ -1626,7 +1626,7 @@ def _pipeline_curate_oracle() -> str:
                      CAST(floor((off + greatest(nt, 1) - 1) / 512.0)
                           - floor(off / 512.0) + 1 AS BIGINT) AS n_seqs
               FROM po),
-    pep AS MATERIALIZED (SELECT unnest([0, 1]) AS epoch),
+    pep AS MATERIALIZED (SELECT unnest([0]) AS epoch),
     pord AS MATERIALIZED (SELECT pep.epoch, q7.doc_id,
                     row_number() OVER (PARTITION BY pep.epoch
                         ORDER BY substr(md5(CAST(pep.epoch AS VARCHAR)

@@ -154,11 +154,17 @@ def curate_corpus(
     )
     n0 = base.count() if account else -1
 
-    # 1. quality / language heuristics — fused into the scan
+    # 1. quality / language heuristics — fused into the scan. With
+    # accounting off this stage has exactly ONE consumer (stage 2's
+    # persisted output), so the filter fuses into stage 2's
+    # materialization instead of paying its own cache layer.
     pred = T.quality_score("text") >= min_quality
     if lang is not None:
         pred = pred & (T.lang_id("text") == lang)
-    cur, n = _stage(acc, "quality_filter", n0, base.filter(pred))
+    if account:
+        cur, n = _stage(acc, "quality_filter", n0, base.filter(pred))
+    else:
+        cur, n = base.filter(pred), -1
 
     # 2. exact dedup (min-id survivor per content fingerprint)
     cur, n = _stage(acc, "exact_dedup", n, dedup_exact(cur, "id", "text"))
