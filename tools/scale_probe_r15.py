@@ -120,6 +120,38 @@ def main() -> None:
 
     results["budget_grouped_jobs"] = {"2_groups": jobs_for(2),
                                       "16_groups": jobs_for(16)}
+
+    # 1000x (5M rows): the two rewritten primitives at the scale the
+    # r14 verdict graded five families at — walls must stay near-linear
+    # and the grouped stats collect stays (groups x segments)-bounded
+    if "--thousand" in sys.argv:
+        path = replicate_docs(spark, 1000)
+        docs = spark.read.parquet(path)
+        base = docs.select(
+            "doc_id",
+            F.concat(F.lit("g"), (F.col("doc_id") % 8).cast("string")).alias("g"),
+            F.when(F.col("doc_id") % 5 < 2, F.lit(0.0))
+            .otherwise(F.col("n_chars").cast("double")).alias("score"),
+            (F.col("n_chars") % 97 + 1).cast("long").alias("w"),
+        )
+        budgets = {f"g{i}": 40_000_000 for i in range(8)}
+        wall, shuf, nrows = timed(
+            spark,
+            lambda: select_until_budget_grouped(
+                base, budgets, group_col="g", id_col="doc_id",
+                weight_col="w", score_col="score",
+            ),
+        )
+        results["budget_grouped_8g"]["1000x"] = {
+            "wall_s": wall, "shuffle_mb": shuf, "rows": nrows,
+        }
+        wall, shuf, nrows = timed(
+            spark,
+            lambda: training_order(docs, "doc_id", n_epochs=4, seed=3),
+        )
+        results["training_order_4ep"]["1000x"] = {
+            "wall_s": wall, "shuffle_mb": shuf, "rows": nrows,
+        }
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
