@@ -1069,3 +1069,31 @@ def select_until_budget_grouped(
             F.col("w").alias("weight"), "cum",
         )
     )
+
+
+def categorical_curriculum(
+    tier_col: Column | str,
+    order: Sequence,
+) -> Column:
+    """Map a categorical difficulty column onto the numeric scale
+    training_order's curriculum epochs require (r15 — the companion to
+    the non-numeric-curriculum ValueError): tier i in ``order`` maps
+    to double i, easiest first. Unknown/NULL tiers map to NULL, which
+    the curriculum sorts FIRST (nulls_first — unknown difficulty
+    trains early rather than silently last); pass an explicit catch-
+    all tier to place them elsewhere. Pure expression — no shuffle, no
+    distinct scan, engine-portable.
+
+        training_order(df, "id", curriculum_col=categorical_curriculum(
+            "tier", ["easy", "medium", "hard"]), curriculum_epochs=1)
+    """
+    if not order:
+        raise ValueError("order must list at least one tier")
+    if len(set(order)) != len(order):
+        raise ValueError(f"order has duplicate tiers: {order}")
+    c = F.col(tier_col) if isinstance(tier_col, str) else tier_col
+    expr = None
+    for i, tier in enumerate(order):
+        branch = (c == F.lit(tier), F.lit(float(i)))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    return expr.otherwise(F.lit(None).cast("double"))

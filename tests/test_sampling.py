@@ -838,3 +838,35 @@ def test_grouped_budget_plan_partitions_by_group_segment(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(grp" in plan and "__seg" in plan, plan
+
+
+def test_categorical_curriculum_orders_tiers(spark):
+    """r15: string difficulty tiers flow into curriculum epochs via
+    categorical_curriculum — easy before medium before hard, unknown
+    tiers first (NULL difficulty trains early), and the mapping
+    rejects empty/duplicate tier lists."""
+    from distributedqueryengine_spark.functions.sampling import (
+        categorical_curriculum,
+        training_order,
+    )
+
+    tiers = ["easy", "medium", "hard"]
+    rows = [(i, ["hard", "easy", "??", "medium"][i % 4]) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc long, tier string")
+    out = training_order(
+        df, "doc", n_epochs=1, seed=2,
+        curriculum_col=categorical_curriculum("tier", tiers),
+        curriculum_epochs=1,
+    ).collect()
+    by_pos = [r["id"] for r in sorted(out, key=lambda r: r["pos"])]
+    lvl = {i: t for i, t in rows}
+    seq = [lvl[i] for i in by_pos]
+    # unknown first, then easy, medium, hard — each block contiguous
+    import itertools
+    blocks = [k for k, _ in itertools.groupby(seq)]
+    assert blocks == ["??", "easy", "medium", "hard"], blocks
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        categorical_curriculum("tier", [])
+    with _pytest.raises(ValueError, match="duplicate"):
+        categorical_curriculum("tier", ["a", "a"])
