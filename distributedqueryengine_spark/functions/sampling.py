@@ -402,7 +402,7 @@ def training_order(
             raise ValueError(
                 "curriculum_col values must be numeric-castable; got "
                 f"{bad[0]['__cur']!r}. Map categorical difficulty tiers "
-                "to numbers first (e.g. dense_rank over the tier order)."
+                "first: curriculum_col=categorical_curriculum(col, order)."
             )
     parts = []
     shuffled_epochs: list = []
