@@ -40,13 +40,178 @@ SCALING.md §curation-pipeline.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from distributedqueryengine_spark.functions.dedup import _scoped_persist
 
 __all__ = ["curate_corpus"]
+
+
+def _fused_manifest(
+    cur: DataFrame,
+    tokens,
+    seq_len: int,
+    n_epochs: int,
+    seed: int,
+    rows_per_bucket: int = 65536,
+) -> DataFrame:
+    """Stages 8+9 fused (r16): pack layout and epoch rank from ONE
+    persisted survivors frame, ZERO joins in the manifest.
+
+    `concat_pack_layout` and `training_order` both scan the identical
+    survivor set and both are two-phase rank shapes; composed via
+    joins they cost two extra persisted projections, three stats
+    collects and three shuffle joins (order ⋈ pack ⋈ grp). Here:
+
+    - ONE persisted (id, grp, t) projection (the only per-document
+      work — the token count — runs once);
+    - ONE stats job (count/min/max of id) sizing the pack buckets;
+    - ONE combined aggregate job producing BOTH driver tables: the
+      per-id-bucket token totals (pack prefix) keyed kind=-1 and the
+      per-(epoch, hash-bucket) row counts (rank prefix) keyed
+      kind=epoch — a union of two tiny keyed projections of the same
+      cached frame, so the corpus is scanned once, not twice;
+    - the manifest itself is one plan: exchange by id-bucket → window
+      cumsum (token offsets) → epoch explode → exchange by
+      (epoch, hash-bucket) → window rank — no join anywhere, both
+      driver tables ride in as broadcast maps.
+
+    Bit-identical to the unfused composition (pinned by the
+    differential in tests/test_pipeline_e2e.py): pack bucketing
+    replicates packing._prefix_sum (fixed-width id ranges off the
+    same stats), the rank replicates training_order's shuffled-epoch
+    path (same nb, same __b, same (u, id) order, same md5 u).
+    """
+    from distributedqueryengine_spark.functions.sampling import _uniform01
+    from distributedqueryengine_spark.session import ensure_parallelism
+
+    spark = cur.sparkSession
+    surv = _scoped_persist(
+        ensure_parallelism(cur).select(
+            "id", "grp", tokens.cast("long").alias("t")
+        )
+    )
+    stats = surv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    if stats["n"] == 0:
+        return surv.select(
+            F.lit(0).cast("long").alias("epoch"),
+            F.lit(0).cast("long").alias("pos"),
+            "id",
+            "grp",
+            F.col("t").alias("n_tokens"),
+            F.lit(0).cast("long").alias("tok_offset"),
+            F.lit(0).cast("long").alias("seq_first"),
+            F.lit(0).cast("long").alias("seq_last"),
+            F.lit(0).cast("long").alias("n_seqs"),
+        ).limit(0)
+    n_buckets = max(1, math.ceil(stats["n"] / rows_per_bucket))
+    width = max(1, math.ceil((stats["hi"] - stats["lo"] + 1) / n_buckets))
+    bkt = ((F.col("id") - F.lit(stats["lo"])) / F.lit(width)).cast("long")
+    nb = max(8, min(1024, 65536 // n_epochs))
+    us = [
+        _uniform01(F.col("id").cast("string"), seed=seed * 1_000_003 + e)
+        for e in range(n_epochs)
+    ]
+    ebs = [
+        F.least(F.floor(u * nb), F.lit(nb - 1)).cast("long") for u in us
+    ]
+    # combined bucket-totals aggregate: kind=-1 rows carry token sums
+    # for the pack prefix, kind=e rows carry row counts for epoch e's
+    # rank prefix. Output cardinality ≤ n_buckets + n_epochs·nb.
+    kv = surv.select(
+        F.lit(-1).cast("long").alias("kind"), bkt.alias("k"), F.col("t")
+    )
+    for e in range(n_epochs):
+        kv = kv.unionAll(
+            surv.select(
+                F.lit(e).cast("long").alias("kind"),
+                ebs[e].alias("k"),
+                F.lit(1).cast("long").alias("t"),
+            )
+        )
+    totals = kv.groupBy("kind", "k").agg(F.sum("t").alias("tot")).collect()
+    pack_tot: dict = {}
+    rank_tot: dict = {}
+    for r in totals:
+        if r["kind"] == -1:
+            pack_tot[r["k"]] = r["tot"]
+        else:
+            rank_tot.setdefault(r["kind"], {})[r["k"]] = r["tot"]
+    pack_rows, acc_p = [], 0
+    for k in sorted(pack_tot):
+        pack_rows.append((k, acc_p))
+        acc_p += pack_tot[k]
+    rank_rows = []
+    for e in sorted(rank_tot):
+        acc_r = 0
+        for k in sorted(rank_tot[e]):
+            rank_rows.append((e, k, acc_r))
+            acc_r += rank_tot[e][k]
+    pack_bases = spark.createDataFrame(pack_rows, "__bkt long, __pb long")
+    rank_bases = spark.createDataFrame(
+        rank_rows, "epoch long, __b long, __eb long"
+    )
+    w_off = Window.partitionBy("__bkt").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    laid = (
+        surv.withColumn("__bkt", bkt)
+        .join(F.broadcast(pack_bases), "__bkt")
+        .withColumn(
+            "off", F.col("__pb") + F.coalesce(F.sum("t").over(w_off), F.lit(0))
+        )
+    )
+    ep = (
+        laid.select(
+            "id",
+            "grp",
+            "t",
+            "off",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(e).cast("long").alias("epoch"),
+                            us[e].alias("__u"),
+                        )
+                        for e in range(n_epochs)
+                    ]
+                )
+            ).alias("__e"),
+        )
+        .select("id", "grp", "t", "off", "__e.epoch", "__e.__u")
+        .withColumn(
+            "__b",
+            F.least(F.floor(F.col("__u") * nb), F.lit(nb - 1)).cast("long"),
+        )
+        .join(F.broadcast(rank_bases), ["epoch", "__b"])
+    )
+    w_rank = Window.partitionBy("epoch", "__b").orderBy(
+        F.col("__u").asc(), F.col("id").asc()
+    )
+    seq_first = F.floor(F.col("off") / seq_len)
+    seq_last = F.floor(
+        (F.col("off") + F.greatest(F.col("t"), F.lit(1)) - 1) / seq_len
+    )
+    return ep.select(
+        "epoch",
+        (F.col("__eb") + F.row_number().over(w_rank) - 1).alias("pos"),
+        "id",
+        "grp",
+        F.col("t").alias("n_tokens"),
+        F.col("off").alias("tok_offset"),
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).alias("n_seqs"),
+    )
 
 
 def _stage(
@@ -132,7 +297,6 @@ def curate_corpus(
         dedup_clusters,
         dedup_exact,
     )
-    from distributedqueryengine_spark.functions.packing import concat_pack_layout
     from distributedqueryengine_spark.functions.quality_clf import (
         fit_hashed_logreg,
         score_hashed_logreg,
@@ -140,7 +304,6 @@ def curate_corpus(
     from distributedqueryengine_spark.functions.sampling import (
         apply_temperature_mixture,
         select_until_budget_grouped,
-        training_order,
     )
     from distributedqueryengine_spark.functions.substr_dedup import (
         strip_duplicated_spans,
@@ -243,38 +406,33 @@ def curate_corpus(
         # fused form (r15): one (group, bucket) aggregate carries both
         # the rate computation and the quota ranking — identical rows
         # to temperature_mixture_rates ∘ apply_mixture_rates (pinned)
-        cur, n = _stage(
-            acc,
-            "mixture",
-            n,
-            apply_temperature_mixture(
-                cur, "grp", "id", temperature=temperature, seed=seed
-            ),
+        mixed = apply_temperature_mixture(
+            cur, "grp", "id", temperature=temperature, seed=seed
         )
+        if account:
+            cur, n = _stage(acc, "mixture", n, mixed)
+        else:
+            # single consumer downstream (the fused tail's survivors
+            # projection, which persists itself) — skip the cache layer
+            cur, n = mixed, -1
 
-    # 8. concat-pack layout (two-phase prefix sum, doc_id order)
-    pack = concat_pack_layout(
-        cur, T.token_count("text"), id_col="id", seq_len=seq_len
-    )
-
-    # 9. per-epoch deterministic training order (global rank, no
-    # single-partition window)
-    order = training_order(cur, "id", n_epochs=n_epochs, seed=seed)
-
-    manifest = (
-        order.join(pack, "id")
-        .join(cur.select("id", "grp"), "id")
-        .select(
-            "epoch",
-            "pos",
-            F.col("id").alias(id_col),
-            F.col("grp").alias(group_col),
-            "n_tokens",
-            "tok_offset",
-            "seq_first",
-            "seq_last",
-            "n_seqs",
-        )
+    # 8+9. pack layout + per-epoch training order, FUSED (r16): one
+    # persisted survivors projection, one combined bucket-totals
+    # aggregate, zero joins — see _fused_manifest. Replaces
+    # concat_pack_layout ∘ training_order ∘ (order ⋈ pack ⋈ grp),
+    # bit-identically (differential-pinned in tests/test_pipeline_e2e).
+    manifest = _fused_manifest(
+        cur, T.token_count("text"), seq_len, n_epochs, seed
+    ).select(
+        "epoch",
+        "pos",
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "tok_offset",
+        "seq_first",
+        "seq_last",
+        "n_seqs",
     )
     if acc is not None:
         acc.append(

@@ -332,3 +332,56 @@ def test_curate_account_false_manifest_identical(spark):
     rows_on = {tuple(r) for r in m_on.collect()}
     rows_off = {tuple(r) for r in m_off.collect()}
     assert rows_on == rows_off and rows_on
+
+
+def test_fused_manifest_equals_unfused_composition(spark):
+    """r16: the fused pack+order tail (_fused_manifest — one survivors
+    persist, one combined bucket-totals aggregate, zero joins) must be
+    bit-identical to the unfused composition it replaced:
+    training_order ⋈ concat_pack_layout ⋈ grp. Multi-epoch, and a
+    bucket-boundary-exercising rows_per_bucket to force >1 pack bucket
+    so the driver prefix actually stitches."""
+    from distributedqueryengine_spark.functions.packing import (
+        concat_pack_layout,
+    )
+    from distributedqueryengine_spark.functions.sampling import (
+        training_order,
+    )
+    from distributedqueryengine_spark.pipeline import _fused_manifest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cur = docs.select(
+        F.col("doc_id").alias("id"), "text", F.col("source").alias("grp")
+    ).filter(F.col("id") % 3 != 0)
+
+    for n_epochs, seed, rpb in [(1, 0, 65536), (3, 7, 16)]:
+        fused = _fused_manifest(
+            cur, T.token_count("text"), 512, n_epochs, seed,
+            rows_per_bucket=rpb,
+        )
+        pack = concat_pack_layout(
+            cur, T.token_count("text"), id_col="id", seq_len=512,
+            rows_per_bucket=rpb,
+        )
+        order = training_order(cur, "id", n_epochs=n_epochs, seed=seed)
+        ref = (
+            order.join(pack, "id")
+            .join(cur.select("id", "grp"), "id")
+            .select(
+                "epoch", "pos", "id", "grp", "n_tokens", "tok_offset",
+                "seq_first", "seq_last", "n_seqs",
+            )
+        )
+        got = {tuple(r) for r in fused.collect()}
+        want = {tuple(r) for r in ref.collect()}
+        assert got == want and got, (n_epochs, seed, rpb, len(got), len(want))
+
+    # empty input keeps the native schema and yields zero rows
+    empty = _fused_manifest(
+        cur.limit(0), T.token_count("text"), 512, 2, 0
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "epoch", "pos", "id", "grp", "n_tokens", "tok_offset",
+        "seq_first", "seq_last", "n_seqs",
+    ]
