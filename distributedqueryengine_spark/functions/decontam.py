@@ -255,7 +255,10 @@ def contamination_report(
         zipped = F.arrays_zip(
             *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
         )
-        g = ensure_parallelism(df).select(
+        # NULL ids dropped (r16 ADVICE), mirroring frequent_grams /
+        # select_until_budget: a NULL-id doc would otherwise surface
+        # as one anonymous report row per gram
+        g = ensure_parallelism(df.filter(F.col(id_col).isNotNull())).select(
             F.col(id_col).alias(out_id), F.explode(zipped).alias("z")
         )
         return g.select(
@@ -295,13 +298,19 @@ def frequent_grams(
     One gram scan (distinct per doc), one vocab-sized count, a 1-row
     broadcast total. Returns (gram, n_docs, doc_frac) ordered by
     n_docs desc, gram asc — gram TEXT, not fingerprints, because the
-    output is a human review list."""
+    output is a human review list.
+
+    NULL ids are dropped up front (r16 ADVICE): countDistinct — the
+    doc_frac denominator — excludes NULLs, so counting NULL-id rows in
+    the numerator could push doc_frac past 1.0 and shift thresholds;
+    numerator and denominator now see the same id set."""
     from distributedqueryengine_spark.session import ensure_parallelism
 
     if n <= 0:
         raise ValueError(f"n-gram size must be positive, got {n}")
     if not 0 < min_doc_frac <= 1:
         raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+    df = df.filter(F.col(id_col).isNotNull())
     toks = F.split(normalize_text(text_col), " ")
     n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
     zipped = F.arrays_zip(

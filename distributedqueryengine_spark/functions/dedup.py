@@ -748,13 +748,22 @@ def connected_components(
 
     Size-gated (r15): near-dup edge lists are SPARSE by construction
     (they survived an LSH band collision AND an exact-Jaccard
-    threshold), so up to ``driver_edge_cap`` distinct edges (16 bytes
-    each — the default 1M cap is ~16 MB) the edges collect once and a
-    driver union-find labels them in microseconds — ~10× less wall
-    than even two propagation rounds, at ANY corpus size where the cap
-    holds, because rounds cost fixed scheduler/shuffle latency. The
-    output is bit-identical (union-by-min-root ⇒ root = component min;
-    pinned against the distributed path in tests/test_dedup.py).
+    threshold), so up to ``driver_edge_cap`` distinct edges the edges
+    collect once and a driver union-find labels them in milliseconds —
+    ~10× less wall than even two propagation rounds, at ANY corpus
+    size where the cap holds, because rounds cost fixed
+    scheduler/shuffle latency. The output is bit-identical
+    (union-by-min-root ⇒ root = component min; pinned against the
+    distributed path in tests/test_dedup.py).
+
+    Driver footprint at the cap (r16 ADVICE — the r15 Row-object path
+    realistically cost hundreds of MB of heap): the collect is an
+    Arrow transfer into numpy (1M edges ≈ 16 MB raw + the Arrow
+    batch), the union-find runs over an index-remapped int64 parent
+    array (≤ 2M entries ≈ 16 MB), and the result returns through one
+    Arrow-backed createDataFrame — tens of MB end to end, no
+    per-row Python objects. Size driver memory for ~5× the raw edge
+    bytes, or lower the cap.
 
     Above the cap: iterative min-label propagation. Each round every
     node adopts the minimum label in its closed neighborhood;
@@ -775,11 +784,25 @@ def connected_components(
         .distinct()
     )
     if driver_edge_cap > 0:
-        head = edges.limit(driver_edge_cap + 1).collect()
-        if len(head) <= driver_edge_cap:
-            parent: dict = {}
+        head = edges.limit(driver_edge_cap + 1).toArrow()
+        if head.num_rows <= driver_edge_cap:
+            import numpy as np
+            import pandas as pd
 
-            def find(x):
+            if head.num_rows == 0:
+                return pairs.sparkSession.createDataFrame(
+                    [], "id long, component long"
+                )
+            src = head.column("src").to_numpy(zero_copy_only=False)
+            dst = head.column("dst").to_numpy(zero_copy_only=False)
+            # index-remap: ids sorted ascending, so index order is id
+            # order and "smaller index" == "smaller id"
+            ids = np.unique(np.concatenate([src, dst]))
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            parent = np.arange(len(ids), dtype=np.int64)
+
+            def find(x: int) -> int:
                 r = x
                 while parent[r] != r:
                     r = parent[r]
@@ -787,10 +810,7 @@ def connected_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in head:
-                a, b = row["src"], row["dst"]
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
+            for a, b in zip(si.tolist(), di.tolist()):
                 ra, rb = find(a), find(b)
                 if ra != rb:
                     # attach the LARGER root under the smaller so the
@@ -799,9 +819,11 @@ def connected_components(
                         parent[rb] = ra
                     else:
                         parent[ra] = rb
-            rows = [(int(i), int(find(i))) for i in parent]
+            comp = np.array([find(i) for i in range(len(ids))])
             return pairs.sparkSession.createDataFrame(
-                rows, "id long, component long"
+                pd.DataFrame(
+                    {"id": ids, "component": ids[comp]}
+                )
             )
         # over the cap: fall through to the distributed path — but the
         # cap+1 rows already collected tell us nothing reusable; the

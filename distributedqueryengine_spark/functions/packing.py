@@ -243,7 +243,18 @@ def write_training_shards(
     )
     out.write.mode("overwrite").partitionBy(epoch_col, "shard").parquet(path)
     spark = manifest.sparkSession
-    back = spark.read.parquet(path)
+    try:
+        back = spark.read.parquet(path)
+    except Exception:
+        # an empty manifest writes only _SUCCESS — no data files, no
+        # inferable schema (r16 ADVICE). A successful empty write is
+        # still a success: report zero stats instead of raising.
+        return {
+            "n_rows": 0,
+            "n_epochs": 0,
+            "n_shards": 0,
+            "shards_per_epoch": {},
+        }
     per_epoch = {
         int(r[epoch_col]): int(r["n"])
         for r in back.groupBy(epoch_col)

@@ -703,7 +703,12 @@ def apply_temperature_mixture(
 
     Groups beyond ``max_driver_groups`` fall back to the split form's
     high-cardinality window path (where per-group windows parallelize
-    fine on their own)."""
+    fine on their own). The counts collect is LIMIT-bounded at
+    max_driver_groups × n_buckets rows (r16 ADVICE: an unbounded
+    collect meant a million-group column could OOM the driver BEFORE
+    the cardinality check ran) — exceeding the bound proves
+    high cardinality without transferring the overflow, at zero extra
+    jobs."""
     spark = df.sparkSession
     key = F.md5(
         F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string"))
@@ -713,15 +718,18 @@ def apply_temperature_mixture(
         "__mb",
         F.least(F.floor(u * F.lit(n_buckets)), F.lit(n_buckets - 1)).cast("long"),
     )
+    bound = max(max_driver_groups, 0) * n_buckets
     counts = (
         b.groupBy(group_col, "__mb")
         .agg(F.count(F.lit(1)).alias("c"))
+        .limit(bound + 1)
         .collect()
     )
     per_group: dict = {}
-    for row in counts:
-        per_group.setdefault(row[group_col], {})[row["__mb"]] = row["c"]
-    if len(per_group) > max_driver_groups:
+    if len(counts) <= bound:
+        for row in counts:
+            per_group.setdefault(row[group_col], {})[row["__mb"]] = row["c"]
+    if len(counts) > bound or len(per_group) > max_driver_groups:
         rates = temperature_mixture_rates(
             df.select(F.col(group_col).alias("group")), "group",
             temperature=temperature,

@@ -356,6 +356,26 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.unpersist()
     minhash_pairs = scored.filter(F.col("jaccard") >= 0.5)
     ngram_pairs = scored.filter(F.col("jaccard") >= 0.3)
+    # 'stream_candidates' (r16): the streaming near-dup tier's band
+    # collision join (streaming/dedup.stream_dedup_candidates), run
+    # batch-equivalently so the r15 tier gets a DuckDB value check and
+    # not only stream≡batch pytest. Docs with doc_id % 10 == 0 play the
+    # arriving stream, the rest the frozen corpus index. The index side
+    # reuses the suite's banded buckets (same `sigs` object → the
+    # CacheManager substitutes lsh_candidate_pairs' persisted banded
+    # frame); only the 10% stream side pays the narrow re-bucketing,
+    # which is pytest-pinned value-identical to the batch pipeline.
+    from distributedqueryengine_spark.streaming.dedup import (
+        stream_dedup_candidates,
+    )
+
+    idx = D.band_buckets(sigs, 32, 8, portable=True).filter(
+        F.col("id") % 10 != 0
+    )
+    ncand = stream_dedup_candidates(
+        d.filter(F.col("doc_id") % 10 == 0), idx, "doc_id", "text",
+        ngram=3, num_perm=32, bands=8, portable=True,
+    )
     clusters = (
         D.connected_components(minhash_pairs)
         .groupBy("component")
@@ -372,6 +392,9 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"a": "rep_id", "b": "cluster_size", "v": "component"}, _DEDUP_NEAR_S),
         _tagged("winnow", Q.q_text_winnow(spark, sf_dir, portable=True),
                 {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
+        _tagged("stream_candidates", ncand,
+                {"a": "new_id", "b": "corpus_id",
+                 "v": F.col("band").cast("double")}, _DEDUP_NEAR_S),
         # r13: corpus-governance source overlap — pairwise distinct-
         # 3-gram Jaccard between the 20 `source` groups (hash-keyed
         # self-join; per-shingle blow-up bounded by groups², never by
@@ -1526,6 +1549,20 @@ def _dedup_near_oracle() -> str:
                     {"a": "doc_id", "b": "n_fingerprints"}, _DEDUP_NEAR_S),
         _sql_tagged("src_overlap", "SELECT * FROM soverlap",
                     {"a": "a_id", "b": "b_id", "v": "jac"}, _DEDUP_NEAR_S),
+        # r16 stream_candidates: the stream-static band collision join
+        # over the SAME banded buckets (doc_id % 10 == 0 = the arriving
+        # stream, rest = frozen index); one row per colliding band,
+        # mirroring stream_dedup_candidates exactly
+        _sql_tagged(
+            "stream_candidates",
+            """SELECT s.id AS new_id, c.id AS corpus_id,
+                      CAST(s.band AS DOUBLE) AS band
+               FROM banded s JOIN banded c
+                 ON s.band = c.band AND s.bh = c.bh
+               WHERE s.id % 10 = 0 AND c.id % 10 <> 0
+                 AND s.id <> c.id""",
+            {"a": "new_id", "b": "corpus_id", "v": "band"},
+            _DEDUP_NEAR_S),
     ])
     return "WITH RECURSIVE" + ctes + "\n" + branches
 
@@ -1540,7 +1577,9 @@ def _pipeline_curate_oracle() -> str:
     (q2) → minhash-LSH pairs → connected components → representative
     survivors (q3) → ExactSubstr strip to clean text (q4) → 5-gram
     benchmark decontamination (q5) → temperature mixture T=0.5 (q7)
-    → concat-pack layout → two md5-permutation training epochs.
+    → concat-pack layout → one md5-permutation training epoch
+    (pep = [0], matching the driver row's n_epochs=1; the multi-epoch
+    permutation is pytest/probe-pinned on the Spark side).
 
     Every hash is the portable md5 form the Spark side uses under
     portable=True (same perm_coeffs universal-hash constants, same

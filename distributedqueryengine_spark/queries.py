@@ -2053,6 +2053,9 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same materialized write instead of paying the write again (bench's
 # min-of-2 then measures steady-state reads, the shape a production
 # sink roundtrip actually has). A fresh session always rewrites.
+# The sink path carries the PID (r16 ADVICE): the memo is
+# process-local, so two concurrent sessions sharing an md5(sf_dir)
+# path could otherwise validate each other's in-progress overwrite.
 _IO_RT_WRITTEN: set[str] = set()
 
 
@@ -2061,12 +2064,13 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate must equal the parquet-derived oracle. Exercises the
     text-format round trip (quoting, nulls, timestamps)."""
     import hashlib
+    import os
     import tempfile
 
     from distributedqueryengine_spark.sources import readers, sinks
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/dqe_csv_rt_{tag}"
+    path = f"{tempfile.gettempdir()}/dqe_csv_rt_{tag}_{os.getpid()}"
     nation = _t(spark, sf_dir, "nation")
     if path not in _IO_RT_WRITTEN:
         sinks.write_files(nation, path, fmt="csv", header=True)
@@ -2085,12 +2089,13 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     returnflag, read back ONE partition (pruned scan), aggregate —
     must equal the oracle over the base table."""
     import hashlib
+    import os
     import tempfile
 
     from distributedqueryengine_spark.sources import readers, sinks
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/dqe_part_rt_{tag}"
+    path = f"{tempfile.gettempdir()}/dqe_part_rt_{tag}_{os.getpid()}"
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
@@ -2631,8 +2636,10 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality/lang filter → exact dedup → near-dup CC collapse →
     ExactSubstr strip → benchmark decontamination → temperature
     mixture (T=0.5, so the rate arithmetic is pow(n,2) — bit-identical
-    across engines) → concat-pack layout → two deterministic training
-    epochs. Corpus = documents with doc_id % 97 != 0; the held-out
+    across engines) → concat-pack layout → ONE deterministic training
+    epoch (the multi-epoch permutation is pytest- and probe-pinned;
+    see the n_epochs comment below). Corpus = documents with
+    doc_id % 97 != 0; the held-out
     doc_id % 97 == 0 rows play the benchmark eval set (same split as
     decontam_suite). portable=True puts the near-dup and ExactSubstr
     spines on md5 hashing so DuckDB mirrors every hash bit; the
@@ -3120,6 +3127,7 @@ def q_sink_zonemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_zonemap.py; this driver row pins the EQUALITY contract
     on real data."""
     import hashlib
+    import os
     import tempfile
 
     from distributedqueryengine_spark.sources.zonemap import (
@@ -3128,7 +3136,7 @@ def q_sink_zonemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/dqe_zonemap_rt_{tag}"
+    path = f"{tempfile.gettempdir()}/dqe_zonemap_rt_{tag}_{os.getpid()}"
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )

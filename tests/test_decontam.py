@@ -291,3 +291,20 @@ def test_stop_grams_and_frequent_grams(spark):
     freq = {r.gram: r.n_docs for r in frequent_grams(
         train, n=4, min_doc_frac=0.5).collect()}
     assert freq == {boiler: 2}, freq
+
+
+def test_frequent_grams_null_ids_consistent(spark):
+    """r16 ADVICE: NULL ids are dropped before gram counting, so the
+    doc_frac numerator and the countDistinct denominator see the same
+    id set and doc_frac never exceeds 1.0."""
+    from distributedqueryengine_spark.functions.decontam import (
+        frequent_grams,
+    )
+
+    txt = "alpha beta gamma delta"
+    rows = [(1, txt), (2, txt), (None, txt), (None, txt)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = frequent_grams(df, n=3, min_doc_frac=0.5).collect()
+    assert out, "gram present in all non-null docs must survive"
+    for r in out:
+        assert r["n_docs"] == 2 and r["doc_frac"] == 1.0, r

@@ -870,3 +870,28 @@ def test_categorical_curriculum_orders_tiers(spark):
         categorical_curriculum("tier", [])
     with _pytest.raises(ValueError, match="duplicate"):
         categorical_curriculum("tier", ["a", "a"])
+
+
+def test_mixture_bounded_collect_fallback_protects_driver(spark):
+    """r16 ADVICE: the fused mixture's (group × bucket) counts collect
+    is LIMIT-bounded at max_driver_groups × n_buckets rows, so a
+    high-cardinality group column trips the window fallback WITHOUT
+    transferring the full count table — and the fallback's rows equal
+    the driver-table path's rows."""
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_temperature_mixture,
+    )
+
+    rows = [(i, f"g{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    # 40 groups > max_driver_groups=8 → bounded collect sees at most
+    # 8 × n_buckets + 1 rows and falls back to the window path
+    lo = apply_temperature_mixture(
+        df, "src", "id", temperature=0.7, seed=3, max_driver_groups=8
+    )
+    hi = apply_temperature_mixture(
+        df, "src", "id", temperature=0.7, seed=3, max_driver_groups=1024
+    )
+    a = sorted((r["id"], r["src"]) for r in lo.collect())
+    b = sorted((r["id"], r["src"]) for r in hi.collect())
+    assert a == b and a

@@ -63,3 +63,18 @@ def test_shard_size_validation(spark, tmp_path):
     m = _manifest(spark, n_rows=5, n_epochs=1)
     with pytest.raises(ValueError, match="shard_size"):
         write_training_shards(m, str(tmp_path / "x"), shard_size=0)
+
+
+def test_write_training_shards_empty_manifest(spark, tmp_path):
+    """r16 ADVICE: an empty manifest writes only _SUCCESS; the
+    write-audit read-back must report zero stats, not raise on the
+    uninferrable schema."""
+    from distributedqueryengine_spark.functions.packing import (
+        write_training_shards,
+    )
+
+    empty = spark.createDataFrame([], "epoch long, pos long, doc_id long")
+    stats = write_training_shards(empty, str(tmp_path / "shards_empty"))
+    assert stats == {
+        "n_rows": 0, "n_epochs": 0, "n_shards": 0, "shards_per_epoch": {},
+    }
