@@ -41,11 +41,37 @@ __all__ = [
     "append_to_ivf_index",
     "compact_ivf_index",
     "ivf_index_staleness",
+    "index_fragmentation",
 ]
 
 # v2 (r14): adds occupancy/ — the build-time per-cell row counts that
 # ivf_index_staleness compares against. v1 layouts still load/probe.
 _VERSION = 2
+
+
+def index_fragmentation(spark: SparkSession, index_path: str) -> dict:
+    """Data-file counts per leaf directory of a persisted index layout
+    (r16): LISTING-only (Hadoop FS recursive list, no footer/data
+    reads, no Spark job) — the same inspection compact_files'
+    incremental mode uses to pick fragmented buckets. For the IVF
+    layout keys are ``cell_bucket=k`` dirs; for a flat dir (the band
+    index) there is one key. Empty dict if the path does not exist."""
+    from distributedqueryengine_spark.sources.sinks import (
+        _data_files,
+        _hpath,
+    )
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = _hpath(jvm, index_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return {}
+    counts: dict = {}
+    for st in _data_files(fs, p):
+        parent = st.getPath().getParent().getName()
+        counts[parent] = counts.get(parent, 0) + 1
+    return counts
 
 
 def save_ivf_index(
@@ -194,6 +220,7 @@ def append_to_ivf_index(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact_files_per_bucket: int = 0,
 ) -> int:
     """Incrementally extend a saved IVF index (r14): assign a batch of
     new corpus vectors to the EXISTING centroids and append the rows
@@ -214,7 +241,14 @@ def append_to_ivf_index(
     BASELINE occupancy (``occupancy/``) is intentionally left at
     build time — :func:`ivf_index_staleness` measures drift of the
     current index against it, and says when the centroids themselves
-    deserve a retrain."""
+    deserve a retrain.
+
+    ``auto_compact_files_per_bucket`` > 0 (r16 — the lifecycle no
+    longer relies on a caller remembering compact_ivf_index): after
+    the append, a listing-only fragmentation check runs, and any
+    bucket past the threshold triggers `compact_ivf_index` in place
+    (probe results are bit-identical before/after — pinned). 0 keeps
+    the r15 behavior: append only, compaction is the caller's call."""
     spark = new_vectors.sparkSession
     from distributedqueryengine_spark.functions.similarity import (
         build_ivf_index,
@@ -237,7 +271,12 @@ def append_to_ivf_index(
         .partitionBy("cell_bucket")
         .parquet(base + "/index")
     )
-    return idx.select("cell").distinct().count()
+    n_cells = idx.select("cell").distinct().count()
+    if auto_compact_files_per_bucket > 0:
+        frag = index_fragmentation(spark, base + "/index")
+        if frag and max(frag.values()) > auto_compact_files_per_bucket:
+            compact_ivf_index(spark, base)
+    return n_cells
 
 
 def ivf_index_staleness(
@@ -245,6 +284,7 @@ def ivf_index_staleness(
     path: str,
     tvd_threshold: float = 0.2,
     growth_threshold: float = 1.0,
+    files_per_bucket_threshold: int = 16,
 ) -> dict:
     """Is the saved index still well-shaped, or have appends drifted it
     far enough from the build-time distribution that the centroids
@@ -260,7 +300,14 @@ def ivf_index_staleness(
     (a hot cell degrades probe pruning). ``retrain`` fires when
     tvd > tvd_threshold OR growth > growth_threshold — a planted
     distribution shift concentrates appends in few cells and moves
-    tvd long before growth alone would."""
+    tvd long before growth alone would.
+
+    r16: the dict also carries the small-file health of the layout —
+    ``max_files_per_bucket`` (listing-only, see index_fragmentation)
+    and ``needs_compaction`` (True past
+    ``files_per_bucket_threshold``), so one staleness call reports
+    BOTH maintenance decisions: retrain the centroids, and/or
+    compact_ivf_index the layout."""
     base = path.rstrip("/")
     meta = _read_meta(spark, base)
     if meta["version"] < 2:
@@ -300,6 +347,8 @@ def ivf_index_staleness(
     )
     growth = n_now / n_base - 1.0
     max_share = max(now.values()) / n_now if now else 0.0
+    frag = index_fragmentation(spark, base + "/index")
+    max_files = max(frag.values()) if frag else 0
     return {
         "n_base": int(n_base),
         "n_now": int(n_now),
@@ -307,6 +356,8 @@ def ivf_index_staleness(
         "tvd": float(tvd),
         "max_cell_share": float(max_share),
         "retrain": bool(tvd > tvd_threshold or growth > growth_threshold),
+        "max_files_per_bucket": int(max_files),
+        "needs_compaction": bool(max_files > files_per_bucket_threshold),
     }
 
 

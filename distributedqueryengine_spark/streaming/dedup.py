@@ -379,16 +379,38 @@ def save_band_index(
     ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
 
 
-def append_to_band_index(batch_buckets: DataFrame, path: str) -> None:
+def append_to_band_index(
+    batch_buckets: DataFrame, path: str, files_threshold: int = 64
+) -> dict:
     """Append a micro-batch's (id, band, bh) bucket rows to a saved
     index layout. The occupancy BASELINE is deliberately untouched —
     staleness compares current occupancy against build time. Parquet
     append is idempotent-fact semantics (same caveat as
     incremental_dedup_foreach_batch); compact periodically with
-    :func:`compact_band_index` over ``path + "/index"``."""
+    :func:`compact_band_index` over ``path + "/index"``.
+
+    Returns {n_files, needs_compaction} (r16 — the lifecycle surfaces
+    its own fragmentation instead of relying on a caller remembering):
+    a listing-only file count of the flat index dir, flagged past
+    ``files_threshold``. Compaction itself stays the caller's call
+    here because compact_band_index targets a bucketed TABLE (a
+    different object, needing a table name), unlike the in-place IVF
+    auto-compact."""
     batch_buckets.select("id", "band", "bh").write.mode("append").parquet(
         path.rstrip("/") + "/index"
     )
+    from distributedqueryengine_spark.functions.ann_store import (
+        index_fragmentation,
+    )
+
+    frag = index_fragmentation(
+        batch_buckets.sparkSession, path.rstrip("/") + "/index"
+    )
+    n_files = sum(frag.values())
+    return {
+        "n_files": int(n_files),
+        "needs_compaction": bool(n_files > files_threshold),
+    }
 
 
 def load_band_index(spark, path: str) -> DataFrame:
@@ -440,6 +462,7 @@ def band_index_staleness(
     path: str,
     tvd_threshold: float = 0.2,
     growth_threshold: float = 1.0,
+    files_threshold: int = 64,
 ) -> dict:
     """Has ingestion drifted the band index far enough from its
     build-time shape that the corpus deserves a re-dedup (and the
@@ -476,6 +499,14 @@ def band_index_staleness(
         for c in cells
     )
     growth = n_now / n_base - 1.0
+    # r16: surface flat-dir fragmentation alongside drift, mirroring
+    # ivf_index_staleness — one call reports both maintenance decisions
+    from distributedqueryengine_spark.functions.ann_store import (
+        index_fragmentation,
+    )
+
+    frag = index_fragmentation(spark, base + "/index")
+    n_files = sum(frag.values())
     return {
         "n_base": int(n_base),
         "n_now": int(n_now),
@@ -483,4 +514,6 @@ def band_index_staleness(
         "tvd": float(tvd),
         "max_cell_share": float(max(now.values()) / n_now),
         "retrain": bool(tvd > tvd_threshold or growth > growth_threshold),
+        "n_files": int(n_files),
+        "needs_compaction": bool(n_files > files_threshold),
     }

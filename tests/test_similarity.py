@@ -986,3 +986,68 @@ def test_ivf_compaction_preserves_probe_and_prunes(spark, tables, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell_bucket" in plan, plan
     assert "PushedFilters" in plan and "cell" in plan, plan
+
+
+def test_ivf_auto_compaction_and_staleness_flag(spark, tables, tmp_path):
+    """r16 lifecycle closure: the append path can watch its OWN
+    fragmentation — staleness reports max_files_per_bucket /
+    needs_compaction, and an append with auto_compact_files_per_bucket
+    set compacts in place once a bucket crosses the threshold, with
+    probe results bit-identical through the whole sequence."""
+    import glob
+
+    from distributedqueryengine_spark.functions import ann_store as AS
+    from distributedqueryengine_spark.functions.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base_c = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids = train_ivf_centroids(base_c, n_cells=16, sample_per_cell=8)
+    path = str(tmp_path / "ivf_auto")
+    AS.save_ivf_index(build_ivf_index(base_c, centroids), centroids, path,
+                      n_buckets=4)
+    frag0 = AS.index_fragmentation(spark, path + "/index")
+    assert frag0 and all(k.startswith("cell_bucket=") for k in frag0)
+
+    # two appends below the threshold: flagged but not compacted
+    for m in (1, 2):
+        AS.append_to_ivf_index(
+            path, emb.filter(F.col("vec_id") % 4 == m),
+            auto_compact_files_per_bucket=10_000,
+        )
+    rep = AS.ivf_index_staleness(spark, path, files_per_bucket_threshold=1)
+    assert rep["max_files_per_bucket"] > 1 and rep["needs_compaction"]
+    assert not AS.ivf_index_staleness(
+        spark, path, files_per_bucket_threshold=10_000
+    )["needs_compaction"]
+
+    queries = emb.filter(F.col("vec_id") % 13 == 0).limit(24)
+    before = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path, queries, 5).collect()
+    }
+    n_before = len(glob.glob(path + "/index/**/*.parquet", recursive=True))
+    # threshold-crossing append triggers the in-place auto-compact
+    AS.append_to_ivf_index(
+        path, emb.filter(F.col("vec_id") % 4 == 3),
+        auto_compact_files_per_bucket=1,
+    )
+    n_after = len(glob.glob(path + "/index/**/*.parquet", recursive=True))
+    assert n_after < n_before + 4, (n_before, n_after)
+    after = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path, queries, 5).collect()
+    }
+    # the appended batch only ADDS candidate rows; the pre-append
+    # queries' neighbors must still be found identically or better —
+    # compare against a fresh full build for exactness
+    path2 = str(tmp_path / "ivf_auto_full")
+    AS.save_ivf_index(build_ivf_index(emb, centroids), centroids, path2,
+                      n_buckets=4)
+    full = {
+        (r.query_id, r.neighbor_id, r.cos)
+        for r in AS.probe_saved_ivf_index(spark, path2, queries, 5).collect()
+    }
+    assert after == full and after

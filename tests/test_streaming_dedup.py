@@ -425,3 +425,26 @@ def test_band_index_staleness_report(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="empty"):
         SD.band_index_staleness(spark, epath)
+
+
+def test_band_index_fragmentation_flag(spark, tmp_path):
+    """r16: append_to_band_index returns {n_files, needs_compaction}
+    from a listing-only count, and band_index_staleness carries the
+    same flag — the lifecycle surfaces its own small-file health."""
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    ipath = str(tmp_path / "bidx_frag")
+    idx = SD.build_band_index(docs, "doc_id", "text")
+    SD.save_band_index(idx, ipath)
+    batch = spark.createDataFrame(
+        [(200000 + i, i % 8, 12345 + i) for i in range(40)],
+        "id long, band int, bh long",
+    )
+    r1 = SD.append_to_band_index(batch, ipath, files_threshold=100_000)
+    assert r1["n_files"] >= 1 and not r1["needs_compaction"], r1
+    r2 = SD.append_to_band_index(batch, ipath, files_threshold=1)
+    assert r2["n_files"] > r1["n_files"] and r2["needs_compaction"], (r1, r2)
+    rep = SD.band_index_staleness(spark, ipath, files_threshold=1)
+    assert rep["n_files"] == r2["n_files"] and rep["needs_compaction"], rep
+    assert not SD.band_index_staleness(
+        spark, ipath, files_threshold=100_000
+    )["needs_compaction"]
