@@ -238,18 +238,30 @@ def contamination_report(
     boilerplate n-gram that should go to a stop-gram list instead.
 
     Carries the raw gram TEXT (not just its fingerprint) for the
-    lexicographically-first shared gram of each pair. Scale shape:
-    distinct (id, gram) per side, eval side broadcast (the
-    decontamination contract — eval suites are small), matched rows
-    bounded by eval reach, one partial-aggregated count per pair.
-    Fully SQL-portable; oracled as the decontam_suite `report` branch.
+    lexicographically-first shared gram of each pair. Scale shape
+    (r16 — the r15 form shuffled the corpus's distinct (id, gram
+    TEXT) rows): the CORPUS side moves only 8-byte 60-bit portable
+    fingerprints through its distinct; the gram text for matched
+    pairs is recovered from the EVAL side, which — being the small
+    broadcast side by the decontamination contract — carries (eval_id,
+    fingerprint, gram text) at eval-set cost. A shared gram's text
+    exists identically on both sides, so min(eval-side gram) ==
+    min(train-side gram) and no corpus-side recovery pass is needed.
+    Fingerprint equality stands in for text equality at 60 bits — the
+    same protocol every portable hash spine in this repo uses.
+    Matched rows stay bounded by eval reach, one partial-aggregated
+    count per pair. Fully SQL-portable; oracled as the decontam_suite
+    `report` branch.
     """
+    from distributedqueryengine_spark.functions.dedup import (
+        portable_hash64,
+    )
     from distributedqueryengine_spark.session import ensure_parallelism
 
     if n <= 0:
         raise ValueError(f"n-gram size must be positive, got {n}")
 
-    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+    def gram_rows(df: DataFrame, out_id: str, with_text: bool) -> DataFrame:
         toks = F.split(normalize_text(text_col), " ")
         n_grams = F.greatest(F.size(toks) - n + 1, F.lit(0))
         zipped = F.arrays_zip(
@@ -261,17 +273,16 @@ def contamination_report(
         g = ensure_parallelism(df.filter(F.col(id_col).isNotNull())).select(
             F.col(id_col).alias(out_id), F.explode(zipped).alias("z")
         )
-        return g.select(
-            out_id,
-            F.concat_ws(
-                " ", *[F.col(f"z.t{i}") for i in range(n)]
-            ).alias("gram"),
-        ).distinct()
+        gram = F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)])
+        cols = [out_id, portable_hash64(gram).alias("gh")]
+        if with_text:
+            cols.append(gram.alias("gram"))
+        return g.select(*cols).distinct()
 
-    tg = gram_rows(train, "train_id")
-    eg = gram_rows(eval_df, "eval_id")
+    tg = gram_rows(train, "train_id", with_text=False)
+    eg = gram_rows(eval_df, "eval_id", with_text=True)
     return (
-        tg.join(F.broadcast(eg), "gram")
+        tg.join(F.broadcast(eg), "gh")
         .groupBy("train_id", "eval_id")
         .agg(
             F.count(F.lit(1)).alias("n_shared_grams"),
