@@ -166,7 +166,8 @@ def shingles(
 # ---------------------------------------------------------- MinHash LSH
 
 def minhash_signatures(
-    sh: DataFrame, num_perm: int = 32, portable: bool = False
+    sh: DataFrame, num_perm: int = 32, portable: bool = False,
+    with_size: bool = False,
 ) -> DataFrame:
     """MinHash signature per document from its shingle hashes.
 
@@ -176,6 +177,13 @@ def minhash_signatures(
     each permutation is a partial-aggregatable agg — map-side combine
     keeps the shuffle at one row per document.
     Output: (id, sig array<long>[num_perm]).
+
+    ``with_size=True`` (r16) adds `sz` — the document's distinct-
+    shingle count — computed IN the same aggregate: the Jaccard
+    verification stage needs exactly these set sizes, and deriving
+    them here (then passing ``sizes=`` to jaccard_on_pairs) saves the
+    separate corpus-wide groupBy over the shingle table that the
+    default path pays. 8 bytes per signature row; free at any scale.
     """
     if portable:
         x = F.col("sh") % P31
@@ -189,8 +197,13 @@ def minhash_signatures(
             F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
             for i in range(num_perm)
         ]
+    if with_size:
+        mins.append(F.count(F.lit(1)).alias("sz"))
     sigs = sh.groupBy("id").agg(*mins)
-    return sigs.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    cols = ["id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")]
+    if with_size:
+        cols.append(F.col("sz"))
+    return sigs.select(*cols)
 
 
 def band_buckets(
@@ -258,7 +271,8 @@ def lsh_candidate_pairs(
 
 
 def jaccard_on_pairs(
-    pairs: DataFrame, sh: DataFrame, broadcast_limit: int = 10_000
+    pairs: DataFrame, sh: DataFrame, broadcast_limit: int = 10_000,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via shingle co-occurrence.
 
@@ -280,7 +294,13 @@ def jaccard_on_pairs(
     pairs = _scoped_persist(pairs)
     n_pairs = pairs.count()
     maybe_b = F.broadcast if n_pairs <= broadcast_limit else (lambda df: df)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # `sizes` may ride in from the signature aggregate (r16 —
+    # minhash_signatures(with_size=True)), saving this second
+    # corpus-wide groupBy over the shingle table
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sizes.select("id", F.col("sz"))
     a_side = sh.join(
         maybe_b(pairs), sh["id"] == pairs["id_a"]
     ).select("id_a", "id_b", "sh")
@@ -370,9 +390,16 @@ def _lsh_near_duplicates(
     # stage; cache it so the explode+hash runs once (MEMORY_AND_DISK:
     # spills rather than OOMs at scale).
     sh = _scoped_persist(shingles(df, id_col, text_col, ngram, portable=portable))
-    sigs = minhash_signatures(sh, num_perm, portable=portable)
+    # persist the (small, one-row-per-doc) signature table so BOTH its
+    # consumers — the band buckets and the Jaccard size lookups — read
+    # one materialization of the single shingle-table aggregate (r16:
+    # with_size=True folds the set sizes into it, removing the second
+    # corpus-wide groupBy the default jaccard_on_pairs path pays)
+    sigs = _scoped_persist(
+        minhash_signatures(sh, num_perm, portable=portable, with_size=True)
+    )
     pairs = lsh_candidate_pairs(sigs, num_perm, bands, portable=portable)
-    scored = jaccard_on_pairs(pairs, sh)
+    scored = jaccard_on_pairs(pairs, sh, sizes=sigs)
     return scored.filter(F.col("jaccard") >= min_jaccard)
 
 

@@ -340,9 +340,14 @@ def q_dedup_near_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = D.shingles(d, "doc_id", "text", 3, portable=True).persist()
-    sigs = D.minhash_signatures(sh, 32, portable=True)
+    # with_size + persist (r16): band buckets and the Jaccard size
+    # lookups share ONE materialized shingle-table aggregate instead
+    # of paying a second corpus-wide groupBy for the set sizes
+    sigs = _fifo_persist(
+        D.minhash_signatures(sh, 32, portable=True, with_size=True)
+    )
     cand = D.lsh_candidate_pairs(sigs, 32, 8, portable=True)
-    scored = D.jaccard_on_pairs(cand, sh).localCheckpoint()
+    scored = D.jaccard_on_pairs(cand, sh, sizes=sigs).localCheckpoint()
     # r13 src_overlap reuse: per-source distinct shingles derive from
     # the CACHED doc-level pass (union of per-doc distinct sets IS the
     # per-source distinct set) — materialized here, while sh is still
@@ -481,18 +486,29 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = DC.contamination_report(train, ev, "doc_id", "text", n=3)
     # 'stop_grams' + 'contaminated_stopped' (r16): the boilerplate
     # escape hatch driver-oracled (was pytest-only) — frequent_grams
-    # mines train-side 3-grams at an 0.8% doc-frac bar, and
-    # contaminated_ids re-runs with the mined list EXEMPTED (grams
+    # mines train-side 3-grams at an 0.8% doc-frac bar, and the
+    # contamination check re-runs with the mined list EXEMPTED (grams
     # anti-joined off the eval side), so both halves of the stop-gram
     # path (decontam.py frequent_grams / stop_grams=) are value-checked
     # against DuckDB. doc_frac rides the id slot as ppm (×1e6 of the
     # 6dp-rounded fraction — engine-portable integers; a raw
-    # double→string cast would diverge on formatting).
+    # double→string cast would diverge on formatting). Like the
+    # contaminated/clean branches, the exemption REUSES the suite's
+    # checkpointed fingerprints `g` rather than calling
+    # contaminated_ids (which would re-explode both sides — the API
+    # path's stop-gram plumbing is pinned in tests/test_decontam.py);
+    # md5(gram text) here IS the fingerprint doc_ngram_fingerprints
+    # computes, so the inline exemption is the API exemption.
     mined = _fifo_persist(
         DC.frequent_grams(train, "doc_id", "text", n=3, min_doc_frac=0.008)
     )
-    bad_stopped = DC.contaminated_ids(
-        train, ev, "doc_id", "text", n=3, stop_grams=mined.select("gram")
+    sg = mined.select(F.md5("gram").alias("g"))
+    ev_g_stopped = ev_g.join(F.broadcast(sg), "g", "left_anti")
+    bad_stopped = (
+        g.filter(F.col("id") % 97 != 0)
+        .join(F.broadcast(ev_g_stopped), "g", "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
     )
     return _union([
         _tagged("contaminated", bad, {"id": "doc_id"}, _DECON_S),
@@ -2384,9 +2400,11 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str, portable: bool) -> DataFra
 
     d = load_table(spark, sf_dir, "documents")
     sh = _fifo_persist(D.shingles(d, "doc_id", "text", 3, portable=portable))
-    sigs = D.minhash_signatures(sh, 32, portable=portable)
+    sigs = _fifo_persist(
+        D.minhash_signatures(sh, 32, portable=portable, with_size=True)
+    )
     cand = D.lsh_candidate_pairs(sigs, 32, 8, portable=portable)
-    return D.jaccard_on_pairs(cand, sh)
+    return D.jaccard_on_pairs(cand, sh, sizes=sigs)
 
 
 def _sim_cos_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
