@@ -306,15 +306,27 @@ def frequent_grams(
     suite sharing only boilerplate with a training document is not a
     leak, and dropping every such document would gut the corpus.
 
-    One gram scan (distinct per doc), one vocab-sized count, a 1-row
-    broadcast total. Returns (gram, n_docs, doc_frac) ordered by
-    n_docs desc, gram asc — gram TEXT, not fingerprints, because the
-    output is a human review list.
+    Returns (gram, n_docs, doc_frac) ordered by n_docs desc, gram asc
+    — gram TEXT, not fingerprints, because the output is a human
+    review list.
+
+    Scale shape (r16 — the r15 form shuffled distinct (id, gram TEXT)
+    rows corpus-wide): the counting pass moves only 60-bit portable
+    FINGERPRINTS through its distinct + count (8-byte rows), and the
+    gram text is recovered afterwards by re-streaming the corpus's
+    grams through a broadcast semi-join against the (tiny, above-bar)
+    frequent-fingerprint set — text leaves an executor only for grams
+    that already qualified. Two narrow scans, zero text-width
+    shuffles; the same recover-text-only-for-survivors pattern as
+    contamination_report.
 
     NULL ids are dropped up front (r16 ADVICE): countDistinct — the
     doc_frac denominator — excludes NULLs, so counting NULL-id rows in
     the numerator could push doc_frac past 1.0 and shift thresholds;
     numerator and denominator now see the same id set."""
+    from distributedqueryengine_spark.functions.dedup import (
+        portable_hash64,
+    )
     from distributedqueryengine_spark.session import ensure_parallelism
 
     if n <= 0:
@@ -327,24 +339,29 @@ def frequent_grams(
     zipped = F.arrays_zip(
         *[F.slice(toks, i + 1, n_grams).alias(f"t{i}") for i in range(n)]
     )
-    grams = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), F.explode(zipped).alias("z"))
-        .select(
-            "id",
-            F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)]).alias("gram"),
-        )
+    gram = F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(n)])
+    raw = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(zipped).alias("z")
+    )
+    counts = (
+        raw.select("id", portable_hash64(gram).alias("gh"))
         .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     total = df.select(F.countDistinct(id_col).alias("__nd"))
-    return (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(total))
+    freq = (
+        counts.crossJoin(F.broadcast(total))
         .filter(F.col("n_docs") >= F.col("__nd") * min_doc_frac)
         .select(
-            "gram", "n_docs",
+            "gh", "n_docs",
             F.round(F.col("n_docs") / F.col("__nd"), 6).alias("doc_frac"),
         )
+    )
+    return (
+        raw.select(gram.alias("gram"), portable_hash64(gram).alias("gh"))
+        .join(F.broadcast(freq), "gh")
+        .select("gram", "n_docs", "doc_frac")
+        .distinct()
         .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
     )
