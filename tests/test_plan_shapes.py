@@ -26,6 +26,7 @@ NESTED_LOOP_OK = {
     "sim_bruteforce_topk",  # r10 rrf branch: bm25's 1-row (N, avgdl) corpus stats broadcast-crossed into term hits; r13 centroid branch: the label-cardinality (10-row, KB at any corpus size) centroid table broadcast-crossed into the queries
     "sample_suite",      # r12 dsir branches: the 1-row target/source gram totals broadcast-crossed into the ratio/score joins
     "text_wordcount",    # r13 pmi/unigram branches: the 1-row corpus unigram/bigram totals broadcast-crossed into the count tables
+    "decontam_suite",    # r16 stop_grams branch: frequent_grams' 1-row corpus doc-count broadcast-crossed into the per-gram counts (constant size at any corpus scale)
 }
 
 def _plan(df) -> str:
