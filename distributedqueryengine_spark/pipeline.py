@@ -19,10 +19,13 @@ Design rules the composition enforces (each learned from a probe):
   (rows_in, rows_out); silent attrition is how pipelines lose 30% of
   a corpus to a mis-tuned threshold without anyone noticing. The
   accounting is returned, not logged.
-- **Stage outputs are persisted through the shared bounded FIFO**
-  (`dedup._scoped_persist`) exactly while two consumers need them
-  (the count + the next stage), so a 9-stage run does not stack nine
-  corpus-sized caches (the r12 persist-leak lesson).
+- **Stage outputs are eagerly localCheckpointed** (r16; lazy FIFO
+  persists through r15): every stage references its input several
+  times, so keeping lineage grew the composed plan exponentially and
+  each tail operation re-paid the analyzer over it — checkpointing
+  truncates the plan at every boundary while the blocks still release
+  via the ContextCleaner once the stage frame leaves the manifest's
+  lineage (no nine stacked corpus-sized caches, the r12 lesson).
 - **Text shrinks as early as possible.** After the ExactSubstr strip
   the pipeline carries `clean_text`; decontamination and classifier
   scoring run on the stripped text (what training would actually
@@ -45,8 +48,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
-
-from distributedqueryengine_spark.functions.dedup import _scoped_persist
 
 __all__ = ["curate_corpus"]
 
@@ -90,11 +91,13 @@ def _fused_manifest(
     from distributedqueryengine_spark.session import ensure_parallelism
 
     spark = cur.sparkSession
-    surv = _scoped_persist(
-        ensure_parallelism(cur).select(
-            "id", "grp", tokens.cast("long").alias("t")
-        )
-    )
+    # eager localCheckpoint, not lazy persist (r16): three consumers
+    # (stats, combined totals, the manifest plan) and the mixture
+    # lineage behind it — truncating here keeps the tail's three
+    # analyzer passes O(1) instead of O(whole pipeline)
+    surv = ensure_parallelism(cur).select(
+        "id", "grp", tokens.cast("long").alias("t")
+    ).localCheckpoint()
     stats = surv.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("id").alias("lo"),
@@ -217,10 +220,23 @@ def _fused_manifest(
 def _stage(
     acc: list | None, name: str, rows_in: int, df: DataFrame
 ) -> tuple[DataFrame, int]:
-    """Persist a stage output (bounded FIFO); when accounting is on
-    (acc is a list), count it and record it — the count is the eager
-    synchronization point, so acc=None keeps the chain lazy."""
-    out = _scoped_persist(df)
+    """Materialize a stage output with an eager localCheckpoint and
+    TRUNCATE its lineage (r16). Each stage references its input 2-3
+    times (dedup window + semi-join, strip join, decontam anti-join),
+    so a lazy persist — which keeps the full logical plan — grew the
+    composed tree exponentially: by stage 5 the driver row planned a
+    5,600-line / 613-Exchange tree, and because PySpark analyzes every
+    new Dataset eagerly, EACH tail operation re-paid the analyzer over
+    that whole tree (measured 1.4s to merely CONSTRUCT the decontam
+    stage at sf0.1, zero execution). Checkpointing caps every stage's
+    plan at O(stage) depth: same jobs, same cached blocks (checkpoint
+    blocks release via the ContextCleaner when the stage frame drops
+    out of the manifest's lineage), analyzer cost O(1) per stage
+    (guide §3.3/§5: materialize to truncate very large plans).
+    When accounting is on (acc is a list) the count runs over the
+    checkpointed blocks — a metadata-cheap job, no longer the stage's
+    materialization point."""
+    out = df.localCheckpoint()
     if acc is None:
         return out, -1
     n = out.count()
