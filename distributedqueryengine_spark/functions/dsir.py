@@ -109,22 +109,37 @@ def hashed_ngram_occurrences(
     pre-aggregation form of :func:`hashed_ngram_features`, for
     consumers (e.g. quality_clf scoring) that fold occurrences into a
     per-doc agg directly and never need the (id, bucket, cnt) table."""
+    from distributedqueryengine_spark.session import ensure_parallelism
+
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     toks = F.filter(
         F.split(normalize_text(text_col), " "), lambda t: F.length(t) > 0
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
-    uni = base.select("id", F.explode("t").alias("g"))
+    # fan out an under-partitioned scan before the CPU-heavy tokenize/
+    # explode (same guard as dedup.shingles — a single-file local input
+    # otherwise pins the whole featurize on one core; no-op on a real
+    # multi-split dataset)
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), toks.alias("t"))
+    # ONE explode for unigrams AND bigrams (r16): the former
+    # uni-UNION-bi form scanned `base` twice — two normalize/split/
+    # filter passes over the raw text, the featurizer's dominant cost.
+    # Unigrams ride as struct(a=token, b=NULL) so both arrays share the
+    # struct<a,b> type; concat_ws skips NULLs, so the gram expression
+    # renders 'a' for unigrams and 'a b' for bigrams — the identical
+    # gram multiset in one tokenize pass.
     n_bi = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
-    zipped = F.arrays_zip(
+    uni_z = F.arrays_zip(
+        F.col("t").alias("a"),
+        F.array_repeat(F.lit(None).cast("string"), F.size(F.col("t"))).alias("b"),
+    )
+    bi_z = F.arrays_zip(
         F.slice(F.col("t"), 1, n_bi).alias("a"),
         F.slice(F.col("t"), 2, n_bi).alias("b"),
     )
-    bi = base.select("id", F.explode(zipped).alias("z")).select(
-        "id", F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("g")
-    )
-    grams = uni.unionByName(bi)
+    grams = base.select(
+        "id", F.explode(F.concat(uni_z, bi_z)).alias("z")
+    ).select("id", F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("g"))
     h = portable_hash64(F.col("g")) if portable else F.xxhash64(F.col("g"))
     return grams.select("id", F.pmod(h, F.lit(num_buckets)).alias("bucket"))
 

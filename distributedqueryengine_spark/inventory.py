@@ -481,9 +481,46 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contaminated (train, eval) pair the shared-gram count and the
     # lexicographically-first gram text (functions/decontam.
     # contamination_report); eval_id ‖ example gram ride the string
-    # slot
-    ev = d.filter(F.col("doc_id") % 97 == 0)
-    rep = DC.contamination_report(train, ev, "doc_id", "text", n=3)
+    # slot. r16: the train side derives from the suite's checkpointed
+    # fingerprints `g` instead of re-exploding the corpus — the 60-bit
+    # report hash IS the first 15 hex chars of the md5 fingerprint
+    # (dedup.portable_hash64's definition), so projecting it off `g`
+    # is the identical value with zero extra tokenize passes; only the
+    # (eval-sized) text-carrying side pays its own explode. The API
+    # form stays pinned by tests/test_decontam.py.
+    from distributedqueryengine_spark.functions.dedup import (
+        portable_hash64 as _ph64,
+    )
+    from distributedqueryengine_spark.functions.text import (
+        normalize_text as _norm,
+    )
+
+    _gh_of_md5 = F.conv(F.substring(F.col("g"), 1, 15), 16, 10).cast("long")
+    tg_rep = (
+        g.filter(F.col("id") % 97 != 0)
+        .select(F.col("id").alias("train_id"), _gh_of_md5.alias("gh"))
+        .distinct()
+    )
+    _toks3 = F.split(_norm("text"), " ")
+    _n3 = F.greatest(F.size(_toks3) - 2, F.lit(0))
+    _zip3 = F.arrays_zip(
+        *[F.slice(_toks3, i + 1, _n3).alias(f"t{i}") for i in range(3)]
+    )
+    _gram3 = F.concat_ws(" ", *[F.col(f"z.t{i}") for i in range(3)])
+    eg_rep = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_id"), F.explode(_zip3).alias("z"))
+        .select("eval_id", _ph64(_gram3).alias("gh"), _gram3.alias("gram"))
+        .distinct()
+    )
+    rep = (
+        tg_rep.join(F.broadcast(eg_rep), "gh")
+        .groupBy("train_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.min("gram").alias("example_gram"),
+        )
+    )
     # 'stop_grams' + 'contaminated_stopped' (r16): the boilerplate
     # escape hatch driver-oracled (was pytest-only) — frequent_grams
     # mines train-side 3-grams at an 0.8% doc-frac bar, and the
@@ -499,8 +536,31 @@ def q_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path's stop-gram plumbing is pinned in tests/test_decontam.py);
     # md5(gram text) here IS the fingerprint doc_ngram_fingerprints
     # computes, so the inline exemption is the API exemption.
+    # r16: the miner's COUNTING pass also rides the checkpointed
+    # fingerprints (distinct (id, gh) off `g` — identical set, zero
+    # extra tokenize), so only the text-recovery pass for the tiny
+    # above-bar survivor set re-streams the corpus grams; the API form
+    # (decontam.frequent_grams) keeps its own two-scan shape and its
+    # planted-boilerplate pytest.
+    _cnts = tg_rep.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+    _tot = train.select(F.countDistinct("doc_id").alias("__nd"))
+    _freq = (
+        _cnts.crossJoin(F.broadcast(_tot))
+        .filter(F.col("n_docs") >= F.col("__nd") * 0.008)
+        .select(
+            "gh", "n_docs",
+            F.round(F.col("n_docs") / F.col("__nd"), 6).alias("doc_frac"),
+        )
+    )
+    from distributedqueryengine_spark.session import ensure_parallelism
+
     mined = _fifo_persist(
-        DC.frequent_grams(train, "doc_id", "text", n=3, min_doc_frac=0.008)
+        ensure_parallelism(train).select(F.explode(_zip3).alias("z"))
+        .select(_gram3.alias("gram"), _ph64(_gram3).alias("gh"))
+        .join(F.broadcast(_freq), "gh")
+        .select("gram", "n_docs", "doc_frac")
+        .distinct()
+        .orderBy(F.col("n_docs").desc(), F.col("gram").asc())
     )
     sg = mined.select(F.md5("gram").alias("g"))
     ev_g_stopped = ev_g.join(F.broadcast(sg), "g", "left_anti")

@@ -841,10 +841,16 @@ def _dsir_scored(
     ).persist()  # consumed as raw features AND as the source stats
     if cache is not None:
         cache.append(raw_f)
+    # persist (r16): dsir_scores derives the target bucket totals in
+    # TWO places (the log-ratio table and the unseen-bucket default),
+    # so an unpersisted target side re-featurized the English subset
+    # once per totals subtree
     tgt_f = DS.hashed_ngram_features(
         doc.filter(F.col("lang") == "en"), "doc_id", "text",
         num_buckets=1024, portable=True,
-    )
+    ).persist()
+    if cache is not None:
+        cache.append(tgt_f)
     scores = DS.dsir_scores(raw_f, tgt_f, raw_f, num_buckets=1024)
     return scores.join(
         doc.select(F.col("doc_id").alias("id"), "lang"), "id"
