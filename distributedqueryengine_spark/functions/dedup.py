@@ -185,16 +185,20 @@ def minhash_signatures(
     separate corpus-wide groupBy over the shingle table that the
     default path pays. 8 bytes per signature row; free at any scale.
     """
+    # SQL-string expression construction (r16, same rationale as
+    # simhash): one parser call per permutation instead of ~6 client→
+    # JVM round trips — identical parsed trees, bit-identical mins.
     if portable:
-        x = F.col("sh") % P31
         coeffs = perm_coeffs(num_perm)
         mins = [
-            F.min((x * F.lit(a) + F.lit(b)) % P31).alias(f"m{i}")
+            F.expr(
+                f"min(((sh % {P31}) * {a} + {b}) % {P31}) AS m{i}"
+            )
             for i, (a, b) in enumerate(coeffs)
         ]
     else:
         mins = [
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            F.expr(f"min(xxhash64(sh, {i})) AS m{i}")
             for i in range(num_perm)
         ]
     if with_size:
@@ -223,20 +227,32 @@ def band_buckets(
             f"bands={bands} must evenly divide num_perm={num_perm}"
         )
     r = num_perm // bands
-    band_hash = portable_hash64 if portable else F.xxhash64
-    return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_hash(F.concat_ws(",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)])).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
+    # ONE parsed SQL expression for the whole band array (r16, same
+    # rationale as simhash/minhash_signatures): the per-band struct
+    # construction out of Column operators cost hundreds of client→JVM
+    # round trips per call; the parsed tree — and every band hash — is
+    # identical.
+    def _sig_concat(b: int) -> str:
+        elems = ", ".join(
+            f"CAST(sig[{b * r + j}] AS STRING)" for j in range(r)
+        )
+        return f"concat_ws(',', {elems})"
+
+    if portable:
+        def _bh(b: int) -> str:
+            return (
+                f"CAST(conv(substring(md5({_sig_concat(b)}), 1, 15), 16, 10)"
+                " AS BIGINT)"
             )
-        ).alias("bb"),
+    else:
+        def _bh(b: int) -> str:
+            return f"xxhash64({_sig_concat(b)})"
+
+    structs = ", ".join(
+        f"struct({b} AS band, {_bh(b)} AS bh)" for b in range(bands)
+    )
+    return sigs.select(
+        "id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("id", "bb.band", "bb.bh")
 
 
@@ -597,19 +613,25 @@ def simhash(
     # Per bit: set-count c_i, and sign(Σ±1) > 0  ⟺  2·c_i > n — plain
     # bit sums instead of conditional ±1 sums (identical fingerprints,
     # ~8% faster measured: no CASE in the 60/64 aggregate exprs).
+    #
+    # Expressions are built as SQL strings, ONE parser call per
+    # aggregate (r16): composing each of the 60/64 bit sums and the
+    # 60/64-term fingerprint fold out of Column operators cost ~10
+    # client→JVM round trips per node — ~1.5s of pure DataFrame
+    # CONSTRUCTION per call, worth more than the branch's actual
+    # execution. The parsed trees are identical (shiftright/&/shiftleft
+    # are the same expressions; CAST(boolean AS BIGINT) is 1/0 exactly
+    # like the CASE it replaces), so fingerprints are bit-identical.
     bit_counts = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-        for i in range(n_bits)
+        F.expr(f"sum(shiftright(h, {i}) & 1) AS c{i}") for i in range(n_bits)
     ]
     agg = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
-    fp = None
-    for i in range(n_bits):
-        bit = (
-            F.when(F.col(f"c{i}") * 2 > F.col("n"), F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        " ^ ".join(
+            f"shiftleft(CAST(c{i} * 2 > n AS BIGINT), {i})"
+            for i in range(n_bits)
         )
-        term = F.shiftleft(bit, i)
-        fp = term if fp is None else fp.bitwiseXOR(term)
+    )
     return agg.select("id", fp.alias("simhash"))
 
 
