@@ -782,13 +782,23 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value independently, so every separate call would add a full
     # buffering pass — the dominant cost of this suite.
     bk_bound_ps = [0.43, 0.57, 0.83, 0.97]
+    # r16: the exact-percentile side moves from F.percentile's
+    # ObjectHashAggregate (per-group in-memory value map, interpreted
+    # row-at-a-time — 1.5s standalone at sf0.1) to the windowed
+    # order-statistics plan (aggregates.exact_percentiles_grouped) —
+    # bit-identical doubles, whole-stage codegen, spillable sort. The
+    # 3-row bounds table broadcast-joins back onto the sketch agg.
+    from distributedqueryengine_spark.operators.aggregates import (
+        exact_percentiles_grouped,
+    )
+
+    bounds_df = exact_percentiles_grouped(
+        li, "l_returnflag", "l_extendedprice", lo_ps + hi_ps + bk_bound_ps
+    )
     exact = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("l_extendedprice", ps, 10000).alias("ap"),
-        F.percentile(
-            "l_extendedprice", lo_ps + hi_ps + bk_bound_ps
-        ).alias("bounds"),
-    ).persist()  # two consumers (gk + bk): buffer ONCE (shared
+    ).join(F.broadcast(bounds_df), "l_returnflag").persist()  # two consumers (gk + bk): buffer ONCE (shared
     # InMemoryRelation); persist not localCheckpoint so the scoped
     # eviction above can actually release the blocks (unpersist is a
     # CacheManager call — a no-op for checkpointed RDDs)

@@ -454,6 +454,73 @@ def quantile_discretize(
     )
 
 
+def exact_percentiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentages: Sequence[float],
+    out_col: str = "bounds",
+) -> DataFrame:
+    """Exact interpolated percentiles per group, as one array column —
+    Spark `percentile()` semantics (position = p·(n−1) over the sorted
+    values WITH duplicates, linear interpolation between the two
+    straddling order statistics) computed as a DISTRIBUTED plan
+    instead of the ObjectHashAggregate that `F.percentile` plans
+    (which buffers a value→count map per group through an interpreted
+    row-at-a-time path — measured 1.7s vs 0.55s for the whole-stage-
+    codegen approx sketch over the same 600k rows at sf0.1).
+
+    Shape: one window per group ranks the values (a per-group codegen
+    sort that spills gracefully), then one hash aggregate picks the
+    two straddling order statistics for every target rank with
+    conditional maxes. NULL values are ignored, matching
+    `percentile()`. The interpolation expression mirrors Spark's
+    `getPercentile` term for term, so results are bit-identical
+    doubles (pinned in tests/test_relational.py).
+
+    The 100 TB note from q_approx_sketches stands: exact percentiles
+    of any flavor need the full value multiset; at scale you run the
+    GK/bottom-k sketch and verify on a sample. This helper keeps that
+    verification side in whole-stage codegen with spillable per-group
+    sorts instead of an in-memory value map per group."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy("__v")
+    t = df.where(v.isNotNull()).select(group_col, v.alias("__v")).select(
+        group_col,
+        "__v",
+        (F.row_number().over(w) - 1).alias("__i"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    aggs = [F.max("__n").alias("__n")]
+    for i, p in enumerate(percentages):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        aggs.append(
+            F.max(
+                F.when(F.col("__i") == F.floor(pos), F.col("__v"))
+            ).alias(f"__vlo{i}")
+        )
+        aggs.append(
+            F.max(
+                F.when(F.col("__i") == F.ceil(pos), F.col("__v"))
+            ).alias(f"__vhi{i}")
+        )
+    agged = t.groupBy(group_col).agg(*aggs)
+    outs = []
+    for i, p in enumerate(percentages):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        lower = F.floor(pos)
+        higher = F.ceil(pos)
+        outs.append(
+            F.when(higher == lower, F.col(f"__vlo{i}")).otherwise(
+                (higher.cast("double") - pos) * F.col(f"__vlo{i}")
+                + (pos - lower.cast("double")) * F.col(f"__vhi{i}")
+            )
+        )
+    return agged.select(group_col, F.array(*outs).alias(out_col))
+
+
 def mg_summary(
     df,
     value_col: str,

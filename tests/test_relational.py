@@ -839,3 +839,49 @@ def test_quantile_state_merge_multiple_increments(spark):
     est = quantile_state_estimate(g, [], [0.5]).collect()[0]
     assert est["n"] == 3000
     assert abs(est["q_0_5"] - 499.5) < 80  # ~4 sigma at r=256
+
+
+def test_exact_percentiles_grouped_matches_builtin(spark, tables):
+    """aggregates.exact_percentiles_grouped (the windowed order-
+    statistics plan q_approx_sketches uses for its verification bounds
+    since r16) must reproduce F.percentile BIT-IDENTICALLY — same
+    position = p*(n-1) interpolation over the sorted multiset — on
+    grouped data with duplicates, NULLs and a single-row group."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        exact_percentiles_grouped,
+    )
+
+    rows = [("a", float(v)) for v in [5, 1, 3, 3, 9, 7, 3]]
+    rows += [("b", float(v)) for v in [10, 20]]
+    rows += [("c", 42.0)]
+    rows += [("a", None), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.25, 0.498, 0.5, 0.902, 0.97, 1.0]
+    got = {
+        r["g"]: r["bounds"]
+        for r in exact_percentiles_grouped(df, "g", "v", ps).collect()
+    }
+    want = {
+        r["g"]: r["b"]
+        for r in df.groupBy("g").agg(F.percentile("v", ps).alias("b")).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g] == want[g], (g, got[g], want[g])
+
+    # and on a real fixture column (many distinct values, 3 groups)
+    li = tables["lineitem"]
+    got2 = {
+        r["l_returnflag"]: r["bounds"]
+        for r in exact_percentiles_grouped(
+            li, "l_returnflag", "l_extendedprice", ps
+        ).collect()
+    }
+    want2 = {
+        r["l_returnflag"]: r["b"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", ps).alias("b"))
+        .collect()
+    }
+    for g in want2:
+        assert got2[g] == want2[g]
