@@ -1109,12 +1109,26 @@ def q_histogram_bucket(
 def q_agg_percentiles(
     spark: SparkSession, sf_dir: str, src: DataFrame | None = None
 ) -> DataFrame:
-    """Exact percentiles + median (interpolated), per group."""
+    """Exact percentiles + median (interpolated), per group.
+
+    r16: computed via aggregates.exact_percentiles_grouped — the
+    windowed order-statistics plan — instead of F.percentile's
+    per-group in-memory value map. Safe under the 4dp rounding because
+    the helper is BIT-identical to F.percentile (same interpolation
+    expression; pinned in tests/test_relational.py), not merely close."""
+    from distributedqueryengine_spark.operators.aggregates import (
+        exact_percentiles_grouped,
+    )
+
     o = src if src is not None else _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    b = exact_percentiles_grouped(
+        o, "o_orderstatus", "o_totalprice", [0.5, 0.9, 0.99]
+    )
+    return b.select(
+        "o_orderstatus",
+        F.round(F.col("bounds")[0], 4).alias("p50"),
+        F.round(F.col("bounds")[1], 4).alias("p90"),
+        F.round(F.col("bounds")[2], 4).alias("p99"),
     )
 
 
