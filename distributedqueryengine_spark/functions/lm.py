@@ -224,6 +224,7 @@ def train_trigram_lm(
     id_col: str = "doc_id",
     vocab_size: int = 10_000,
     tokens_col: str | None = None,
+    lazy_totals: bool = False,
 ) -> dict:
     """Stupid-backoff trigram model (Brants et al. 2007, "Large
     Language Models in Machine Translation" — the score the web-scale
@@ -290,11 +291,24 @@ def train_trigram_lm(
     tri = _scoped_persist(tri)
     bi = _scoped_persist(bi)
     uni = _scoped_persist(uni)
-    n_tokens = uni.agg(F.sum("c")).collect()[0][0]
+    # lazy_totals (r16): the token total is one SUM over the (tiny,
+    # persisted) unigram table, but collecting it here costs a serial
+    # synchronization job at model-construction time. A latency-
+    # sensitive caller (the text_wordcount suite) keeps it as a 1-row
+    # frame that score_stupid_backoff broadcast-crosses into the floor
+    # term — the bounded 1-row cross-join class the plan gate
+    # whitelists — deferring the job into the scoring action. Same
+    # long value, so the floor arithmetic is bit-identical.
+    if lazy_totals:
+        n_tokens = uni.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("__lm_ntok")
+        )
+    else:
+        n_tokens = int(uni.agg(F.sum("c")).collect()[0][0])
     return {
         "vocab": vocab,
         "v": len(vocab) + 3,  # + unk + bos + eos
-        "n_tokens": int(n_tokens),
+        "n_tokens": n_tokens,
         "trigrams": tri,
         "bigrams": bi,
         "unigrams": uni,
@@ -327,10 +341,17 @@ def score_stupid_backoff(
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     vocab_arr = F.array(*[F.lit(w) for w in lm["vocab"]])
-    v, n_tok = int(lm["v"]), int(lm["n_tokens"])
+    v = int(lm["v"])
     framed = _framed(docs, text_col, id_col, vocab_arr, n_bos=2,
                      tokens_col=tokens_col)
     g = _grams(framed, 3, ["w1", "w2", "w3"])
+    if isinstance(lm["n_tokens"], DataFrame):
+        # lazy_totals mode: the 1-row token total rides a broadcast
+        # cross join instead of a construction-time collect
+        g = g.crossJoin(F.broadcast(lm["n_tokens"]))
+        floor_den = F.col("__lm_ntok") + F.lit(v)
+    else:
+        floor_den = F.lit(int(lm["n_tokens"]) + v)
 
     tri = lm["trigrams"].withColumnRenamed("c", "__ct")
     bi12 = lm["bigrams"].withColumnRenamed("c", "__cb12")
@@ -359,7 +380,7 @@ def score_stupid_backoff(
             a * F.col("__cb23") / F.col("__cu2"),
         )
         .otherwise(
-            a * a * (F.coalesce(F.col("__cu3"), F.lit(0)) + 1) / F.lit(n_tok + v)
+            a * a * (F.coalesce(F.col("__cu3"), F.lit(0)) + 1) / floor_den
         )
     )
     return (

@@ -1282,7 +1282,9 @@ def q_text_wordcount_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the standalone q_lm_backoff_scores, but trained/scored from the
     # suite-shared token projection (tokens_col fast path)
     lm_model = train_trigram_lm(
-        shared, "__norm", "doc_id", vocab_size=500, tokens_col="__toks"
+        shared, "__norm", "doc_id", vocab_size=500, tokens_col="__toks",
+        lazy_totals=True,  # r16: the token total rides a 1-row
+        # broadcast cross in scoring instead of a construction collect
     )
     lm = score_stupid_backoff(
         shared.filter(F.col("doc_id") % 7 == 0), "__norm", lm_model,
@@ -2347,7 +2349,8 @@ def q_lm_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    lm = train_trigram_lm(d, "text", "doc_id", vocab_size=500)
+    lm = train_trigram_lm(d, "text", "doc_id", vocab_size=500,
+                          lazy_totals=True)
     sub = d.filter(F.col("doc_id") % 7 == 0)
     return score_stupid_backoff(sub, "text", lm, "doc_id")
 
