@@ -29,8 +29,6 @@ RPC.cs:20-28); this is north-star training-pipeline capability.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,30 +44,43 @@ def _prefix_sum(
     row). Buckets are fixed-width id ranges (monotonic in id, fully
     deterministic — unlike repartitionByRange, whose sampled boundaries
     are not reproducible run-to-run).
+
+    Fully LAZY since r17 (zero construction-time jobs): the corpus
+    stats ride a bounded 1-row broadcast cross, the per-bucket totals
+    turn into exclusive bases with ONE bounded window over the ~G-row
+    totals frame (the distributed analog of the old driver-side
+    cumsum — G = n/rows_per_bucket rows, which the driver previously
+    collected in full), and the bases broadcast-join back. The offsets
+    are invariant to where bucket boundaries land, so the in-plan
+    width arithmetic only has to be deterministic, not bit-equal to
+    the old driver floats.
     """
     stats = src.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("id").alias("lo"),
-        F.max("id").alias("hi"),
-    ).collect()[0]
-    if stats["n"] == 0:
-        return src.withColumn("off", F.lit(0).cast("long"))
-    n_buckets = max(1, math.ceil(stats["n"] / rows_per_bucket))
-    width = max(1, math.ceil((stats["hi"] - stats["lo"] + 1) / n_buckets))
-    b = src.withColumn(
-        "bkt", ((F.col("id") - F.lit(stats["lo"])) / F.lit(width)).cast("long")
+        F.count(F.lit(1)).alias("__n"),
+        F.min("id").alias("__lo"),
+        F.max("id").alias("__hi"),
     )
-    # G-row exclusive cumsum of bucket totals, computed driver-side.
-    totals = {
-        r["bkt"]: r["tot"]
-        for r in b.groupBy("bkt").agg(F.sum("t").alias("tot")).collect()
-    }
-    base, acc = {}, 0
-    for k in sorted(totals):
-        base[k] = acc
-        acc += totals[k]
-    bases = spark.createDataFrame(
-        [(k, v) for k, v in base.items()], "bkt long, base long"
+    n_buckets = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__n") / F.lit(float(rows_per_bucket))),
+    )
+    width = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / n_buckets.cast("double")),
+    )
+    b = (
+        src.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bkt", ((F.col("id") - F.col("__lo")) / width).cast("long")
+        )
+        .drop("__n", "__lo", "__hi")
+    )
+    totals = b.groupBy("bkt").agg(F.sum("t").alias("__tot"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "bkt",
+        F.coalesce(F.sum("__tot").over(wb), F.lit(0))
+        .cast("long").alias("base"),
     )
     w = Window.partitionBy("bkt").orderBy("id").rowsBetween(
         Window.unboundedPreceding, -1

@@ -177,6 +177,119 @@ def _weight_sql_type(df: DataFrame, weight_col: str) -> str:
     return "long"
 
 
+def _budget_prefix_lazy(
+    ksrc: DataFrame,
+    budgets,
+    wt_type: str,
+    n_buckets: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fully-LAZY two-phase maximal-prefix selection (r17): the same
+    arithmetic as the collect paths of :func:`select_until_budget` /
+    :func:`select_until_budget_grouped`, but with the driver's stats
+    collects replaced by in-plan frames — per-(group) score bounds
+    broadcast-joined back, per-(group, segment) weight totals turned
+    into exclusive bases by ONE bounded window over the stats frame
+    (≤ n_buckets rows per group — the distributed analog of the
+    driver's sorted-loop cumsum), bases broadcast-joined onto the
+    corpus. ZERO construction-time jobs; identical output rows
+    (pinned in tests/test_sampling.py). No skew refinement — see the
+    callers' lazy_prefix contract.
+
+    `ksrc` carries (grp?, id, score, wt, __k); `budgets` is an int
+    (ungrouped) or {group: budget} dict (grouped, keyed by `grp`).
+    Returns (grp?, id, score, weight, cum).
+    """
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.window import Window
+
+    spark = ksrc.sparkSession
+    zero = 0 if wt_type == "long" else 0.0
+    keys = [] if group_col is None else ["grp"]
+    if group_col is None:
+        gst = ksrc.agg(
+            F.min("__k").alias("__glo"), F.max("__k").alias("__ghi")
+        )
+        b = ksrc.crossJoin(F.broadcast(gst))
+    else:
+        gst = ksrc.groupBy("grp").agg(
+            F.min("__k").alias("__glo"), F.max("__k").alias("__ghi")
+        )
+        b = ksrc.join(F.broadcast(gst), "grp")
+    width = (F.col("__ghi") - F.col("__glo")) / F.lit(float(n_buckets))
+    seg = (
+        F.when(
+            F.col("__ghi") > F.col("__glo"),
+            F.least(
+                F.floor((F.col("__k") - F.col("__glo")) / width),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    b = b.withColumn("__seg", seg).drop("__glo", "__ghi")
+    stats = b.groupBy(*keys, "__seg").agg(F.sum("wt").alias("__m"))
+    wseg = (
+        Window.partitionBy(*keys)
+        .orderBy("__seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = stats.withColumn(
+        "__base",
+        F.coalesce(F.sum("__m").over(wseg), F.lit(zero)).cast(wt_type),
+    )
+    if group_col is None:
+        bases = bases.withColumn(
+            "__budget",
+            F.lit(int(budgets) if wt_type == "long" else float(budgets))
+            .cast(wt_type),
+        )
+    else:
+        from pyspark.sql.types import DoubleType, LongType
+
+        btbl = spark.createDataFrame(
+            [
+                (g, int(v) if wt_type == "long" else float(v))
+                for g, v in budgets.items()
+            ],
+            StructType(
+                [
+                    StructField("grp", ksrc.schema["grp"].dataType),
+                    StructField(
+                        "__budget",
+                        LongType() if wt_type == "long" else DoubleType(),
+                    ),
+                ]
+            ),
+        )
+        bases = bases.join(F.broadcast(btbl), "grp")
+    bases = bases.filter(F.col("__base") <= F.col("__budget")).select(
+        *keys, "__seg", "__base", "__budget"
+    )
+    w = (
+        Window.partitionBy(*keys, "__seg")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        b.join(F.broadcast(bases), keys + ["__seg"])
+        .withColumn(
+            "cum",
+            F.col("__base")
+            + F.coalesce(F.sum("wt").over(w), F.lit(zero))
+            + F.col("wt"),
+        )
+        .filter(F.col("cum") <= F.col("__budget"))
+    )
+    if group_col is None:
+        return out.select("id", "score", F.col("wt").alias("weight"), "cum")
+    return out.select(
+        F.col("grp").alias(group_col), "id", "score",
+        F.col("wt").alias("weight"), "cum",
+    )
+
+
 def select_until_budget(
     df: DataFrame,
     budget: int,
@@ -185,6 +298,7 @@ def select_until_budget(
     score_col: str = "score",
     n_buckets: int = 1024,
     min_heavy: int = 65536,
+    lazy_prefix: bool = False,
 ) -> DataFrame:
     """Maximal-prefix selection under a weight budget: take rows in
     (score desc, id asc) order while the running weight total stays
@@ -218,6 +332,18 @@ def select_until_budget(
     and are dropped up front. Returns the selected rows as (id, score,
     weight, cum) with cum the inclusive running total, deterministic
     on any cluster layout.
+
+    ``lazy_prefix=True`` (r17) builds the ENTIRE two-phase prefix as
+    one lazy plan — segment stats aggregate → exclusive cumsum over
+    the ≤``n_buckets``-row stats frame (a bounded single-task window,
+    the distributed analog of the driver loop) → broadcast join —
+    with ZERO construction-time collect jobs (guide §5: the driver
+    does no data work; each collect was a full serial corpus pass at
+    construction). Identical rows (pinned in tests/test_sampling.py).
+    The trade: the lazy path skips the tie-skew refinement rounds, so
+    a score value owning ≫min_heavy rows sorts through one window
+    task — callers asserting a spread score distribution (the suite
+    queries) opt in; the default keeps the skew-adaptive collect path.
     """
     from pyspark.sql.window import Window
 
@@ -249,6 +375,8 @@ def select_until_budget(
     )
     # rank order is (score desc, id asc) → ascending key = -score
     ksrc = src.withColumn("__k", -F.col("score"))
+    if lazy_prefix:
+        return _budget_prefix_lazy(ksrc, budget, wt_type, n_buckets)
     b, segs = _rank_segments(
         ksrc, "id", n_buckets, F.sum("wt"), nulls_first=True,
         min_heavy=min_heavy,
@@ -478,22 +606,23 @@ def training_order(
             "__b",
             F.least(F.floor(F.col("__u") * nb), F.lit(nb - 1)).cast("long"),
         )
-        counts = (
-            allr.groupBy("epoch", "__b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+        # r17: the (epoch, bucket) counts no longer collect — the
+        # exclusive prefix is ONE bounded window over the ≤n_epochs·nb
+        # row counts frame, broadcast-joined back (zero construction
+        # jobs; identical positions)
+        wbk = (
+            Window.partitionBy("epoch")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        per_epoch: dict = {}
-        for r in counts:
-            per_epoch.setdefault(int(r["epoch"]), {})[int(r["__b"])] = r["c"]
-        base_rows = []
-        for e, buckets in per_epoch.items():
-            acc3 = 0
-            for bb in sorted(buckets):
-                base_rows.append((e, bb, acc3))
-                acc3 += buckets[bb]
-        bases = df.sparkSession.createDataFrame(
-            base_rows, "epoch long, __b long, __base long"
+        bases = (
+            allr.groupBy("epoch", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(
+                "epoch", "__b",
+                F.coalesce(F.sum("__c").over(wbk), F.lit(0))
+                .cast("long").alias("__base"),
+            )
         )
         w = Window.partitionBy("epoch", "__b").orderBy(
             F.col("__u").asc(), F.col("id").asc()
@@ -684,6 +813,7 @@ def apply_temperature_mixture(
     seed: int = 0,
     max_driver_groups: int = 1024,
     n_buckets: int = 64,
+    lazy_quotas: bool = False,
 ) -> DataFrame:
     """Fused temperature_mixture_rates ∘ apply_mixture_rates (r15):
     identical output rows, ONE corpus aggregate instead of two.
@@ -708,7 +838,17 @@ def apply_temperature_mixture(
     collect meant a million-group column could OOM the driver BEFORE
     the cardinality check ran) — exceeding the bound proves
     high cardinality without transferring the overflow, at zero extra
-    jobs."""
+    jobs.
+
+    ``lazy_quotas=True`` (r17): the (group, bucket) counts, the
+    temperature rates, every group's ceil(rate·n) quota and the
+    exclusive bucket prefixes ALL ride the final plan as bounded
+    broadcast frames — zero construction-time jobs, identical rows
+    (the rate arithmetic is the same Spark expressions over the same
+    counts; pinned in tests/test_sampling.py). No high-cardinality
+    fallback on this path: the caller asserts a bounded group catalog
+    (a curation corpus has dozens of sources, not millions) — the
+    quota/bases broadcast is groups×n_buckets rows."""
     spark = df.sparkSession
     key = F.md5(
         F.concat_ws("§", F.lit(str(seed)), F.col(id_col).cast("string"))
@@ -718,6 +858,43 @@ def apply_temperature_mixture(
         "__mb",
         F.least(F.floor(u * F.lit(n_buckets)), F.lit(n_buckets - 1)).cast("long"),
     )
+    if lazy_quotas:
+        from pyspark.sql.window import Window
+
+        counts = b.groupBy(group_col, "__mb").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        sizes = counts.groupBy(group_col).agg(F.sum("__c").alias("n"))
+        quotas = temperature_mixture_rates(
+            sizes.select(F.col(group_col).alias("group"), "n"),
+            "group", temperature=temperature, weight_col="n",
+        ).select(
+            F.col("group").alias(group_col),
+            F.ceil(F.col("rate") * F.col("n_rows")).alias("__quota"),
+        )
+        wmb = (
+            Window.partitionBy(group_col)
+            .orderBy("__mb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        bases = (
+            counts.withColumn(
+                "__base",
+                F.coalesce(F.sum("__c").over(wmb), F.lit(0)).cast("long"),
+            )
+            .join(F.broadcast(quotas), group_col)
+            .filter(F.col("__base") < F.col("__quota"))
+            .select(group_col, "__mb", "__base", "__quota")
+        )
+        wr = Window.partitionBy(group_col, "__mb").orderBy(
+            key, F.col(id_col)
+        )
+        return (
+            b.join(F.broadcast(bases), [group_col, "__mb"])
+            .withColumn("__rn", F.col("__base") + F.row_number().over(wr))
+            .filter(F.col("__rn") <= F.col("__quota"))
+            .drop("__mb", "__base", "__quota", "__rn")
+        )
     bound = max(max_driver_groups, 0) * n_buckets
     counts = (
         b.groupBy(group_col, "__mb")
@@ -772,6 +949,7 @@ def select_until_budget_grouped(
     heavy_factor: float = 4.0,
     max_rounds: int = 3,
     sub_cap: int = 4096,
+    lazy_prefix: bool = False,
 ) -> DataFrame:
     """Per-group maximal-prefix budget selection: for each group g,
     take rows in (score desc, id asc) order while the group's running
@@ -809,6 +987,12 @@ def select_until_budget_grouped(
     Groups absent from `budgets` select nothing; a group absent from
     the data contributes nothing. Returns (group, id, score, weight,
     cum) with cum the within-group running total.
+
+    ``lazy_prefix=True`` (r17): zero construction-time collects — the
+    per-group bounds, the (group × segment) stats and every group's
+    exclusive prefix all ride the final plan as bounded broadcast
+    frames (see :func:`_budget_prefix_lazy`); identical rows, no skew
+    refinement (callers assert spread scores — the suite contract).
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -862,6 +1046,11 @@ def select_until_budget_grouped(
     nb = max(64, min(n_buckets, 65536 // len(budgets)))
     grp_type = src.schema["grp"].dataType
     b = src.withColumn("__k", -F.col("score"))
+    if lazy_prefix:
+        return _budget_prefix_lazy(
+            b.withColumnRenamed("w", "wt"), budgets, wt_type, nb,
+            group_col=group_col,
+        )
 
     # pass 1 — ONE aggregate: per-group value bounds (groups-sized)
     gstats = b.groupBy("grp").agg(

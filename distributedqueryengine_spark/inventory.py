@@ -736,6 +736,21 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             _SKETCH_SHARED_CACHE.pop().unpersist()
         except Exception:
             pass
+    # r17: ONE FileScan per base table for the whole suite. The union's
+    # branches each re-scanned lineitem (bounds window, percentile_approx
+    # aggregate, bottom-k state build) and orders (hll/kmv aggregates,
+    # bloom probe) — 3 parquet scans each; now a projected persist per
+    # table (4 / 3 narrow columns) feeds every branch. Verification-side
+    # only: at 100 TB you run approx_sketches_sketch_only, whose single
+    # aggregate needs no cache (see the scale note above).
+    li = li.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).persist()
+    _SKETCH_SHARED_CACHE.append(li)
+    orders = orders.select(
+        "o_orderstatus", "o_custkey", "o_orderkey"
+    ).persist()
+    _SKETCH_SHARED_CACHE.append(orders)
     ex = orders.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("exact"),
         F.approx_count_distinct("o_custkey", 0.05).alias("approx"),
@@ -792,13 +807,23 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_percentiles_grouped,
     )
 
+    # two_phase=False (r17): the BOUNDED verification side keeps the
+    # single-window form (one exchange+sort, measured ~1s cheaper at
+    # sf0.1 than the two-phase rank); the scale-safe two-phase default
+    # serves the primary q_agg_percentiles path (r16 ADVICE split)
     bounds_df = exact_percentiles_grouped(
-        li, "l_returnflag", "l_extendedprice", lo_ps + hi_ps + bk_bound_ps
+        li, "l_returnflag", "l_extendedprice", lo_ps + hi_ps + bk_bound_ps,
+        two_phase=False,
     )
+    # LEFT join (r16 ADVICE): exact_percentiles_grouped omits groups
+    # whose values are ALL NULL (matching F.percentile's NULL entries
+    # for them); an inner join would silently drop that group's sketch
+    # row. No such group exists in any fixture (l_extendedprice is
+    # non-null), so rows are identical — this guards the semantics.
     exact = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx("l_extendedprice", ps, 10000).alias("ap"),
-    ).join(F.broadcast(bounds_df), "l_returnflag").persist()  # two consumers (gk + bk): buffer ONCE (shared
+    ).join(F.broadcast(bounds_df), "l_returnflag", "left").persist()  # two consumers (gk + bk): buffer ONCE (shared
     # InMemoryRelation); persist not localCheckpoint so the scoped
     # eviction above can actually release the blocks (unpersist is a
     # CacheManager call — a no-op for checkpointed RDDs)
@@ -1048,8 +1073,9 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture, budget, budget_grouped, and mixture_applied; the DuckDB
     oracle is untouched (plan sharing, not semantics)."""
     from distributedqueryengine_spark.functions.text import (
-        quality_score,
-        token_count,
+        quality_score_of,
+        token_count_of,
+        tokens,
     )
 
     while _SAMPLE_SHARED_CACHE:
@@ -1059,10 +1085,17 @@ def q_sample_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
     scored = Q._dsir_scored(spark, sf_dir, _SAMPLE_SHARED_CACHE).persist()
     _SAMPLE_SHARED_CACHE.append(scored)
+    # r17 token-materialized projection: quality_score + token_count
+    # inline re-split the text once per HOF sub-expression (~6×);
+    # projecting tokens(text) once and deriving both signals from the
+    # array is value-identical (see text.py) and one tokenize pass
     shared = Q._t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars",
-        quality_score("text").alias("q"),
-        token_count("text").cast("long").alias("nt"),
+        tokens("text").alias("__tk"),
+    ).select(
+        "doc_id", "lang", "source", "n_chars",
+        quality_score_of(F.col("__tk")).alias("q"),
+        token_count_of(F.col("__tk")).cast("long").alias("nt"),
     ).persist()
     _SAMPLE_SHARED_CACHE.append(shared)
     return _union([
@@ -1129,6 +1162,11 @@ def _budget_grouped(
     return select_until_budget_grouped(
         scored, {"en": 6000, "zh": 1500}, group_col="lang",
         id_col="doc_id", weight_col="nt", score_col="q",
+        # r17: zero construction collects — the quality-score domain is
+        # a smooth [0,1] heuristic (no single value owns >64k rows at
+        # any tested sf), so the suite takes the lazy prefix plan;
+        # identical rows pinned in tests/test_sampling.py
+        lazy_prefix=True,
     )
 
 
@@ -1147,7 +1185,10 @@ def _mixture_applied(
     d = (shared if shared is not None
          else Q._t(spark, sf_dir, "documents"))
     return apply_temperature_mixture(
-        d, "source", "doc_id", temperature=0.5, seed=0
+        d, "source", "doc_id", temperature=0.5, seed=0,
+        # r17: `source` is a bounded catalog (dozens of values at any
+        # corpus size) — take the zero-collect lazy quota plan
+        lazy_quotas=True,
     ).select("doc_id", "source")
 
 

@@ -10,9 +10,10 @@ diagram needs quantile cuts. The shapes here:
   sort. Scores collapse to per-distinct-value (n_pos, n_neg) counts;
   the cumulative negatives-below-each-score come from the same
   two-phase prefix-sum discipline as packing/dense-ids (deterministic
-  fixed-width score buckets, driver-side exclusive cumsum over G
-  bucket totals — G scalars, never data); AUC is then one aggregate:
-  Σ n_pos·(cum_neg_below + n_neg/2) / (N⁺·N⁻).
+  fixed-width score buckets; since r17 the exclusive cumsum over the
+  ≤score_buckets bucket totals is ONE bounded in-plan window, so the
+  _df variant runs zero construction-time jobs); AUC is then one
+  aggregate: Σ n_pos·(cum_neg_below + n_neg/2) / (N⁺·N⁻).
 - `threshold_report`: TP/FP/FN/TN + precision/recall/F1 for a literal
   threshold list — ONE conditional-sum aggregate pass over the rows,
   k thresholds = k expressions, not k scans.
@@ -69,37 +70,41 @@ def roc_auc(
             F.sum(1 - F.col("y")).cast("long").alias("nn"),
         )
     )
-    rng = per_score.agg(
-        F.min("s").alias("lo"), F.max("s").alias("hi"), F.count(F.lit(1)).alias("k")
-    ).collect()[0]
-    if rng["k"] == 0:
-        if _as_df:
-            # df-variant contract: auc NULL with the zero class counts
-            # VISIBLE, so the caller can see why — never a raise.
-            return df.sparkSession.createDataFrame(
-                [(None, 0, 0)], "auc double, n_pos long, n_neg long"
-            )
-        raise ValueError("no scored rows")
-    lo, hi = float(rng["lo"]), float(rng["hi"])
-    width = max((hi - lo) / score_buckets, 1e-300)
-    bkt = F.least(
-        F.floor((F.col("s") - F.lit(lo)) / F.lit(width)),
-        F.lit(score_buckets - 1),
-    ).cast("long")
-    b = per_score.withColumn("__bkt", bkt)
-    totals = {
-        r["__bkt"]: r["nn"]
-        for r in b.groupBy("__bkt").agg(F.sum("nn").alias("nn")).collect()
-    }
-    base, acc = {}, 0
-    for k in sorted(totals):
-        base[k] = acc
-        acc += totals[k]
-    bases = df.sparkSession.createDataFrame(
-        [(k, v) for k, v in base.items()], "__bkt long, __base long"
-    )
+    # r17: fully-lazy two-phase prefix (the construction-time range +
+    # bucket-totals collects made even the "lazy" _df variant run two
+    # serial jobs per call): the score range rides a 1-row broadcast
+    # cross, the per-bucket exclusive bases come from ONE bounded
+    # window over the ≤score_buckets-row totals frame, and an empty
+    # input falls out of the final aggregate as the (NULL, 0, 0) row
+    # the df contract promises — zero collects until the caller acts.
     from pyspark.sql.window import Window
 
+    rng = per_score.agg(F.min("s").alias("__lo"), F.max("s").alias("__hi"))
+    width = F.greatest(
+        (F.col("__hi") - F.col("__lo")) / F.lit(float(score_buckets)),
+        F.lit(1e-300),
+    )
+    b = (
+        per_score.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "__bkt",
+            F.least(
+                F.floor((F.col("s") - F.col("__lo")) / width),
+                F.lit(score_buckets - 1),
+            ).cast("long"),
+        )
+        .drop("__lo", "__hi")
+    )
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        b.groupBy("__bkt")
+        .agg(F.sum("nn").alias("__nnb"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__nnb").over(wb), F.lit(0))
+            .cast("long").alias("__base"),
+        )
+    )
     w = Window.partitionBy("__bkt").orderBy("s").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -127,6 +132,8 @@ def roc_auc(
             F.coalesce(F.col("tn"), F.lit(0)).cast("long").alias("n_neg"),
         )
     contrib = contrib_df.collect()[0]
+    if contrib["tp"] is None and contrib["tn"] is None:
+        raise ValueError("no scored rows")
     if not contrib["tp"] or not contrib["tn"]:
         raise ValueError("AUC undefined: one class is absent")
     return float(contrib["u"]) / (contrib["tp"] * contrib["tn"])

@@ -19,13 +19,19 @@ Design rules the composition enforces (each learned from a probe):
   (rows_in, rows_out); silent attrition is how pipelines lose 30% of
   a corpus to a mis-tuned threshold without anyone noticing. The
   accounting is returned, not logged.
-- **Stage outputs are eagerly localCheckpointed** (r16; lazy FIFO
-  persists through r15): every stage references its input several
-  times, so keeping lineage grew the composed plan exponentially and
-  each tail operation re-paid the analyzer over it — checkpointing
-  truncates the plan at every boundary while the blocks still release
-  via the ContextCleaner once the stage frame leaves the manifest's
-  lineage (no nine stacked corpus-sized caches, the r12 lesson).
+- **Stage outputs are lazily checkpointed** (r17; eager through r16,
+  lazy FIFO persists through r15): every stage references its input
+  several times, so keeping lineage grew the composed plan
+  exponentially and each tail operation re-paid the analyzer over it
+  — checkpointing truncates the plan at every boundary while the
+  blocks still release via the ContextCleaner once the stage frame
+  leaves the manifest's lineage (no nine stacked corpus-sized caches,
+  the r12 lesson). `eager=False` keeps the truncation but folds each
+  stage's materialization into its first consumer job — with
+  accounting off, constructing the whole manifest runs ZERO jobs.
+  Under `SPARK_GRAFT_ON_CLUSTER` with a configured checkpoint dir the
+  stages checkpoint RELIABLY to cluster storage (executor loss no
+  longer loses the truncated lineage).
 - **Text shrinks as early as possible.** After the ExactSubstr strip
   the pipeline carries `clean_text`; decontamination and classifier
   scoring run on the stripped text (what training would actually
@@ -43,7 +49,7 @@ SCALING.md §curation-pipeline.
 
 from __future__ import annotations
 
-import math
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -90,34 +96,41 @@ def _fused_manifest(
     from distributedqueryengine_spark.functions.sampling import _uniform01
     from distributedqueryengine_spark.session import ensure_parallelism
 
-    spark = cur.sparkSession
-    # eager localCheckpoint, not lazy persist (r16): three consumers
-    # (stats, combined totals, the manifest plan) and the mixture
-    # lineage behind it — truncating here keeps the tail's three
-    # analyzer passes O(1) instead of O(whole pipeline)
+    # LAZY localCheckpoint (r17; eager through r16): lineage still
+    # truncates at construction (the returned frame is an RDD-scan
+    # leaf, so the tail's analyzer passes stay O(1)), but the blocks
+    # materialize inside the FIRST consumer job instead of a serial
+    # construction-time job of their own — and with the stats/totals
+    # collects below also gone lazy, merely CONSTRUCTING the manifest
+    # runs zero jobs.
     surv = ensure_parallelism(cur).select(
         "id", "grp", tokens.cast("long").alias("t")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    # r17: the corpus stats ride a bounded 1-row broadcast cross and
+    # both driver prefix tables become bounded in-plan windows — the
+    # pack bases over the ~G-row bucket totals, the rank bases over
+    # the ≤n_epochs·nb epoch-bucket counts (offsets/positions are
+    # invariant to where bucket boundaries land, so in-plan width
+    # arithmetic only has to be deterministic).
     stats = surv.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("id").alias("lo"),
-        F.max("id").alias("hi"),
-    ).collect()[0]
-    if stats["n"] == 0:
-        return surv.select(
-            F.lit(0).cast("long").alias("epoch"),
-            F.lit(0).cast("long").alias("pos"),
-            "id",
-            "grp",
-            F.col("t").alias("n_tokens"),
-            F.lit(0).cast("long").alias("tok_offset"),
-            F.lit(0).cast("long").alias("seq_first"),
-            F.lit(0).cast("long").alias("seq_last"),
-            F.lit(0).cast("long").alias("n_seqs"),
-        ).limit(0)
-    n_buckets = max(1, math.ceil(stats["n"] / rows_per_bucket))
-    width = max(1, math.ceil((stats["hi"] - stats["lo"] + 1) / n_buckets))
-    bkt = ((F.col("id") - F.lit(stats["lo"])) / F.lit(width)).cast("long")
+        F.count(F.lit(1)).alias("__n"),
+        F.min("id").alias("__lo"),
+        F.max("id").alias("__hi"),
+    )
+    nbk = F.greatest(
+        F.lit(1), F.ceil(F.col("__n") / F.lit(float(rows_per_bucket)))
+    )
+    width = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / nbk.cast("double")),
+    )
+    sb = (
+        surv.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__bkt", ((F.col("id") - F.col("__lo")) / width).cast("long")
+        )
+        .drop("__n", "__lo", "__hi")
+    )
     nb = max(8, min(1024, 65536 // n_epochs))
     us = [
         _uniform01(F.col("id").cast("string"), seed=seed * 1_000_003 + e)
@@ -126,48 +139,46 @@ def _fused_manifest(
     ebs = [
         F.least(F.floor(u * nb), F.lit(nb - 1)).cast("long") for u in us
     ]
-    # combined bucket-totals aggregate: kind=-1 rows carry token sums
-    # for the pack prefix, kind=e rows carry row counts for epoch e's
-    # rank prefix. Output cardinality ≤ n_buckets + n_epochs·nb.
-    kv = surv.select(
-        F.lit(-1).cast("long").alias("kind"), bkt.alias("k"), F.col("t")
+    w_pb = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    for e in range(n_epochs):
-        kv = kv.unionAll(
+    pack_bases = (
+        sb.groupBy("__bkt")
+        .agg(F.sum("t").alias("__tot"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__tot").over(w_pb), F.lit(0))
+            .cast("long").alias("__pb"),
+        )
+    )
+    ecounts = surv.select(
+        F.lit(0).cast("long").alias("epoch"), ebs[0].alias("__b")
+    )
+    for e in range(1, n_epochs):
+        ecounts = ecounts.unionAll(
             surv.select(
-                F.lit(e).cast("long").alias("kind"),
-                ebs[e].alias("k"),
-                F.lit(1).cast("long").alias("t"),
+                F.lit(e).cast("long").alias("epoch"), ebs[e].alias("__b")
             )
         )
-    totals = kv.groupBy("kind", "k").agg(F.sum("t").alias("tot")).collect()
-    pack_tot: dict = {}
-    rank_tot: dict = {}
-    for r in totals:
-        if r["kind"] == -1:
-            pack_tot[r["k"]] = r["tot"]
-        else:
-            rank_tot.setdefault(r["kind"], {})[r["k"]] = r["tot"]
-    pack_rows, acc_p = [], 0
-    for k in sorted(pack_tot):
-        pack_rows.append((k, acc_p))
-        acc_p += pack_tot[k]
-    rank_rows = []
-    for e in sorted(rank_tot):
-        acc_r = 0
-        for k in sorted(rank_tot[e]):
-            rank_rows.append((e, k, acc_r))
-            acc_r += rank_tot[e][k]
-    pack_bases = spark.createDataFrame(pack_rows, "__bkt long, __pb long")
-    rank_bases = spark.createDataFrame(
-        rank_rows, "epoch long, __b long, __eb long"
+    w_eb = (
+        Window.partitionBy("epoch")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank_bases = (
+        ecounts.groupBy("epoch", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "epoch", "__b",
+            F.coalesce(F.sum("__c").over(w_eb), F.lit(0))
+            .cast("long").alias("__eb"),
+        )
     )
     w_off = Window.partitionBy("__bkt").orderBy("id").rowsBetween(
         Window.unboundedPreceding, -1
     )
     laid = (
-        surv.withColumn("__bkt", bkt)
-        .join(F.broadcast(pack_bases), "__bkt")
+        sb.join(F.broadcast(pack_bases), "__bkt")
         .withColumn(
             "off", F.col("__pb") + F.coalesce(F.sum("t").over(w_off), F.lit(0))
         )
@@ -220,23 +231,44 @@ def _fused_manifest(
 def _stage(
     acc: list | None, name: str, rows_in: int, df: DataFrame
 ) -> tuple[DataFrame, int]:
-    """Materialize a stage output with an eager localCheckpoint and
-    TRUNCATE its lineage (r16). Each stage references its input 2-3
-    times (dedup window + semi-join, strip join, decontam anti-join),
-    so a lazy persist — which keeps the full logical plan — grew the
-    composed tree exponentially: by stage 5 the driver row planned a
-    5,600-line / 613-Exchange tree, and because PySpark analyzes every
-    new Dataset eagerly, EACH tail operation re-paid the analyzer over
-    that whole tree (measured 1.4s to merely CONSTRUCT the decontam
-    stage at sf0.1, zero execution). Checkpointing caps every stage's
-    plan at O(stage) depth: same jobs, same cached blocks (checkpoint
-    blocks release via the ContextCleaner when the stage frame drops
-    out of the manifest's lineage), analyzer cost O(1) per stage
-    (guide §3.3/§5: materialize to truncate very large plans).
-    When accounting is on (acc is a list) the count runs over the
-    checkpointed blocks — a metadata-cheap job, no longer the stage's
-    materialization point."""
-    out = df.localCheckpoint()
+    """Checkpoint a stage output and TRUNCATE its lineage (r16). Each
+    stage references its input 2-3 times (dedup window + semi-join,
+    strip join, decontam anti-join), so a lazy persist — which keeps
+    the full logical plan — grew the composed tree exponentially: by
+    stage 5 the driver row planned a 5,600-line / 613-Exchange tree,
+    and because PySpark analyzes every new Dataset eagerly, EACH tail
+    operation re-paid the analyzer over that whole tree (measured 1.4s
+    to merely CONSTRUCT the decontam stage at sf0.1, zero execution).
+    Checkpointing caps every stage's plan at O(stage) depth (guide
+    §3.3/§5: materialize to truncate very large plans).
+
+    LAZY since r17 (eager in r16): `eager=False` truncates the plan
+    just the same (the returned frame is an RDD-scan leaf) but the
+    blocks materialize inside the first CONSUMER job — with
+    accounting off, stage boundaries no longer pay a serial
+    construction-time job each (r16 ADVICE: this also restores the
+    'acc=None keeps the chain lazy' contract). With accounting on,
+    the count() right after is that first consumer.
+
+    Fault tolerance (r16 VERDICT item): localCheckpoint blocks live
+    only on executors — fine locally and for the bench contract, but
+    at cluster scale a lost executor makes the truncated lineage
+    unrecoverable. When `SPARK_GRAFT_ON_CLUSTER` is set AND the
+    session has a checkpoint dir configured, stages use RELIABLE
+    checkpoint() to cluster storage instead (same semantics, blocks
+    on the checkpoint dir); without a checkpoint dir the contract is
+    retry-from-start, documented in SCALING.md §curation-pipeline."""
+    reliable = False
+    if os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        try:  # Spark Connect has no SparkContext on the client
+            reliable = (
+                df.sparkSession.sparkContext.getCheckpointDir() is not None
+            )
+        except Exception:
+            reliable = False
+    out = df.checkpoint(eager=False) if reliable else df.localCheckpoint(
+        eager=False
+    )
     if acc is None:
         return out, -1
     n = out.count()
@@ -421,9 +453,14 @@ def curate_corpus(
     else:
         # fused form (r15): one (group, bucket) aggregate carries both
         # the rate computation and the quota ranking — identical rows
-        # to temperature_mixture_rates ∘ apply_mixture_rates (pinned)
+        # to temperature_mixture_rates ∘ apply_mixture_rates (pinned).
+        # lazy_quotas (r17): curation group columns are bounded source
+        # catalogs (dozens of values), so the quotas/prefixes ride the
+        # manifest plan as broadcast frames instead of a construction-
+        # time counts collect — one fewer serial sync job
         mixed = apply_temperature_mixture(
-            cur, "grp", "id", temperature=temperature, seed=seed
+            cur, "grp", "id", temperature=temperature, seed=seed,
+            lazy_quotas=True,
         )
         if account:
             cur, n = _stage(acc, "mixture", n, mixed)

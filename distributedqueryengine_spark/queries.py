@@ -800,7 +800,11 @@ def q_sample_budget(
             token_count("text").cast("long").alias("nt"),
         )
     sel = select_until_budget(
-        scored, budget=8000, id_col="doc_id", weight_col="nt", score_col="q"
+        scored, budget=8000, id_col="doc_id", weight_col="nt", score_col="q",
+        # r17: quality_score is a smooth [0,1] heuristic (no 64k-row
+        # tie at any tested sf) — zero-collect lazy prefix plan,
+        # identical rows (tests/test_sampling.py)
+        lazy_prefix=True,
     )
     langs = scored.select("doc_id", "lang")
     return (
@@ -1111,11 +1115,15 @@ def q_agg_percentiles(
 ) -> DataFrame:
     """Exact percentiles + median (interpolated), per group.
 
-    r16: computed via aggregates.exact_percentiles_grouped — the
-    windowed order-statistics plan — instead of F.percentile's
-    per-group in-memory value map. Safe under the 4dp rounding because
-    the helper is BIT-identical to F.percentile (same interpolation
-    expression; pinned in tests/test_relational.py), not merely close."""
+    r16: computed via aggregates.exact_percentiles_grouped instead of
+    F.percentile's per-group in-memory value map. Safe under the 4dp
+    rounding because the helper is BIT-identical to F.percentile (same
+    interpolation expression; pinned in tests/test_relational.py), not
+    merely close. r17: the helper's default two-phase rank (per-(group,
+    value-range) parallel windows, in-plan prefix) removes the r16
+    one-window-task-per-group bound on this PRIMARY path (r16 ADVICE);
+    the ~0.5s local cost of the extra bounded passes is the price of
+    the scale-safe shape and is documented in OPTIMIZATION_r17.md."""
     from distributedqueryengine_spark.operators.aggregates import (
         exact_percentiles_grouped,
     )
@@ -3041,18 +3049,28 @@ def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     rep = T.repetition_profile(d, "doc_id", "text")
-    prof = d.select(
+    # r17 token-materialized projection: the five whitespace-token
+    # signals used to re-split the text once per HOF sub-expression
+    # (~8 tokenize passes per row); project tokens(text) and the BPE
+    # pre-token count ONCE and derive the signals from the arrays —
+    # value-identical (text.py *_of contract)
+    base = d.select(
+        "doc_id", "text",
+        T.tokens("text").alias("__tk"),
+        T.bpe_token_count("text").alias("__bpe"),
+    )
+    prof = base.select(
         "doc_id",
-        T.token_count("text").cast("int").alias("n_tokens"),
+        T.token_count_of(F.col("__tk")).cast("int").alias("n_tokens"),
         F.length("text").cast("int").alias("n_chars_actual"),
-        F.round(T.stopword_ratio("text"), 4).alias("stop_ratio"),
-        F.round(T.mean_word_len("text"), 4).alias("mean_wlen"),
-        T.lang_id("text").alias("lang_pred"),
+        F.round(T.stopword_ratio_of(F.col("__tk")), 4).alias("stop_ratio"),
+        F.round(T.mean_word_len_of(F.col("__tk")), 4).alias("mean_wlen"),
+        T.lang_id_of(F.col("__tk")).alias("lang_pred"),
         T.fingerprint("text").alias("fp"),
-        T.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.col("__bpe").alias("n_bpe_tokens"),
         F.round(
-            T.bpe_token_count("text").cast("double")
-            / F.greatest(T.token_count("text"), F.lit(1)).cast("double"),
+            F.col("__bpe").cast("double")
+            / F.greatest(T.token_count_of(F.col("__tk")), F.lit(1)).cast("double"),
             4,
         ).alias("fertility"),
         T.gopher_quality_flags("text")["passes"].alias("gopher_passes"),

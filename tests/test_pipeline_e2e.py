@@ -385,3 +385,35 @@ def test_fused_manifest_equals_unfused_composition(spark):
         "epoch", "pos", "id", "grp", "n_tokens", "tok_offset",
         "seq_first", "seq_last", "n_seqs",
     ]
+
+
+def test_stage_reliable_checkpoint_on_cluster(spark, tmp_path, monkeypatch):
+    """r17 (r16 VERDICT item 8): under SPARK_GRAFT_ON_CLUSTER with a
+    configured checkpoint dir, _stage checkpoints RELIABLY to cluster
+    storage (files appear under the dir; executor loss cannot strand
+    the truncated lineage) — and the stage rows are identical to the
+    local path's."""
+    import os
+
+    from distributedqueryengine_spark.pipeline import _stage
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    acc: list = []
+    local_out, n_local = _stage(acc, "probe", -1, docs.filter(F.col("doc_id") % 2 == 0))
+
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_ON_CLUSTER", "1")
+    # leaving the dir configured after the test is inert: the reliable
+    # path only triggers under the env var, which monkeypatch restores
+    spark.sparkContext.setCheckpointDir(ckdir)
+    acc2: list = []
+    rel_out, n_rel = _stage(acc2, "probe", -1, docs.filter(F.col("doc_id") % 2 == 0))
+    assert n_rel == n_local
+    assert {r.doc_id for r in rel_out.collect()} == {
+        r.doc_id for r in local_out.collect()
+    }
+    # the reliable path actually wrote checkpoint files
+    found = []
+    for _root, _dirs, files in os.walk(ckdir):
+        found.extend(files)
+    assert found, "no reliable checkpoint files written"

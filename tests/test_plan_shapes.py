@@ -27,6 +27,8 @@ NESTED_LOOP_OK = {
     "sample_suite",      # r12 dsir branches: the 1-row target/source gram totals broadcast-crossed into the ratio/score joins
     "text_wordcount",    # r13 pmi/unigram branches: the 1-row corpus unigram/bigram totals broadcast-crossed into the count tables
     "decontam_suite",    # r16 stop_grams branch: frequent_grams' 1-row corpus doc-count broadcast-crossed into the per-gram counts (constant size at any corpus scale)
+    "pack_sequences",    # r17 lazy prefix sum: the 1-row corpus stats (n, min/max id) broadcast-crossed into the bucket assignment (constant size at any scale)
+    "pipeline_curate",   # r17 lazy fused manifest: the same 1-row survivor stats cross as pack_sequences (the manifest's pack-bucket sizing)
 }
 
 def _plan(df) -> str:

@@ -895,3 +895,86 @@ def test_mixture_bounded_collect_fallback_protects_driver(spark):
     a = sorted((r["id"], r["src"]) for r in lo.collect())
     b = sorted((r["id"], r["src"]) for r in hi.collect())
     assert a == b and a
+
+
+def test_budget_lazy_prefix_equals_collect_path(spark):
+    """r17: the zero-collect lazy prefix plan returns EXACTLY the
+    collect path's rows — long and double weight families, ties,
+    boundary budgets, empty-group cases."""
+    from distributedqueryengine_spark.functions.sampling import (
+        select_until_budget,
+        select_until_budget_grouped,
+    )
+
+    rows = [
+        (i, f"g{i % 3}", float((i * 7) % 13) / 3.0, 1 + (i % 5))
+        for i in range(700)
+    ] + [(900, "g0", 2.0, 3), (901, "g1", 2.0, 3)]  # score ties
+    df = spark.createDataFrame(rows, "id long, g string, score double, w long")
+    for budget in (0, 1, 57, 400, 10**6):
+        a = sorted(
+            tuple(r) for r in select_until_budget(
+                df, budget, id_col="id", weight_col="w", score_col="score"
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in select_until_budget(
+                df, budget, id_col="id", weight_col="w", score_col="score",
+                lazy_prefix=True,
+            ).collect()
+        )
+        assert a == b, budget
+    budgets = {"g0": 120, "g1": 7, "gX": 50}  # gX absent from data
+    a = sorted(
+        tuple(r) for r in select_until_budget_grouped(
+            df, budgets, group_col="g", id_col="id",
+            weight_col="w", score_col="score",
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in select_until_budget_grouped(
+            df, budgets, group_col="g", id_col="id",
+            weight_col="w", score_col="score", lazy_prefix=True,
+        ).collect()
+    )
+    assert a == b and a
+    # double-weight family keeps the double cum end to end
+    dd = df.withColumn("w", df["w"] / 3.0)
+    a = sorted(
+        tuple(r) for r in select_until_budget(
+            dd, 50, id_col="id", weight_col="w", score_col="score"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in select_until_budget(
+            dd, 50, id_col="id", weight_col="w", score_col="score",
+            lazy_prefix=True,
+        ).collect()
+    )
+    assert a == b and a
+
+
+def test_mixture_lazy_quotas_equals_collect_path(spark):
+    """r17: apply_temperature_mixture(lazy_quotas=True) — quotas,
+    prefixes and rates all in-plan — returns EXACTLY the collect
+    path's rows across temperatures and seeds."""
+    from distributedqueryengine_spark.functions.sampling import (
+        apply_temperature_mixture,
+    )
+
+    rows = [(i, f"s{min(i % 10, i % 7, 3)}") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    for temp in (0.5, 1.0, 2.0):
+        for seed in (0, 9):
+            a = sorted(
+                (r["id"], r["src"]) for r in apply_temperature_mixture(
+                    df, "src", "id", temperature=temp, seed=seed
+                ).collect()
+            )
+            b = sorted(
+                (r["id"], r["src"]) for r in apply_temperature_mixture(
+                    df, "src", "id", temperature=temp, seed=seed,
+                    lazy_quotas=True,
+                ).collect()
+            )
+            assert a == b and a, (temp, seed)
