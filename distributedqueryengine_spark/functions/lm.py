@@ -218,6 +218,43 @@ def _grams(framed: DataFrame, n: int, names: list[str]) -> DataFrame:
     )
 
 
+# framing markers used INTERNALLY by the lazy-vocab path: tokens are
+# whitespace-split, so no raw token can contain a space — a leading
+# space makes the marker collision-proof against corpus tokens that
+# literally spell "<s>"/"</s>" (which must go through the vocab test
+# like any other token, exactly as the literal-array path treats them)
+_BOS_MARK = " <s>"
+_EOS_MARK = " </s>"
+
+
+def _remap_gram_cols(df: DataFrame, cols: list[str], keep: DataFrame) -> DataFrame:
+    """Map raw gram columns onto the model alphabet with broadcast
+    left joins against the vocab frame (`keep`, one column `kw`):
+    framing markers normalize to BOS/EOS, in-vocab tokens stay, the
+    rest become UNK. Value-identical to _map_unk's literal-array test
+    — one hash probe per gram column instead of an O(|vocab|) array
+    scan per token."""
+    out = df
+    for c in cols:
+        m = f"__m_{c}"
+        out = (
+            out.join(
+                F.broadcast(keep.select(F.col("kw").alias(m))),
+                out[c] == F.col(m),
+                "left",
+            )
+            .withColumn(
+                c,
+                F.when(F.col(c) == _BOS_MARK, F.lit(BOS))
+                .when(F.col(c) == _EOS_MARK, F.lit(EOS))
+                .when(F.col(m).isNotNull(), F.col(c))
+                .otherwise(F.lit(UNK)),
+            )
+            .drop(m)
+        )
+    return out
+
+
 def train_trigram_lm(
     corpus: DataFrame,
     text_col: str,
@@ -225,6 +262,7 @@ def train_trigram_lm(
     vocab_size: int = 10_000,
     tokens_col: str | None = None,
     lazy_totals: bool = False,
+    lazy_vocab: bool = False,
 ) -> dict:
     """Stupid-backoff trigram model (Brants et al. 2007, "Large
     Language Models in Machine Translation" — the score the web-scale
@@ -234,7 +272,18 @@ def train_trigram_lm(
     count tables come from ONE tokenize+frame pass (two BOS + one EOS
     so every real token heads exactly one trigram) and stay
     distributed; only the vocabulary collects (bounded by
-    vocab_size)."""
+    vocab_size).
+
+    ``lazy_vocab=True`` (r17): the vocabulary never collects — it
+    stays a top-`vocab_size` frame, and the UNK mapping moves from a
+    per-token O(|vocab|) literal-array scan to broadcast hash joins on
+    the (small) gram COUNT tables: grams count over raw tokens first,
+    each gram column remaps via the vocab frame, and a re-aggregate
+    merges the mapped keys — identical counts (sum over the preimage),
+    pinned in tests/test_lm.py. Zero construction-time jobs; 'vocab'
+    in the returned dict is the frame, 'v' and 'n_tokens' ride a
+    1-row meta frame that scoring broadcast-crosses into the floor
+    term (implies lazy_totals)."""
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     # Tokenize ONCE: `base` feeds the vocab count AND the framed-gram
@@ -257,6 +306,65 @@ def train_trigram_lm(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    if lazy_vocab:
+        vocab_df = _scoped_persist(
+            counts.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(vocab_size)
+            .select(F.col("w").alias("kw"))
+        )
+        framed = _scoped_persist(
+            base.select(
+                "id",
+                F.concat(
+                    F.array(F.lit(_BOS_MARK), F.lit(_BOS_MARK)),
+                    F.col("toks"),
+                    F.array(F.lit(_EOS_MARK)),
+                ).alias("toks"),
+            )
+        )
+
+        def _counted(n: int, names: list[str]) -> DataFrame:
+            raw = (
+                _grams(framed, n, names)
+                .groupBy(*names)
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            return (
+                _remap_gram_cols(raw, names, vocab_df)
+                .groupBy(*names)
+                .agg(F.sum("c").alias("c"))
+            )
+
+        tri = _scoped_persist(_counted(3, ["w1", "w2", "w3"]))
+        bi = _scoped_persist(_counted(2, ["w1", "w2"]))
+        uni = _scoped_persist(
+            _remap_gram_cols(
+                framed.select(F.explode("toks").alias("w"))
+                .groupBy("w")
+                .agg(F.count(F.lit(1)).alias("c")),
+                ["w"],
+                vocab_df,
+            )
+            .groupBy("w")
+            .agg(F.sum("c").alias("c"))
+        )
+        meta = uni.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("__lm_ntok")
+        ).crossJoin(
+            F.broadcast(
+                vocab_df.agg(
+                    (F.count(F.lit(1)) + F.lit(3)).alias("__lm_v")
+                )
+            )
+        )
+        return {
+            "vocab": vocab_df,
+            "v": meta,
+            "n_tokens": meta,
+            "trigrams": tri,
+            "bigrams": bi,
+            "unigrams": uni,
+        }
     vocab_rows = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(
         vocab_size
     ).collect()  # bounded by vocab_size BY CONTRACT
@@ -340,18 +448,40 @@ def score_stupid_backoff(
     stays JVM-side."""
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    vocab_arr = F.array(*[F.lit(w) for w in lm["vocab"]])
-    v = int(lm["v"])
-    framed = _framed(docs, text_col, id_col, vocab_arr, n_bos=2,
-                     tokens_col=tokens_col)
-    g = _grams(framed, 3, ["w1", "w2", "w3"])
-    if isinstance(lm["n_tokens"], DataFrame):
-        # lazy_totals mode: the 1-row token total rides a broadcast
-        # cross join instead of a construction-time collect
+    if isinstance(lm["vocab"], DataFrame):
+        # lazy_vocab model: frame with marker framing, remap the gram
+        # columns via broadcast joins (value-identical to _map_unk),
+        # and the 1-row (n_tokens, v) meta frame rides a broadcast
+        # cross into the floor term
+        base = _normalized_tokens(docs, text_col, id_col, tokens_col)
+        framed = base.select(
+            "id",
+            F.concat(
+                F.array(F.lit(_BOS_MARK), F.lit(_BOS_MARK)),
+                F.col("toks"),
+                F.array(F.lit(_EOS_MARK)),
+            ).alias("toks"),
+        )
+        g = _remap_gram_cols(
+            _grams(framed, 3, ["w1", "w2", "w3"]),
+            ["w1", "w2", "w3"],
+            lm["vocab"],
+        )
         g = g.crossJoin(F.broadcast(lm["n_tokens"]))
-        floor_den = F.col("__lm_ntok") + F.lit(v)
+        floor_den = F.col("__lm_ntok") + F.col("__lm_v")
     else:
-        floor_den = F.lit(int(lm["n_tokens"]) + v)
+        vocab_arr = F.array(*[F.lit(w) for w in lm["vocab"]])
+        v = int(lm["v"])
+        framed = _framed(docs, text_col, id_col, vocab_arr, n_bos=2,
+                         tokens_col=tokens_col)
+        g = _grams(framed, 3, ["w1", "w2", "w3"])
+        if isinstance(lm["n_tokens"], DataFrame):
+            # lazy_totals mode: the 1-row token total rides a broadcast
+            # cross join instead of a construction-time collect
+            g = g.crossJoin(F.broadcast(lm["n_tokens"]))
+            floor_den = F.col("__lm_ntok") + F.lit(v)
+        else:
+            floor_den = F.lit(int(lm["n_tokens"]) + v)
 
     tri = lm["trigrams"].withColumnRenamed("c", "__ct")
     bi12 = lm["bigrams"].withColumnRenamed("c", "__cb12")
